@@ -99,4 +99,4 @@ def compile_suite_sql(table_sql: str, specs: list[TestSpec], as_of: str) -> str:
             f"ELSE 'PASSED' END AS result FROM m"
         )
     union = " UNION ALL ".join(selects)
-    return f"WITH m AS (SELECT {measures} FROM {table_sql}) {union}"
+    return f"WITH m AS MATERIALIZED (SELECT {measures} FROM {table_sql}) {union}"

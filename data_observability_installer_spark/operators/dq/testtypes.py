@@ -205,10 +205,10 @@ def _ztest(p1: float, n1: float, p2_spark, p2_sql: str, n2_spark, n2_sql: str):
 
     def spark() -> Column:
         return F.abs(p2_spark() - F.lit(p1)) / F.sqrt(
-            F.lit(var1) * (F.lit(1.0 / n1) + F.lit(1.0) / n2_spark())
+            F.lit(var1) * (F.lit(1.0 / n1) + F.lit(1.0) / F.nullif(n2_spark(), F.lit(0.0)))
         )
 
-    sql = f"abs(({p2_sql}) - ({p1!r})) / sqrt({var1!r} * ({1.0 / n1!r} + 1.0 / ({n2_sql})))"
+    sql = f"abs(({p2_sql}) - ({p1!r})) / sqrt({var1!r} * ({1.0 / n1!r} + 1.0 / nullif(CAST({n2_sql} AS DOUBLE), 0)))"
     return spark, sql
 
 
@@ -218,8 +218,8 @@ def _unique_pct(col: str, p: dict, as_of: str) -> Lowered:
     n1 = _f(p, "Baseline_Value_Ct")
     p1 = _f(p, "Baseline_Unique_Ct") / max(n1, 1.0)
     t = _f(p, "Threshold_Value", 2)
-    p2_s = lambda: F.countDistinct(col) / F.count(col)  # noqa: E731
-    p2_q = f"count(DISTINCT {col}) * 1.0 / count({col})"
+    p2_s = lambda: F.countDistinct(col) / F.nullif(F.count(col), F.lit(0))  # noqa: E731
+    p2_q = f"count(DISTINCT {col}) * 1.0 / nullif(count({col}), 0)"
     z_s, z_q = _ztest(p1, n1, p2_s, p2_q, lambda: F.count(col).cast("double"), f"count({col})")
     return Lowered(z_s, z_q, ">", t)
 
@@ -230,8 +230,8 @@ def _missing_pct(col: str, p: dict, as_of: str) -> Lowered:
     n1 = _f(p, "Baseline_Ct")
     p1 = 1.0 - _f(p, "Baseline_Value_Ct") / max(n1, 1.0)
     t = _f(p, "Threshold_Value", 2)
-    p2_s = lambda: (F.count(F.lit(1)) - F.count(col)) / F.count(F.lit(1))  # noqa: E731
-    p2_q = f"(count(*) - count({col})) * 1.0 / count(*)"
+    p2_s = lambda: (F.count(F.lit(1)) - F.count(col)) / F.nullif(F.count(F.lit(1)), F.lit(0))  # noqa: E731
+    p2_q = f"(count(*) - count({col})) * 1.0 / nullif(count(*), 0)"
     z_s, z_q = _ztest(p1, n1, p2_s, p2_q, lambda: F.count(F.lit(1)).cast("double"), "count(*)")
     return Lowered(z_s, z_q, ">", t)
 

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dq.compiler import compile_suite, compile_suite_sql
-from ..sources.tables import load_table
+from ..operators.hygiene import hygiene, hygiene_sql
+from ..operators.profile import column_metrics, profile, profile_sql
+from ..sources.tables import STATIC_SCHEMAS, load_table
 from .suites import AS_OF, DEMO_SUITES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -51,6 +53,55 @@ def _make_suite_query(table: str, specs, view_builder) -> QueryFn:
 for _name, (_table, _specs, _view, _table_sql) in DEMO_SUITES.items():
     QUERIES[_name] = _make_suite_query(_table, _specs, _view)
     ORACLES[_name] = compile_suite_sql(_table_sql, _specs, AS_OF)
+
+
+# ---------------------------------------------------------------------------
+# Profiling (SURVEY §2.4 profiling operators — 51 characteristics per column)
+# ---------------------------------------------------------------------------
+
+
+def _make_profile_query(table: str) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return profile(load_table(spark, sf_dir, table), table, AS_OF)
+
+    return run
+
+
+for _table in ["lineitem", "orders", "customer", "events", "documents"]:
+    _name = f"profile_{_table}"
+    QUERIES[_name] = _make_profile_query(_table)
+    ORACLES[_name] = profile_sql(_table, _table, STATIC_SCHEMAS[_table], AS_OF)
+
+
+# ---------------------------------------------------------------------------
+# Hygiene screens (TestGen task 2 — 29 detectors over the profile)
+# ---------------------------------------------------------------------------
+
+
+def _make_hygiene_query(table: str) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return hygiene(profile(load_table(spark, sf_dir, table), table, AS_OF), AS_OF)
+
+    return run
+
+
+def _table_metric_names(table: str) -> list[str]:
+    names: list[str] = []
+    for c, dtype in STATIC_SCHEMAS[table]:
+        for met in column_metrics(c, dtype, AS_OF):
+            if met.name not in names:
+                names.append(met.name)
+    return names
+
+
+for _table in ["lineitem", "customer", "events", "documents"]:
+    _name = f"hygiene_{_table}"
+    QUERIES[_name] = _make_hygiene_query(_table)
+    ORACLES[_name] = hygiene_sql(
+        profile_sql(_table, _table, STATIC_SCHEMAS[_table], AS_OF),
+        _table_metric_names(_table),
+        AS_OF,
+    )
 
 
 # ---------------------------------------------------------------------------

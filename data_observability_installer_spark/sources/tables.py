@@ -27,9 +27,59 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Static schemas (FIXTURES.md group A) — used to emit oracle SQL without a
+# live SparkSession; dtypes are Spark-style lowercase names.
+STATIC_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "int"),
+        ("c_acctbal", "double"), ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"), ("s_name", "string"), ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string"),
+        ("o_totalprice", "double"), ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"), ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ("l_discount", "double"), ("l_tax", "double"), ("l_returnflag", "string"),
+        ("l_linestatus", "string"), ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array"), ("label", "int")],
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read the raw int64 and convert (integer DIV —
+        # a double division would lose precision above 2^53 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
