@@ -92,7 +92,9 @@ def generate_tests(
     table = first["table_name"]
     specs.append(
         TestSpec(table, TABLE_LEVEL, "Row_Ct",
-                 {"Baseline_Ct": _fmt(v(first, "record_ct")), "Threshold_Value": "2"})
+                 {"Baseline_Ct": _fmt(v(first, "record_ct")),
+                  # corpus convention: absolute floor = baseline count
+                  "Threshold_Value": _fmt(v(first, "record_ct"))})
     )
 
     for row in wide_rows:

@@ -1,0 +1,94 @@
+"""Pipeline-validation (reconciliation) tests — SURVEY §2.5.
+
+The reference ships 13 cross-table checks in
+``demo/input_data/demo_pipeline_tests.csv`` with result expressions
+like ``8256>=stage_table_order_line_count=8256`` (count equality
+between stage and dim/fact tables), ``0.1937...<2`` (percent-invalid
+threshold) and ``1==1`` (sum reconciliation) — emitted as TestOutcomes
+by the demo at ``demo/demo/demo_helper.py:1243-1261``. These are the
+reference's "2 custom test types" (README.md:209): the threshold test
+and the reconciliation test.
+
+Spark-first shape: each check is two single-row aggregates compared
+scalar-wise. Each side's aggregate collapses map-side, so a
+reconciliation costs one scan per side regardless of table size; the
+final compare is a 1×1 cross join — no data shuffle at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RECONCILE_COLUMNS = ["check_name", "left_value", "right_value", "op", "status"]
+
+_OPS = {
+    "==": (lambda l, r: l == r, "="),
+    ">=": (lambda l, r: l >= r, ">="),
+    "<=": (lambda l, r: l <= r, "<="),
+}
+
+
+@dataclass(frozen=True)
+class ReconcileCheck:
+    name: str
+    left: Column  # aggregate over the left table
+    right: Column  # aggregate over the right table
+    op: str = "=="  # left OP right must hold
+    severity: str = "FAILED"  # result when violated
+
+
+def reconcile(left_df: DataFrame, right_df: DataFrame, checks: list[ReconcileCheck]) -> DataFrame:
+    """Run cross-table checks: one agg pass per side, scalar compare."""
+    if not checks:
+        raise ValueError("no checks")
+    lrow = left_df.agg(*[c.left.cast("double").alias(f"l{i}") for i, c in enumerate(checks)])
+    rrow = right_df.agg(*[c.right.cast("double").alias(f"r{i}") for i, c in enumerate(checks)])
+    both = lrow.crossJoin(rrow)
+    structs = []
+    for i, c in enumerate(checks):
+        fn, _ = _OPS[c.op]
+        lv, rv = F.round(F.col(f"l{i}"), 4), F.round(F.col(f"r{i}"), 4)
+        status = (
+            F.when(lv.isNull() | rv.isNull(), F.lit("PASSED"))
+            .when(fn(lv, rv), F.lit("PASSED"))
+            .otherwise(F.lit(c.severity))
+        )
+        structs.append(
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                lv.alias("left_value"),
+                rv.alias("right_value"),
+                F.lit(c.op).alias("op"),
+                status.alias("status"),
+            )
+        )
+    return both.select(F.explode(F.array(*structs)).alias("o")).select("o.*")
+
+
+def reconcile_sql(
+    left_sql: str,
+    right_sql: str,
+    checks_sql: list[tuple[str, str, str, str, str]],
+) -> str:
+    """DuckDB oracle: ``checks_sql`` rows are (name, left_agg_sql,
+    right_agg_sql, op, severity)."""
+    l_measures = ", ".join(f"({c[1]}) AS l{i}" for i, c in enumerate(checks_sql))
+    r_measures = ", ".join(f"({c[2]}) AS r{i}" for i, c in enumerate(checks_sql))
+    selects = []
+    for i, (name, _, _, op, severity) in enumerate(checks_sql):
+        sql_op = _OPS[op][1]
+        selects.append(
+            f"SELECT '{name}' AS check_name, round(l{i}, 4) AS left_value, "
+            f"round(r{i}, 4) AS right_value, '{op}' AS op, "
+            f"CASE WHEN l{i} IS NULL OR r{i} IS NULL THEN 'PASSED' "
+            f"WHEN round(l{i}, 4) {sql_op} round(r{i}, 4) THEN 'PASSED' "
+            f"ELSE '{severity}' END AS status FROM b"
+        )
+    return (
+        f"WITH l AS MATERIALIZED (SELECT {l_measures} FROM {left_sql}), "
+        f"r AS MATERIALIZED (SELECT {r_measures} FROM {right_sql}), "
+        f"b AS (SELECT * FROM l, r) " + " UNION ALL ".join(selects)
+    )

@@ -161,14 +161,16 @@ def _count_if(cond: Column) -> Column:
 
 @_register("Row_Ct")
 def _row_ct(col: str, p: dict, as_of: str) -> Lowered:
-    """Record count has not decreased vs baseline; Threshold_Value is the
-    tolerated percentage drop (corpus: Baseline_Ct=45707, Threshold=2)."""
-    b, t = _f(p, "Baseline_Ct"), _f(p, "Threshold_Value", 0)
+    """Record count has not decreased from baseline. Threshold_Value is
+    the ABSOLUTE minimum count — the corpus sets it equal to
+    Baseline_Ct (``data_tests.csv``: ``Baseline_Ct=45707,
+    Threshold_Value=45707``), and it defaults to Baseline_Ct here."""
+    bound = _f(p, "Threshold_Value", _f(p, "Baseline_Ct", 0))
     return Lowered(
         lambda: F.count(F.lit(1)).cast("double"),
         "CAST(count(*) AS DOUBLE)",
         "<",
-        b * (1.0 - t / 100.0),
+        bound,
     )
 
 

@@ -1,0 +1,121 @@
+"""A2 journey-instance windowing, A6 out-of-sequence detection.
+
+A2: instance conditions ``{action: START|END|END_PAYLOAD,
+batch_pipeline}`` (demo_helper.py:279-287) declare which pipeline's
+runs open/close a journey instance. Batch semantics implemented here:
+each START-pipeline run start opens an instance; the instance spans
+until the next START (or the END-pipeline run end when an END
+condition exists). Component runs join to instances by interval
+containment — a range join against a *tiny* boundary table, so Spark
+broadcasts it; no O(n²) shuffle.
+
+A6: within an instance, a run violates the journey DAG when an
+upstream component's run ends AFTER a downstream component's run
+starts (rule payload ``type_matches: [OUT_OF_SEQUENCE]``,
+demo_helper.py:1939-1956). DAGs are tiny (≤ dozens of nodes), so the
+transitive closure is computed driver-side and shipped as a literal
+edge table; the detection itself is two broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def journey_instances(run_rollup: DataFrame, conditions: DataFrame) -> DataFrame:
+    """Instance windows per journey from START-condition boundary runs.
+
+    Returns (journey_id, instance_id, instance_start, instance_end);
+    instance_end is the next boundary start (open-ended NULL for the
+    latest instance).
+    """
+    starts = conditions.filter(F.col("action") == "START").select(
+        "journey_id", F.col("batch_pipeline").alias("pipeline_key")
+    )
+    boundary = run_rollup.join(F.broadcast(starts), "pipeline_key")
+    w = Window.partitionBy("journey_id").orderBy("start_ts")
+    return boundary.select(
+        "journey_id",
+        F.row_number().over(w).alias("instance_id"),
+        F.col("start_ts").alias("instance_start"),
+        F.lead("start_ts").over(w).alias("instance_end"),
+    )
+
+
+def assign_to_instances(
+    run_rollup: DataFrame, instances: DataFrame, journey_components: DataFrame
+) -> DataFrame:
+    """Attach each component run to the journey instance whose window
+    contains its start (interval join, instance side broadcast)."""
+    runs = run_rollup.join(
+        F.broadcast(journey_components.select("journey_id", F.col("component_key").alias("pipeline_key"))),
+        "pipeline_key",
+    )
+    cond = (F.col("r.start_ts") >= F.col("i.instance_start")) & (
+        F.col("i.instance_end").isNull() | (F.col("r.start_ts") < F.col("i.instance_end"))
+    )
+    return (
+        runs.alias("r")
+        .join(F.broadcast(instances.alias("i")), (F.col("r.journey_id") == F.col("i.journey_id")) & cond)
+        .select(
+            F.col("r.journey_id").alias("journey_id"),
+            "instance_id",
+            "pipeline_key",
+            "run_key",
+            "start_ts",
+            "end_ts",
+            "final_status",
+        )
+    )
+
+
+def transitive_edges(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Driver-side closure over a tiny DAG edge list (left ⇝ right)."""
+    adj: dict[str, set[str]] = {}
+    for l, r in edges:
+        if l is not None and r is not None:
+            adj.setdefault(l, set()).add(r)
+    out: set[tuple[str, str]] = set()
+
+    def dfs(src: str, node: str, seen: set[str]) -> None:
+        for nxt in adj.get(node, ()):  # DAG: no cycle guard needed beyond seen
+            if nxt not in seen:
+                seen.add(nxt)
+                out.add((src, nxt))
+                dfs(src, nxt, seen)
+
+    for src in adj:
+        dfs(src, src, set())
+    return sorted(out)
+
+
+def out_of_sequence(assigned: DataFrame, closure: DataFrame) -> DataFrame:
+    """A6: upstream run ends after downstream run starts, within one
+    instance. ``closure`` columns: (journey_id, up_key, down_key)."""
+    up = assigned.alias("u")
+    down = assigned.alias("d")
+    e = F.broadcast(closure).alias("e")
+    return (
+        up.join(
+            e,
+            (F.col("u.journey_id") == F.col("e.journey_id"))
+            & (F.col("u.pipeline_key") == F.col("e.up_key")),
+        )
+        .join(
+            down,
+            (F.col("d.journey_id") == F.col("u.journey_id"))
+            & (F.col("d.instance_id") == F.col("u.instance_id"))
+            & (F.col("d.pipeline_key") == F.col("e.down_key")),
+        )
+        .filter(F.col("d.start_ts") < F.col("u.end_ts"))
+        .select(
+            F.col("u.journey_id").alias("journey_id"),
+            F.col("u.instance_id").alias("instance_id"),
+            F.col("u.pipeline_key").alias("up_key"),
+            F.col("u.run_key").alias("up_run"),
+            F.col("d.pipeline_key").alias("down_key"),
+            F.col("d.run_key").alias("down_run"),
+            F.lit("OUT_OF_SEQUENCE").alias("alert_type"),
+        )
+    )

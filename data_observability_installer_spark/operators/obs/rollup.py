@@ -1,0 +1,85 @@
+"""A1 run-state rollup, A7 test-outcome rollup, A9 entity search.
+
+A1 (SURVEY §2.3): fold per-(pipeline_key, run_key) RunStatus events
+into one run row. Task-level events carry ``task_key``; run-level
+events don't (``demo/demo/demo_helper.py:313-331`` run-level,
+``:355-385`` task-level, ``:493-500`` terminal). The final status is
+derived SET-wise (any FAILED → FAILED, else any COMPLETED → COMPLETED,
+else RUNNING) rather than by max-by-timestamp — deterministic under
+duplicate timestamps and identical in any SQL dialect.
+
+Scale: one hash aggregate shuffled on (pipeline_key, run_key); the
+event stream is naturally key-partitioned so AQE handles residual
+skew. No window functions, no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_state_rollup(events: DataFrame) -> DataFrame:
+    """RUN_STATUS events -> one row per run."""
+    rs = events.filter(F.col("event_type") == "RUN_STATUS")
+    run_level = F.col("task_key").isNull()
+    return (
+        rs.groupBy("pipeline_key", "run_key")
+        .agg(
+            F.min("event_timestamp").alias("start_ts"),
+            F.max("event_timestamp").alias("end_ts"),
+            F.when(F.sum((run_level & (F.col("status") == "FAILED")).cast("int")) > 0, "FAILED")
+            .when(F.sum((run_level & (F.col("status") == "COMPLETED")).cast("int")) > 0, "COMPLETED")
+            .otherwise("RUNNING")
+            .alias("final_status"),
+            F.count(F.lit(1)).alias("event_ct"),
+            F.countDistinct("task_key").alias("task_ct"),
+            F.sum(((~run_level) & (F.col("status") == "FAILED")).cast("int")).alias("failed_task_ct"),
+        )
+        .withColumn(
+            "duration_s",
+            (F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts")).cast("double"),
+        )
+    )
+
+
+def task_rollup(events: DataFrame) -> DataFrame:
+    """Task breakdown of A1: one row per (run, task)."""
+    ts = events.filter((F.col("event_type") == "RUN_STATUS") & F.col("task_key").isNotNull())
+    return ts.groupBy("pipeline_key", "run_key", "task_key").agg(
+        F.min("event_timestamp").alias("start_ts"),
+        F.max("event_timestamp").alias("end_ts"),
+        F.when(F.sum((F.col("status") == "FAILED").cast("int")) > 0, "FAILED")
+        .when(F.sum((F.col("status") == "COMPLETED").cast("int")) > 0, "COMPLETED")
+        .otherwise("RUNNING")
+        .alias("final_status"),
+    )
+
+
+def test_outcome_rollup(events: DataFrame, by: str = "dataset_key") -> DataFrame:
+    """A7: explode TestOutcomes arrays; pass/warn/fail counts + the
+    sorted failed-test list per component."""
+    ex = (
+        events.filter(F.col("event_type") == "TEST_OUTCOMES")
+        .select(by, F.explode("test_outcomes").alias("t"))
+        .select(by, F.col("t.name").alias("test_name"), F.col("t.status").alias("status"))
+    )
+    return ex.groupBy(by).agg(
+        F.count(F.lit(1)).alias("outcome_ct"),
+        F.sum((F.col("status") == "PASSED").cast("int")).alias("passed_ct"),
+        F.sum((F.col("status") == "WARNING").cast("int")).alias("warning_ct"),
+        F.sum((F.col("status") == "FAILED").cast("int")).alias("failed_ct"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("status") == "FAILED", F.col("test_name")))
+        ).alias("failed_tests"),
+    )
+
+
+def entity_search(components: DataFrame, query: str) -> DataFrame:
+    """A9: substring lookup, first match by name (GET ...?search=,
+    demo_helper.py:137-143)."""
+    return (
+        components.filter(F.col("name").contains(query))
+        .orderBy("name")
+        .limit(1)
+    )

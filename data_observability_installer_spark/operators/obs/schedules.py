@@ -1,0 +1,71 @@
+"""A3 schedule expectations: late-start / late-end detection.
+
+A schedule ``{expectation: BATCH_PIPELINE_START_TIME, schedule: cron,
+margin: seconds}`` on a component (demo_helper.py:653-659, :1067-1073)
+means: every cron tick, a run must START within ``margin`` seconds, or
+the run-state becomes LATE_START (rules match on it,
+demo_helper.py:1889-1915). LATE_END analogously via
+BATCH_PIPELINE_END_TIME.
+
+Batch shape: expand the cron to expected ticks on the driver
+(metadata-sized), then LEFT JOIN actual runs into [tick, tick+margin]
+and keep ticks with no match — an anti-join against an interval. The
+tick table is broadcast; the runs side stays distributed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...functions.cron import Cron
+
+
+def expected_ticks(
+    spark: SparkSession,
+    schedules: list[dict],
+    window_start: dt.datetime,
+    window_end: dt.datetime,
+) -> DataFrame:
+    """Schedules (dicts with component_key/expectation/schedule/margin_s)
+    -> tick table (component_key, expectation, tick_ts, margin_s)."""
+    rows = []
+    for s in schedules:
+        for tick in Cron(s["schedule"]).ticks(window_start, window_end):
+            rows.append((s["component_key"], s.get("expectation", "BATCH_PIPELINE_START_TIME"), tick, int(s["margin_s"])))
+    return spark.createDataFrame(
+        rows, "component_key string, expectation string, tick_ts timestamp, margin_s int"
+    )
+
+
+def late_runs(run_rollup: DataFrame, ticks: DataFrame) -> DataFrame:
+    """Ticks with no run start/end inside [tick, tick+margin] ->
+    LATE_START / LATE_END alert rows."""
+    event_ts = F.when(
+        F.col("t.expectation") == "BATCH_PIPELINE_END_TIME", F.col("r.end_ts")
+    ).otherwise(F.col("r.start_ts"))
+    joined = (
+        F.broadcast(ticks.alias("t"))
+        .join(
+            run_rollup.alias("r"),
+            (F.col("r.pipeline_key") == F.col("t.component_key"))
+            & (event_ts >= F.col("t.tick_ts"))
+            & (event_ts <= F.col("t.tick_ts") + F.col("t.margin_s").cast("long").cast("interval second")),
+            "left",
+        )
+    )
+    return (
+        joined.groupBy("t.component_key", "t.expectation", "t.tick_ts", "t.margin_s")
+        .agg(F.count(F.col("r.run_key")).alias("matched_runs"))
+        .filter(F.col("matched_runs") == 0)
+        .select(
+            F.col("component_key"),
+            F.col("tick_ts"),
+            F.col("margin_s"),
+            F.when(F.col("expectation") == "BATCH_PIPELINE_END_TIME", "LATE_END")
+            .otherwise("LATE_START")
+            .alias("alert_type"),
+        )
+    )

@@ -180,6 +180,209 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Observability analytics over the generic events table (SURVEY §2.3).
+# The full event grammar (A2/A3/A4/A6/A8 with catalogs, cron, DAGs) is
+# exercised by the fixture tests; these queries express the same operator
+# shapes over the driver's generic events.parquet so the DuckDB oracle can
+# check them value-for-value.
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_STATUS_SPARK = (
+    "CASE event_type WHEN 'purchase' THEN 'COMPLETED' WHEN 'error' THEN 'FAILED' "
+    "ELSE 'RUNNING' END"
+)
+
+
+@register(
+    "a1_run_rollup_events",
+    """
+    WITH e AS (
+      SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline_key,
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key,
+             ts,
+             CASE event_type WHEN 'purchase' THEN 'COMPLETED'
+                  WHEN 'error' THEN 'FAILED' ELSE 'RUNNING' END AS status
+      FROM events)
+    SELECT pipeline_key, run_key,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+           CASE WHEN sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) > 0 THEN 'FAILED'
+                WHEN sum(CASE WHEN status = 'COMPLETED' THEN 1 ELSE 0 END) > 0 THEN 'COMPLETED'
+                ELSE 'RUNNING' END AS final_status,
+           count(*) AS event_ct
+    FROM e GROUP BY pipeline_key, run_key
+    """,
+)
+def a1_run_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 run-state rollup shape: map the generic stream into the run
+    grammar (run = user-day), fold set-wise. One hash-agg shuffle on the
+    run key; final status needs no ordering (duplicate-timestamp safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline_key"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("run_key"),
+        F.col("ts"),
+        F.expr(_STATUS_SPARK).alias("status"),
+    )
+    return e.groupBy("pipeline_key", "run_key").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("start_ts"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("end_ts"),
+        F.when(F.sum((F.col("status") == "FAILED").cast("int")) > 0, "FAILED")
+        .when(F.sum((F.col("status") == "COMPLETED").cast("int")) > 0, "COMPLETED")
+        .otherwise("RUNNING")
+        .alias("final_status"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+@register(
+    "a2_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS event_ct
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def a2_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 instance-windowing shape: gap-based sessionization (30-min
+    inactivity closes the instance). lag + running sum inside one window
+    partition — a single shuffle on the session key; the batch analog of
+    ``session_window`` in the streaming variant."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    g = ev.withColumn("new_session", gap)
+    s = g.withColumn(
+        "session_id",
+        (F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)) + 1).cast("int"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+@register(
+    "a5_metric_threshold_alerts",
+    """
+    SELECT user_id, count(*) AS alert_ct, round(max(value), 2) AS max_value
+    FROM events WHERE event_type = 'error' AND value > 150
+    GROUP BY user_id
+    """,
+)
+def a5_metric_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 metric-threshold rule shape: {key: 'error', operator: gt,
+    static_value: 150}. Filter pushes into the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("alert_ct"), F.round(F.max("value"), 2).alias("max_value"))
+    )
+
+
+@register(
+    "a7_status_rollup_events",
+    """
+    SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline_key,
+           count(*) AS outcome_ct,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS passed_ct,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed_ct
+    FROM events GROUP BY pipeline_key
+    """,
+)
+def a7_status_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 outcome-rollup shape: per-component status counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("outcome_ct"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("passed_ct"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("failed_ct"),
+        )
+    )
+
+
+@register(
+    "a8_liveness_events",
+    """
+    SELECT user_id,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CASE WHEN max(ts) >= TIMESTAMP '2024-01-30 00:00:00' THEN true ELSE false END AS live
+    FROM events GROUP BY user_id
+    """,
+)
+def a8_liveness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 liveness shape: newest heartbeat per agent vs an as-of instant."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("last_seen"),
+        (F.max("ts") >= F.lit("2024-01-30 00:00:00").cast("timestamp")).alias("live"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation tests (SURVEY §2.5 — the "2 custom test types")
+# ---------------------------------------------------------------------------
+
+
+@register("reconcile_orders_lineitem")
+def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq.reconcile import ReconcileCheck, reconcile
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        ReconcileCheck("order_keys_match_lineitem", F.countDistinct("o_orderkey"),
+                       F.countDistinct("l_orderkey"), "=="),
+        ReconcileCheck("orders_not_fewer_than_10x_lines", F.count(F.lit(1)) * 10,
+                       F.count(F.lit(1)), ">="),
+        ReconcileCheck("total_price_covers_discounted_lines", F.round(F.sum("o_totalprice"), 2),
+                       F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2), ">="),
+    ]
+    return reconcile(o, li, checks)
+
+
+from ..operators.dq.reconcile import reconcile_sql as _reconcile_sql  # noqa: E402
+
+ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
+    "orders",
+    "lineitem",
+    [
+        ("order_keys_match_lineitem", "CAST(count(DISTINCT o_orderkey) AS DOUBLE)",
+         "CAST(count(DISTINCT l_orderkey) AS DOUBLE)", "==", "FAILED"),
+        ("orders_not_fewer_than_10x_lines", "CAST(count(*) * 10 AS DOUBLE)",
+         "CAST(count(*) AS DOUBLE)", ">=", "FAILED"),
+        ("total_price_covers_discounted_lines", "round(CAST(sum(o_totalprice) AS DOUBLE), 2)",
+         "round(sum(l_extendedprice * (1 - l_discount)), 2)", ">=", "FAILED"),
+    ],
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

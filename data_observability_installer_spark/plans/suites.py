@@ -24,7 +24,7 @@ AS_OF = "2001-12-01"
 # --- lineitem: volume, numeric, date coverage (20 test types) --------------
 
 LINEITEM_SUITE = [
-    TestSpec("lineitem", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "60000", "Threshold_Value": "2"}),
+    TestSpec("lineitem", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "60000", "Threshold_Value": "58800"}),
     TestSpec("lineitem", "l_quantity", "Required", {"Threshold_Value": "0"}),
     TestSpec("lineitem", "l_quantity", "Missing_Pct",
              {"Baseline_Ct": "60000", "Baseline_Value_Ct": "60000", "Threshold_Value": "2"}),
@@ -64,7 +64,7 @@ LINEITEM_SUITE = [
 # (the oracle SQL derives the identical view).
 
 CUSTOMER_SUITE = [
-    TestSpec("customer", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "1500", "Threshold_Value": "2"}),
+    TestSpec("customer", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "1500", "Threshold_Value": "1470"}),
     TestSpec("customer", "c_custkey", "Unique", {"Threshold_Value": "0"}),
     TestSpec("customer", "c_name", "Alpha_Trunc", {"Baseline_Value": "18", "Threshold_Value": "0"}),
     TestSpec("customer", "c_mktsegment", "LOV_Match",
@@ -80,7 +80,7 @@ CUSTOMER_SUITE = [
 # --- orders: reconciliation-adjacent volume/date tests ----------------------
 
 ORDERS_SUITE = [
-    TestSpec("orders", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "15000", "Threshold_Value": "2"}),
+    TestSpec("orders", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "15000", "Threshold_Value": "14700"}),
     TestSpec("orders", "o_orderstatus", "LOV_Match",
              {"Baseline_Value": "('F','O','P')", "Threshold_Value": "0"}),
     TestSpec("orders", "o_orderpriority", "Distinct_Value_Ct",

@@ -1,0 +1,97 @@
+"""Structured Streaming variants of the stateful analytics (SURVEY §7
+step 6).
+
+The reference backend consumes the Events API through Kafka
+(``dk-installer.py:1721-1736`` creates the topics; SURVEY §3.1 maps
+that hop 1:1 to a Structured Streaming source). Each function below
+takes a *streaming* DataFrame with the OBS_EVENT schema (from
+``readStream`` on Kafka/files) and returns the streaming query's
+transformed frame; callers attach the sink (``foreachBatch`` for
+alert delivery, Delta/parquet for serving tables).
+
+Event-time correctness: the demo replays history (events arrive out of
+order, backdated up to 55 h), so every aggregation is keyed on
+``event_timestamp`` with an explicit watermark. State size is bounded
+by watermark horizon × active keys, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_state_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming A1: fold RUN_STATUS events per run as they arrive.
+
+    Same set-wise fold as the batch rollup (no ordering dependence, so
+    late events merge commutatively). Emit with ``outputMode("update")``
+    — each micro-batch updates only the touched runs.
+    """
+    rs = events.filter(F.col("event_type") == "RUN_STATUS").withWatermark(
+        "event_timestamp", watermark
+    )
+    run_level = F.col("task_key").isNull()
+    return rs.groupBy("pipeline_key", "run_key").agg(
+        F.min("event_timestamp").alias("start_ts"),
+        F.max("event_timestamp").alias("end_ts"),
+        F.when(F.sum((run_level & (F.col("status") == "FAILED")).cast("int")) > 0, "FAILED")
+        .when(F.sum((run_level & (F.col("status") == "COMPLETED")).cast("int")) > 0, "COMPLETED")
+        .otherwise("RUNNING")
+        .alias("final_status"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    key: str = "pipeline_key",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming A2 (instance windowing): native session windows close a
+    journey instance after ``gap`` of event-time inactivity; the
+    watermark finalizes sessions and evicts their state."""
+    ev = events.withWatermark("event_timestamp", watermark)
+    return ev.groupBy(
+        F.session_window("event_timestamp", gap).alias("w"), F.col(key)
+    ).agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        F.sum((F.col("status") == "FAILED").cast("int")).alias("failed_ct"),
+    ).select(
+        key,
+        F.col("w.start").alias("instance_start"),
+        F.col("w.end").alias("instance_end"),
+        "event_ct",
+        "failed_ct",
+    )
+
+
+def metric_alert_stream(
+    events: DataFrame, metric_key: str, op: str, threshold: float
+) -> DataFrame:
+    """Streaming A5: stateless metric-threshold rule — a pure filter, so
+    it appends alert rows with no state at all."""
+    ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__", "eq": "__eq__"}
+    cmp = getattr(F.col("metric_value"), ops[op])(threshold)
+    return events.filter(
+        (F.col("event_type") == "METRIC_LOG") & (F.col("metric_key") == metric_key) & cmp
+    ).select(
+        F.col("event_timestamp").alias("event_ts"),
+        F.coalesce(F.col("pipeline_key"), F.col("dataset_key"), F.col("server_key")).alias("subject_key"),
+        F.col("metric_key"),
+        F.col("metric_value"),
+        F.lit("METRIC_THRESHOLD").alias("alert_type"),
+    )
+
+
+def liveness_stream(heartbeats: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming A8: newest heartbeat per agent (update mode); liveness =
+    recency of ``last_heartbeat`` evaluated at read time. Absence
+    detection (an agent going silent) needs timer state — see
+    ``run_tracker.py`` for the timeout pattern."""
+    hb = heartbeats.withWatermark("latest_event_timestamp", watermark)
+    return hb.groupBy("agent_key").agg(
+        F.max("latest_event_timestamp").alias("last_heartbeat"),
+        F.count(F.lit(1)).alias("heartbeat_ct"),
+    )

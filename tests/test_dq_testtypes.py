@@ -39,13 +39,13 @@ def test_parse_params_with_quoted_tuple():
 
 
 def test_row_ct_pass_and_violation(spark):
-    spec = TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "4", "Threshold_Value": "0"})
+    spec = TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "4"})
     ok = run_one(spark, [(1,), (2,), (3,), (4,)], "a int", spec)
     assert ok.result == "PASSED" and ok.measure == 4.0
     bad = run_one(spark, [(1,), (2,)], "a int", spec)
     assert bad.result == "WARNING"
-    # 2% tolerance: 99 rows vs baseline 100 passes
-    spec2 = TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "100", "Threshold_Value": "2"})
+    # explicit absolute floor below the baseline: 99 >= 98 passes
+    spec2 = TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "100", "Threshold_Value": "98"})
     ok2 = run_one(spark, [(i,) for i in range(99)], "a int", spec2)
     assert ok2.result == "PASSED"
 

@@ -1,0 +1,135 @@
+"""Observability analytics A1-A9 over the deterministic event-grammar
+fixture (event-time logic exercised with shuffled arrival order)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.obs import (
+    agent_liveness,
+    entity_search,
+    evaluate_rules,
+    expected_ticks,
+    journey_instances,
+    late_runs,
+    out_of_sequence,
+    run_state_rollup,
+    transitive_edges,
+)
+from data_observability_installer_spark.operators.obs.journeys import assign_to_instances
+from data_observability_installer_spark.operators.obs.rollup import (
+    test_outcome_rollup as outcome_rollup,
+)
+from data_observability_installer_spark.sources.events_gen import ANCHOR, build_demo
+
+
+@pytest.fixture(scope="module")
+def demo(spark):
+    return build_demo(spark)
+
+
+@pytest.fixture(scope="module")
+def rollup(demo):
+    return run_state_rollup(demo["events"]).cache()
+
+
+def test_a1_run_state_rollup(rollup):
+    runs = {r.run_key: r for r in rollup.collect()}
+    ok = runs["pipe_main:55:60"]
+    assert ok.final_status == "COMPLETED" and ok.task_ct == 8 and ok.failed_task_ct == 0
+    assert ok.duration_s == 3600.0
+    bad = runs["pipe_main:30:60"]
+    assert bad.final_status == "FAILED" and bad.failed_task_ct == 1
+    assert bad.start_ts == ANCHOR - dt.timedelta(hours=30)
+    # children: run-level only
+    assert runs["dim_a:53:20"].final_status == "COMPLETED"
+    assert runs["dim_a:53:20"].task_ct == 0
+
+
+def test_a2_journey_instances(spark, demo, rollup):
+    inst = journey_instances(rollup, demo["conditions"])
+    j1 = [r for r in inst.collect() if r.journey_id == "j1"]
+    assert len(j1) == 3  # three nightly boundary runs
+    assert [r.instance_id for r in sorted(j1, key=lambda r: r.instance_start)] == [1, 2, 3]
+    assigned = assign_to_instances(rollup, inst, demo["journey_components"])
+    per_inst = (
+        assigned.filter(F.col("journey_id") == "j1")
+        .groupBy("instance_id")
+        .count()
+        .collect()
+    )
+    # each nightly instance: root + 4 children (children start 2h later)
+    assert {r.instance_id: r["count"] for r in per_inst} == {1: 5, 2: 5, 3: 5}
+
+
+def test_a3_late_start(spark, rollup, demo):
+    ticks = expected_ticks(
+        spark, demo["schedules"], ANCHOR - dt.timedelta(hours=56), ANCHOR
+    )
+    assert ticks.count() == 3  # feb 27/28/29 at 17:00
+    late = late_runs(rollup, ticks).collect()
+    assert len(late) == 1
+    assert late[0].alert_type == "LATE_START"
+    assert late[0].tick_ts == dt.datetime(2024, 2, 28, 17, 0)
+
+
+def test_a4_a5_rules(demo, rollup):
+    alerts = evaluate_rules(demo["rules"], rollup, metric_events=demo["events"])
+    fired = {(r.rule_id, r.alert_type, round(0 if r.detail_key is None else 0)) for r in alerts.collect()}
+    rows = alerts.collect()
+    failed = [r for r in rows if r.rule_id == "rule-failed"]
+    assert len(failed) == 1 and failed[0].detail_key == "pipe_main:30:60"
+    cap = [r for r in rows if r.rule_id == "rule-capacity"]
+    assert len(cap) == 1 and cap[0].subject_key == "warehouse-server"
+
+
+def test_a6_out_of_sequence(spark, demo, rollup):
+    edges = [(r.left_id, r.right_id) for r in demo["dag"].filter(F.col("journey_id") == "j2").collect()]
+    closure = spark.createDataFrame(
+        [("j2", u, d) for u, d in transitive_edges(edges)],
+        "journey_id string, up_key string, down_key string",
+    )
+    inst = journey_instances(rollup, demo["conditions"])
+    assigned = assign_to_instances(rollup, inst, demo["journey_components"])
+    viol = out_of_sequence(assigned, closure)
+    got = {(r.up_key, r.down_key) for r in viol.collect()}
+    assert got == {("dia_b", "dia_d"), ("dia_c", "dia_d")}
+
+
+def test_a7_test_outcome_rollup(demo):
+    roll = {r.dataset_key: r for r in outcome_rollup(demo["events"]).collect()}
+    d = roll["D_Customer"]
+    assert (d.outcome_ct, d.passed_ct, d.warning_ct, d.failed_ct) == (3, 1, 1, 1)
+    assert d.failed_tests == ["D_Customer:hcp_state:US_State"]
+
+
+def test_a8_agent_liveness(demo):
+    live = {r.agent_key: r for r in agent_liveness(demo["heartbeats"], str(ANCHOR)).collect()}
+    assert live["agent-live"].live is True
+    assert live["agent-dead"].live is False
+    assert live["agent-live"].heartbeat_ct == 24
+
+
+def test_a9_entity_search(demo):
+    hit = entity_search(demo["components"], "Warehouse").collect()
+    assert len(hit) == 1 and hit[0].key == "warehouse-server"
+
+
+def test_transitive_closure():
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    clo = transitive_edges(edges)
+    assert ("a", "d") in clo and ("a", "b") in clo and len(clo) == 5
+
+
+def test_cron_expansion():
+    from data_observability_installer_spark.functions.cron import Cron
+
+    c = Cron("0 23 * * *")
+    ticks = c.ticks(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 4))
+    assert ticks == [dt.datetime(2024, 1, d, 23, 0) for d in (1, 2, 3)]
+    c2 = Cron("*/15 9-10 * * 1-5")
+    t2 = c2.ticks(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))  # a Monday
+    assert len(t2) == 8 and t2[0] == dt.datetime(2024, 1, 1, 9, 0)

@@ -1,0 +1,89 @@
+"""Structured Streaming variants: replay the event fixture through a
+file stream and check streaming results match the batch analytics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.obs import run_state_rollup
+from data_observability_installer_spark.schemas import OBS_EVENT
+from data_observability_installer_spark.sources.events_gen import build_demo
+from data_observability_installer_spark.streaming.rollups import (
+    metric_alert_stream,
+    run_state_rollup_stream,
+    session_rollup_stream,
+)
+from data_observability_installer_spark.streaming.run_tracker import track_runs_stream
+
+
+@pytest.fixture(scope="module")
+def event_stream_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_json"))
+    build_demo(spark)["events"].write.mode("overwrite").json(path)
+    return path
+
+
+def _run_stream(spark, stream_df, mode: str, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_rollup_matches_batch(spark, event_stream_path):
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark, run_state_rollup_stream(stream), "update", "rollup_stream"
+    )
+    batch = run_state_rollup(spark.read.schema(OBS_EVENT).json(event_stream_path))
+    got = {
+        (r.pipeline_key, r.run_key): (r.final_status, r.event_ct)
+        for r in out.collect()
+    }
+    want = {
+        (r.pipeline_key, r.run_key): (r.final_status, r.event_ct)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) >= 16
+
+
+def test_streaming_metric_alerts(spark, event_stream_path):
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark,
+        metric_alert_stream(stream, "Cluster Capacity Percentage", "gt", 80.0),
+        "append",
+        "alert_stream",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].metric_value == 92.5
+
+
+def test_streaming_session_windows(spark, event_stream_path):
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark,
+        session_rollup_stream(stream.filter(F.col("event_type") == "RUN_STATUS")),
+        "append",
+        "session_stream",
+    )
+    rows = out.filter(F.col("pipeline_key") == "pipe_main").collect()
+    # three nightly replays; the newest session stays open (append mode
+    # only emits sessions the watermark has sealed), so two rows land
+    assert len(rows) == 2
+    assert {r.failed_ct > 0 for r in rows} == {True, False}
+
+
+def test_stateful_run_tracker(spark, event_stream_path):
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, track_runs_stream(stream), "append", "tracker_stream")
+    got = {r.run_key: r.final_status for r in out.collect()}
+    assert got["pipe_main:30:60"] == "FAILED"
+    assert got["pipe_main:7:60"] == "COMPLETED"
+    assert got["pipe_main:55:60"] == "COMPLETED"
