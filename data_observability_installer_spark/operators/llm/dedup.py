@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each with the partition/shuffle story spelled out:
+
+- **exact** — hash-groupBy on the content fingerprint. One shuffle on
+  the hash; survivor = min doc_id (deterministic).
+- **n-gram Jaccard** — inverted-index join: explode distinct shingles,
+  drop stop-shingles above a document-frequency cap (the skew guard —
+  a shingle appearing in 10% of 100 TB would otherwise create one
+  mega-partition), self-join on shingle, count shared shingles per
+  pair, compute Jaccard from set sizes. Cost is Σ df(shingle)² AFTER
+  the cap, not n².
+- **MinHash + LSH banding** — per-document signature of ``num_hashes``
+  minima; hash_i(s) = first 8 hex chars of md5(i ':' s), so a MIN over
+  hex strings is a valid uniform min-hash AND is computable bit-for-bit
+  in any engine with md5 (the correctness oracle runs it in DuckDB).
+  Signatures band into ``bands`` groups; same-band collisions are
+  candidates; candidates verify with exact Jaccard. Only bucket
+  collisions shuffle — the O(n²) never materializes.
+- **SimHash** — 16-bit vote vector over xxhash64(word) bits
+  (JVM-native hash; no SQL twin, driver records a rows-only check).
+  Near-dup candidates share a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: one row per distinct content, the kept id,
+    and how many rows it absorbed."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_ct"))
+    )
+
+
+def dedup_exact_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT md5({text_col}) AS content_hash, min({id_col}) AS keep_id, "
+        f"count(*) AS dup_ct FROM {table} GROUP BY md5({text_col})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-grams of the lower-cased text (Column of array)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def _shingles_sql(text_col: str, n: int) -> str:
+    words = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    if n == 1:
+        return f"list_distinct({words})"
+    return (
+        f"list_distinct([array_to_string(({words})[i + 1 : i + {n}], ' ') "
+        f"FOR i IN range(0, greatest(len({words}) - {n}, 0) + 1)])"
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard via inverted-index join."""
+    sh = exploded_shingles(df, text_col, id_col, n)
+    # skew guard: a shingle in more than max_df docs can't witness a
+    # high-Jaccard pair anyway at corpus scale, but it CAN melt a join
+    keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
+    sh = sh.join(keep.select("sh"), "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {max_df}),
+    sh AS MATERIALIZED (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(doc, sig_0..sig_{H-1}): per-doc minima of H md5-derived hashes.
+    One explode + one groupBy — the signature agg is map-side partial."""
+    sh = exploded_shingles(df, text_col, id_col, n)
+    sigs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*sigs)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+) -> DataFrame:
+    """LSH-banded candidate pairs, verified with exact Jaccard.
+
+    num_hashes/bands = rows-per-band r; P(candidate) = 1-(1-j^r)^bands.
+    Only same-band buckets join, so candidate generation is linear in
+    collisions; the exact verify touches candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    band_keys = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, 0.0, max_df)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+    max_df: int = 1000,
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substr(md5('{i}:' || sh), 1, 8)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, "
+        + " || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    exact = ngram_jaccard_sql(table, text_col, id_col, n, 0.0, max_df)
+    return f"""
+    WITH shx AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    sig AS MATERIALIZED (SELECT doc, {sig_cols} FROM shx GROUP BY doc),
+    bk AS MATERIALIZED ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+    exact AS MATERIALIZED ({exact})
+    SELECT c.doc_a, c.doc_b, e.jaccard
+    FROM cand c JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    WHERE e.jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Spark-native, xxhash64 bit votes — rows-only oracle)
+# ---------------------------------------------------------------------------
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over xxhash64(word).
+    Documents with equal simhash are near-dup candidates; Hamming-ball
+    probing extends recall. JVM hash, no Python."""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("word"),
+    ).withColumn("h", F.xxhash64("word"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = w.groupBy("doc").agg(*votes)
+    sim = None
+    for k in range(bits):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col("doc").alias(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,159 @@
+"""Text-analysis operators for training-data pipelines.
+
+Per the build charter these are first-class alongside the reference's
+own surface: language-ID (n-gram/function-word heuristic), quality
+scoring (length/punct/stopword ratios), token counting (whitespace +
+regex word classes), and document fingerprinting (normalized-content
+hash). Every operator is pure ``pyspark.sql.functions`` Column
+arithmetic — JVM regex evaluation inside whole-stage codegen, no
+Python in the hot path — with a DuckDB-SQL twin for the oracle.
+
+At 100 TB these are embarrassingly parallel single-pass maps; the only
+care is keeping regexes RE2/Java-compatible so the same pattern runs
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word profiles; enough signal for coarse routing
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|with)\b",
+    "fr": r"\b(le|la|les|des|et|est|dans|une?)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "es": r"\b(el|los|las|de|y|es|en|una?)\b",
+}
+CJK = r"[一-鿿]"
+
+STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|are|was|be)\b"
+WORD_RE = r"[A-Za-z]+"
+NUM_RE = r"[0-9]+"
+PUNCT_RE = r"[^\w\s]"
+
+
+def _count_re(col: str, pattern: str) -> Column:
+    return F.regexp_count(F.col(col), F.lit(pattern))
+
+
+def _count_re_sql(col: str, pattern: str) -> str:
+    # DuckDB: no regexp_count; length of extract_all
+    escaped = pattern.replace("'", "''").replace("\\", "\\\\")
+    return f"len(regexp_extract_all({col}, '{escaped}'))"
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Coarse language-ID: CJK charset check, else argmax of
+    function-word hits (ties break by fixed language order)."""
+    scores = {lang: _count_re(text_col, pat) for lang, pat in LANG_MARKERS.items()}
+    pred = F.when(_count_re(text_col, CJK) > 0, F.lit("zh"))
+    best = None
+    for lang in LANG_MARKERS:  # fixed order = deterministic tie-break
+        cond = F.lit(True)
+        for other in LANG_MARKERS:
+            if other != lang:
+                op = scores[lang] >= scores[other] if list(LANG_MARKERS).index(lang) < list(
+                    LANG_MARKERS
+                ).index(other) else scores[lang] > scores[other]
+                cond = cond & op
+        best = pred.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return df.select(id_col, best.otherwise(F.lit("unknown")).alias("pred_lang"))
+
+
+def language_id_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    score = {lang: _count_re_sql(text_col, pat) for lang, pat in LANG_MARKERS.items()}
+    cjk = _count_re_sql(text_col, CJK)
+    langs = list(LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other != lang:
+                op = ">=" if langs.index(lang) < langs.index(other) else ">"
+                conds.append(f"s_{lang} {op} s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        f"WITH s AS MATERIALIZED (SELECT {id_col}, {cjk} AS cjk, "
+        + ", ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+        + f" FROM {table}) SELECT {id_col}, CASE WHEN cjk > 0 THEN 'zh' "
+        + " ".join(whens)
+        + " ELSE 'unknown' END AS pred_lang FROM s"
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristic in [0, 1]: length band, low punct
+    noise, healthy stopword rate, sane mean word length."""
+    n_chars = F.length(text_col).cast("double")
+    words = _count_re(text_col, WORD_RE).cast("double")
+    stop = _count_re(text_col, STOPWORDS_RE).cast("double")
+    punct = _count_re(text_col, PUNCT_RE).cast("double")
+    len_band = F.least(n_chars / 200.0, F.lit(1.0)) * F.when(n_chars > 8000, 0.5).otherwise(1.0)
+    punct_ok = F.when(punct / F.greatest(n_chars, F.lit(1.0)) > 0.1, 0.5).otherwise(1.0)
+    stop_rate = stop / F.greatest(words, F.lit(1.0))
+    stop_ok = F.when((stop_rate >= 0.05) & (stop_rate <= 0.6), 1.0).otherwise(0.6)
+    return df.select(
+        id_col,
+        F.round(words, 0).alias("word_ct"),
+        F.round(0.5 * len_band + 0.25 * punct_ok + 0.25 * stop_ok, 4).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    n = f"CAST(length({text_col}) AS DOUBLE)"
+    words = f"CAST({_count_re_sql(text_col, WORD_RE)} AS DOUBLE)"
+    stop = f"CAST({_count_re_sql(text_col, STOPWORDS_RE)} AS DOUBLE)"
+    punct = f"CAST({_count_re_sql(text_col, PUNCT_RE)} AS DOUBLE)"
+    return (
+        f"WITH b AS MATERIALIZED (SELECT {id_col}, {n} AS n, {words} AS w, {stop} AS st, {punct} AS p FROM {table}) "
+        f"SELECT {id_col}, round(w, 0) AS word_ct, "
+        f"round(0.5 * (least(n / 200.0, 1.0) * (CASE WHEN n > 8000 THEN 0.5 ELSE 1.0 END)) "
+        f"+ 0.25 * (CASE WHEN p / greatest(n, 1.0) > 0.1 THEN 0.5 ELSE 1.0 END) "
+        f"+ 0.25 * (CASE WHEN st / greatest(w, 1.0) BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.6 END), 4) "
+        f"AS quality FROM b"
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish class split (letter runs /
+    digit runs / punctuation marks counted separately)."""
+    return df.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        _count_re(text_col, WORD_RE).alias("word_tokens"),
+        _count_re(text_col, NUM_RE).alias("num_tokens"),
+        _count_re(text_col, PUNCT_RE).alias("punct_tokens"),
+        (_count_re(text_col, WORD_RE) + _count_re(text_col, NUM_RE) + _count_re(text_col, PUNCT_RE)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def token_counts_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    w = _count_re_sql(text_col, WORD_RE)
+    n = _count_re_sql(text_col, NUM_RE)
+    p = _count_re_sql(text_col, PUNCT_RE)
+    ws = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    return (
+        f"SELECT {id_col}, CAST({ws} AS INT) AS ws_tokens, CAST({w} AS INT) AS word_tokens, "
+        f"CAST({n} AS INT) AS num_tokens, CAST({p} AS INT) AS punct_tokens, "
+        f"CAST({w} + {n} + {p} AS INT) AS bpe_ish_tokens FROM {table}"
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over case-folded, punctuation-stripped,
+    whitespace-collapsed text — the exact-dedup key that survives
+    formatting noise."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " ")
+    )
+    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"SELECT {id_col}, md5({norm}) AS fingerprint FROM {table}"
