@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline registry queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is fully materialized with ``collect()`` (results are
+aggregate-sized). A failing query records ``null`` for its timing and
+does not abort the run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+# Headline set: relational, DQ suite, profile, hygiene (cached-profile
+# reuse), observability rollups, reconciliation, and the LLM-pipeline
+# operators. Order matters: profile_lineitem warms the cached profile
+# that hygiene_lineitem consumes (the library contract — one scan,
+# two consumers).
+HEADLINE = [
+    "pricing_summary",
+    "top_customers_by_revenue",
+    "dq_suite_lineitem",
+    "profile_lineitem",
+    "hygiene_lineitem",
+    "a1_run_rollup_events",
+    "a2_user_sessions",
+    "a5_metric_threshold_alerts",
+    "a7_status_rollup_events",
+    "a8_liveness_events",
+    "reconcile_orders_lineitem",
+    "dedup_exact_documents",
+    "fingerprint_documents",
+    "token_counts_documents",
+    "language_id_documents",
+    "quality_documents",
+    "minhash_pairs_documents",
+    "simhash_documents",
+    "topk_bruteforce_embeddings",
+    "topk_lsh_embeddings",
+    "embedding_near_dups",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_observability_installer_spark.plans import registry
+
+    queries = registry.queries()
+    timings: dict[str, float | None] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        try:
+            fn(spark, SF_DIR).collect()
+            dt = round(time.monotonic() - t0, 3)
+            timings[name] = dt
+            total += dt
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
