@@ -174,7 +174,7 @@ def minhash_pairs(
     collisions; the exact verify touches candidates only.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_keys = sig.select(
         "doc",
         F.explode(
@@ -202,9 +202,33 @@ def minhash_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, 0.0, max_df)
+    # Exact verify scoped to CANDIDATES ONLY: semi-join the df-capped
+    # shingle index down to docs that appear in some candidate pair, so
+    # the pair self-join is bounded by LSH collisions, never Σ df².
+    sh = exploded_shingles(df, text_col, id_col, n)
+    keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
+    sh = sh.join(keep.select("sh"), "sh")
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shc = sh.join(cdocs, "doc", "semi")
+    sizes = shc.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = shc.alias("x"), shc.alias("y")
+    inter = (
+        x.join(y, (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["doc_a", "doc_b"], "semi")
+    )
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -230,19 +254,29 @@ def minhash_pairs_sql(
         + " AS key FROM sig"
         for b in range(bands)
     )
-    exact = ngram_jaccard_sql(table, text_col, id_col, n, 0.0, max_df)
     return f"""
     WITH shx AS MATERIALIZED (
       SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
     sig AS MATERIALIZED (SELECT doc, {sig_cols} FROM shx GROUP BY doc),
     bk AS MATERIALIZED ({band_selects}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
-    exact AS MATERIALIZED ({exact})
-    SELECT c.doc_a, c.doc_b, e.jaccard
-    FROM cand c JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
-    WHERE e.jaccard >= {threshold}
+    keep AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) <= {max_df}),
+    cdocs AS (SELECT doc_a AS doc FROM cand UNION SELECT doc_b FROM cand),
+    shc AS MATERIALIZED (
+      SELECT shx.* FROM shx JOIN keep USING (sh) JOIN cdocs USING (doc)),
+    sizes AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
+    inter AS (
+      SELECT x.doc AS doc_a, y.doc AS doc_b, count(*) AS inter
+      FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc < y.doc
+      GROUP BY x.doc, y.doc)
+    SELECT i.doc_a, i.doc_b,
+           round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 4) >= {threshold}
     """
 
 

@@ -38,8 +38,10 @@ def _count_re(col: str, pattern: str) -> Column:
 
 
 def _count_re_sql(col: str, pattern: str) -> str:
-    # DuckDB: no regexp_count; length of extract_all
-    escaped = pattern.replace("'", "''").replace("\\", "\\\\")
+    # DuckDB: no regexp_count; length of extract_all. Standard SQL
+    # string literals pass backslashes through verbatim — only quotes
+    # need escaping (doubling backslashes would corrupt \w, \s, \b).
+    escaped = pattern.replace("'", "''")
     return f"len(regexp_extract_all({col}, '{escaped}'))"
 
 

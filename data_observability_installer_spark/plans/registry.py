@@ -383,6 +383,78 @@ ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# LLM-training-data pipeline operators (build charter: dedup, similarity,
+# text analysis over documents/embeddings). Params are chosen so the
+# sf0.01 tables produce non-trivial results (probed: 25 jaccard>=0.3
+# pairs, within-label cosine max 0.475).
+# ---------------------------------------------------------------------------
+
+from ..operators.llm import dedup as _dedup  # noqa: E402
+from ..operators.llm import similarity as _sim  # noqa: E402
+from ..operators.llm import text as _text  # noqa: E402
+
+_JACCARD_ARGS = dict(text_col="text", id_col="doc_id", n=3, threshold=0.3, max_df=1000)
+_MINHASH_ARGS = dict(
+    text_col="text", id_col="doc_id", n=3, num_hashes=12, bands=4, threshold=0.3, max_df=1000
+)
+
+
+@register("dedup_exact_documents", _dedup.dedup_exact_sql("documents"))
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_documents", _dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS))
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), **_JACCARD_ARGS)
+
+
+@register("minhash_pairs_documents", _dedup.minhash_pairs_sql("documents", **_MINHASH_ARGS))
+def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_pairs(load_table(spark, sf_dir, "documents"), **_MINHASH_ARGS)
+
+
+@register("simhash_documents")  # xxhash64 is Spark-native: rows-only check
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register("fingerprint_documents", _text.fingerprint_sql("documents"))
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("language_id_documents", _text.language_id_sql("documents"))
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("quality_documents", _text.quality_score_sql("documents"))
+def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("token_counts_documents", _text.token_counts_sql("documents"))
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
+def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register("topk_lsh_embeddings", _sim.topk_lsh_sql("embeddings", k=10, query_id=0))
+def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register("embedding_near_dups", _sim.embedding_near_dups_sql("embeddings", threshold=0.35))
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,148 @@
+"""LLM-training-data pipeline operators: dedup, similarity, text.
+
+Hand-built micro-corpora with known answers (planted duplicates,
+orthogonal/parallel vectors), plus plan assertions that the scale
+guarantees hold (minhash verify never materializes the all-pairs
+join; the brute-force top-k broadcasts the query vector).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.llm.dedup import (
+    dedup_exact,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from data_observability_installer_spark.operators.llm.similarity import (
+    embedding_near_dups,
+    topk_bruteforce,
+    topk_lsh,
+)
+from data_observability_installer_spark.operators.llm.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (4, "completely different content about spark engines and shuffles"),
+    (5, "Le chat est dans la maison et le chien est dans le jardin"),
+    (6, "der Hund ist nicht mit der Katze und das ist gut"),
+    (7, "The Quick Brown Fox! Jumps... over the lazy dog?"),  # fmt noise of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups(docs):
+    rows = {r["content_hash"]: r for r in dedup_exact(docs).collect()}
+    assert len(rows) == 6  # 7 docs, one exact pair
+    dup = [r for r in rows.values() if r["dup_ct"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_finds_planted_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.3, max_df=100).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # one-word edit
+    assert not any({a, b} == {1, 4} for a, b in pairs)  # unrelated
+
+
+def test_minhash_agrees_with_exact_on_dups(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs(
+            docs, n=2, num_hashes=12, bands=6, threshold=0.5, max_df=100
+        ).collect()
+    }
+    # exact dup pair always collides in every band and verifies at 1.0
+    assert got[(1, 2)] == 1.0
+    # every reported pair must meet the exact-Jaccard threshold
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_minhash_verify_is_candidate_scoped(docs):
+    """The exact-verify join must be gated behind the LSH candidate set
+    (a semi join), not an unbounded all-pairs materialization."""
+    plan = minhash_pairs(docs, n=2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_simhash_buckets_exact_dups_collide(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    assert sh[1] == sh[2]  # identical text, identical signature
+    assert sh[1] != sh[4]  # unrelated text lands elsewhere
+
+
+def test_fingerprint_survives_formatting_noise(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[7]  # case/punct noise collapses
+    assert fp[1] != fp[3]
+
+
+def test_language_id(docs):
+    lang = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert lang[1] == "en" and lang[5] == "fr" and lang[6] == "de"
+
+
+def test_quality_and_token_counts(docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q.values())
+    t = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert t[1]["ws_tokens"] == 9
+    assert t[7]["punct_tokens"] == 5  # ! ... ?
+    assert t[1]["bpe_ish_tokens"] == 9
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0], 0),  # near q
+    (2, [0.0, 1.0, 0.0], 1),  # orthogonal to q
+    (3, [-1.0, 0.0, 0.0], 1),  # opposite
+    (4, [0.8, 0.2, 0.0], 0),  # near q
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding", "label"])
+
+
+def test_topk_bruteforce_ordering(vecs):
+    got = [(r["vec_id"], r["score"]) for r in topk_bruteforce(vecs, k=3, query_id=0).collect()]
+    assert [v for v, _ in got] == [1, 4, 2]
+    assert got[0][1] > got[1][1] > got[2][1]
+
+
+def test_topk_bruteforce_broadcasts_query(vecs):
+    plan = topk_bruteforce(vecs, k=3, query_id=0)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_topk_lsh_subset_of_bruteforce_scores(vecs):
+    brute = {r["vec_id"]: r["score"] for r in topk_bruteforce(vecs, k=5, query_id=0).collect()}
+    for r in topk_lsh(vecs, k=3, query_id=0).collect():
+        assert brute[r["vec_id"]] == r["score"]  # same exact cosine, pruned scan
+
+
+def test_embedding_near_dups_blocked(vecs):
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_near_dups(vecs, 0.9).collect()}
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    # 2,3 share label 1 but are opposite/orthogonal — below threshold
+    assert (2, 3) not in got
+    # 0 and 2 are in different blocks: never even compared
+    assert not any({a, b} == {0, 2} for a, b in got)
