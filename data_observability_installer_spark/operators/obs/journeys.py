@@ -24,22 +24,113 @@ from pyspark.sql import functions as F
 
 
 def journey_instances(run_rollup: DataFrame, conditions: DataFrame) -> DataFrame:
-    """Instance windows per journey from START-condition boundary runs.
+    """Instance windows per journey from {action: START|END} conditions
+    (demo_helper.py:279-287; END-bounded journeys at :1851-1875).
+
+    Every START-pipeline run start opens an instance. The instance
+    closes at whichever comes first: the next START boundary, or — when
+    the journey declares an END condition — the first END-pipeline run
+    END after the instance opens. A journey with no END condition (the
+    common case) degrades to pure next-START windows, and the END path
+    is a join against an empty side, so one plan serves both.
 
     Returns (journey_id, instance_id, instance_start, instance_end);
-    instance_end is the next boundary start (open-ended NULL for the
-    latest instance).
+    instance_end is NULL for a still-open latest instance.
     """
     starts = conditions.filter(F.col("action") == "START").select(
         "journey_id", F.col("batch_pipeline").alias("pipeline_key")
     )
     boundary = run_rollup.join(F.broadcast(starts), "pipeline_key")
-    w = Window.partitionBy("journey_id").orderBy("start_ts")
-    return boundary.select(
+    # run_key tie-break: equal start_ts boundaries must number
+    # identically in every engine (the oracle replays this in SQL)
+    w = Window.partitionBy("journey_id").orderBy("start_ts", "run_key")
+    base = boundary.select(
         "journey_id",
         F.row_number().over(w).alias("instance_id"),
         F.col("start_ts").alias("instance_start"),
-        F.lead("start_ts").over(w).alias("instance_end"),
+        F.lead("start_ts").over(w).alias("next_start"),
+    )
+    ends = conditions.filter(F.col("action") == "END").select(
+        "journey_id", F.col("batch_pipeline").alias("pipeline_key")
+    )
+    end_runs = run_rollup.join(F.broadcast(ends), "pipeline_key").select(
+        F.col("journey_id").alias("e_journey_id"), F.col("end_ts").alias("e_end_ts")
+    )
+    # first END-run end strictly after each instance start; the boundary
+    # table is the small side, so it broadcasts into the end-run stream
+    first_end = (
+        end_runs.join(
+            F.broadcast(base),
+            (F.col("e_journey_id") == F.col("journey_id"))
+            & (F.col("e_end_ts") > F.col("instance_start")),
+        )
+        .groupBy("journey_id", "instance_id")
+        .agg(F.min("e_end_ts").alias("first_end"))
+    )
+    return (
+        base.join(F.broadcast(first_end), ["journey_id", "instance_id"], "left")
+        .select(
+            "journey_id",
+            "instance_id",
+            "instance_start",
+            F.when(
+                F.col("first_end").isNotNull()
+                & (F.col("next_start").isNull() | (F.col("first_end") < F.col("next_start"))),
+                F.col("first_end"),
+            )
+            .otherwise(F.col("next_start"))
+            .alias("instance_end"),
+        )
+    )
+
+
+def payload_instances(
+    run_rollup: DataFrame, conditions: DataFrame, run_payloads: DataFrame
+) -> DataFrame:
+    """END_PAYLOAD instance windows: one instance per (journey,
+    payload_key) (payload keys at demo_helper.py:1106-1116).
+
+    ``run_payloads`` is (run_key, payload_key), many-to-many. The
+    instance opens at the earliest START-boundary run carrying the key
+    and closes at the first END_PAYLOAD-pipeline run end after that
+    (NULL while the payload is still in flight).
+    """
+    starts = conditions.filter(F.col("action") == "START").select(
+        "journey_id", F.col("batch_pipeline").alias("pipeline_key")
+    )
+    endp = conditions.filter(F.col("action") == "END_PAYLOAD").select(
+        "journey_id", F.col("batch_pipeline").alias("pipeline_key")
+    )
+    opens = (
+        run_rollup.join(F.broadcast(starts), "pipeline_key")
+        .join(run_payloads, "run_key")
+        .groupBy("journey_id", "payload_key")
+        .agg(F.min("start_ts").alias("instance_start"))
+    )
+    end_runs = (
+        run_rollup.join(F.broadcast(endp), "pipeline_key")
+        .join(run_payloads, "run_key")
+        .select("journey_id", "payload_key", "end_ts")
+    )
+    closed = (
+        opens.alias("o")
+        .join(
+            end_runs.alias("e"),
+            (F.col("o.journey_id") == F.col("e.journey_id"))
+            & (F.col("o.payload_key") == F.col("e.payload_key"))
+            & (F.col("e.end_ts") > F.col("o.instance_start")),
+            "left",
+        )
+        .groupBy("o.journey_id", "o.payload_key", "o.instance_start")
+        .agg(F.min("e.end_ts").alias("instance_end"))
+    )
+    w = Window.partitionBy("journey_id").orderBy("instance_start", "payload_key")
+    return closed.select(
+        F.col("journey_id"),
+        F.row_number().over(w).alias("instance_id"),
+        F.col("payload_key"),
+        F.col("instance_start"),
+        F.col("instance_end"),
     )
 
 

@@ -75,6 +75,26 @@ def test_outcome_rollup(events: DataFrame, by: str = "dataset_key") -> DataFrame
     )
 
 
+def message_log_rollup(msglogs: DataFrame, by: tuple[str, ...] = ("component_key", "run_key")) -> DataFrame:
+    """MessageLog analytics: per-key INFO/WARNING/ERROR counts and the
+    error rate. The reference posts MessageLog events with ``log_level
+    ∈ {INFO, WARNING, ERROR}`` (demo/demo/demo_helper.py:332-342); this
+    is the rollup its UI surfaces per run/component.
+
+    Input columns: ``*by``, ``log_level``. One map-side-combined hash
+    aggregate on the key — no sort, no window.
+    """
+    return msglogs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("message_ct"),
+        F.sum((F.col("log_level") == "INFO").cast("int")).alias("info_ct"),
+        F.sum((F.col("log_level") == "WARNING").cast("int")).alias("warning_ct"),
+        F.sum((F.col("log_level") == "ERROR").cast("int")).alias("error_ct"),
+        F.round(
+            F.sum((F.col("log_level") == "ERROR").cast("int")) / F.count(F.lit(1)), 4
+        ).alias("error_rate"),
+    )
+
+
 def entity_search(components: DataFrame, query: str) -> DataFrame:
     """A9: substring lookup, first match by name (GET ...?search=,
     demo_helper.py:137-143)."""

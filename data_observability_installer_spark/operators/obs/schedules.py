@@ -42,25 +42,33 @@ def expected_ticks(
 
 def late_runs(run_rollup: DataFrame, ticks: DataFrame) -> DataFrame:
     """Ticks with no run start/end inside [tick, tick+margin] ->
-    LATE_START / LATE_END alert rows."""
+    LATE_START / LATE_END alert rows.
+
+    Shape: an outer join that preserves the tiny tick side cannot
+    broadcast it (Spark only broadcasts the build side), so instead the
+    big runs table INNER-joins the broadcast ticks — a streamed
+    broadcast-hash join — producing the matched-tick set (≤ |ticks|
+    rows), and the miss set is a broadcast anti-join of two tiny
+    tables. The run rollup never shuffles.
+    """
     event_ts = F.when(
         F.col("t.expectation") == "BATCH_PIPELINE_END_TIME", F.col("r.end_ts")
     ).otherwise(F.col("r.start_ts"))
-    joined = (
-        F.broadcast(ticks.alias("t"))
+    matched = (
+        run_rollup.alias("r")
         .join(
-            run_rollup.alias("r"),
+            F.broadcast(ticks.alias("t")),
             (F.col("r.pipeline_key") == F.col("t.component_key"))
             & (event_ts >= F.col("t.tick_ts"))
             & (event_ts <= F.col("t.tick_ts") + F.col("t.margin_s").cast("long").cast("interval second")),
-            "left",
         )
+        .select("t.component_key", "t.expectation", "t.tick_ts")
+        .distinct()
     )
     return (
-        joined.groupBy("t.component_key", "t.expectation", "t.tick_ts", "t.margin_s")
-        .agg(F.count(F.col("r.run_key")).alias("matched_runs"))
-        .filter(F.col("matched_runs") == 0)
-        .select(
+        ticks.join(
+            F.broadcast(matched), ["component_key", "expectation", "tick_ts"], "left_anti"
+        ).select(
             F.col("component_key"),
             F.col("tick_ts"),
             F.col("margin_s"),

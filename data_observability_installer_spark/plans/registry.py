@@ -346,6 +346,231 @@ def a8_liveness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A3/A4/A6/A9 + MessageLog over the generic events table — same mapping
+# as A1 (pipeline = user%5, run = user-day), exercising the real
+# operators (expected_ticks/late_runs, evaluate_rules,
+# journey_instances/assign_to_instances/out_of_sequence, entity_search,
+# message_log_rollup) with value-for-value DuckDB twins.
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+      SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline_key,
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 THEN 'FAILED'
+                  WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 THEN 'COMPLETED'
+                  ELSE 'RUNNING' END AS final_status
+      FROM events
+      GROUP BY 1, 2"""
+
+
+def _events_run_rollup(ev: DataFrame) -> DataFrame:
+    """The A1 mapping with raw timestamps (shared by A3/A4/A6)."""
+    return ev.select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline_key"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("run_key"),
+        F.col("ts"),
+        F.col("event_type"),
+    ).groupBy("pipeline_key", "run_key").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.when(F.sum((F.col("event_type") == "error").cast("int")) > 0, "FAILED")
+        .when(F.sum((F.col("event_type") == "purchase").cast("int")) > 0, "COMPLETED")
+        .otherwise("RUNNING")
+        .alias("final_status"),
+    )
+
+
+@register(
+    "a3_late_daily_starts",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    ticks AS (
+      SELECT 'pipeline-' || CAST(p.range AS VARCHAR) AS component_key, g.tick AS tick_ts
+      FROM range(5) p, generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                                       INTERVAL '1 day') g(tick)),
+    matched AS (
+      SELECT DISTINCT t.component_key, t.tick_ts
+      FROM runs r JOIN ticks t ON r.pipeline_key = t.component_key
+       AND r.start_ts >= t.tick_ts AND r.start_ts <= t.tick_ts + INTERVAL '3600 seconds')
+    SELECT t.component_key, strftime(t.tick_ts, '%Y-%m-%d %H:%M:%S') AS tick_ts,
+           3600 AS margin_s, 'LATE_START' AS alert_type
+    FROM ticks t ANTI JOIN matched m
+      ON m.component_key = t.component_key AND m.tick_ts = t.tick_ts
+    """,
+)
+def a3_late_daily_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 schedule-expectation shape: every pipeline must start a run
+    within 3600 s of its daily 00:00 cron tick; ticks with no such run
+    are LATE_START alerts (demo_helper.py:653-659 semantics)."""
+    import datetime as dt
+
+    from ..operators.obs.schedules import expected_ticks, late_runs
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    schedules = [
+        {"component_key": f"pipeline-{i}", "expectation": "BATCH_PIPELINE_START_TIME",
+         "schedule": "0 0 * * *", "margin_s": 3600}
+        for i in range(5)
+    ]
+    ticks = expected_ticks(spark, schedules, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31))
+    return late_runs(runs, ticks).select(
+        "component_key",
+        F.date_format("tick_ts", _TS_FMT_SPARK).alias("tick_ts"),
+        "margin_s",
+        "alert_type",
+    )
+
+
+@register(
+    "a4_run_state_alerts",
+    f"""
+    WITH runs AS ({_RUNS_SQL})
+    SELECT 'r-failed-runs' AS rule_id, 'SEND_EMAIL' AS action,
+           pipeline_key AS subject_key, run_key AS detail_key,
+           'FAILED' AS alert_type, strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS event_ts
+    FROM runs WHERE final_status = 'FAILED'
+    UNION ALL
+    SELECT 'r-p3-completed', 'CALL_WEBHOOK', pipeline_key, run_key,
+           'COMPLETED', strftime(end_ts, '%Y-%m-%d %H:%M:%S')
+    FROM runs WHERE final_status = 'COMPLETED' AND pipeline_key = 'pipeline-3'
+    """,
+)
+def a4_run_state_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 run-state alert rules (demo_helper.py:1876-1915): a global
+    FAILED rule plus a component-scoped COMPLETED rule, evaluated as
+    filters over the already-computed run rollup."""
+    from ..operators.obs.rules import evaluate_rules
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events")).withColumn(
+        "end_ts", F.date_format("end_ts", _TS_FMT_SPARK)
+    )
+    rules = [
+        {"rule_id": "r-failed-runs", "action": "SEND_EMAIL",
+         "conditions": [{"run_state": {"matches": "FAILED"}}]},
+        {"rule_id": "r-p3-completed", "action": "CALL_WEBHOOK", "component": "pipeline-3",
+         "conditions": [{"run_state": {"matches": "COMPLETED"}}]},
+    ]
+    return evaluate_rules(rules, runs)
+
+
+_A6_EDGES = [("pipeline-0", "pipeline-1"), ("pipeline-1", "pipeline-2"),
+             ("pipeline-0", "pipeline-3")]
+
+
+@register(
+    "a6_out_of_sequence",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    boundary AS (SELECT * FROM runs WHERE pipeline_key = 'pipeline-0'),
+    inst AS (
+      SELECT CAST(row_number() OVER (ORDER BY start_ts, run_key) AS INT) AS instance_id,
+             start_ts AS instance_start,
+             lead(start_ts) OVER (ORDER BY start_ts, run_key) AS instance_end
+      FROM boundary),
+    closure(up_key, down_key) AS (VALUES
+      ('pipeline-0', 'pipeline-1'), ('pipeline-1', 'pipeline-2'),
+      ('pipeline-0', 'pipeline-2'), ('pipeline-0', 'pipeline-3')),
+    assigned AS (
+      SELECT r.*, i.instance_id FROM runs r JOIN inst i
+        ON r.start_ts >= i.instance_start
+       AND (i.instance_end IS NULL OR r.start_ts < i.instance_end))
+    SELECT 'j-events' AS journey_id, u.instance_id, e.up_key,
+           u.run_key AS up_run, e.down_key, d.run_key AS down_run,
+           'OUT_OF_SEQUENCE' AS alert_type
+    FROM assigned u JOIN closure e ON u.pipeline_key = e.up_key
+    JOIN assigned d ON d.instance_id = u.instance_id AND d.pipeline_key = e.down_key
+    WHERE d.start_ts < u.end_ts
+    """,
+)
+def a6_out_of_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 out-of-sequence detection (demo_helper.py:1939-1956): journey
+    j-events with DAG 0→1→2, 0→3; instances bounded by pipeline-0 run
+    starts; an upstream run ending after a downstream run starts inside
+    one instance violates the DAG."""
+    from ..operators.obs.journeys import (
+        assign_to_instances,
+        journey_instances,
+        out_of_sequence,
+        transitive_edges,
+    )
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    conditions = spark.createDataFrame(
+        [("j-events", "START", "pipeline-0")], "journey_id string, action string, batch_pipeline string"
+    )
+    components = spark.createDataFrame(
+        [("j-events", f"pipeline-{i}") for i in range(4)],
+        "journey_id string, component_key string",
+    )
+    closure = spark.createDataFrame(
+        [("j-events", u, d) for u, d in transitive_edges(_A6_EDGES)],
+        "journey_id string, up_key string, down_key string",
+    )
+    instances = journey_instances(runs, conditions)
+    assigned = assign_to_instances(runs, instances, components)
+    return out_of_sequence(assigned, closure)
+
+
+@register(
+    "a9_entity_search",
+    """
+    SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS name, count(*) AS event_ct
+    FROM events GROUP BY 1 HAVING name LIKE '%line-3%' ORDER BY name LIMIT 1
+    """,
+)
+def a9_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 entity search (GET ...?search=, demo_helper.py:137-143):
+    substring match over the component catalog, first hit by name."""
+    from ..operators.obs.rollup import entity_search
+
+    ev = load_table(spark, sf_dir, "events")
+    components = ev.groupBy(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("name")
+    ).agg(F.count(F.lit(1)).alias("event_ct"))
+    return entity_search(components, "line-3")
+
+
+@register(
+    "messagelog_rollup_events",
+    """
+    WITH m AS (
+      SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS component_key,
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key,
+             CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'view' THEN 'WARNING'
+                  ELSE 'INFO' END AS log_level
+      FROM events)
+    SELECT component_key, run_key, count(*) AS message_ct,
+           CAST(sum(CASE WHEN log_level = 'INFO' THEN 1 ELSE 0 END) AS BIGINT) AS info_ct,
+           CAST(sum(CASE WHEN log_level = 'WARNING' THEN 1 ELSE 0 END) AS BIGINT) AS warning_ct,
+           CAST(sum(CASE WHEN log_level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct,
+           round(sum(CASE WHEN log_level = 'ERROR' THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS error_rate
+    FROM m GROUP BY component_key, run_key
+    """,
+)
+def messagelog_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessageLog rollup (demo_helper.py:332-342 log levels): error /
+    warn / info counts and error rate per run."""
+    from ..operators.obs.rollup import message_log_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("component_key"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("run_key"),
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "view", "WARNING")
+        .otherwise("INFO")
+        .alias("log_level"),
+    )
+    return message_log_rollup(m)
+
+
+# ---------------------------------------------------------------------------
 # Reconciliation tests (SURVEY §2.5 — the "2 custom test types")
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,73 @@ def test_a9_entity_search(demo):
     assert len(hit) == 1 and hit[0].key == "warehouse-server"
 
 
+def _mk_rollup(spark, rows):
+    return spark.createDataFrame(
+        rows, "pipeline_key string, run_key string, start_ts timestamp, end_ts timestamp"
+    )
+
+
+def test_a2_end_bounded_instances(spark):
+    """END condition closes the instance at the END-pipeline run end
+    when that precedes the next START boundary."""
+    t = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+    rollup = _mk_rollup(
+        spark,
+        [
+            ("S", "s:1", t(0), t(1)),
+            ("E", "e:1", t(2), t(5)),  # ends inside [0, 10) -> closes inst 1
+            ("S", "s:2", t(10), t(11)),
+            ("E", "e:2", t(12), t(15)),  # closes inst 2 (no next start)
+        ],
+    )
+    conditions = spark.createDataFrame(
+        [("j", "START", "S"), ("j", "END", "E")],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    inst = {r.instance_id: r for r in journey_instances(rollup, conditions).collect()}
+    assert inst[1].instance_start == t(0) and inst[1].instance_end == t(5)
+    assert inst[2].instance_start == t(10) and inst[2].instance_end == t(15)
+    # without the END condition, next-START semantics hold
+    start_only = conditions.filter(F.col("action") == "START")
+    inst2 = {r.instance_id: r for r in journey_instances(rollup, start_only).collect()}
+    assert inst2[1].instance_end == t(10) and inst2[2].instance_end is None
+
+
+def test_a2_payload_instances(spark):
+    from data_observability_installer_spark.operators.obs.journeys import payload_instances
+
+    t = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+    rollup = _mk_rollup(
+        spark,
+        [
+            ("S", "s:1", t(0), t(1)),   # opens p1 and p2
+            ("E", "e:1", t(2), t(3)),   # closes p1
+            ("E", "e:2", t(4), t(6)),   # closes p2
+        ],
+    )
+    conditions = spark.createDataFrame(
+        [("j", "START", "S"), ("j", "END_PAYLOAD", "E")],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    payloads = spark.createDataFrame(
+        [("s:1", "p1"), ("s:1", "p2"), ("e:1", "p1"), ("e:2", "p2")],
+        "run_key string, payload_key string",
+    )
+    got = {r.payload_key: r for r in payload_instances(rollup, conditions, payloads).collect()}
+    assert got["p1"].instance_start == t(0) and got["p1"].instance_end == t(3)
+    assert got["p2"].instance_start == t(0) and got["p2"].instance_end == t(6)
+
+
+def test_a3_late_runs_broadcasts_ticks(spark, rollup, demo):
+    """The tick table must be the build side of every join in the plan —
+    a silently-ignored broadcast hint here shuffles the run rollup."""
+    ticks = expected_ticks(
+        spark, demo["schedules"], ANCHOR - dt.timedelta(hours=56), ANCHOR
+    )
+    plan = late_runs(rollup, ticks)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
 def test_transitive_closure():
     edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
     clo = transitive_edges(edges)
