@@ -60,9 +60,24 @@ for _name, (_table, _specs, _view, _table_sql) in DEMO_SUITES.items():
 # ---------------------------------------------------------------------------
 
 
+# One profile scan feeds BOTH profile_<t> and hygiene_<t>: the long-form
+# profile result is metadata-sized (≤ ~300 rows), so it is cached per
+# (session, sf_dir, table) and every consumer after the first reads the
+# cache instead of re-scanning the table (at 100 TB a second full scan
+# per table is real money).
+_PROFILE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cached_profile(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    if key not in _PROFILE_CACHE:
+        _PROFILE_CACHE[key] = profile(load_table(spark, sf_dir, table), table, AS_OF).cache()
+    return _PROFILE_CACHE[key]
+
+
 def _make_profile_query(table: str) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return profile(load_table(spark, sf_dir, table), table, AS_OF)
+        return cached_profile(spark, sf_dir, table)
 
     return run
 
@@ -73,6 +88,16 @@ for _table in ["lineitem", "orders", "customer", "events", "documents"]:
     ORACLES[_name] = profile_sql(_table, _table, STATIC_SCHEMAS[_table], AS_OF)
 
 
+@register("profile_lineitem_approx")  # HLL + approx_percentile: the 100 TB
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale configuration (``exact=False``): approx_count_distinct
+    and approx_percentile in ONE wide pass (no Expand, sketch-sized
+    state). No value-exact oracle possible — the driver records a
+    rows-only check; the bounded-relative-error test lives in
+    tests/test_profile_generator.py."""
+    return profile(load_table(spark, sf_dir, "lineitem"), "lineitem", AS_OF, exact=False)
+
+
 # ---------------------------------------------------------------------------
 # Hygiene screens (TestGen task 2 — 29 detectors over the profile)
 # ---------------------------------------------------------------------------
@@ -80,7 +105,7 @@ for _table in ["lineitem", "orders", "customer", "events", "documents"]:
 
 def _make_hygiene_query(table: str) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return hygiene(profile(load_table(spark, sf_dir, table), table, AS_OF), AS_OF)
+        return hygiene(cached_profile(spark, sf_dir, table), AS_OF)
 
     return run
 

@@ -39,8 +39,8 @@ def _track(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Itera
                 {
                     "pipeline_key": key[0],
                     "run_key": key[1],
-                    "start_ts": dt.datetime.utcfromtimestamp(start_s),
-                    "end_ts": dt.datetime.utcfromtimestamp(end_s),
+                    "start_ts": dt.datetime.fromtimestamp(start_s, dt.timezone.utc).replace(tzinfo=None),
+                    "end_ts": dt.datetime.fromtimestamp(end_s, dt.timezone.utc).replace(tzinfo=None),
                     "final_status": "STUCK" if status == "RUNNING" else status,
                     "event_ct": ct,
                 }
@@ -79,8 +79,17 @@ def _track(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Itera
         )
     else:
         state.update((start_s, end_s, status, ct))
-        # absence detection: no terminal event within 2 h of event time
-        state.setTimeoutTimestamp(end_s * 1000 + 2 * 3600 * 1000)
+        # absence detection: no terminal event within 2 h of event time.
+        # A heavily-backdated run (the reference replays events up to
+        # 55 h old) can put end_s + 2 h AT or BELOW the current
+        # watermark, which setTimeoutTimestamp rejects and would kill
+        # the whole streaming query — clamp to just past the watermark
+        # so the stale run times out on the next micro-batch instead.
+        timeout_ms = end_s * 1000 + 2 * 3600 * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            timeout_ms = max(timeout_ms, wm_ms + 1)
+        state.setTimeoutTimestamp(timeout_ms)
 
 
 def track_runs_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

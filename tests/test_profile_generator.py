@@ -42,6 +42,34 @@ def test_profile_approx_mode_runs(spark, sf_smoke):
     assert abs(got["distinct_ct"] - 200.0) <= 10.0
 
 
+APPROX_METRICS = {"distinct_ct", "distinct_pct", "duplicate_ct", "pattern_distinct_ct",
+                  "p05", "p25", "p50", "p75", "p95"}
+
+
+def test_profile_approx_matches_exact_within_tolerance(spark, sf_smoke):
+    """The 100 TB configuration (exact=False) must agree with the exact
+    path: sketch-backed metrics within 5% relative, everything else
+    bit-identical (they share the same expressions)."""
+    df = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    exact = {(r.column_name, r.metric): r for r in profile(df, "t", AS_OF, columns=cols).collect()}
+    approx = {(r.column_name, r.metric): r
+              for r in profile(df, "t", AS_OF, columns=cols, exact=False).collect()}
+    assert set(exact) == set(approx)
+    for key, er in exact.items():
+        ar = approx[key]
+        col, metric = key
+        if metric in APPROX_METRICS:
+            if metric.startswith("p"):  # percentiles: 5% relative
+                if er.value not in (None, 0.0):
+                    assert abs(ar.value - er.value) / abs(er.value) <= 0.05, key
+            else:  # HLL-derived counts/pcts: 5% of the count scale
+                scale = exact[(col, "value_ct")].value if metric.endswith("_ct") else 100.0
+                assert abs(ar.value - er.value) <= 0.05 * scale, key
+        else:
+            assert (ar.value, ar.value_str) == (er.value, er.value_str), key
+
+
 def test_hygiene_fires_on_planted_anomalies(spark):
     rows = [(i, " padded", None, 0.0) for i in range(200)]
     df = spark.createDataFrame(rows, "id bigint, s string, missing string, z double")
