@@ -1,0 +1,208 @@
+"""Engine CLI — the analog of the reference's driver surface
+(``dk-installer.py`` verbs ``tg run-demo`` / ``obs run-demo`` /
+``export-observability``, reference dk-installer.py:1061-1106,
+:3330-3350), re-expressed as engine verbs over the parquet warehouse::
+
+    python -m data_observability_installer_spark list
+    python -m data_observability_installer_spark profile lineitem [--approx]
+    python -m data_observability_installer_spark hygiene lineitem
+    python -m data_observability_installer_spark test dq_suite_lineitem
+    python -m data_observability_installer_spark generate customer
+    python -m data_observability_installer_spark query pricing_summary
+    python -m data_observability_installer_spark export --out /tmp/outcomes
+
+Every verb builds the plan declaratively and prints via ``show()`` —
+nothing here collects more than display rows to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("doi-spark-cli", cpus=args.cpus)
+
+
+def cmd_list(args) -> int:
+    from .plans import registry
+    from .plans.suites import DEMO_SUITES
+
+    print("registry queries:")
+    oracles = registry.oracle_sql()
+    for name in sorted(registry.queries()):
+        tag = "oracle" if name in oracles else "rows-only"
+        print(f"  {name}  [{tag}]")
+    print("suites:")
+    for name, (table, specs, _, _) in DEMO_SUITES.items():
+        print(f"  {name}  ({table}, {len(specs)} tests)")
+    return 0
+
+
+def cmd_profile(args) -> int:
+    from .operators.profile import profile
+    from .plans.suites import AS_OF
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    df = profile(
+        load_table(spark, args.sf_dir, args.table), args.table, AS_OF, exact=not args.approx
+    )
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"profile written to {args.out}")
+    else:
+        df.show(1000, truncate=False)
+    return 0
+
+
+def cmd_hygiene(args) -> int:
+    from .operators.hygiene import hygiene
+    from .operators.profile import profile
+    from .plans.suites import AS_OF
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    prof = profile(load_table(spark, args.sf_dir, args.table), args.table, AS_OF)
+    hygiene(prof, AS_OF).show(1000, truncate=False)
+    return 0
+
+
+def cmd_test(args) -> int:
+    from .operators.dq.compiler import compile_suite
+    from .plans.suites import AS_OF, DEMO_SUITES
+    from .sources.tables import load_table
+
+    if args.suite not in DEMO_SUITES:
+        print(f"unknown suite {args.suite!r}; see `list`", file=sys.stderr)
+        return 2
+    table, specs, view, _ = DEMO_SUITES[args.suite]
+    spark = _spark(args)
+    df = load_table(spark, args.sf_dir, table)
+    if view is not None:
+        df = view(df)
+    out = compile_suite(df, specs, AS_OF)
+    out.show(1000, truncate=False)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .operators.dq.compiler import compile_suite
+    from .operators.dq.generator import generate_suite
+    from .plans.suites import AS_OF
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    df = load_table(spark, args.sf_dir, args.table)
+    _, specs = generate_suite(spark, df, args.table, AS_OF)
+    print(f"generated {len(specs)} tests:")
+    for s in specs:
+        print(f"  {s.table}.{s.column}.{s.test_type}  {s.params}")
+    if not args.dry_run:
+        compile_suite(df, specs, AS_OF).show(1000, truncate=False)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .plans import registry
+
+    qs = registry.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """TEST_OUTCOMES event export (``export-observability`` analog):
+    run every demo suite, chunk outcomes into events, write JSONL."""
+    from .operators.dq.compiler import compile_suite
+    from .plans.suites import AS_OF, DEMO_SUITES
+    from .sources.dq_corpus import corpus_to_outcomes, export_outcomes_json
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    parts = []
+    for name, (table, specs, view, _) in DEMO_SUITES.items():
+        df = load_table(spark, args.sf_dir, table)
+        if view is not None:
+            df = view(df)
+        res = compile_suite(df, specs, AS_OF)
+        parts.append(res)
+    allres = parts[0]
+    for p in parts[1:]:
+        allres = allres.unionByName(p)
+    from pyspark.sql import functions as F
+
+    shaped = allres.select(
+        "table_name",
+        "column_name",
+        "test_type",
+        F.when(F.col("result") == "PASSED", "Pass")
+        .when(F.col("result") == "WARNING", "Warning")
+        .otherwise("Fail")
+        .alias("result"),
+        F.concat_ws(".", "table_name", "column_name", "test_type").alias("description"),
+        F.concat(F.lit("measure="), F.col("measure").cast("string")).alias("message"),
+        F.map_from_arrays(
+            F.array(F.lit("Threshold_Value")),
+            F.array(F.col("threshold_value").cast("string")),
+        ).alias("parameters"),
+    )
+    outcomes = corpus_to_outcomes(shaped)
+    export_outcomes_json(outcomes, args.out)
+    print(f"outcome events written to {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    sub.add_parser("list")
+    p = sub.add_parser("profile")
+    p.add_argument("table")
+    p.add_argument("--approx", action="store_true")
+    p.add_argument("--out")
+    p = sub.add_parser("hygiene")
+    p.add_argument("table")
+    p = sub.add_parser("test")
+    p.add_argument("suite")
+    p = sub.add_parser("generate")
+    p.add_argument("table")
+    p.add_argument("--dry-run", action="store_true")
+    p = sub.add_parser("query")
+    p.add_argument("name")
+    p.add_argument("--rows", type=int, default=50)
+    p.add_argument("--explain", action="store_true")
+    p = sub.add_parser("export")
+    p.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    if args.sf_dir is None:
+        from .sources.tables import DEFAULT_SF_DIR
+
+        args.sf_dir = DEFAULT_SF_DIR
+    return {
+        "list": cmd_list,
+        "profile": cmd_profile,
+        "hygiene": cmd_hygiene,
+        "test": cmd_test,
+        "generate": cmd_generate,
+        "query": cmd_query,
+        "export": cmd_export,
+    }[args.verb](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

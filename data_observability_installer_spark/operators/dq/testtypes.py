@@ -2,7 +2,13 @@
 
 Re-implements the 25 observed TestGen test types from the reference
 corpus ``demo/input_data/data_tests.csv`` (822 rows; parameter grammar
-parsed by the demo at ``demo/demo/demo_helper.py:845-851``). Each test
+parsed by the demo at ``demo/demo/demo_helper.py:845-851``), extended
+to 35 to cover the product's "auto-generation of 32 data quality
+validation tests" claim (reference README.md:209) — the extra types
+(LOV_All, Distinct_Shift, New_Shift, Daily_Rec_Ct, Row_Ct_Pct,
+Valid_Month, Zip_Code, Variability_Increase/Decrease, Condition_Flag)
+follow the public TestGen vocabulary; their exact formulas are not
+in-repo, so they are frozen here and locked by unit tests. Each test
 is ONE aggregate predicate per (table, column) evaluated against
 baseline parameters captured at profiling time.
 
@@ -505,3 +511,154 @@ def _weekly_rec_ct(col: str, p: dict, as_of: str) -> Lowered:
     wk_q = f"CAST(floor(datediff('day', DATE '1970-01-05', CAST({col} AS DATE)) / 7) AS BIGINT)"
     sql = f"CAST(max({wk_q}) - min({wk_q}) + 1 - count(DISTINCT {wk_q}) AS DOUBLE)"
     return Lowered(spark, sql, ">", t)
+
+
+# --- extension to the 32-type README claim ----------------------------------
+
+
+@_register("Daily_Rec_Ct")
+def _daily_rec_ct(col: str, p: dict, as_of: str) -> Lowered:
+    """≥1 record per calendar day within the column's min/max range
+    (measure = count of empty days)."""
+    t = _f(p, "Threshold_Value", 0)
+
+    def spark() -> Column:
+        d = F.col(col).cast("date")
+        return (F.datediff(F.max(d), F.min(d)) + 1 - F.countDistinct(d)).cast("double")
+
+    d_q = f"CAST({col} AS DATE)"
+    sql = f"CAST(datediff('day', min({d_q}), max({d_q})) + 1 - count(DISTINCT {d_q}) AS DOUBLE)"
+    return Lowered(spark, sql, ">", t)
+
+
+@_register("Row_Ct_Pct")
+def _row_ct_pct(col: str, p: dict, as_of: str) -> Lowered:
+    """Record count within ±N% of baseline (measure = |pct change|)."""
+    b = _f(p, "Baseline_Ct")
+    t = _f(p, "Threshold_Value", 5)
+    return Lowered(
+        lambda: F.round(100.0 * F.abs(F.count(F.lit(1)) - F.lit(b)) / F.lit(max(b, 1.0)), 4),
+        f"round(100.0 * abs(count(*) - {b!r}) / {max(b, 1.0)!r}, 4)",
+        ">",
+        t,
+    )
+
+
+@_register("LOV_All")
+def _lov_all(col: str, p: dict, as_of: str) -> Lowered:
+    """EVERY baseline value still present (measure = count of baseline
+    values missing from the column)."""
+    lov = parse_lov(p.get("Baseline_Value", ""))
+    t = _f(p, "Threshold_Value", 0)
+    in_sql = ", ".join(_sql_quote(v) for v in lov) or "''"
+
+    def spark() -> Column:
+        present = F.countDistinct(
+            F.when(F.col(col).cast("string").isin(lov), F.col(col).cast("string"))
+        )
+        return (F.lit(len(lov)) - present).cast("double")
+
+    sql = (
+        f"CAST({len(lov)} - count(DISTINCT CASE WHEN CAST({col} AS VARCHAR) IN ({in_sql}) "
+        f"THEN CAST({col} AS VARCHAR) END) AS DOUBLE)"
+    )
+    return Lowered(spark, sql, ">", t)
+
+
+@_register("New_Shift")
+def _new_shift(col: str, p: dict, as_of: str) -> Lowered:
+    """Values NEW vs the baseline list-of-values as a share of non-null
+    rows (the drift face of LOV_Match: % novel, not count invalid)."""
+    lov = parse_lov(p.get("Baseline_Value", ""))
+    t = _f(p, "Threshold_Value", 5)
+    in_sql = ", ".join(_sql_quote(v) for v in lov) or "''"
+    return Lowered(
+        lambda: F.round(
+            100.0
+            * F.sum((~F.col(col).cast("string").isin(lov)).cast("int"))
+            / F.nullif(F.count(col), F.lit(0)),
+            4,
+        ),
+        f"round(100.0 * sum(CASE WHEN CAST({col} AS VARCHAR) NOT IN ({in_sql}) THEN 1 ELSE 0 END)"
+        f" / nullif(count({col}), 0), 4)",
+        ">",
+        t,
+    )
+
+
+@_register("Distinct_Shift")
+def _distinct_shift(col: str, p: dict, as_of: str) -> Lowered:
+    """Shift in distinct-per-value ratio vs baseline (|z| test on
+    distinct_ct/value_ct with baseline-variance SE)."""
+    n1 = _f(p, "Baseline_Value_Ct")
+    p1 = _f(p, "Baseline_Unique_Ct") / max(n1, 1.0)
+    t = _f(p, "Threshold_Value", 2)
+    p2_s = lambda: F.countDistinct(col) / F.nullif(F.count(col), F.lit(0))  # noqa: E731
+    p2_q = f"count(DISTINCT {col}) * 1.0 / nullif(count({col}), 0)"
+    z_s, z_q = _ztest(p1, n1, p2_s, p2_q, lambda: F.count(col).cast("double"), f"count({col})")
+    return Lowered(z_s, z_q, ">", t)
+
+
+@_register("Valid_Month")
+def _valid_month(col: str, p: dict, as_of: str) -> Lowered:
+    """String column holds valid month names/numbers (measure = count
+    outside the accepted set)."""
+    months = [
+        "JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL", "AUG", "SEP", "OCT",
+        "NOV", "DEC", "JANUARY", "FEBRUARY", "MARCH", "APRIL", "JUNE", "JULY",
+        "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER",
+    ] + [str(i) for i in range(1, 13)] + [f"{i:02d}" for i in range(1, 10)]
+    t = _f(p, "Threshold_Value", 0)
+    in_sql = ", ".join(_sql_quote(v) for v in months)
+    return Lowered(
+        lambda: _count_if(~F.upper(F.trim(F.col(col).cast("string"))).isin(months)),
+        f"CAST(sum(CASE WHEN upper(trim(CAST({col} AS VARCHAR))) NOT IN ({in_sql}) "
+        f"THEN 1 ELSE 0 END) AS DOUBLE)",
+        ">",
+        t,
+    )
+
+
+@_register("Zip_Code")
+def _zip_code(col: str, p: dict, as_of: str) -> Lowered:
+    """US ZIP / ZIP+4 format (measure = count not matching)."""
+    return _regex_miss(col, "[0-9]{5}(-[0-9]{4})?", _f(p, "Threshold_Value", 0))
+
+
+def _variability(col: str, p: dict, as_of: str, direction: str) -> Lowered:
+    """Sample stddev vs baseline SD ratio: fires when the ratio leaves
+    [1/(1+T), 1+T] in the given direction (T as a fraction)."""
+    sd = max(_f(p, "Baseline_SD"), 1e-12)
+    t = _f(p, "Threshold_Value", 0.25)
+    ratio = lambda: F.stddev_samp(col) / F.lit(sd)  # noqa: E731
+    ratio_q = f"stddev_samp({col}) / {sd!r}"
+    if direction == "up":
+        return Lowered(ratio, ratio_q, ">", 1.0 + t)
+    return Lowered(ratio, ratio_q, "<", 1.0 / (1.0 + t))
+
+
+@_register("Variability_Increase")
+def _variability_increase(col: str, p: dict, as_of: str) -> Lowered:
+    return _variability(col, p, as_of, "up")
+
+
+@_register("Variability_Decrease")
+def _variability_decrease(col: str, p: dict, as_of: str) -> Lowered:
+    return _variability(col, p, as_of, "down")
+
+
+@_register("Condition_Flag")
+def _condition_flag(col: str, p: dict, as_of: str) -> Lowered:
+    """Free-form SQL condition over the row, flagged when any row
+    matches (measure = matching-row count). ``Baseline_Value`` holds
+    the boolean SQL expression — it must be engine-portable ANSI
+    (column refs, comparisons, AND/OR), which both Spark and DuckDB
+    parse identically."""
+    cond = p.get("Baseline_Value", "FALSE").strip().strip("'")
+    t = _f(p, "Threshold_Value", 0)
+    return Lowered(
+        lambda: _count_if(F.expr(cond)),
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)",
+        ">",
+        t,
+    )

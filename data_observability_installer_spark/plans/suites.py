@@ -118,9 +118,55 @@ def customer_view_sql() -> str:
     )
 
 
+# --- events: the 10 extension types (README's 32-type claim) ----------------
+# Baselines frozen at sf0.01 (10000 rows, 2024-01-01..2024-01-30, value
+# avg 49.6307/sd 49.1024, 5 event types). None of these types reads the
+# as-of clock, so the suite is date-frozen by construction.
+
+EVENTS_SUITE = [
+    TestSpec("events", TABLE_LEVEL, "Row_Ct_Pct",
+             {"Baseline_Ct": "10000", "Threshold_Value": "10"}),
+    TestSpec("events", "ts", "Daily_Rec_Ct", {"Threshold_Value": "0"}),
+    TestSpec("events", "event_type", "LOV_All",
+             {"Baseline_Value": "('click','error','purchase','signup','view')",
+              "Threshold_Value": "0"}),
+    TestSpec("events", "event_type", "New_Shift",
+             {"Baseline_Value": "('click','error','purchase','signup','view')",
+              "Threshold_Value": "5"}),
+    TestSpec("events", "user_id", "Distinct_Shift",
+             {"Baseline_Unique_Ct": "150", "Baseline_Value_Ct": "10000",
+              "Threshold_Value": "2"}),
+    TestSpec("events", "month_str", "Valid_Month", {"Threshold_Value": "0"}),
+    TestSpec("events", "zip", "Zip_Code", {"Threshold_Value": "0"}),
+    TestSpec("events", "value", "Variability_Increase",
+             {"Baseline_SD": "49.10235064477291", "Threshold_Value": "0.25"}),
+    TestSpec("events", "value", "Variability_Decrease",
+             {"Baseline_SD": "49.10235064477291", "Threshold_Value": "0.25"}),
+    TestSpec("events", TABLE_LEVEL, "Condition_Flag",
+             {"Baseline_Value": "value < 0 OR value > 1000", "Threshold_Value": "0"}),
+]
+
+
+def events_view(df: DataFrame) -> DataFrame:
+    """Derive deterministic month/zip columns for the format tests."""
+    return df.select(
+        "*",
+        F.date_format(F.col("ts"), "MMMM").alias("month_str"),
+        F.lpad((F.col("user_id") * 137 % 100000).cast("string"), 5, "0").alias("zip"),
+    )
+
+
+def events_view_sql() -> str:
+    return (
+        "(SELECT *, strftime(ts, '%B') AS month_str, "
+        "lpad(CAST(user_id * 137 % 100000 AS VARCHAR), 5, '0') AS zip FROM events)"
+    )
+
+
 # suite name -> (table, specs, view builder or None, oracle FROM-relation)
 DEMO_SUITES: dict[str, tuple[str, list[TestSpec], object, str]] = {
     "dq_suite_lineitem": ("lineitem", LINEITEM_SUITE, None, "lineitem"),
     "dq_suite_customer": ("customer", CUSTOMER_SUITE, customer_view, customer_view_sql()),
     "dq_suite_orders": ("orders", ORDERS_SUITE, None, "orders"),
+    "dq_suite_events": ("events", EVENTS_SUITE, events_view, events_view_sql()),
 }

@@ -1,0 +1,32 @@
+"""CLI surface: the engine must be drivable end-to-end, not just
+importable (reference quick-start analog, dk-installer.py:1061-1106)."""
+
+from __future__ import annotations
+
+from data_observability_installer_spark.__main__ import main
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "dq_suite_lineitem" in out and "pricing_summary" in out
+
+
+def test_cli_test_suite(spark, sf_smoke, capsys):
+    assert main(["--sf-dir", sf_smoke, "test", "dq_suite_orders"]) == 0
+    out = capsys.readouterr().out
+    assert "Row_Ct" in out
+
+
+def test_cli_unknown_query(sf_smoke, capsys):
+    assert main(["--sf-dir", sf_smoke, "query", "nope"]) == 2
+
+
+def test_cli_export_roundtrip(spark, sf_smoke, tmp_path, capsys):
+    out_dir = str(tmp_path / "outcomes")
+    assert main(["--sf-dir", sf_smoke, "export", "--out", out_dir]) == 0
+    back = spark.read.json(out_dir)
+    rows = back.collect()
+    assert len(rows) >= 4  # one event per (suite table, chunk)
+    assert all(r.event_type == "TEST_OUTCOMES" for r in rows)
+    assert sum(r.outcome_ct for r in rows) >= 40  # 46 specs across suites

@@ -26,8 +26,8 @@ def run_one(spark, rows, schema, spec):
     return out
 
 
-def test_all_25_types_registered():
-    assert len(TEST_TYPES) == 25
+def test_all_35_types_registered():
+    assert len(TEST_TYPES) == 35  # 25 observed + 10 extension (README "32")
 
 
 def test_parse_params_with_quoted_tuple():
@@ -192,3 +192,87 @@ def test_single_pass_compilation(spark):
         "table_name", "column_name", "test_type", "measure", "threshold_value", "result"
     }
     assert all(r.result in ("PASSED", "WARNING", "FAILED") for r in rows)
+
+
+# --- the 10 extension types (README 32-type claim) --------------------------
+
+
+def test_daily_rec_ct(spark):
+    spec = TestSpec("t", "d", "Daily_Rec_Ct", {"Threshold_Value": "0"})
+    full = [(dt.datetime(2024, 1, i),) for i in (1, 2, 3)]
+    ok = run_one(spark, full, "d timestamp", spec)
+    assert ok.result == "PASSED" and ok.measure == 0.0
+    gap = [(dt.datetime(2024, 1, i),) for i in (1, 3)]  # Jan 2 empty
+    bad = run_one(spark, gap, "d timestamp", spec)
+    assert bad.result == "WARNING" and bad.measure == 1.0
+
+
+def test_row_ct_pct(spark):
+    spec = TestSpec("t", TABLE_LEVEL, "Row_Ct_Pct", {"Baseline_Ct": "100", "Threshold_Value": "10"})
+    ok = run_one(spark, [(i,) for i in range(95)], "a int", spec)
+    assert ok.result == "PASSED" and ok.measure == 5.0
+    bad = run_one(spark, [(i,) for i in range(80)], "a int", spec)  # -20%
+    assert bad.result == "WARNING" and bad.measure == 20.0
+
+
+def test_lov_all_and_new_shift(spark):
+    la = TestSpec("t", "s", "LOV_All", {"Baseline_Value": "('A','B','C')", "Threshold_Value": "0"})
+    ok = run_one(spark, [("A",), ("B",), ("C",), ("A",)], "s string", la)
+    assert ok.result == "PASSED" and ok.measure == 0.0
+    bad = run_one(spark, [("A",), ("B",)], "s string", la)  # C vanished
+    assert bad.result == "WARNING" and bad.measure == 1.0
+
+    ns = TestSpec("t", "s", "New_Shift", {"Baseline_Value": "('A','B')", "Threshold_Value": "30"})
+    ok2 = run_one(spark, [("A",), ("B",), ("A",), ("B",)], "s string", ns)
+    assert ok2.result == "PASSED" and ok2.measure == 0.0
+    bad2 = run_one(spark, [("A",), ("Z",)], "s string", ns)  # 50% novel
+    assert bad2.result == "WARNING" and bad2.measure == 50.0
+
+
+def test_distinct_shift(spark):
+    spec = TestSpec("t", "a", "Distinct_Shift",
+                    {"Baseline_Unique_Ct": "50", "Baseline_Value_Ct": "100",
+                     "Threshold_Value": "2"})
+    # same 50% distinct ratio -> z == 0
+    ok = run_one(spark, [(i // 2,) for i in range(100)], "a int", spec)
+    assert ok.result == "PASSED" and ok.measure == 0.0
+    # collapse to one distinct value -> huge z
+    bad = run_one(spark, [(1,) for _ in range(100)], "a int", spec)
+    assert bad.result == "WARNING" and bad.measure > 2.0
+
+
+def test_valid_month_and_zip(spark):
+    vm = TestSpec("t", "m", "Valid_Month", {"Threshold_Value": "0"})
+    ok = run_one(spark, [("January",), ("FEB",), ("12",)], "m string", vm)
+    assert ok.result == "PASSED"
+    bad = run_one(spark, [("Januery",), ("13",)], "m string", vm)
+    assert bad.result == "WARNING" and bad.measure == 2.0
+
+    zc = TestSpec("t", "z", "Zip_Code", {"Threshold_Value": "0"})
+    ok2 = run_one(spark, [("02139",), ("90210-1234",)], "z string", zc)
+    assert ok2.result == "PASSED"
+    bad2 = run_one(spark, [("2139",), ("abcde",)], "z string", zc)
+    assert bad2.result == "WARNING" and bad2.measure == 2.0
+
+
+def test_variability_bounds(spark):
+    rows = [(float(x),) for x in (10, 20, 30, 40, 50)]  # sd ~ 15.81
+    up = TestSpec("t", "v", "Variability_Increase",
+                  {"Baseline_SD": "15.811388300841896", "Threshold_Value": "0.25"})
+    down = TestSpec("t", "v", "Variability_Decrease",
+                    {"Baseline_SD": "15.811388300841896", "Threshold_Value": "0.25"})
+    assert run_one(spark, rows, "v double", up).result == "PASSED"
+    assert run_one(spark, rows, "v double", down).result == "PASSED"
+    wild = [(float(x),) for x in (10, 200, 30, 400, 50)]  # sd blows up
+    assert run_one(spark, wild, "v double", up).result == "WARNING"
+    flat = [(10.0,), (10.0,), (10.0,), (10.1,), (9.9,)]  # sd collapses
+    assert run_one(spark, flat, "v double", down).result == "WARNING"
+
+
+def test_condition_flag(spark):
+    spec = TestSpec("t", TABLE_LEVEL, "Condition_Flag",
+                    {"Baseline_Value": "v < 0 OR v > 100", "Threshold_Value": "0"})
+    ok = run_one(spark, [(50.0,), (99.0,)], "v double", spec)
+    assert ok.result == "PASSED" and ok.measure == 0.0
+    bad = run_one(spark, [(50.0,), (-1.0,), (101.0,)], "v double", spec)
+    assert bad.result == "WARNING" and bad.measure == 2.0
