@@ -30,14 +30,22 @@ HEADLINE = [
     "pricing_summary",
     "top_customers_by_revenue",
     "dq_suite_lineitem",
+    "dq_suite_events",
     "profile_lineitem",
+    "profile_lineitem_approx",
     "hygiene_lineitem",
     "a1_run_rollup_events",
     "a2_user_sessions",
+    "a3_late_daily_starts",
+    "a4_run_state_alerts",
     "a5_metric_threshold_alerts",
+    "a6_out_of_sequence",
     "a7_status_rollup_events",
     "a8_liveness_events",
+    "a9_entity_search",
+    "messagelog_rollup_events",
     "reconcile_orders_lineitem",
+    "ngram_jaccard_documents",
     "dedup_exact_documents",
     "fingerprint_documents",
     "token_counts_documents",

@@ -130,6 +130,63 @@ def topk_lsh_sql(table: str, k: int = 10, query_id: int = 0, id_col: str = "vec_
     """
 
 
+def ivf_index(
+    embeddings: DataFrame, n_clusters: int = 16, seed: int = 42, id_col: str = "vec_id"
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF bucketing: k-means centroids (pyspark.ml, executor-parallel
+    Lloyd iterations) as the partition function. Returns (assignments
+    with a ``bucket`` column, centroid list). At 100 TB the bucket id
+    is the table's cluster/partition key, so a probe scans only its
+    buckets' files."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features", predictionCol="bucket"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("features")
+    return assigned, [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via IVF: rank centroids against the query vector
+    driver-side (metadata: n_clusters rows), scan only the ``nprobe``
+    nearest buckets, re-rank exactly. Recall grows with nprobe;
+    nprobe = n_clusters degrades to brute force."""
+    assigned, centers = ivf_index(embeddings, n_clusters, id_col=id_col)
+    q_row = embeddings.filter(F.col(id_col) == query_id).select("embedding").head()
+    if q_row is None:
+        raise ValueError(f"query id {query_id} not found")
+    q = [float(x) for x in q_row["embedding"]]
+    qn = sum(x * x for x in q) ** 0.5
+
+    def cos_to(center: list[float]) -> float:
+        cn = sum(x * x for x in center) ** 0.5 or 1.0
+        return sum(a * b for a, b in zip(q, center)) / (qn * cn)
+
+    probe = sorted(range(len(centers)), key=lambda i: -cos_to(centers[i]))[:nprobe]
+    q_df = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        assigned.filter(F.col("bucket").isin(probe) & (F.col(id_col) != query_id))
+        .crossJoin(F.broadcast(q_df))
+        .select(id_col, F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -141,6 +198,10 @@ def embedding_near_dups(
     form inside a block), cosine ≥ threshold. ``id_cap`` bounds the
     pair space for small-scale oracle runs."""
     e = embeddings if id_cap is None else embeddings.filter(F.col(id_col) < id_cap)
+    # self-norms are per-ROW quantities: compute them once before the
+    # self-join instead of re-deriving both sides' norms for every pair
+    # (at B pairs per block that is 2B redundant O(dim) aggregations)
+    e = e.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -151,7 +212,11 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cosine"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -165,9 +230,13 @@ def embedding_near_dups_sql(
     id_cap: int | None = None,
 ) -> str:
     cap = f"WHERE {id_col} < {id_cap}" if id_cap is not None else ""
-    cos = _cosine_sql("a.embedding", "b.embedding")
+    cos = (
+        "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.nrm * b.nrm)"
+    )
     return f"""
-    WITH e AS MATERIALIZED (SELECT * FROM {table} {cap})
+    WITH e AS MATERIALIZED (
+      SELECT *, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table} {cap})
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 4) AS cosine
     FROM e a JOIN e b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     WHERE round({cos}, 4) >= {threshold}

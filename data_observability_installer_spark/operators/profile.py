@@ -168,13 +168,20 @@ def column_metrics(c: str, dtype: str, as_of: str, exact: bool = True) -> list[M
           f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)")
         d("int_ct", lambda: F.sum((F.col(c).cast("double") == F.floor(F.col(c).cast("double")).cast("double")).cast("int")).cast("double"),
           f"CAST(sum(CASE WHEN CAST({c} AS DOUBLE) = floor(CAST({c} AS DOUBLE)) THEN 1 ELSE 0 END) AS DOUBLE)")
-        for q, nm in [(0.05, "p05"), (0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
-            if exact:
-                d(nm, lambda q=q: F.round(F.percentile(F.col(c).cast("double"), F.lit(q)), 4),
-                  f"round(quantile_cont(CAST({c} AS DOUBLE), {q}), 4)")
-            else:
-                d(nm, lambda q=q: F.round(F.approx_percentile(F.col(c).cast("double"), F.lit(q)), 4),
-                  f"round(quantile_cont(CAST({c} AS DOUBLE), {q}), 4)")
+        # ONE percentile buffer per column: all five quantiles share an
+        # identical array-argument aggregate, which Catalyst dedupes into
+        # a single (whole-column) buffer — five scalar percentile() calls
+        # would each buffer the column separately (5× the state).
+        qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+        def _q_arr() -> Column:  # thunk: Columns need a live SparkContext
+            return F.array(*[F.lit(q) for q in qs])
+
+        pct = F.percentile if exact else F.approx_percentile
+        for i, nm in enumerate(["p05", "p25", "p50", "p75", "p95"]):
+            d(nm, lambda i=i, pct=pct: F.round(
+                pct(F.col(c).cast("double"), _q_arr()).getItem(i), 4),
+              f"round(quantile_cont(CAST({c} AS DOUBLE), {qs[i]}), 4)")
         # population skew/kurtosis from power sums — identical formula on
         # both engines (Spark's skewness()/kurtosis() and DuckDB's builtins
         # use different sample corrections, so we spell it out).

@@ -185,20 +185,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + top-k. customer is broadcast (small dim); the
-    orders↔lineitem join shuffles on the order key — at 100 TB both fact
-    tables would be bucketed by orderkey to make this a co-located join."""
+    """3-way join + agg + top-k. Lineitem pre-aggregates to one row per
+    order BEFORE joining (map-side-combined partial agg), so the
+    orderkey shuffle moves |orders| rows instead of |lineitem|, the
+    per-customer rollup needs a plain count(*) instead of a
+    countDistinct (no Expand), and customer broadcasts. At 100 TB both
+    fact tables would additionally be bucketed by orderkey to make the
+    join co-located."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.any_value(F.col("c_name")).alias("c_name"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("order_ct"),
+            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_ct"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -698,6 +705,11 @@ def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("topk_lsh_embeddings", _sim.topk_lsh_sql("embeddings", k=10, query_id=0))
 def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register("topk_ivf_embeddings")  # k-means buckets: rows-only check
+def topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
 @register("embedding_near_dups", _sim.embedding_near_dups_sql("embeddings", threshold=0.35))
