@@ -1,0 +1,83 @@
+"""Streaming data-quality monitors — the "Poll" use case
+(reference README.md:207: "auto-generation of data anomaly tests:
+freshness, schema, volume, and data drift" running continually).
+
+Each monitor is a windowed/stateless streaming transformation over an
+arriving fact stream; anomaly rows append once event-time windows seal,
+so a downstream rule/alert sink treats them exactly like instance
+alerts (A3/A6 shapes).
+
+State-size story at scale: every aggregate below is keyed by
+(entity, tumbling window) under a watermark — state is
+O(active entities × windows in horizon), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def volume_anomaly_stream(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    expected_per_window: float,
+    tolerance_pct: float = 50.0,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Volume drift: per-(key, window) record counts compared against
+    the profiled baseline rate; rows outside ±tolerance% append as
+    anomalies (the streaming face of Row_Ct_Pct)."""
+    w = stream.withWatermark(ts_col, watermark).groupBy(
+        F.window(ts_col, window).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("record_ct"))
+    dev = F.round(
+        100.0 * F.abs(F.col("record_ct") - F.lit(expected_per_window)) / F.lit(max(expected_per_window, 1.0)),
+        2,
+    )
+    return (
+        w.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "record_ct",
+            dev.alias("deviation_pct"),
+        )
+        .filter(F.col("deviation_pct") > tolerance_pct)
+        .withColumn("alert_type", F.lit("VOLUME_ANOMALY"))
+    )
+
+
+def freshness_stream(
+    stream: DataFrame, ts_col: str, key_col: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Freshness: newest event time per key (update mode). Staleness =
+    now - last_seen is evaluated by the consumer at read time — the
+    absence-timeout variant (alert WHEN stale) is ``run_tracker.py``'s
+    timer pattern."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .agg(F.max(ts_col).alias("last_seen"), F.count(F.lit(1)).alias("event_ct"))
+    )
+
+
+def schema_drift_stream(stream: DataFrame, expected_cols: list[str]) -> DataFrame:
+    """Schema check: stateless per-batch projection guard. Missing
+    columns surface as one anomaly row per micro-batch element (JSON
+    sources yield null columns rather than failing, so null-rate per
+    required column is the drift signal)."""
+    checks = []
+    for c in expected_cols:
+        if c not in stream.columns:
+            # column absent entirely: constant anomaly rows
+            checks.append(F.lit(c))
+        else:
+            checks.append(F.when(F.col(c).isNull(), F.lit(c)))
+    present = F.array_compact(F.array(*checks))
+    return (
+        stream.select(F.explode(present).alias("missing_column"))
+        .withColumn("alert_type", F.lit("SCHEMA_DRIFT"))
+    )

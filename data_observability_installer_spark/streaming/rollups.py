@@ -85,6 +85,75 @@ def metric_alert_stream(
     )
 
 
+def outcome_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming A7: explode TEST_OUTCOMES arrays as events arrive and
+    keep per-dataset pass/warn/fail counters (update mode). The explode
+    happens before the shuffle, so the aggregate sees one row per
+    outcome with map-side partial counts."""
+    ex = (
+        events.filter(F.col("event_type") == "TEST_OUTCOMES")
+        .withWatermark("event_timestamp", watermark)
+        .select("dataset_key", "event_timestamp", F.explode("test_outcomes").alias("t"))
+        .select("dataset_key", "event_timestamp", F.col("t.status").alias("status"))
+    )
+    return ex.groupBy("dataset_key").agg(
+        F.count(F.lit(1)).alias("outcome_ct"),
+        F.sum((F.col("status") == "PASSED").cast("int")).alias("passed_ct"),
+        F.sum((F.col("status") == "WARNING").cast("int")).alias("warning_ct"),
+        F.sum((F.col("status") == "FAILED").cast("int")).alias("failed_ct"),
+    )
+
+
+def message_log_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming MessageLog rollup: per-(component, event-time window)
+    log-level counts and error rate. Tumbling windows + watermark keep
+    state bounded; append mode emits each window once sealed."""
+    # NB: Catalyst pushes the type filter below the watermark node, so
+    # the event-time clock advances only with MESSAGE_LOG traffic; pick
+    # the watermark for the log cadence, not the global stream's
+    ml = events.withWatermark("event_timestamp", watermark).filter(
+        F.col("event_type") == "MESSAGE_LOG"
+    )
+    return (
+        ml.groupBy(F.window("event_timestamp", window).alias("w"), F.col("pipeline_key"))
+        .agg(
+            F.count(F.lit(1)).alias("message_ct"),
+            F.sum((F.col("log_level") == "ERROR").cast("int")).alias("error_ct"),
+            F.sum((F.col("log_level") == "WARNING").cast("int")).alias("warning_ct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pipeline_key",
+            "message_ct",
+            "error_ct",
+            "warning_ct",
+            F.round(F.col("error_ct") / F.col("message_ct"), 4).alias("error_rate"),
+        )
+    )
+
+
+def alert_sink(alerts: DataFrame, deliver, query_name: str = "alert_sink"):
+    """Rule-action delivery (SEND_EMAIL / CALL_WEBHOOK analog): a
+    ``foreachBatch`` sink invoking ``deliver(rows, batch_id)`` with the
+    micro-batch's alert rows. The collect is bounded by alert volume
+    (rule hits), not stream volume — rules fire rarely by design."""
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        if rows:
+            deliver(rows, batch_id)
+
+    return (
+        alerts.writeStream.foreachBatch(_emit)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def liveness_stream(heartbeats: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming A8: newest heartbeat per agent (update mode); liveness =
     recency of ``last_heartbeat`` evaluated at read time. Absence

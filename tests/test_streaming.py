@@ -80,6 +80,82 @@ def test_streaming_session_windows(spark, event_stream_path):
     assert {r.failed_ct > 0 for r in rows} == {True, False}
 
 
+def test_streaming_outcome_rollup_matches_batch(spark, event_stream_path):
+    from data_observability_installer_spark.operators.obs.rollup import (
+        test_outcome_rollup as outcome_rollup,
+    )
+    from data_observability_installer_spark.streaming.rollups import outcome_rollup_stream
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, outcome_rollup_stream(stream), "update", "outcome_stream")
+    got = {r.dataset_key: (r.outcome_ct, r.passed_ct, r.failed_ct)
+           for r in out.filter(F.col("dataset_key").isNotNull()).collect()}
+    batch = spark.read.schema(OBS_EVENT).json(event_stream_path)
+    want = {r.dataset_key: (r.outcome_ct, r.passed_ct, r.failed_ct)
+            for r in outcome_rollup(batch).collect()}
+    assert got == want and len(got) >= 1
+
+
+def test_streaming_message_log_windows(spark, event_stream_path):
+    from data_observability_installer_spark.streaming.rollups import message_log_stream
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    # fixture has 2 MESSAGE_LOGs at 18:00/18:50; the filter pushes below
+    # the watermark node so only MESSAGE_LOG rows advance the clock
+    # (max 18:50) — a 30m window + 10m watermark seals [18:00, 18:30)
+    out = _run_stream(
+        spark,
+        message_log_stream(stream, window="30 minutes", watermark="10 minutes"),
+        "append",
+        "msglog_stream",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].pipeline_key == "pipe_main"
+    assert rows[0].message_ct == 1
+    assert 0.0 <= rows[0].error_rate <= 1.0
+
+
+def test_streaming_alert_sink_delivers(spark, event_stream_path):
+    from data_observability_installer_spark.streaming.rollups import alert_sink
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    alerts = metric_alert_stream(stream, "Cluster Capacity Percentage", "gt", 80.0)
+    delivered = []
+    q = alert_sink(alerts, lambda rows, bid: delivered.extend(rows), "sink_test")
+    q.awaitTermination(120)
+    assert len(delivered) == 1 and delivered[0].alert_type == "METRIC_THRESHOLD"
+
+
+def test_streaming_volume_and_freshness(spark, event_stream_path):
+    from data_observability_installer_spark.streaming.dq import (
+        freshness_stream,
+        volume_anomaly_stream,
+    )
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    vol = _run_stream(
+        spark,
+        volume_anomaly_stream(stream, "event_timestamp", "pipeline_key",
+                              expected_per_window=1000.0, tolerance_pct=50.0),
+        "append",
+        "volume_stream",
+    )
+    rows = vol.collect()  # fixture rates are far below 1000/h -> all anomalous
+    assert rows and all(r.alert_type == "VOLUME_ANOMALY" for r in rows)
+
+    fresh = _run_stream(
+        spark,
+        freshness_stream(stream, "event_timestamp", "pipeline_key"),
+        "update",
+        "fresh_stream",
+    )
+    batch = spark.read.schema(OBS_EVENT).json(event_stream_path)
+    want = {r.pipeline_key: r.last_seen for r in
+            batch.groupBy("pipeline_key").agg(F.max("event_timestamp").alias("last_seen")).collect()}
+    got = {r.pipeline_key: r.last_seen for r in fresh.collect()}
+    assert got == want
+
+
 def test_stateful_run_tracker(spark, event_stream_path):
     stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
     out = _run_stream(spark, track_runs_stream(stream), "append", "tracker_stream")
