@@ -1,0 +1,149 @@
+"""Data-drift detection (reference README.md:208 "data drift checks"
+in the Poll use case; TestGen's drift vocabulary is Avg_Shift /
+Distinct_Shift / New_Shift — this module adds the distribution-level
+measure those scalar tests approximate).
+
+PSI (population stability index) against a FROZEN baseline histogram:
+
+- numeric columns: fixed bin edges captured at profiling time; the
+  current table buckets with one ``CASE``-free ``width_bucket``-style
+  expression and aggregates once per column — a single scan computes
+  every bin count (map-side partial).
+- categorical columns: frequency comparison over the baseline LOV;
+  unseen categories pool into an ``__other__`` bucket so novel values
+  register as drift instead of vanishing.
+
+PSI = Σ (p_cur - p_base) * ln(p_cur / p_base), with both proportions
+clamped to ``eps`` so empty bins stay finite. Conventional reading:
+< 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift.
+
+Everything is Column arithmetic with a DuckDB SQL twin — drift runs in
+the same single-pass, no-data-copies style as the DQ suite compiler.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def _bucket_expr(col: str, edges: list[float]) -> Column:
+    """Bin index 0..len(edges): values below edges[0] -> 0, in
+    [edges[i-1], edges[i]) -> i, >= last -> len(edges)."""
+    e = F.lit(0)
+    for i, edge in enumerate(edges):
+        e = e + (F.col(col).cast("double") >= F.lit(float(edge))).cast("int")
+    return e
+
+
+def _bucket_sql(col: str, edges: list[float]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST({col} AS DOUBLE) >= {float(e)!r} THEN 1 ELSE 0 END)" for e in edges
+    )
+    return f"({terms})"
+
+
+def _psi_terms(base_props: list[float]) -> list[float]:
+    s = sum(base_props)
+    return [max(p / s if s else 0.0, EPS) for p in base_props]
+
+
+def psi_numeric(
+    df: DataFrame, col: str, edges: list[float], baseline_counts: list[float]
+) -> DataFrame:
+    """One-row PSI for a numeric column vs frozen (edges, bin counts).
+    len(baseline_counts) == len(edges) + 1. Single aggregate pass."""
+    if len(baseline_counts) != len(edges) + 1:
+        raise ValueError("need len(edges) + 1 baseline counts")
+    base = _psi_terms(baseline_counts)
+    b = _bucket_expr(col, edges)
+    n = F.count(col).cast("double")
+    terms = []
+    for i, p1 in enumerate(base):
+        cur = F.sum(((b == i) & F.col(col).isNotNull()).cast("int")) / F.nullif(n, F.lit(0.0))
+        p2 = F.greatest(cur, F.lit(EPS))
+        terms.append((p2 - F.lit(p1)) * F.log(p2 / F.lit(p1)))
+    psi = F.round(sum(terms[1:], terms[0]), 6)
+    return df.agg(
+        F.lit(col).alias("column_name"),
+        psi.alias("psi"),
+        F.when(psi > 0.25, "MAJOR").when(psi > 0.1, "MODERATE").otherwise("STABLE").alias("drift"),
+    )
+
+
+def psi_numeric_sql(
+    table: str, col: str, edges: list[float], baseline_counts: list[float]
+) -> str:
+    base = _psi_terms(baseline_counts)
+    b = _bucket_sql(col, edges)
+    n = f"CAST(count({col}) AS DOUBLE)"
+    terms = []
+    for i, p1 in enumerate(base):
+        cur = (
+            f"sum(CASE WHEN {b} = {i} AND {col} IS NOT NULL THEN 1 ELSE 0 END)"
+            f" / nullif({n}, 0)"
+        )
+        p2 = f"greatest({cur}, {EPS!r})"
+        terms.append(f"(({p2}) - {p1!r}) * ln(({p2}) / {p1!r})")
+    psi = f"round({' + '.join(terms)}, 6)"
+    return (
+        f"SELECT '{col}' AS column_name, {psi} AS psi, "
+        f"CASE WHEN {psi} > 0.25 THEN 'MAJOR' WHEN {psi} > 0.1 THEN 'MODERATE' "
+        f"ELSE 'STABLE' END AS drift FROM {table}"
+    )
+
+
+def psi_categorical(
+    df: DataFrame, col: str, baseline_freqs: dict[str, float]
+) -> DataFrame:
+    """One-row PSI for a categorical column vs frozen per-category
+    proportions; categories outside the baseline pool into __other__
+    (baseline mass eps, so novelty always raises PSI)."""
+    cats = sorted(baseline_freqs)
+    base = _psi_terms([baseline_freqs[c] for c in cats]) + [EPS]
+    n = F.count(col).cast("double")
+    terms = []
+    for i, cat in enumerate(cats):
+        cur = F.sum((F.col(col).cast("string") == cat).cast("int")) / F.nullif(n, F.lit(0.0))
+        p2 = F.greatest(cur, F.lit(EPS))
+        terms.append((p2 - F.lit(base[i])) * F.log(p2 / F.lit(base[i])))
+    other = F.sum(
+        (~F.col(col).cast("string").isin(cats) & F.col(col).isNotNull()).cast("int")
+    ) / F.nullif(n, F.lit(0.0))
+    p2o = F.greatest(other, F.lit(EPS))
+    terms.append((p2o - F.lit(base[-1])) * F.log(p2o / F.lit(base[-1])))
+    psi = F.round(sum(terms[1:], terms[0]), 6)
+    return df.agg(
+        F.lit(col).alias("column_name"),
+        psi.alias("psi"),
+        F.when(psi > 0.25, "MAJOR").when(psi > 0.1, "MODERATE").otherwise("STABLE").alias("drift"),
+    )
+
+
+def psi_categorical_sql(table: str, col: str, baseline_freqs: dict[str, float]) -> str:
+    cats = sorted(baseline_freqs)
+    base = _psi_terms([baseline_freqs[c] for c in cats]) + [EPS]
+    n = f"CAST(count({col}) AS DOUBLE)"
+    quoted = {c: "'" + c.replace("'", "''") + "'" for c in cats}
+    terms = []
+    for i, cat in enumerate(cats):
+        cur = f"sum(CASE WHEN CAST({col} AS VARCHAR) = {quoted[cat]} THEN 1 ELSE 0 END) / nullif({n}, 0)"
+        p2 = f"greatest({cur}, {EPS!r})"
+        terms.append(f"(({p2}) - {base[i]!r}) * ln(({p2}) / {base[i]!r})")
+    in_list = ", ".join(quoted[c] for c in cats)
+    other = (
+        f"sum(CASE WHEN CAST({col} AS VARCHAR) NOT IN ({in_list}) AND {col} IS NOT NULL "
+        f"THEN 1 ELSE 0 END) / nullif({n}, 0)"
+    )
+    p2o = f"greatest({other}, {EPS!r})"
+    terms.append(f"(({p2o}) - {base[-1]!r}) * ln(({p2o}) / {base[-1]!r})")
+    psi = f"round({' + '.join(terms)}, 6)"
+    return (
+        f"SELECT '{col}' AS column_name, {psi} AS psi, "
+        f"CASE WHEN {psi} > 0.25 THEN 'MAJOR' WHEN {psi} > 0.1 THEN 'MODERATE' "
+        f"ELSE 'STABLE' END AS drift FROM {table}"
+    )

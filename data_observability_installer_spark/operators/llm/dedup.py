@@ -281,6 +281,67 @@ def minhash_pairs_sql(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> survivors
+# ---------------------------------------------------------------------------
+
+
+def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every doc's group id converges to the smallest doc id
+    reachable through the pair graph; the survivor of each group is its
+    group id.
+
+    Each round is one join + one groupBy (labels shuffled on doc id);
+    rounds needed = graph diameter, and near-dup clusters are shallow
+    (duplicates of a common source), so convergence is 2-4 rounds in
+    practice with ``max_iters`` as the backstop. The convergence check
+    compares label sums — one tiny action per round, no collect of the
+    label table. (The GraphX large-star/small-star variant gets
+    O(log n) worst-case rounds; unnecessary for shallow dup clusters.)
+
+    Returns (doc, group_id), one row per doc that appears in ≥1 pair.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct().cache()
+    labels = e.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = labels.cache()
+        neigh = (
+            e.join(labels, e.dst == labels.doc)
+            .groupBy(F.col("src").alias("doc2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc == neigh.doc2, "left")
+            .select(F.col("doc"), F.least(F.col("label"), F.col("nmin")).alias("label"))
+        )
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select("doc", F.col("label").alias("group_id"))
+
+
+def dedup_groups_sql(pairs_sql: str) -> str:
+    """Oracle twin: min reachable id via a recursive transitive
+    closure (fine at oracle scale; the Spark path is the scale path)."""
+    return f"""
+    WITH RECURSIVE p AS MATERIALIZED ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE e.dst <> r.src)
+    SELECT src AS doc, least(src, min(dst)) AS group_id FROM reach GROUP BY src
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash (Spark-native, xxhash64 bit votes — rows-only oracle)
 # ---------------------------------------------------------------------------
 

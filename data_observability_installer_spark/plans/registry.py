@@ -641,6 +641,39 @@ ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
 
 
 # ---------------------------------------------------------------------------
+# Data drift (README.md:208 "data drift checks"): PSI vs baselines
+# frozen at sf0.01 — identical data scores ~0, other sfs register real
+# distribution shift.
+# ---------------------------------------------------------------------------
+
+from ..operators.drift import (  # noqa: E402
+    psi_categorical,
+    psi_categorical_sql,
+    psi_numeric,
+    psi_numeric_sql,
+)
+
+_QTY_EDGES = [10.0, 20.0, 30.0, 40.0]
+_QTY_BASE = [10920.0, 12037.0, 12012.0, 11980.0, 13051.0]
+_FLAG_BASE = {"A": 20028.0, "N": 19926.0, "R": 20046.0}
+
+
+@register(
+    "drift_lineitem",
+    psi_numeric_sql("lineitem", "l_quantity", _QTY_EDGES, _QTY_BASE)
+    + " UNION ALL "
+    + psi_categorical_sql("lineitem", "l_returnflag", _FLAG_BASE),
+)
+def drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift screen: numeric (fixed-edge histogram) + categorical
+    (baseline LOV frequencies) in one scan each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return psi_numeric(li, "l_quantity", _QTY_EDGES, _QTY_BASE).unionByName(
+        psi_categorical(li, "l_returnflag", _FLAG_BASE)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-training-data pipeline operators (build charter: dedup, similarity,
 # text analysis over documents/embeddings). Params are chosen so the
 # sf0.01 tables produce non-trivial results (probed: 25 jaccard>=0.3
@@ -670,6 +703,19 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_pairs_documents", _dedup.minhash_pairs_sql("documents", **_MINHASH_ARGS))
 def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_pairs(load_table(spark, sf_dir, "documents"), **_MINHASH_ARGS)
+
+
+@register(
+    "dedup_groups_documents",
+    _dedup.dedup_groups_sql(
+        _dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)
+    ),
+)
+def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: jaccard>=0.3 pairs -> connected components
+    (group survivor = min doc id)."""
+    pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), **_JACCARD_ARGS)
+    return _dedup.dedup_groups(pairs)
 
 
 @register("simhash_documents")  # xxhash64 is Spark-native: rows-only check

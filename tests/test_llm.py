@@ -82,6 +82,18 @@ def test_minhash_verify_is_candidate_scoped(docs):
     assert "LeftSemi" in plan
 
 
+def test_dedup_groups_connected_components(spark):
+    from data_observability_installer_spark.operators.llm.dedup import dedup_groups
+
+    # two chains and one isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.7), (10, 11, 0.9), (20, 21, 0.5)],
+        "doc_a bigint, doc_b bigint, jaccard double",
+    )
+    got = {r.doc: r.group_id for r in dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_simhash_buckets_exact_dups_collide(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
     assert sh[1] == sh[2]  # identical text, identical signature
