@@ -53,6 +53,12 @@ def journey_instances(run_rollup: DataFrame, conditions: DataFrame) -> DataFrame
     ends = conditions.filter(F.col("action") == "END").select(
         "journey_id", F.col("batch_pipeline").alias("pipeline_key")
     )
+    # conditions are metadata-sized; probing them driver-side lets the
+    # common START-only journey skip the END machinery entirely (the
+    # range join below is a nested-loop shape — fine against real END
+    # runs, waste against a provably empty side)
+    if ends.limit(1).count() == 0:
+        return base.withColumnRenamed("next_start", "instance_end")
     end_runs = run_rollup.join(F.broadcast(ends), "pipeline_key").select(
         F.col("journey_id").alias("e_journey_id"), F.col("end_ts").alias("e_end_ts")
     )
@@ -138,17 +144,46 @@ def assign_to_instances(
     run_rollup: DataFrame, instances: DataFrame, journey_components: DataFrame
 ) -> DataFrame:
     """Attach each component run to the journey instance whose window
-    contains its start (interval join, instance side broadcast)."""
+    contains its start.
+
+    A raw interval join has only the journey id as an equality key, so
+    Spark plans a broadcast NESTED-LOOP join — O(runs × instances per
+    journey) comparisons. Instead each instance window explodes into
+    the calendar days it covers (windows are hours-to-days wide, so
+    1-2 rows each; open-ended windows extend to the newest run day, a
+    one-row scalar), and the join runs as a broadcast HASH join on
+    (journey_id, day) with the range test as a residual filter — each
+    run probes only its own day's instances.
+    """
     runs = run_rollup.join(
         F.broadcast(journey_components.select("journey_id", F.col("component_key").alias("pipeline_key"))),
         "pipeline_key",
+    ).withColumn("day", F.to_date("start_ts"))
+    max_day = run_rollup.agg(F.max(F.to_date("start_ts")).alias("max_day"))
+    inst_days = (
+        instances.crossJoin(F.broadcast(max_day))
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.to_date("instance_start"),
+                    F.coalesce(F.to_date("instance_end"), F.col("max_day")),
+                )
+            ),
+        )
+        .drop("max_day")
     )
     cond = (F.col("r.start_ts") >= F.col("i.instance_start")) & (
         F.col("i.instance_end").isNull() | (F.col("r.start_ts") < F.col("i.instance_end"))
     )
     return (
         runs.alias("r")
-        .join(F.broadcast(instances.alias("i")), (F.col("r.journey_id") == F.col("i.journey_id")) & cond)
+        .join(
+            F.broadcast(inst_days.alias("i")),
+            (F.col("r.journey_id") == F.col("i.journey_id"))
+            & (F.col("r.day") == F.col("i.day"))
+            & cond,
+        )
         .select(
             F.col("r.journey_id").alias("journey_id"),
             "instance_id",

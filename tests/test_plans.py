@@ -1,0 +1,55 @@
+"""Physical-plan quality gates: the properties that keep these plans
+alive at 100 TB — parquet filter pushdown, column pruning, broadcast
+joins on small sides, no Python in the DQ hot path."""
+
+from __future__ import annotations
+
+from data_observability_installer_spark.plans import registry
+
+
+def _executed(spark, name, sf):
+    return registry.QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name, sf):
+    return registry.QUERIES[name](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
+    plan = _executed(spark, "pricing_summary", sf_smoke)
+    assert "PushedFilters: [" in plan  # shipdate reaches the parquet scan
+    # pruned read schema: the 16-column table scans only what the query needs
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_top_customers_broadcasts_dim_no_expand(spark, sf_smoke):
+    plan = _executed(spark, "top_customers_by_revenue", sf_smoke)
+    assert "BroadcastHashJoin" in plan  # customer is the build side
+    assert "Expand" not in plan  # countDistinct rewrite removed the Expand
+
+
+def test_dq_suite_is_single_scan_no_python(spark, sf_smoke):
+    df = registry.QUERIES["dq_suite_lineitem"](spark, sf_smoke)
+    df.collect()  # finalize the adaptive plan so codegen spans appear
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both phases
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert final.count("FileScan parquet") == 1  # 20 tests, ONE scan
+    assert "*(" in final  # WholeStageCodegen stage markers
+
+
+def test_profile_has_no_python_and_partial_aggs(spark, sf_smoke):
+    plan = _executed(spark, "profile_lineitem", sf_smoke)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the merge
+
+
+def test_a5_filter_pushdown(spark, sf_smoke):
+    plan = _executed(spark, "a5_metric_threshold_alerts", sf_smoke)
+    assert "PushedFilters: [" in plan and "event_type" in plan
+
+
+def test_minhash_no_cartesian(spark, sf_smoke):
+    plan = _optimized(spark, "minhash_pairs_documents", sf_smoke)
+    assert "Cartesian" not in plan  # band equality keys every self-join
