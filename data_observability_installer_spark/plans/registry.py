@@ -547,6 +547,64 @@ def a6_out_of_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a2_payload_instances",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    pay AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key,
+             json_extract_string(props, '$.k') AS payload_key
+      FROM events),
+    opens AS (
+      SELECT 'j-payload' AS journey_id, p.payload_key, min(r.start_ts) AS instance_start
+      FROM runs r JOIN pay p USING (run_key)
+      WHERE r.pipeline_key = 'pipeline-0' GROUP BY p.payload_key),
+    ends AS (
+      SELECT p.payload_key, r.end_ts
+      FROM runs r JOIN pay p USING (run_key)
+      WHERE r.pipeline_key = 'pipeline-1'),
+    closed AS (
+      SELECT o.journey_id, o.payload_key, o.instance_start, min(e.end_ts) AS instance_end
+      FROM opens o LEFT JOIN ends e
+        ON e.payload_key = o.payload_key AND e.end_ts > o.instance_start
+      GROUP BY o.journey_id, o.payload_key, o.instance_start)
+    SELECT journey_id,
+           CAST(row_number() OVER (ORDER BY instance_start, payload_key) AS INT) AS instance_id,
+           payload_key,
+           strftime(instance_start, '%Y-%m-%d %H:%M:%S') AS instance_start,
+           strftime(instance_end, '%Y-%m-%d %H:%M:%S') AS instance_end
+    FROM closed
+    """,
+)
+def a2_payload_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 END_PAYLOAD shape (demo_helper.py:279-287, payload keys at
+    :1106-1116): one instance per payload key, opened by the first
+    pipeline-0 run carrying it, closed by the first pipeline-1 run end
+    after that."""
+    from ..operators.obs.journeys import payload_instances
+
+    ev = load_table(spark, sf_dir, "events")
+    runs = _events_run_rollup(ev)
+    payloads = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("run_key"),
+        F.get_json_object("props", "$.k").alias("payload_key"),
+    ).distinct()
+    conditions = spark.createDataFrame(
+        [("j-payload", "START", "pipeline-0"), ("j-payload", "END_PAYLOAD", "pipeline-1")],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    inst = payload_instances(runs, conditions, payloads)
+    return inst.select(
+        "journey_id",
+        "instance_id",
+        "payload_key",
+        F.date_format("instance_start", _TS_FMT_SPARK).alias("instance_start"),
+        F.date_format("instance_end", _TS_FMT_SPARK).alias("instance_end"),
+    )
+
+
+@register(
     "a9_entity_search",
     """
     SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS name, count(*) AS event_ct
@@ -563,6 +621,43 @@ def a9_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("name")
     ).agg(F.count(F.lit(1)).alias("event_ct"))
     return entity_search(components, "line-3")
+
+
+@register(
+    "catalog_upsert_components",
+    """
+    WITH cat AS (
+      SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS key,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+             count(*) AS event_ct
+      FROM events GROUP BY 1),
+    inc(key, first_seen, event_ct) AS (VALUES
+      ('pipeline-3', '2099-01-01 00:00:00', CAST(0 AS BIGINT)),
+      ('pipeline-9', '2099-01-01 00:00:00', CAST(0 AS BIGINT)))
+    SELECT * FROM cat
+    UNION ALL
+    SELECT i.* FROM inc i ANTI JOIN cat c ON c.key = i.key
+    """,
+)
+def catalog_upsert_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 entity-catalog sink: component catalog derived from the event
+    stream, merged with an incoming registration batch under
+    GET-else-POST semantics (existing pipeline-3 keeps its catalog row,
+    unseen pipeline-9 appends)."""
+    from ..sources.config import upsert_entities
+
+    ev = load_table(spark, sf_dir, "events")
+    catalog = ev.groupBy(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("key")
+    ).agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_seen"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+    incoming = spark.createDataFrame(
+        [("pipeline-3", "2099-01-01 00:00:00", 0), ("pipeline-9", "2099-01-01 00:00:00", 0)],
+        "key string, first_seen string, event_ct bigint",
+    )
+    return upsert_entities(catalog, incoming, key="key")
 
 
 @register(
