@@ -60,18 +60,12 @@ HEADLINE = [
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    # the engine's tuned session (AQE, broadcast threshold, Arrow,
+    # file-split sizing) — bench must measure the config users get
+    from data_observability_installer_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("bench")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
+    cpus = None if CPUS == "*" else int(CPUS)
+    spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     from data_observability_installer_spark.plans import registry

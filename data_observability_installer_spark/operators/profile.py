@@ -22,23 +22,27 @@ computes 51 characteristics per column, typed by the column's class:
               distinct_month_ct, distinct_week_ct, monthly_gap_ct,
               weekly_gap_ct, future_ct, weekend_ct
 
-Everything is pure Column arithmetic in ONE ``df.agg(...)`` per table
-(chunked if the expression count gets large), so profiling N columns
-costs one scan — map-side partial aggregation, a single merged row,
-then an in-plan unpivot to long form. Skew/kurtosis use explicit
-power-sum formulas so the SQL oracle computes the identical quantity.
+Each metric is carried as BOTH a Spark-SQL and a DuckDB-SQL aggregate
+expression string; the Spark side is assembled with one ``F.expr`` per
+metric and unpivoted with a single ``stack()``, so building a
+270-metric plan costs a few hundred py4j calls, not tens of thousands
+(measured: ~7 s of driver time down to <1 s — pure plan-construction
+overhead that would otherwise be paid per profiled table regardless of
+data size). Everything still compiles to ONE ``df.agg(...)`` per pass
+— map-side partial aggregation, a single merged row, then the in-plan
+unpivot to long form. Skew/kurtosis use explicit power-sum formulas so
+the SQL oracle computes the identical quantity.
 
-At 100 TB: ``exact=False`` swaps ``countDistinct`` for HLL
-``approx_count_distinct`` and drops exact percentiles to
+At 100 TB: ``exact=False`` swaps ``count(DISTINCT)`` for HLL
+``approx_count_distinct`` and exact percentiles for
 ``approx_percentile`` — same plan shape, sketch-sized state.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dq.testtypes import EMAIL_RE, US_STATES, _sql_quote
@@ -51,8 +55,8 @@ DATE_CLASSES = {"timestamp", "date", "timestamp_ntz"}
 class Metric:
     name: str
     kind: str  # 'd' -> value (double), 's' -> value_str
-    spark: Callable[[], Column]
-    sql: str
+    spark: str  # Spark-SQL aggregate expression
+    sql: str  # DuckDB aggregate expression (oracle)
 
 
 def _dtype_class(dtype: str) -> str:
@@ -66,17 +70,23 @@ def _dtype_class(dtype: str) -> str:
     return "other"
 
 
-def _pattern_expr(c: str) -> Column:
-    # character-class translation: letters->A, digits->9 (length kept)
-    return F.regexp_replace(F.regexp_replace(F.col(c), "[A-Za-z]", "A"), "[0-9]", "9")
+def _spark_quote(v: str) -> str:
+    """Spark-SQL string literal: backslash IS an escape character in
+    Spark's parser (unlike DuckDB's standard-SQL literals), so double
+    it, then escape quotes."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _pattern_sql(c: str) -> str:
     return f"regexp_replace(regexp_replace({c}, '[A-Za-z]', 'A', 'g'), '[0-9]', '9', 'g')"
 
 
-def _regex_ct(c: str, pattern: str) -> tuple[Callable[[], Column], str]:
-    spark = lambda: F.sum(F.col(c).rlike(pattern).cast("int")).cast("double")  # noqa: E731
+def _pattern_spark(c: str) -> str:
+    return f"regexp_replace(regexp_replace({c}, '[A-Za-z]', 'A'), '[0-9]', '9')"
+
+
+def _regex_ct(c: str, pattern: str) -> tuple[str, str]:
+    spark = f"CAST(sum(CASE WHEN {c} RLIKE {_spark_quote(pattern)} THEN 1 ELSE 0 END) AS DOUBLE)"
     sql = f"CAST(sum(CASE WHEN regexp_matches({c}, {_sql_quote(pattern)}) THEN 1 ELSE 0 END) AS DOUBLE)"
     return spark, sql
 
@@ -86,48 +96,40 @@ def column_metrics(c: str, dtype: str, as_of: str, exact: bool = True) -> list[M
     cls = _dtype_class(dtype)
     m: list[Metric] = []
 
-    def d(name: str, spark: Callable[[], Column], sql: str) -> None:
-        m.append(Metric(name, "d", spark, sql))
+    def d(name: str, spark: str, sql: str | None = None) -> None:
+        m.append(Metric(name, "d", spark, sql if sql is not None else spark))
 
-    def s(name: str, spark: Callable[[], Column], sql: str) -> None:
-        m.append(Metric(name, "s", spark, sql))
+    def s(name: str, spark: str, sql: str | None = None) -> None:
+        m.append(Metric(name, "s", spark, sql if sql is not None else spark))
 
-    if exact:
-        distinct = lambda e=c: F.countDistinct(e)  # noqa: E731
-        distinct_sql = f"count(DISTINCT {c})"
-    else:
-        distinct = lambda e=c: F.approx_count_distinct(e)  # noqa: E731
-        distinct_sql = f"approx_count_distinct({c})"
+    distinct_sql = f"count(DISTINCT {c})"
+    distinct_spark = distinct_sql if exact else f"approx_count_distinct({c})"
 
     # --- general ---
-    s("dtype_class", lambda: F.max(F.lit(cls)), f"max({_sql_quote(cls)})")
-    d("record_ct", lambda: F.count(F.lit(1)).cast("double"), "CAST(count(*) AS DOUBLE)")
-    d("value_ct", lambda: F.count(c).cast("double"), f"CAST(count({c}) AS DOUBLE)")
-    d("null_ct", lambda: (F.count(F.lit(1)) - F.count(c)).cast("double"),
-      f"CAST(count(*) - count({c}) AS DOUBLE)")
-    d("null_pct", lambda: F.round(100.0 * (F.count(F.lit(1)) - F.count(c)) / F.nullif(F.count(F.lit(1)), F.lit(0)), 4),
-      f"round(100.0 * (count(*) - count({c})) / nullif(count(*), 0), 4)")
-    d("distinct_ct", lambda: distinct().cast("double"), f"CAST({distinct_sql} AS DOUBLE)")
-    d("distinct_pct", lambda: F.round(100.0 * distinct() / F.nullif(F.count(c), F.lit(0)), 4),
+    s("dtype_class", f"max({_sql_quote(cls)})")
+    d("record_ct", "CAST(count(*) AS DOUBLE)")
+    d("value_ct", f"CAST(count({c}) AS DOUBLE)")
+    d("null_ct", f"CAST(count(*) - count({c}) AS DOUBLE)")
+    d("null_pct", f"round(100.0 * (count(*) - count({c})) / nullif(count(*), 0), 4)")
+    d("distinct_ct", f"CAST({distinct_spark} AS DOUBLE)", f"CAST({distinct_sql} AS DOUBLE)")
+    d("distinct_pct",
+      f"round(100.0 * {distinct_spark} / nullif(count({c}), 0), 4)",
       f"round(100.0 * {distinct_sql} / nullif(count({c}), 0), 4)")
-    d("duplicate_ct", lambda: (F.count(c) - distinct()).cast("double"),
+    d("duplicate_ct",
+      f"CAST(count({c}) - {distinct_spark} AS DOUBLE)",
       f"CAST(count({c}) - {distinct_sql} AS DOUBLE)")
 
     if cls == "string":
-        d("min_len", lambda: F.min(F.length(c)).cast("double"), f"CAST(min(length({c})) AS DOUBLE)")
-        d("max_len", lambda: F.max(F.length(c)).cast("double"), f"CAST(max(length({c})) AS DOUBLE)")
-        d("avg_len", lambda: F.round(F.avg(F.length(c)), 4), f"round(avg(length({c})), 4)")
-        d("blank_ct", lambda: F.sum((F.trim(F.col(c)) == "").cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS DOUBLE)")
-        d("lead_space_ct", lambda: F.sum(F.col(c).startswith(" ").cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN {c} LIKE ' %' THEN 1 ELSE 0 END) AS DOUBLE)")
-        d("embedded_space_ct", lambda: F.sum(F.trim(F.col(c)).contains(" ").cast("int")).cast("double"),
+        d("min_len", f"CAST(min(length({c})) AS DOUBLE)")
+        d("max_len", f"CAST(max(length({c})) AS DOUBLE)")
+        d("avg_len", f"round(avg(length({c})), 4)")
+        d("blank_ct", f"CAST(sum(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS DOUBLE)")
+        d("lead_space_ct", f"CAST(sum(CASE WHEN {c} LIKE ' %' THEN 1 ELSE 0 END) AS DOUBLE)")
+        d("embedded_space_ct",
           f"CAST(sum(CASE WHEN trim({c}) LIKE '% %' THEN 1 ELSE 0 END) AS DOUBLE)")
         d("upper_case_ct",
-          lambda: F.sum(((F.col(c) == F.upper(c)) & (F.col(c) != F.lower(c))).cast("int")).cast("double"),
           f"CAST(sum(CASE WHEN {c} = upper({c}) AND {c} <> lower({c}) THEN 1 ELSE 0 END) AS DOUBLE)")
         d("lower_case_ct",
-          lambda: F.sum(((F.col(c) == F.lower(c)) & (F.col(c) != F.upper(c))).cast("int")).cast("double"),
           f"CAST(sum(CASE WHEN {c} = lower({c}) AND {c} <> upper({c}) THEN 1 ELSE 0 END) AS DOUBLE)")
         sp, sq = _regex_ct(c, "[^\\x00-\\x7f]")
         d("non_ascii_ct", sp, sq)
@@ -140,105 +142,83 @@ def column_metrics(c: str, dtype: str, as_of: str, exact: bool = True) -> list[M
         sp, sq = _regex_ct(c, "^[0-9]{5}(-[0-9]{4})?$")
         d("zip_ct", sp, sq)
         states_sql = ", ".join(_sql_quote(v) for v in US_STATES)
-        d("state_ct", lambda: F.sum(F.upper(F.col(c)).isin(US_STATES).cast("int")).cast("double"),
+        d("state_ct",
           f"CAST(sum(CASE WHEN upper({c}) IN ({states_sql}) THEN 1 ELSE 0 END) AS DOUBLE)")
-        if exact:
-            d("pattern_distinct_ct", lambda: F.countDistinct(_pattern_expr(c)).cast("double"),
-              f"CAST(count(DISTINCT {_pattern_sql(c)}) AS DOUBLE)")
-        else:
-            d("pattern_distinct_ct", lambda: F.approx_count_distinct(_pattern_expr(c)).cast("double"),
-              f"CAST(approx_count_distinct({_pattern_sql(c)}) AS DOUBLE)")
-        s("max_pattern", lambda: F.max(_pattern_expr(c)), f"max({_pattern_sql(c)})")
-        s("min_str", lambda: F.min(c), f"min({c})")
-        s("max_str", lambda: F.max(c), f"max({c})")
+        pat_distinct = f"count(DISTINCT {_pattern_spark(c)})" if exact \
+            else f"approx_count_distinct({_pattern_spark(c)})"
+        d("pattern_distinct_ct",
+          f"CAST({pat_distinct} AS DOUBLE)",
+          f"CAST(count(DISTINCT {_pattern_sql(c)}) AS DOUBLE)")
+        s("max_pattern", f"max({_pattern_spark(c)})", f"max({_pattern_sql(c)})")
+        s("min_str", f"min({c})")
+        s("max_str", f"max({c})")
 
     elif cls == "numeric":
-        d("min_val", lambda: F.round(F.min(c).cast("double"), 4), f"round(CAST(min({c}) AS DOUBLE), 4)")
-        d("max_val", lambda: F.round(F.max(c).cast("double"), 4), f"round(CAST(max({c}) AS DOUBLE), 4)")
-        d("range", lambda: F.round((F.max(c) - F.min(c)).cast("double"), 4),
-          f"round(CAST(max({c}) - min({c}) AS DOUBLE), 4)")
-        d("avg_val", lambda: F.round(F.avg(c), 4), f"round(avg({c}), 4)")
-        d("stddev_val", lambda: F.round(F.stddev_samp(c), 4), f"round(stddev_samp({c}), 4)")
-        d("sum_val", lambda: F.round(F.sum(c).cast("double"), 2), f"round(CAST(sum({c}) AS DOUBLE), 2)")
-        d("frac_sum", lambda: F.round(F.sum(F.abs(F.col(c).cast("double")) % 1.0), 3),
-          f"round(sum(abs(CAST({c} AS DOUBLE)) % 1.0), 3)")
-        d("zero_ct", lambda: F.sum((F.col(c) == 0).cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)")
-        d("neg_ct", lambda: F.sum((F.col(c) < 0).cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)")
-        d("int_ct", lambda: F.sum((F.col(c).cast("double") == F.floor(F.col(c).cast("double")).cast("double")).cast("int")).cast("double"),
+        d("min_val", f"round(CAST(min({c}) AS DOUBLE), 4)")
+        d("max_val", f"round(CAST(max({c}) AS DOUBLE), 4)")
+        d("range", f"round(CAST(max({c}) - min({c}) AS DOUBLE), 4)")
+        d("avg_val", f"round(avg({c}), 4)")
+        d("stddev_val", f"round(stddev_samp({c}), 4)")
+        d("sum_val", f"round(CAST(sum({c}) AS DOUBLE), 2)")
+        d("frac_sum", f"round(sum(abs(CAST({c} AS DOUBLE)) % 1.0), 3)")
+        d("zero_ct", f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)")
+        d("neg_ct", f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)")
+        d("int_ct",
           f"CAST(sum(CASE WHEN CAST({c} AS DOUBLE) = floor(CAST({c} AS DOUBLE)) THEN 1 ELSE 0 END) AS DOUBLE)")
-        # ONE percentile buffer per column: all five quantiles share an
-        # identical array-argument aggregate, which Catalyst dedupes into
-        # a single (whole-column) buffer — five scalar percentile() calls
-        # would each buffer the column separately (5× the state).
+        # ONE percentile buffer per column: all five quantiles share a
+        # textually-identical array-argument aggregate, which Catalyst
+        # dedupes into a single (whole-column) buffer — five scalar
+        # percentile() calls would each buffer the column separately.
         qs = [0.05, 0.25, 0.5, 0.75, 0.95]
-
-        def _q_arr() -> Column:  # thunk: Columns need a live SparkContext
-            return F.array(*[F.lit(q) for q in qs])
-
-        pct = F.percentile if exact else F.approx_percentile
+        q_arr = "array(" + ", ".join(str(q) for q in qs) + ")"
+        pct_fn = "percentile" if exact else "approx_percentile"
         for i, nm in enumerate(["p05", "p25", "p50", "p75", "p95"]):
-            d(nm, lambda i=i, pct=pct: F.round(
-                pct(F.col(c).cast("double"), _q_arr()).getItem(i), 4),
+            d(nm,
+              f"round({pct_fn}(CAST({c} AS DOUBLE), {q_arr})[{i}], 4)",
               f"round(quantile_cont(CAST({c} AS DOUBLE), {qs[i]}), 4)")
         # population skew/kurtosis from power sums — identical formula on
         # both engines (Spark's skewness()/kurtosis() and DuckDB's builtins
         # use different sample corrections, so we spell it out).
-        def _skew() -> Column:
-            x = F.col(c).cast("double")
-            m1, m2, m3 = F.avg(x), F.avg(x * x), F.avg(x * x * x)
-            var = m2 - m1 * m1
-            return F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.nullif(F.pow(var, 1.5), F.lit(0.0)), 4)
-
-        x_q = f"CAST({c} AS DOUBLE)"
-        skew_sql = (
-            f"round((avg({x_q}*{x_q}*{x_q}) - 3*avg({x_q})*avg({x_q}*{x_q}) + 2*avg({x_q})^3)"
-            f" / nullif((avg({x_q}*{x_q}) - avg({x_q})^2)^1.5, 0), 4)"
-        )
-        d("skewness_pop", _skew, skew_sql)
-
-        def _kurt() -> Column:
-            x = F.col(c).cast("double")
-            m1, m2 = F.avg(x), F.avg(x * x)
-            m3, m4 = F.avg(x * x * x), F.avg(x * x * x * x)
-            var = m2 - m1 * m1
-            num = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
-            return F.round(num / F.nullif(var * var, F.lit(0.0)) - 3.0, 4)
-
-        kurt_sql = (
-            f"round((avg({x_q}*{x_q}*{x_q}*{x_q}) - 4*avg({x_q})*avg({x_q}*{x_q}*{x_q})"
-            f" + 6*avg({x_q})^2*avg({x_q}*{x_q}) - 3*avg({x_q})^4)"
-            f" / nullif((avg({x_q}*{x_q}) - avg({x_q})^2)^2, 0) - 3.0, 4)"
-        )
-        d("kurtosis_pop", _kurt, kurt_sql)
+        x = f"CAST({c} AS DOUBLE)"
+        d("skewness_pop",
+          f"round((avg({x}*{x}*{x}) - 3*avg({x})*avg({x}*{x}) + 2*power(avg({x}), 3))"
+          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 1.5), 0), 4)",
+          f"round((avg({x}*{x}*{x}) - 3*avg({x})*avg({x}*{x}) + 2*avg({x})^3)"
+          f" / nullif((avg({x}*{x}) - avg({x})^2)^1.5, 0), 4)")
+        d("kurtosis_pop",
+          f"round((avg({x}*{x}*{x}*{x}) - 4*avg({x})*avg({x}*{x}*{x})"
+          f" + 6*power(avg({x}), 2)*avg({x}*{x}) - 3*power(avg({x}), 4))"
+          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 2), 0) - 3.0, 4)",
+          f"round((avg({x}*{x}*{x}*{x}) - 4*avg({x})*avg({x}*{x}*{x})"
+          f" + 6*avg({x})^2*avg({x}*{x}) - 3*avg({x})^4)"
+          f" / nullif((avg({x}*{x}) - avg({x})^2)^2, 0) - 3.0, 4)")
 
     elif cls == "date":
-        dcol = lambda: F.col(c).cast("date")  # noqa: E731
-        d_q = f"CAST({c} AS DATE)"
-        s("min_date", lambda: F.min(dcol()).cast("string"), f"CAST(min({d_q}) AS VARCHAR)")
-        s("max_date", lambda: F.max(dcol()).cast("string"), f"CAST(max({d_q}) AS VARCHAR)")
-        d("span_days", lambda: F.datediff(F.max(dcol()), F.min(dcol())).cast("double"),
-          f"CAST(datediff('day', min({d_q}), max({d_q})) AS DOUBLE)")
-        d("distinct_date_ct", lambda: F.countDistinct(dcol()).cast("double"),
-          f"CAST(count(DISTINCT {d_q}) AS DOUBLE)")
-        ym = lambda: F.year(dcol()) * 12 + F.month(dcol())  # noqa: E731
-        ym_q = f"(year({d_q}) * 12 + month({d_q}))"
-        d("distinct_month_ct", lambda: F.countDistinct(ym()).cast("double"),
-          f"CAST(count(DISTINCT {ym_q}) AS DOUBLE)")
-        wk = lambda: F.floor(F.datediff(dcol(), F.lit("1970-01-05").cast("date")) / 7)  # noqa: E731
-        wk_q = f"CAST(floor(datediff('day', DATE '1970-01-05', {d_q}) / 7) AS BIGINT)"
-        d("distinct_week_ct", lambda: F.countDistinct(wk()).cast("double"),
-          f"CAST(count(DISTINCT {wk_q}) AS DOUBLE)")
-        d("monthly_gap_ct", lambda: (F.max(ym()) - F.min(ym()) + 1 - F.countDistinct(ym())).cast("double"),
-          f"CAST(max({ym_q}) - min({ym_q}) + 1 - count(DISTINCT {ym_q}) AS DOUBLE)")
-        d("weekly_gap_ct", lambda: (F.max(wk()) - F.min(wk()) + 1 - F.countDistinct(wk())).cast("double"),
-          f"CAST(max({wk_q}) - min({wk_q}) + 1 - count(DISTINCT {wk_q}) AS DOUBLE)")
-        d("future_ct", lambda: F.sum((dcol() > F.lit(as_of).cast("date")).cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN {d_q} > DATE '{as_of}' THEN 1 ELSE 0 END) AS DOUBLE)")
+        dq = f"CAST({c} AS DATE)"
+        s("min_date", f"CAST(min({dq}) AS STRING)", f"CAST(min({dq}) AS VARCHAR)")
+        s("max_date", f"CAST(max({dq}) AS STRING)", f"CAST(max({dq}) AS VARCHAR)")
+        d("span_days",
+          f"CAST(datediff(max({dq}), min({dq})) AS DOUBLE)",
+          f"CAST(datediff('day', min({dq}), max({dq})) AS DOUBLE)")
+        d("distinct_date_ct", f"CAST(count(DISTINCT {dq}) AS DOUBLE)")
+        ym = f"(year({dq}) * 12 + month({dq}))"
+        d("distinct_month_ct", f"CAST(count(DISTINCT {ym}) AS DOUBLE)")
+        wk_spark = f"CAST(floor(datediff({dq}, DATE '1970-01-05') / 7) AS BIGINT)"
+        wk_sql = f"CAST(floor(datediff('day', DATE '1970-01-05', {dq}) / 7) AS BIGINT)"
+        d("distinct_week_ct",
+          f"CAST(count(DISTINCT {wk_spark}) AS DOUBLE)",
+          f"CAST(count(DISTINCT {wk_sql}) AS DOUBLE)")
+        d("monthly_gap_ct",
+          f"CAST(max({ym}) - min({ym}) + 1 - count(DISTINCT {ym}) AS DOUBLE)")
+        d("weekly_gap_ct",
+          f"CAST(max({wk_spark}) - min({wk_spark}) + 1 - count(DISTINCT {wk_spark}) AS DOUBLE)",
+          f"CAST(max({wk_sql}) - min({wk_sql}) + 1 - count(DISTINCT {wk_sql}) AS DOUBLE)")
+        d("future_ct",
+          f"CAST(sum(CASE WHEN {dq} > DATE '{as_of}' THEN 1 ELSE 0 END) AS DOUBLE)")
         # weekday(): 0=Monday in Spark; isodow: 1=Monday in DuckDB
-        d("weekend_ct", lambda: F.sum((F.weekday(dcol()) >= 5).cast("int")).cast("double"),
-          f"CAST(sum(CASE WHEN date_part('isodow', {d_q}) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)")
+        d("weekend_ct",
+          f"CAST(sum(CASE WHEN weekday({dq}) >= 5 THEN 1 ELSE 0 END) AS DOUBLE)",
+          f"CAST(sum(CASE WHEN date_part('isodow', {dq}) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)")
 
     return m
 
@@ -262,13 +242,15 @@ def profile(
     per distinct-expression group — and exact percentiles buffer the
     whole column per pass; measured at sf0.1 this is an 8× cliff
     (225s → 29s once chunked). HLL/approx mode (``exact=False``) has no
-    Expand, so one wide pass (~250 exprs) is optimal — that is the
-    100 TB configuration."""
+    Expand, so at warehouse scale one wide pass (~250 exprs, one scan)
+    is optimal and is the 100 TB configuration; on the tiny local bench
+    files the one-time codegen cost of the wide pass exceeds the scan
+    cost, so pass ``max_exprs_per_pass=60`` there to taste."""
     if max_exprs_per_pass is None:
         max_exprs_per_pass = 60 if exact else 250
     cols = columns or df.columns
-    plan: list[tuple[str, Metric]] = []
     dtypes = dict(df.dtypes)
+    plan: list[tuple[str, Metric]] = []
     for c in cols:
         for met in column_metrics(c, dtypes[c], as_of, exact):
             plan.append((c, met))
@@ -277,22 +259,27 @@ def profile(
     for start in range(0, len(plan), max_exprs_per_pass):
         batch = plan[start : start + max_exprs_per_pass]
         aggs = []
-        for i, (c, met) in enumerate(batch):
-            e = met.spark()
-            aggs.append((e.cast("double") if met.kind == "d" else e.cast("string")).alias(f"m{i}"))
+        for i, (_, met) in enumerate(batch):
+            cast_to = "DOUBLE" if met.kind == "d" else "STRING"
+            aggs.append(F.expr(f"CAST(({met.spark}) AS {cast_to}) AS m{i}"))
         row = df.agg(*aggs)
-        structs = []
+        entries = []
         for i, (c, met) in enumerate(batch):
-            structs.append(
-                F.struct(
-                    F.lit(table_name).alias("table_name"),
-                    F.lit(c).alias("column_name"),
-                    F.lit(met.name).alias("metric"),
-                    (F.col(f"m{i}") if met.kind == "d" else F.lit(None).cast("double")).alias("value"),
-                    (F.col(f"m{i}").cast("string") if met.kind == "s" else F.lit(None).cast("string")).alias("value_str"),
-                )
+            v = f"m{i}" if met.kind == "d" else "CAST(NULL AS DOUBLE)"
+            vs = f"m{i}" if met.kind == "s" else "CAST(NULL AS STRING)"
+            entries.append(f"{_spark_quote(c)}, {_spark_quote(met.name)}, {v}, {vs}")
+        stack = (
+            f"stack({len(batch)}, {', '.join(entries)}) AS (column_name, metric, value, value_str)"
+        )
+        parts.append(
+            row.selectExpr(stack).select(
+                F.lit(table_name).alias("table_name"),
+                "column_name",
+                "metric",
+                "value",
+                "value_str",
             )
-        parts.append(row.select(F.explode(F.array(*structs)).alias("o")).select("o.*"))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -29,7 +29,12 @@ def get_spark(app_name: str = "data-observability-spark", cpus: int | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local bench files are 10s of MB; the 4 MB default file-open cost
+        # caps such scans at ~3 splits, starving 32 cores. At warehouse
+        # scale files are >=128 MB so this setting is inert there.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
