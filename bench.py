@@ -56,6 +56,7 @@ HEADLINE = [
     "topk_bruteforce_embeddings",
     "topk_lsh_embeddings",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
 ]
 
 

@@ -81,43 +81,82 @@ def topk_bruteforce_sql(table: str, k: int = 10, query_id: int = 0, id_col: str 
 
 
 def _bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
+    """Integer hyperplane signature: bit i set iff dot(emb, plane_i) >= 0."""
     bits = [
-        F.when(_dot(emb, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
+        F.when(
+            _dot(emb, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
     ]
-    return F.concat(*bits)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
 
 
 def _bucket_sql(emb: str, planes: list[list[float]]) -> str:
     bits = [
         f"(CASE WHEN list_inner_product({emb}::DOUBLE[], "
-        f"[{', '.join(repr(v) for v in plane)}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
+        f"[{', '.join(repr(v) for v in plane)}]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
     ]
-    return " || ".join(bits)
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 def topk_lsh(
-    embeddings: DataFrame, k: int = 10, query_id: int = 0, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    max_hamming: int = 2,
 ) -> DataFrame:
-    """ANN top-k: scan only the query's hyperplane bucket, re-rank
-    exactly. Recall < 1 by design; the bruteforce twin is the oracle
-    for what the bucket DID return."""
+    """ANN top-k via multi-probe hyperplane LSH: scan every bucket
+    within Hamming distance ``max_hamming`` of the query's signature,
+    re-rank exactly.
+
+    A single-bucket probe (max_hamming=0) scans ~1/2^planes of the data
+    but has poor recall — measured 0.0 recall@10 on the 64-d test
+    corpus, because a true neighbor crossing ONE of 8 hyperplanes lands
+    in a different bucket. The Hamming ball fixes that: r=2 scans
+    (1+8+28)/256 ≈ 14% of rows and lifts recall@10 to ~0.8-1.0 (see
+    tests/test_llm.py recall assertions).
+
+    The probe set is enumerated driver-side (metadata: ≤2^planes ids)
+    and pushed as ``bucket IN (...)`` — at warehouse scale ``bucket``
+    is the table's partition/cluster key, so the probe prunes files and
+    the scan touches only the ball's partitions. The query row's
+    signature comes from a one-row Spark job, never Python float math,
+    so engine arithmetic is identical.
+    """
     planes = lsh_planes()
+    n_planes = len(planes)
     withb = embeddings.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
-    q = withb.filter(F.col(id_col) == query_id).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    q_row = withb.filter(F.col(id_col) == query_id).select("bucket").head()
+    if q_row is None:
+        raise ValueError(f"query id {query_id} not found")
+    q_bucket = q_row["bucket"]
+    ball = [
+        b for b in range(1 << n_planes) if bin(b ^ q_bucket).count("1") <= max_hamming
+    ]
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col("embedding").alias("q_emb")
     )
     return (
-        withb.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        withb.filter(F.col("bucket").isin(ball) & (F.col(id_col) != query_id))
+        .join(F.broadcast(q))
         .select(id_col, F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
 
 
-def topk_lsh_sql(table: str, k: int = 10, query_id: int = 0, id_col: str = "vec_id") -> str:
+def topk_lsh_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    max_hamming: int = 2,
+) -> str:
     planes = lsh_planes()
     bucket = _bucket_sql("embedding", planes)
     cos = _cosine_sql("e.embedding", "q.q_emb")
@@ -125,7 +164,9 @@ def topk_lsh_sql(table: str, k: int = 10, query_id: int = 0, id_col: str = "vec_
     WITH b AS MATERIALIZED (SELECT {id_col}, embedding, {bucket} AS bucket FROM {table}),
     q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE {id_col} = {query_id})
     SELECT e.{id_col}, round({cos}, 4) AS score
-    FROM b e, q WHERE e.{id_col} <> {query_id} AND e.bucket = q.q_bucket
+    FROM b e, q
+    WHERE e.{id_col} <> {query_id}
+      AND bit_count(xor(e.bucket, q.q_bucket)) <= {max_hamming}
     ORDER BY score DESC, e.{id_col} LIMIT {k}
     """
 
@@ -220,6 +261,97 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs blocked by BANDED hyperplane LSH —
+    the 100 TB path: no natural block key (label) required, and the
+    pair space is bounded by per-(band, signature) bucket collisions
+    instead of label populations.
+
+    ``bands`` independent plane sets each yield an integer signature;
+    two vectors are candidates iff they collide in >=1 band
+    (OR-amplification: P(candidate) = 1-(1-p^r)^bands for per-plane
+    agreement p = 1 - angle/pi). Candidates — and only candidates —
+    are verified with the exact cosine. One explode (bands rows per
+    vector), one shuffle on (band, sig), no all-pairs join.
+    """
+    all_planes = lsh_planes(n_planes=bands * planes_per_band, seed=seed)
+    e = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                _bucket_expr(
+                    F.col("embedding"),
+                    all_planes[band * planes_per_band : (band + 1) * planes_per_band],
+                ).alias("sig"),
+            )
+            for band in range(bands)
+        ]
+    )
+    keyed = e.select(id_col, "embedding", "nrm", F.explode(band_sigs).alias("bs")).select(
+        id_col, "embedding", "nrm", "bs.band", "bs.sig"
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def embedding_near_dups_lsh_sql(
+    table: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> str:
+    all_planes = lsh_planes(n_planes=bands * planes_per_band, seed=seed)
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, embedding, nrm, {band} AS band, "
+        + _bucket_sql(
+            "embedding", all_planes[band * planes_per_band : (band + 1) * planes_per_band]
+        )
+        + " AS sig FROM e"
+        for band in range(bands)
+    )
+    cos = "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.nrm * b.nrm)"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT *, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    keyed AS MATERIALIZED ({band_selects})
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 4) AS cosine
+    FROM keyed a JOIN keyed b
+      ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+    WHERE round({cos}, 4) >= {threshold}
+    """
 
 
 def embedding_near_dups_sql(

@@ -858,6 +858,18 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@register(
+    "embedding_near_dups_lsh",
+    _sim.embedding_near_dups_lsh_sql("embeddings", threshold=0.35),
+)
+def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH blocking — the no-natural-block-key scale path; the
+    oracle checks Spark and DuckDB agree on exactly which collisions
+    pass the cosine threshold (recall itself is asserted in
+    tests/test_llm.py on planted near-identical vectors)."""
+    return _sim.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -172,6 +172,82 @@ def test_topk_ivf_recall_vs_bruteforce(spark):
     assert exhaustive == set(brute)  # probing every bucket == brute force
 
 
+def _planted_corpus(spark, n_base=120, n_dups=15, dim=64, seed=3):
+    """n_base random unit-ish vectors + n_dups slightly-perturbed copies
+    of the first n_dups bases (cosine ≈ 0.995): known near-dup ground
+    truth (base_i, copy_i) and known top-1 neighbors."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], 0))
+    for j in range(n_dups):
+        base = rows[j][1]
+        rows.append(
+            (n_base + j, [x + rng.uniform(-0.02, 0.02) for x in base], 0)
+        )
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_lsh_near_dups_recall_on_planted(spark):
+    """Banded-LSH blocking must recover nearly all PLANTED near-identical
+    pairs (cosine ≈ 0.995; per-plane agreement ≈ 0.97, so one band of 8
+    planes already collides with p ≈ 0.77 and 4 bands reach ≈ 0.997).
+    This is the recall evidence for the no-block-key scale path."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    df = _planted_corpus(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(df, threshold=0.98).collect()
+    }
+    planted = {(j, 120 + j) for j in range(15)}
+    found = len(got & planted)
+    assert found >= 13, f"banded LSH found only {found}/15 planted near-dups"
+
+
+def test_topk_lsh_multiprobe_recall_on_planted(spark):
+    """Multi-probe top-k: with a planted cluster of near-identical
+    vectors around the query, the Hamming-ball probe must recover most
+    of the true top-k (single-bucket probing measured 0.0 recall@10 on
+    the weak-structure corpus — the ball is the fix)."""
+    df = _planted_corpus(spark)
+    # query = base 0; its true nearest neighbor is planted copy 120
+    brute = [(r["vec_id"], r["score"]) for r in topk_bruteforce(df, k=5, query_id=0).collect()]
+    probed = [(r["vec_id"], r["score"]) for r in topk_lsh(df, k=5, query_id=0, max_hamming=2).collect()]
+    # the genuinely-near vector is recovered AND ranked first
+    assert probed[0][0] == 120, "planted near-identical copy missed by multi-probe LSH"
+    assert brute[0] == probed[0]
+    # every probed score is the exact cosine (bruteforce agrees id-by-id)
+    full = {r["vec_id"]: r["score"] for r in topk_bruteforce(df, k=200, query_id=0).collect()}
+    for vid, score in probed:
+        assert full[vid] == score
+    # moderately-similar RANDOM vectors (cos ~0.4) are beyond hyperplane
+    # LSH's reach by design — that regime belongs to IVF (see
+    # test_topk_ivf_recall_vs_bruteforce), so no overlap floor is
+    # asserted beyond the planted neighbor.
+
+
+def test_topk_lsh_scan_fraction_bounded(spark):
+    """The Hamming-2 ball over 8 planes covers 37/256 signatures; the
+    probed row set must stay well under the full corpus (the pruning
+    that maps to partition pruning at scale)."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        _bucket_expr,
+        lsh_planes,
+    )
+
+    df = _planted_corpus(spark)
+    withb = df.withColumn("bucket", _bucket_expr(F.col("embedding"), lsh_planes()))
+    q_bucket = withb.filter(F.col("vec_id") == 0).head()["bucket"]
+    ball = [b for b in range(256) if bin(b ^ q_bucket).count("1") <= 2]
+    scanned = withb.filter(F.col("bucket").isin(ball)).count()
+    assert scanned < df.count() * 0.45
+
+
 def test_embedding_near_dups_blocked(vecs):
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_near_dups(vecs, 0.9).collect()}
     assert (0, 1) in got and (0, 4) in got and (1, 4) in got
