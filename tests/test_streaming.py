@@ -163,3 +163,43 @@ def test_stateful_run_tracker(spark, event_stream_path):
     assert got["pipe_main:30:60"] == "FAILED"
     assert got["pipe_main:7:60"] == "COMPLETED"
     assert got["pipe_main:55:60"] == "COMPLETED"
+
+
+def test_streaming_late_start_absence_alert(spark, tmp_path):
+    """A3 streaming: a scheduled tick with NO timely RUNNING event must
+    produce a LATE_START alert once the watermark passes tick+margin —
+    alerting on absence, which only a timer-based stateful op can do."""
+    import datetime as dt
+
+    from data_observability_installer_spark.streaming.schedules import late_start_stream
+
+    def ev(eid, day, hh, mm, pipeline="sched_pipe"):
+        return {
+            "event_id": eid,
+            "event_type": "RUN_STATUS",
+            "event_timestamp": dt.datetime(2025, 1, day, hh, mm),
+            "pipeline_key": pipeline,
+            "run_key": f"{pipeline}:{day}",
+            "task_key": None,
+            "status": "RUNNING",
+        }
+
+    rows = [
+        ev(1, 1, 23, 5),   # day 1: on time (tick 23:00, margin 600 s)
+        ev(2, 3, 23, 5),   # day 3: on time; advances watermark past day 2
+        # day 2 has NO event -> its 23:00 tick must go LATE_START
+    ]
+    path = str(tmp_path / "late_events")
+    spark.createDataFrame(
+        [tuple(r.get(f.name) for f in OBS_EVENT.fields) for r in rows], OBS_EVENT
+    ).write.mode("overwrite").json(path)
+
+    stream = spark.readStream.schema(OBS_EVENT).json(path)
+    out = late_start_stream(
+        stream, {"sched_pipe": ("0 23 * * *", 600)}, watermark="2 hours"
+    )
+    got = _run_stream(spark, out, "append", "late_start_stream")
+    alerts = {(r.pipeline_key, r.tick_ts, r.alert_type) for r in got.collect()}
+    assert ("sched_pipe", dt.datetime(2025, 1, 2, 23, 0), "LATE_START") in alerts
+    # satisfied ticks never alert
+    assert not any(t == dt.datetime(2025, 1, 1, 23, 0) for _, t, _ in alerts)
