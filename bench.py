@@ -44,6 +44,9 @@ HEADLINE = [
     "a8_liveness_events",
     "a9_entity_search",
     "messagelog_rollup_events",
+    "lineage_dataset_edges",
+    "lineage_closure",
+    "lineage_impact_failed",
     "reconcile_orders_lineitem",
     "ngram_jaccard_documents",
     "dedup_exact_documents",
@@ -53,6 +56,10 @@ HEADLINE = [
     "quality_documents",
     "minhash_pairs_documents",
     "simhash_documents",
+    "split_documents",
+    "pii_documents",
+    "sample_documents_stratified",
+    "curation_filter_documents",
     "topk_bruteforce_embeddings",
     "topk_lsh_embeddings",
     "embedding_near_dups",
@@ -93,6 +100,9 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    spark.stop()
+    # JSON is the LAST stdout line — nothing (Spark shutdown noise
+    # included) may print after it; the driver parses the tail.
     print(
         json.dumps(
             {
@@ -104,7 +114,7 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

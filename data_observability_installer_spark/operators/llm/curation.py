@@ -1,0 +1,225 @@
+"""Training-data curation operators: deterministic splits, PII
+screening, stratified sampling, and the keep/drop filter chain.
+
+These are the decisions a large-scale training-data pipeline makes per
+document *after* analysis (text.py) and dedup (dedup.py): which split
+a document lands in, whether it carries PII, whether it survives
+curation, and how sources are re-weighted by sampling.
+
+Everything is single-pass Column arithmetic (JVM regex / md5 inside
+whole-stage codegen — no shuffle at all for split/PII/filter; sampling
+adds none either). Determinism matters more than speed here: split
+assignment must be stable across runs, clusters, and engines, so the
+bucket hash is ``md5`` (bit-identical everywhere) rather than
+``xxhash64``/``hash`` (engine-specific seeds). Each operator has a
+DuckDB-SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+# PII patterns — RE2/Java-compatible (no backrefs/lookaround) so the
+# same pattern runs in Spark, DuckDB, and any scrub job downstream.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def _bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 8 hex digits of md5,
+    base-16 -> base-10. Engine-portable (md5 is md5 everywhere);
+    uniform enough for split/sampling purposes."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % BUCKETS).cast("int")
+
+
+def _bucket_sql(key_sql: str) -> str:
+    return f"CAST(('0x' || substr(md5({key_sql}), 1, 8))::UBIGINT % {BUCKETS} AS INT)"
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a stable split label from the hash of
+    (salt, id). Changing the salt re-rolls every assignment; adding
+    rows never moves existing ones — the property that makes the split
+    safe to recompute incrementally over a growing 100 TB corpus."""
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    b = _bucket(key)
+    edge = 0.0
+    expr = None
+    for name, w in list(weights)[:-1]:
+        edge += w
+        cond = b < int(round(edge * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1][0]
+    split = expr.otherwise(last) if expr is not None else F.lit(last)
+    return df.select(id_col, b.alias("bucket"), split.alias("split"))
+
+
+def deterministic_split_sql(
+    table: str,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split-v1",
+) -> str:
+    b = _bucket_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    edge = 0.0
+    whens = []
+    for name, w in list(weights)[:-1]:
+        edge += w
+        whens.append(f"WHEN b < {int(round(edge * BUCKETS))} THEN '{name}'")
+    last = list(weights)[-1][0]
+    return (
+        f"WITH h AS MATERIALIZED (SELECT {id_col}, {b} AS b FROM {table}) "
+        f"SELECT {id_col}, b AS bucket, CASE {' '.join(whens)} ELSE '{last}' END AS split FROM h"
+    )
+
+
+def pii_screen(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts by category plus an aggregate flag.
+    Detection only — scrubbing is ``regexp_replace`` with the same
+    patterns, kept separate so the screen stays read-only."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        id_col,
+        *[counts[name].alias(f"{name}_ct") for name in PII_PATTERNS],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def pii_screen_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        cols.append(f"len(regexp_extract_all({text_col}, '{esc}')) AS {name}_ct")
+    total = " + ".join(f"{name}_ct" for name in PII_PATTERNS)
+    return (
+        f"WITH p AS MATERIALIZED (SELECT {id_col}, {', '.join(cols)} FROM {table}) "
+        f"SELECT {id_col}, {', '.join(f'{n}_ct' for n in PII_PATTERNS)}, "
+        f"({total}) > 0 AS has_pii FROM p"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under the stratum's rate. The 100 TB path for source
+    re-weighting — no shuffle, no state, reproducible, and adding data
+    to a stratum never changes which existing rows are kept."""
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    b = _bucket(key)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default_rate) if rate is not None else F.lit(default_rate)
+    return df.filter(b < (rate * BUCKETS).cast("int")).select(id_col, strata_col)
+
+
+def stratified_sample_sql(
+    table: str,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> str:
+    b = _bucket_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    # CAST each rate to DOUBLE: DuckDB types bare literals as DECIMAL
+    # and overflows on rate * BUCKETS for long float reprs
+    whens = " ".join(f"WHEN '{n}' THEN CAST({r} AS DOUBLE)" for n, r in rates.items())
+    return (
+        f"SELECT {id_col}, {strata_col} FROM {table} "
+        f"WHERE {b} < CAST((CASE {strata_col} {whens} "
+        f"ELSE CAST({default_rate} AS DOUBLE) END) * {BUCKETS} AS INT)"
+    )
+
+
+def curation_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en", "fr", "de", "es"),
+    drop_pii: bool = True,
+) -> DataFrame:
+    """The keep/drop decision chain: length -> quality -> language ->
+    PII, first failing gate wins (reasons are mutually exclusive so
+    drop counts sum cleanly in downstream reporting). All four signals
+    are Column expressions over the same row — one scan, zero
+    shuffles, one codegen stage."""
+    from .text import language_pred_col, quality_cols
+
+    q = quality_cols(text_col)
+    pii_total = None
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        pii_total = c if pii_total is None else pii_total + c
+    signals = df.select(
+        id_col,
+        q["word_ct"].alias("word_ct"),
+        q["quality"].alias("quality"),
+        language_pred_col(text_col).alias("pred_lang"),
+        (pii_total > 0).alias("has_pii"),
+    )
+    reason = (
+        F.when(F.col("word_ct") < min_words, "too_short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(~F.col("pred_lang").isin(*allowed_langs), "lang")
+    )
+    if drop_pii:
+        reason = reason.when(F.col("has_pii"), "pii")
+    reason = reason.otherwise("kept")
+    return signals.select(
+        id_col,
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def curation_filter_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_quality: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en", "fr", "de", "es"),
+    drop_pii: bool = True,
+) -> str:
+    from .text import language_id_sql, quality_score_sql
+
+    langs = ", ".join(f"'{lang}'" for lang in allowed_langs)
+    pii_clause = "WHEN p.has_pii THEN 'pii' " if drop_pii else ""
+    return (
+        f"WITH q AS MATERIALIZED ({quality_score_sql(table, text_col, id_col)}), "
+        f"lg AS MATERIALIZED ({language_id_sql(table, text_col, id_col)}), "
+        f"p AS MATERIALIZED ({pii_screen_sql(table, text_col, id_col)}), "
+        f"r AS (SELECT q.{id_col}, CASE WHEN q.word_ct < {min_words} THEN 'too_short' "
+        f"WHEN q.quality < {min_quality} THEN 'low_quality' "
+        f"WHEN lg.pred_lang NOT IN ({langs}) THEN 'lang' "
+        f"{pii_clause}ELSE 'kept' END AS reason "
+        f"FROM q JOIN lg ON q.{id_col} = lg.{id_col} JOIN p ON q.{id_col} = p.{id_col}) "
+        f"SELECT {id_col}, reason = 'kept' AS keep, reason FROM r"
+    )

@@ -45,9 +45,10 @@ def _count_re_sql(col: str, pattern: str) -> str:
     return f"len(regexp_extract_all({col}, '{escaped}'))"
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Coarse language-ID: CJK charset check, else argmax of
-    function-word hits (ties break by fixed language order)."""
+def language_pred_col(text_col: str = "text") -> Column:
+    """The language-ID decision as a reusable Column expression (CJK
+    charset check, else argmax of function-word hits; ties break by
+    fixed language order)."""
     scores = {lang: _count_re(text_col, pat) for lang, pat in LANG_MARKERS.items()}
     pred = F.when(_count_re(text_col, CJK) > 0, F.lit("zh"))
     best = None
@@ -60,7 +61,13 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 ).index(other) else scores[lang] > scores[other]
                 cond = cond & op
         best = pred.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
-    return df.select(id_col, best.otherwise(F.lit("unknown")).alias("pred_lang"))
+    return best.otherwise(F.lit("unknown"))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Coarse language-ID: CJK charset check, else argmax of
+    function-word hits (ties break by fixed language order)."""
+    return df.select(id_col, language_pred_col(text_col).alias("pred_lang"))
 
 
 def language_id_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
@@ -84,9 +91,8 @@ def language_id_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality heuristic in [0, 1]: length band, low punct
-    noise, healthy stopword rate, sane mean word length."""
+def quality_cols(text_col: str = "text") -> dict[str, Column]:
+    """word_ct / quality as reusable Column expressions."""
     n_chars = F.length(text_col).cast("double")
     words = _count_re(text_col, WORD_RE).cast("double")
     stop = _count_re(text_col, STOPWORDS_RE).cast("double")
@@ -95,10 +101,20 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     punct_ok = F.when(punct / F.greatest(n_chars, F.lit(1.0)) > 0.1, 0.5).otherwise(1.0)
     stop_rate = stop / F.greatest(words, F.lit(1.0))
     stop_ok = F.when((stop_rate >= 0.05) & (stop_rate <= 0.6), 1.0).otherwise(0.6)
+    return {
+        "word_ct": F.round(words, 0),
+        "quality": F.round(0.5 * len_band + 0.25 * punct_ok + 0.25 * stop_ok, 4),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristic in [0, 1]: length band, low punct
+    noise, healthy stopword rate, sane mean word length."""
+    cols = quality_cols(text_col)
     return df.select(
         id_col,
-        F.round(words, 0).alias("word_ct"),
-        F.round(0.5 * len_band + 0.25 * punct_ok + 0.25 * stop_ok, 4).alias("quality"),
+        cols["word_ct"].alias("word_ct"),
+        cols["quality"].alias("quality"),
     )
 
 

@@ -1,0 +1,165 @@
+"""Lineage extraction from metadata (north-star surface: "Spark jobs
+for data profiling, quality checks, and lineage extraction from
+metadata").
+
+The reference carries lineage in two metadata forms:
+
+- **Journey DAG edges** — ``PUT /journeys/{id}/dag`` with
+  ``{left, right}`` component ids (demo_helper.py:252-276): explicit,
+  user-declared component-to-component lineage.
+- **Run-scoped event co-occurrence** — RunStatus events reference a
+  pipeline (``pipeline_key``/``run_key``) while dataset events
+  reference ``dataset_key`` (demo_helper.py:313-331, 192-206); a run
+  that *reads* dataset A and *writes* dataset B is observed lineage
+  A -> (pipeline) -> B, the same inference warehouse catalogs make
+  from query logs.
+
+Everything here is DataFrame -> DataFrame and shuffle-lean:
+
+- ``dataset_edges`` — one self-join on ``run_key`` (runs touch a
+  handful of datasets each, so the join fan-out is bounded by
+  reads-per-run x writes-per-run, not |events|²) followed by a
+  distinct. Both are one shuffle each on keys Spark hash-partitions.
+- ``transitive_closure`` — iterative frontier BFS (semi-naive
+  evaluation: only NEW pairs join the edge table each round, never the
+  whole closure). Lineage graphs are metadata-sized even for 100 TB
+  warehouses (edges ~ #tables x avg-degree, not data volume), so each
+  iteration is a small hash join; ``localCheckpoint`` truncates the
+  logical plan so 10 iterations don't compile a 10-deep join tree.
+  At cluster scale swap ``localCheckpoint`` for a reliable
+  ``checkpoint`` dir — the executor-local blocks are lost on executor
+  failure.
+- ``impact_downstream`` — broadcast semi-join of the (tiny) seed set
+  against the closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def io_records(
+    events: DataFrame,
+    run_key_col: str = "run_key",
+    dataset_col: str = "dataset_key",
+    direction_col: str = "direction",
+) -> DataFrame:
+    """Normalize an event stream into distinct (run, dataset, READ|WRITE)
+    records. Input must already carry the three columns; this is the
+    canonical shape every lineage consumer takes."""
+    return events.select(run_key_col, dataset_col, direction_col).distinct()
+
+
+def dataset_edges(io: DataFrame) -> DataFrame:
+    """Observed dataset-level lineage: ``src -> dst`` whenever one run
+    READs src and WRITEs dst (src != dst).
+
+    Plan shape: the io records are pre-distinct'd per (run, dataset,
+    direction), then self-joined on ``run_key``. The join key is the
+    run, so the shuffle moves each run's handful of io records to one
+    partition — fan-out is bounded per run, never all-pairs over
+    datasets. Skewed runs (a run touching thousands of datasets) are
+    the one hazard; AQE skew-join handles them.
+    """
+    r = io.filter(F.col("direction") == "READ").select(
+        "run_key", F.col("dataset_key").alias("src")
+    )
+    w = io.filter(F.col("direction") == "WRITE").select(
+        "run_key", F.col("dataset_key").alias("dst")
+    )
+    return (
+        r.join(w, "run_key")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pipeline_edges(io: DataFrame, pipeline_col: str = "pipeline_key") -> DataFrame:
+    """Pipeline-level lineage through shared datasets: ``P1 -> P2`` when
+    P1 WRITEs a dataset some P2 READs. The join key is the dataset —
+    hub datasets (written once, read by hundreds of pipelines) are the
+    skew case; the distinct collapses the fan-out before it leaves the
+    exchange (partial aggregation)."""
+    w = io.filter(F.col("direction") == "WRITE").select(
+        F.col(pipeline_col).alias("src"), "dataset_key"
+    )
+    r = io.filter(F.col("direction") == "READ").select(
+        F.col(pipeline_col).alias("dst"), "dataset_key"
+    )
+    return (
+        w.join(r, "dataset_key")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def transitive_closure(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Reachability with minimum hop count: (src, dst, depth) for every
+    pair connected by a path of <= max_depth edges, depth = shortest.
+
+    Semi-naive BFS: the frontier at depth d is only the pairs FIRST
+    reached at depth d, so each iteration joins |frontier| x edges —
+    never the whole closure. Equivalent to ANSI ``WITH RECURSIVE``
+    with a depth cap + min(depth) rollup (the DuckDB oracle twin in
+    plans/registry.py states it exactly).
+
+    Termination: frontier empties (graph exhausted, incl. cycles —
+    the left-anti against known pairs kills revisits) or depth cap.
+    ``localCheckpoint(eager=True)`` per round truncates plan lineage;
+    the per-round ``limit(1).count()`` emptiness probe is metadata-
+    sized work against the just-checkpointed frontier.
+    """
+    def fresh(df: DataFrame) -> DataFrame:
+        # re-alias every column to a NEW expression id: unioning two
+        # checkpointed plans that share attribute ids trips Union's
+        # constraint rewrite in Spark 4 ("key not found: src#N")
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+    # Spark 4's Union.rewriteConstraints crashes on checkpointed child
+    # plans whose preserved constraints reference pruned attributes
+    # ("key not found: src#N"). Constraints buy nothing here (every
+    # round is already a checkpointed leaf), so turn propagation off
+    # for the build and restore after — the returned plan is a leaf,
+    # so callers never re-trigger the rewrite.
+    spark = edges.sparkSession
+    saved = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _closure_rounds(edges, max_depth, fresh)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
+
+
+def _closure_rounds(edges: DataFrame, max_depth: int, fresh) -> DataFrame:
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    known = e.withColumn("depth", F.lit(1)).localCheckpoint()
+    frontier = known
+    for depth in range(2, max_depth + 1):
+        grown = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        frontier = grown.localCheckpoint()
+        if frontier.limit(1).count() == 0:
+            break
+        known = fresh(known).unionByName(fresh(frontier)).localCheckpoint()
+    return known
+
+
+def impact_downstream(closure: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Downstream impact set: every (seed, affected, depth) where seed
+    is in ``seeds.dataset_key`` and affected is reachable from it.
+    Seeds are alert-sized -> broadcast to avoid shuffling the closure."""
+    s = seeds.select(F.col("dataset_key").alias("src")).distinct()
+    return closure.join(F.broadcast(s), "src").select(
+        F.col("src").alias("seed"),
+        F.col("dst").alias("affected"),
+        "depth",
+    )

@@ -870,6 +870,159 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic split, PII screen, stratified
+# sampling, keep/drop filter chain (build charter: first-class
+# alongside SURVEY §2).
+# ---------------------------------------------------------------------------
+
+from ..operators.llm import curation as _cur  # noqa: E402
+
+_SAMPLE_RATES = {f"src{i}": 0.1 + 0.05 * (i % 10) for i in range(20)}
+
+
+@register("split_documents", _cur.deterministic_split_sql("documents"))
+def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split — md5-bucket hash, engine-portable,
+    stable under corpus growth."""
+    return _cur.deterministic_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("pii_documents", _cur.pii_screen_sql("documents"))
+def pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cur.pii_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_documents_stratified",
+    _cur.stratified_sample_sql("documents", _SAMPLE_RATES),
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (rates 0.10-0.55 across
+    the 20 sources)."""
+    return _cur.stratified_sample(load_table(spark, sf_dir, "documents"), _SAMPLE_RATES)
+
+
+@register("curation_filter_documents", _cur.curation_filter_sql("documents"))
+def curation_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop chain: length -> quality -> language -> PII; one scan,
+    one codegen stage."""
+    return _cur.curation_filter(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Lineage extraction from metadata (north-star surface; reference
+# lineage metadata = journey DAG edges demo_helper.py:252-276 + run-
+# scoped dataset references :192-206, :313-331). Mapping over the
+# generic events table: run = user-day (as A1), dataset = props.k,
+# 'view' = READ, 'purchase' = WRITE.
+# ---------------------------------------------------------------------------
+
+from ..operators.obs import lineage as _lin  # noqa: E402
+
+_LINEAGE_IO_SQL = """
+      SELECT DISTINCT
+             CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key,
+             'ds-' || json_extract_string(props, '$.k') AS dataset_key,
+             CASE event_type WHEN 'view' THEN 'READ' ELSE 'WRITE' END AS direction
+      FROM events WHERE event_type IN ('view', 'purchase')"""
+
+_LINEAGE_EDGES_SQL = f"""
+    WITH io AS ({_LINEAGE_IO_SQL}),
+    e AS (
+      SELECT DISTINCT r.dataset_key AS src, w.dataset_key AS dst
+      FROM io r JOIN io w ON r.run_key = w.run_key
+      WHERE r.direction = 'READ' AND w.direction = 'WRITE'
+        AND r.dataset_key <> w.dataset_key)"""
+
+_LINEAGE_DEPTH = 8
+
+_LINEAGE_CLOSURE_SQL = f"""{_LINEAGE_EDGES_SQL},
+    cl AS (
+      WITH RECURSIVE c(src, dst, depth) AS (
+        SELECT src, dst, 1 FROM e
+        UNION
+        SELECT c.src, e2.dst, c.depth + 1 FROM c JOIN e e2 ON c.dst = e2.src
+        WHERE c.depth < {_LINEAGE_DEPTH}
+      ) SELECT src, dst, CAST(min(depth) AS INT) AS depth FROM c GROUP BY src, dst)"""
+
+
+def _lineage_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _lin.io_records(
+        ev.filter(F.col("event_type").isin("view", "purchase")).select(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("run_key"),
+            F.concat(F.lit("ds-"), F.get_json_object("props", "$.k")).alias("dataset_key"),
+            F.when(F.col("event_type") == "view", "READ").otherwise("WRITE").alias("direction"),
+        )
+    )
+
+
+@register("lineage_dataset_edges", _LINEAGE_EDGES_SQL + "\n    SELECT src, dst FROM e")
+def lineage_dataset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed dataset->dataset lineage from run-scoped co-occurrence:
+    one run-key self-join (fan-out bounded per run) + distinct."""
+    return _lin.dataset_edges(_lineage_io(spark, sf_dir))
+
+
+@register("lineage_closure", _LINEAGE_CLOSURE_SQL + "\n    SELECT src, dst, depth FROM cl")
+def lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with min hop count — semi-naive frontier BFS
+    in Spark, value-for-value against DuckDB's WITH RECURSIVE (same
+    depth cap, min(depth) rollup)."""
+    edges = _lin.dataset_edges(_lineage_io(spark, sf_dir))
+    return _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
+
+
+@register(
+    "lineage_impact_failed",
+    f"""{_LINEAGE_CLOSURE_SQL},
+    failed_runs AS (
+      SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key
+      FROM events GROUP BY run_key
+      HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0),
+    seeds AS (
+      SELECT DISTINCT io.dataset_key AS seed
+      FROM ({_LINEAGE_IO_SQL}) io
+      JOIN failed_runs f ON io.run_key = f.run_key
+      WHERE io.direction = 'WRITE')
+    SELECT s.seed, count(*) AS affected_ct, CAST(max(cl.depth) AS INT) AS max_depth
+    FROM seeds s JOIN cl ON cl.src = s.seed
+    GROUP BY s.seed
+    """,
+)
+def lineage_impact_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius of failed runs: datasets WRITTEN by any run that
+    logged an error, rolled up to (seed, downstream count, max depth)
+    over the closure. Seeds broadcast; closure never re-shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    io = _lineage_io(spark, sf_dir)
+    closure = _lin.transitive_closure(_lin.dataset_edges(io), max_depth=_LINEAGE_DEPTH)
+    failed = (
+        ev.groupBy(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("run_key")
+        )
+        .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
+        .filter(F.col("err_ct") > 0)
+        .select("run_key")
+    )
+    seeds = (
+        io.filter(F.col("direction") == "WRITE")
+        .join(failed, "run_key")
+        .select("dataset_key")
+        .distinct()
+    )
+    return (
+        _lin.impact_downstream(closure, seeds)
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("affected_ct"), F.max("depth").cast("int").alias("max_depth"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
