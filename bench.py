@@ -47,6 +47,9 @@ HEADLINE = [
     "lineage_dataset_edges",
     "lineage_closure",
     "lineage_impact_failed",
+    "asof_last_purchase",
+    "rollup_event_volume",
+    "anomaly_daily_volume",
     "reconcile_orders_lineitem",
     "ngram_jaccard_documents",
     "dedup_exact_documents",

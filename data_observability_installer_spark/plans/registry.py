@@ -71,7 +71,14 @@ _PROFILE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def cached_profile(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, table)
     if key not in _PROFILE_CACHE:
-        _PROFILE_CACHE[key] = profile(load_table(spark, sf_dir, table), table, AS_OF).cache()
+        # cache the (already repartitioned) input across the exact
+        # profile's ~5 chunked agg passes, then drop it once the
+        # metadata-sized profile result is itself materialized+cached
+        src = load_table(spark, sf_dir, table).cache()
+        prof = profile(src, table, AS_OF).cache()
+        prof.count()
+        src.unpersist()
+        _PROFILE_CACHE[key] = prof
     return _PROFILE_CACHE[key]
 
 
@@ -868,6 +875,126 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the cosine threshold (recall itself is asserted in
     tests/test_llm.py on planted near-identical vectors)."""
     return _sim.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Relational engine operators Spark lacks as built-ins: as-of join,
+# hierarchical time-bucket rollup, rolling anomaly detection
+# (TestGen task 5, reference README.md:10 "continuous periodic
+# monitoring of datasets for anomalies").
+# ---------------------------------------------------------------------------
+
+from ..operators import relational as _rel  # noqa: E402
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.event_id,
+           round(r.purchase_value, 2) AS purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every error event annotated with the user's latest
+    purchase value at-or-before it. Union + one window sort per key —
+    no range explosion; value-for-value vs DuckDB's native ASOF JOIN
+    (inclusive boundary, build side pre-deduped per (key, ts))."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = _rel.asof_join(errors, purchases, on="user_id", ts_col="ts")
+    return joined.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "rollup_event_volume",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           count(*) AS event_ct, round(sum(value), 2) AS value_sum,
+           CAST(GROUPING_ID(event_type, date_trunc('day', ts)) AS BIGINT) AS grouping_level
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """,
+)
+def rollup_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: (event_type, day), per-type
+    subtotal, and grand total in ONE pass (one Expand + one shuffle
+    instead of three separate aggregations)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = _rel.time_bucket_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("event_ct"), F.round(F.sum("value"), 2).alias("value_sum")],
+        bucket="day",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", _TS_FMT_SPARK).alias("bucket_ts"),
+        "event_ct",
+        "value_sum",
+        F.col("grouping_level").cast("bigint").alias("grouping_level"),
+    )
+
+
+@register(
+    "anomaly_daily_volume",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    w AS (
+      SELECT event_type, day, cnt,
+             avg(cnt) OVER tw AS m, stddev_samp(cnt) OVER tw AS sd,
+             count(cnt) OVER tw AS h
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(day, '%Y-%m-%d %H:%M:%S') AS day, cnt,
+           round(m, 4) AS baseline_mean, round(sd, 4) AS baseline_sd,
+           h AS history_ct, round((cnt - m) / nullif(sd, 0), 4) AS z_score,
+           (h >= 3 AND sd IS NOT NULL AND sd > 0
+            AND abs((cnt - m) / nullif(sd, 0)) > 2.0) AS is_anomaly
+    FROM w
+    """,
+)
+def anomaly_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-monitoring anomaly screen: each day's event volume
+    z-scored against its own trailing week (current day excluded from
+    the baseline so a spike can't mask itself)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = _rel.rolling_anomaly(
+        daily, ["event_type"], "day", "cnt", trailing=7, z_threshold=2.0, min_history=3
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", _TS_FMT_SPARK).alias("day"),
+        "cnt",
+        "baseline_mean",
+        "baseline_sd",
+        "history_ct",
+        "z_score",
+        "is_anomaly",
+    )
 
 
 # ---------------------------------------------------------------------------

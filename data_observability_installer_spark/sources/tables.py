@@ -66,6 +66,41 @@ STATIC_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+# (rowgroups, bytes) per parquet path — pyarrow footer read, once per path
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    if path not in _LAYOUT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _LAYOUT_CACHE[path] = (
+                pq.ParquetFile(path).metadata.num_row_groups,
+                os.path.getsize(path),
+            )
+        except Exception:  # noqa: BLE001 — remote/odd files: assume splittable
+            _LAYOUT_CACHE[path] = (1 << 30, 0)
+    return _LAYOUT_CACHE[path]
+
+
+def _distribute(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Parquet can only split at row-group boundaries. The harness
+    files are written as ONE row group, so every downstream aggregate
+    would run on one core of local[32] (measured: exact lineitem
+    profile 30 s -> 19 s, approx 14 s -> 6 s once distributed). A
+    round-robin repartition after the scan restores parallelism;
+    filters and column pruning still push through the exchange into
+    the scan (asserted in tests/test_plans.py). Real warehouse files
+    carry many row groups, making this a no-op there — the guard keys
+    on the actual footer metadata, not an sf heuristic."""
+    rowgroups, nbytes = _parquet_layout(path)
+    parallelism = spark.sparkContext.defaultParallelism
+    if rowgroups < max(parallelism // 4, 1) and nbytes > 1 << 20:
+        return df.repartition(parallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -78,8 +113,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _distribute(spark, df, path)
+    return _distribute(spark, spark.read.parquet(path), path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

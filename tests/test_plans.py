@@ -53,3 +53,27 @@ def test_a5_filter_pushdown(spark, sf_smoke):
 def test_minhash_no_cartesian(spark, sf_smoke):
     plan = _optimized(spark, "minhash_pairs_documents", sf_smoke)
     assert "Cartesian" not in plan  # band equality keys every self-join
+
+
+def test_single_rowgroup_file_distributes_with_pushdown(spark):
+    """Bench-scale files are one parquet row group (unsplittable): the
+    loader must restore parallelism with a round-robin exchange while
+    filters and pruning still reach the scan below it."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    q = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_returnflag")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan  # the distribute kicked in
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+    # tiny smoke files sit below the distribute threshold: no exchange
+    small = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    small_plan = small.groupBy("l_returnflag").count()._jdf.queryExecution()
+    assert "RoundRobinPartitioning" not in small_plan.executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]

@@ -1,0 +1,106 @@
+"""As-of join, hierarchical rollup, rolling anomaly: semantics on
+hand-built frames (boundary inclusivity, direction, subtotal levels,
+spike detection and cold-start suppression)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.relational import (
+    asof_join,
+    rolling_anomaly,
+    time_bucket_rollup,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("k1", _ts(10), "probe-a"), ("k1", _ts(12), "probe-b"), ("k2", _ts(9), "probe-c")],
+        "k string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k1", _ts(9), 1.0), ("k1", _ts(10), 2.0), ("k1", _ts(11), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {r.tag: r.v for r in asof_join(left, right, on="k").collect()}
+    assert got["probe-a"] == 2.0  # equal timestamp matches (inclusive)
+    assert got["probe-b"] == 3.0  # latest before 12:00
+    assert got["probe-c"] is None  # no right rows for k2 -> left outer
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [("k1", _ts(10), "p")], "k string, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [("k1", _ts(9), 1.0), ("k1", _ts(10, 30), 2.0), ("k1", _ts(11), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = asof_join(left, right, on="k", direction="forward").collect()
+    assert got[0].v == 2.0
+
+
+def test_asof_name_collision_gets_right_suffix(spark):
+    left = spark.createDataFrame([("k", _ts(10), 7.0)], "k string, ts timestamp, v double")
+    right = spark.createDataFrame([("k", _ts(9), 9.0)], "k string, ts timestamp, v double")
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.v == 7.0 and row.v_right == 9.0
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame([("k", _ts(10), 7.0)], "k string, ts timestamp, v double")
+    right = spark.createDataFrame([("k", _ts(9), 9.0)], "k string, ts timestamp, p double")
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning exchange on the key (both union branches
+    # repartition to it), never a range/cartesian product
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(1), 1.0),
+            ("a", _ts(2), 2.0),
+            ("b", dt.datetime(2024, 1, 2, 1), 4.0),
+        ],
+        "t string, ts timestamp, v double",
+    )
+    out = time_bucket_rollup(
+        df, "ts", ["t"], [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")]
+    ).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.grouping_level, []).append(r)
+    assert len(by_level[0]) == 2  # (t, day) finest
+    assert len(by_level[1]) == 2  # per-t subtotal
+    assert len(by_level[3]) == 1 and by_level[3][0].s == 7.0  # grand total
+
+
+def test_rolling_anomaly_flags_spike_not_coldstart(spark):
+    days = [(dt.datetime(2024, 1, d), 100.0 + (d % 2)) for d in range(1, 9)]
+    days.append((dt.datetime(2024, 1, 9), 500.0))  # planted spike
+    df = spark.createDataFrame(
+        [("s", d, v) for d, v in days], "k string, day timestamp, cnt double"
+    )
+    out = {r.day.day: r for r in rolling_anomaly(df, ["k"], "day", "cnt").collect()}
+    assert out[9].is_anomaly  # the spike
+    assert out[9].z_score > 3
+    assert not out[1].is_anomaly and out[1].history_ct == 0  # cold start
+    assert not out[2].is_anomaly and not out[3].is_anomaly  # < min_history
+    assert not any(out[d].is_anomaly for d in range(4, 9))  # steady state
+
+
+def test_rolling_anomaly_constant_series_no_div_zero(spark):
+    df = spark.createDataFrame(
+        [("s", dt.datetime(2024, 1, d), 10.0) for d in range(1, 8)],
+        "k string, day timestamp, cnt double",
+    )
+    rows = rolling_anomaly(df, ["k"], "day", "cnt").collect()
+    assert all(not r.is_anomaly for r in rows)
+    assert all(r.z_score is None for r in rows if r.history_ct >= 2)  # sd = 0
