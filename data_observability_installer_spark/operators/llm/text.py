@@ -160,14 +160,20 @@ def token_counts_sql(table: str, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def fingerprint_col(text_col: str = "text") -> Column:
+    """The normalized-content md5 as a reusable Column (shared with the
+    streaming dedup)."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over case-folded, punctuation-stripped,
     whitespace-collapsed text — the exact-dedup key that survives
     formatting noise."""
-    norm = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " ")
-    )
-    return df.select(id_col, F.md5(norm).alias("fingerprint"))
+    return df.select(id_col, fingerprint_col(text_col).alias("fingerprint"))
 
 
 def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:

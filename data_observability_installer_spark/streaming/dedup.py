@@ -1,0 +1,50 @@
+"""Streaming deduplication for continuous document ingest.
+
+The batch dedup family (operators/llm/dedup.py) assumes a full-corpus
+pass; a training-data ingest pipeline instead sees an unbounded stream
+and must drop re-crawls/re-posts as they arrive. Two streaming faces:
+
+- **exact** — ``dropDuplicatesWithinWatermark`` on the normalized
+  content fingerprint: the first arrival within the watermark horizon
+  survives, later copies are dropped, and state is bounded by
+  (distinct fingerprints in horizon) — NOT stream length, which is
+  what makes it runnable forever. Re-emergence after the horizon is
+  readmitted by design (a re-crawl a month later is a new observation;
+  cross-horizon dedup belongs to the batch compaction pass).
+- **curation** — the keep/drop filter chain is stateless Column
+  arithmetic, so the batch operator applies to a stream verbatim;
+  exposed here so the ingest pipeline composes both in one query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.llm.curation import curation_filter
+from ..operators.llm.text import fingerprint_col
+
+
+def dedup_exact_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins exact dedup over a document stream. Emits the
+    surviving rows (all input columns plus ``fingerprint``)."""
+    return (
+        stream.withColumn("fingerprint", fingerprint_col(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def curate_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **filter_kwargs,
+) -> DataFrame:
+    """Stateless keep/drop decisions on a stream — the batch
+    curation_filter applied verbatim (no state, no watermark needed)."""
+    return curation_filter(stream, text_col=text_col, id_col=id_col, **filter_kwargs)

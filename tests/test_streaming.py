@@ -203,3 +203,55 @@ def test_streaming_late_start_absence_alert(spark, tmp_path):
     assert ("sched_pipe", dt.datetime(2025, 1, 2, 23, 0), "LATE_START") in alerts
     # satisfied ticks never alert
     assert not any(t == dt.datetime(2025, 1, 1, 23, 0) for _, t, _ in alerts)
+
+
+def test_streaming_dedup_exact_first_arrival_wins(spark, tmp_path):
+    import datetime as dt
+
+    from data_observability_installer_spark.streaming.dedup import dedup_exact_stream
+
+    rows = [
+        # doc 1 and 3: same content modulo case/punct -> one survivor
+        (1, "The Quick, Brown Fox!", dt.datetime(2025, 1, 1, 10, 0)),
+        (2, "an entirely different document", dt.datetime(2025, 1, 1, 10, 1)),
+        (3, "the quick  brown fox", dt.datetime(2025, 1, 1, 10, 2)),
+        (4, "The Quick Brown Fox", dt.datetime(2025, 1, 1, 10, 3)),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, ts timestamp"
+    ).write.mode("overwrite").json(path)
+
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(path)
+    got = _run_stream(
+        spark, dedup_exact_stream(stream), "append", "dedup_stream"
+    ).collect()
+    survivors = {r.doc_id for r in got}
+    assert 2 in survivors
+    # exactly one of the three fox variants survives
+    assert len(survivors & {1, 3, 4}) == 1
+    assert len({r.fingerprint for r in got}) == len(got) == 2
+
+
+def test_streaming_curation_is_stateless_passthrough(spark, tmp_path):
+    import datetime as dt
+
+    from data_observability_installer_spark.streaming.dedup import curate_stream
+
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and the cat is in the house "
+        "with a friend of the family and that is all we know about it today"
+    )
+    rows = [
+        (1, long_en, dt.datetime(2025, 1, 1)),
+        (2, "tiny", dt.datetime(2025, 1, 1)),
+    ]
+    path = str(tmp_path / "cur_docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, ts timestamp"
+    ).write.mode("overwrite").json(path)
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(path)
+    got = {r.doc_id: r for r in _run_stream(
+        spark, curate_stream(stream), "append", "curate_stream"
+    ).collect()}
+    assert got[1].keep and got[2].reason == "too_short"
