@@ -1087,6 +1087,19 @@ def _lineage_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the BFS closure is a sequence of materializing jobs — share one per
+# (session, sf) across every lineage consumer, like cached_profile
+_CLOSURE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLOSURE_CACHE:
+        edges = _lin.dataset_edges(_lineage_io(spark, sf_dir))
+        _CLOSURE_CACHE[key] = _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
+    return _CLOSURE_CACHE[key]
+
+
 @register("lineage_dataset_edges", _LINEAGE_EDGES_SQL + "\n    SELECT src, dst FROM e")
 def lineage_dataset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed dataset->dataset lineage from run-scoped co-occurrence:
@@ -1099,8 +1112,7 @@ def lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure with min hop count — semi-naive frontier BFS
     in Spark, value-for-value against DuckDB's WITH RECURSIVE (same
     depth cap, min(depth) rollup)."""
-    edges = _lin.dataset_edges(_lineage_io(spark, sf_dir))
-    return _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
+    return _cached_closure(spark, sf_dir)
 
 
 @register(
@@ -1126,7 +1138,7 @@ def lineage_impact_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the closure. Seeds broadcast; closure never re-shuffles."""
     ev = load_table(spark, sf_dir, "events")
     io = _lineage_io(spark, sf_dir)
-    closure = _lin.transitive_closure(_lin.dataset_edges(io), max_depth=_LINEAGE_DEPTH)
+    closure = _cached_closure(spark, sf_dir)
     failed = (
         ev.groupBy(
             F.concat(
