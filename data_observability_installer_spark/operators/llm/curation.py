@@ -185,7 +185,9 @@ def curation_filter(
         (pii_total > 0).alias("has_pii"),
     )
     reason = (
-        F.when(F.col("word_ct") < min_words, "too_short")
+        # NULL text -> NULL word_ct -> coalesce(0) so empty documents
+        # drop as too_short instead of leaking to the language gate
+        F.when(F.coalesce(F.col("word_ct"), F.lit(0.0)) < min_words, "too_short")
         .when(F.col("quality") < min_quality, "low_quality")
         .when(~F.col("pred_lang").isin(*allowed_langs), "lang")
     )
@@ -216,7 +218,8 @@ def curation_filter_sql(
         f"WITH q AS MATERIALIZED ({quality_score_sql(table, text_col, id_col)}), "
         f"lg AS MATERIALIZED ({language_id_sql(table, text_col, id_col)}), "
         f"p AS MATERIALIZED ({pii_screen_sql(table, text_col, id_col)}), "
-        f"r AS (SELECT q.{id_col}, CASE WHEN q.word_ct < {min_words} THEN 'too_short' "
+        f"r AS (SELECT q.{id_col}, "
+        f"CASE WHEN COALESCE(q.word_ct, 0) < {min_words} THEN 'too_short' "
         f"WHEN q.quality < {min_quality} THEN 'low_quality' "
         f"WHEN lg.pred_lang NOT IN ({langs}) THEN 'lang' "
         f"{pii_clause}ELSE 'kept' END AS reason "

@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis): randomized micro-frames
+checking the algebraic properties the operators promise, not just
+fixed examples. Example counts are small — each example spins Spark
+jobs — but every property failed at least once during development of
+its operator family somewhere in the ecosystem, so they stay."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.llm.curation import deterministic_split
+from data_observability_installer_spark.operators.llm.dedup import ngram_jaccard_pairs
+from data_observability_installer_spark.operators.profile import profile
+from data_observability_installer_spark.operators.relational import asof_join
+from data_observability_installer_spark.plans.suites import AS_OF
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+vals = st.lists(
+    st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)), min_size=0, max_size=30
+)
+
+
+@settings(**SETTINGS)
+@given(vals)
+def test_profile_count_identity(spark, xs):
+    """record_ct == value_ct + null_ct for any column content."""
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    rows = {r.metric: r.value for r in profile(df, "t", AS_OF, columns=["v"]).collect()}
+    assert rows["record_ct"] == len(xs)
+    assert rows["value_ct"] + rows["null_ct"] == rows["record_ct"]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True))
+def test_split_is_total_and_stable_under_growth(spark, ids):
+    """Every id gets exactly one split; a subset's assignments never
+    change when the rest of the corpus arrives."""
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    full = {r.doc_id: r.split for r in deterministic_split(df).collect()}
+    assert set(full) == set(ids)
+    half_ids = ids[: len(ids) // 2] or ids
+    half = spark.createDataFrame([(i,) for i in half_ids], "doc_id bigint")
+    sub = {r.doc_id: r.split for r in deterministic_split(half).collect()}
+    assert all(full[i] == s for i, s in sub.items())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=0, max_size=8
+    )
+)
+def test_jaccard_pairs_are_canonical_and_thresholded(spark, texts):
+    """Every emitted pair: doc_a < doc_b, threshold respected, and a
+    doc duplicated verbatim always pairs with its copy at jaccard 1."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if rows:
+        rows.append((len(rows), rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows or [(0, "x")], "doc_id bigint, text string")
+    got = ngram_jaccard_pairs(df, n=2, threshold=0.5, max_df=100).collect()
+    assert all(r.doc_a < r.doc_b and r.jaccard >= 0.5 for r in got)
+    if rows and rows[0][1].strip():
+        assert any(
+            r.doc_a == 0 and r.doc_b == len(rows) - 1 and r.jaccard == 1.0 for r in got
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    st.lists(st.integers(0, 100), min_size=0, max_size=20),
+)
+def test_asof_preserves_left_cardinality(spark, left_ts, right_ts):
+    """As-of join is left-outer: exactly one output row per probe row,
+    and the matched ts is the max right ts <= probe ts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [("k", base + dt.timedelta(minutes=t), i) for i, t in enumerate(left_ts)],
+        "k string, ts timestamp, row_id bigint",
+    )
+    r = spark.createDataFrame(
+        [("k", base + dt.timedelta(minutes=t), float(t)) for t in sorted(set(right_ts))] or
+        [("other", base, 0.0)],
+        "k string, ts timestamp, rv double",
+    )
+    out = asof_join(l, r, on="k").collect()
+    assert len(out) == len(left_ts)
+    rset = sorted(set(right_ts))
+    for row in out:
+        probe_minutes = left_ts[row.row_id]
+        want = max((t for t in rset if t <= probe_minutes), default=None)
+        got = None if row.rv is None else int(row.rv)
+        if set(right_ts):
+            assert got == want
