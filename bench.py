@@ -64,6 +64,7 @@ HEADLINE = [
     "sample_documents_stratified",
     "curation_filter_documents",
     "topk_bruteforce_embeddings",
+    "topk_batch_embeddings",
     "topk_lsh_embeddings",
     "embedding_near_dups",
     "embedding_near_dups_lsh",

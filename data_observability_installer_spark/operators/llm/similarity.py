@@ -373,3 +373,85 @@ def embedding_near_dups_sql(
     FROM e a JOIN e b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     WHERE round({cos}, 4) >= {threshold}
     """
+
+
+def topk_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of stored query vectors in one
+    job: (query_id, rank, vec_id, score).
+
+    The per-query-loop shape re-scans the corpus per query; this scans
+    ONCE. Queries broadcast (alert/batch-sized); cosine scoring is a
+    JVM map stage; then top-k is two-phase: an Arrow-batched
+    ``mapInPandas`` partial top-k INSIDE the map stage (each batch
+    emits at most queries x k rows — nothing shuffles; a pure-JVM
+    formulation would drag every scored row through the exchange,
+    because ``collect_list`` partial buffers are unbounded), then one
+    JVM merge over the surviving k x batches x queries rows. Shuffled
+    bytes are independent of corpus size. Ties rank by vec_id,
+    matching the oracle's ORDER BY; scores stay full-precision doubles
+    until the final rounding so both engines rank identical values."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vid"),
+            _cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield (
+                pdf.sort_values(["query_id", "cos", "vid"], ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    survivors = scored.mapInPandas(local_topk, "query_id bigint, vid bigint, cos double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vid").alias(id_col),
+            F.round("cos", 4).alias("score"),
+        )
+    )
+
+
+def topk_batch_sql(
+    table: str, query_ids: list[int], k: int = 10, id_col: str = "vec_id"
+) -> str:
+    cos = _cosine_sql("e.embedding", "q.q_emb")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, embedding AS q_emb
+               FROM {table} WHERE {id_col} IN ({ids})),
+    scored AS (
+      SELECT q.query_id, e.{id_col}, {cos} AS cos
+      FROM {table} e, q WHERE e.{id_col} <> q.query_id),
+    ranked AS (
+      SELECT query_id, {id_col}, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, {id_col}) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS INT) AS rank, {id_col}, round(cos, 4) AS score
+    FROM ranked WHERE rank <= {k}
+    """

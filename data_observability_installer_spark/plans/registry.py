@@ -855,6 +855,16 @@ def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
+@register(
+    "topk_batch_embeddings",
+    _sim.topk_batch_sql("embeddings", query_ids=[0, 1, 2], k=10),
+)
+def topk_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: 3 query vectors, ONE corpus scan, partial
+    top-k inside the map stage (shuffle independent of corpus size)."""
+    return _sim.topk_batch(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=10)
+
+
 @register("topk_ivf_embeddings")  # k-means buckets: rows-only check
 def topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

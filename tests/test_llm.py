@@ -255,3 +255,22 @@ def test_embedding_near_dups_blocked(vecs):
     assert (2, 3) not in got
     # 0 and 2 are in different blocks: never even compared
     assert not any({a, b} == {0, 2} for a, b in got)
+
+
+def test_topk_batch_matches_per_query_bruteforce(spark):
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_batch,
+        topk_bruteforce,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch = topk_batch(vecs, query_ids=[0, 1, 2], k=5)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.score) for r in batch.collect()
+    }
+    assert len(got) == 15  # 3 queries x k
+    for qid in (0, 1, 2):
+        single = topk_bruteforce(vecs, k=5, query_id=qid).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r.vec_id, r.score)
