@@ -327,3 +327,206 @@ def profile_wide(profile_long: DataFrame) -> DataFrame:
         .pivot("metric", metrics)
         .agg(F.first(F.coalesce(F.col("value").cast("string"), F.col("value_str"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental profiling: partial mergeable state -> merge -> finalize.
+#
+# At 100 TB you never re-profile the whole table; you profile each
+# arriving partition (day/file-batch) ONCE into a tiny mergeable state
+# row-set, fold states associatively, and finalize metrics at read
+# time — the same partial/merge/final contract Spark's own aggregates
+# use, lifted to the profile level. Covered metrics are the ones with
+# exact algebraic merges: counts, sums, min/max, power sums (mean /
+# stddev / skew / kurtosis), length stats, date bounds. Distinct
+# counts, percentiles, LOV and pattern induction are EXCLUDED by
+# design — their mergeable forms are sketches (HLL / KLL / frequent
+# items), which `profile(exact=False)` approximates in one shot; a
+# sketch-state variant would slot into the same 3-function contract.
+# ---------------------------------------------------------------------------
+
+# stat-name prefix encodes the merge operator
+_MERGE_SUM, _MERGE_MIN, _MERGE_MAX = "s_", "mn_", "mx_"
+
+PARTIAL_COLUMNS = ["table_name", "column_name", "stat", "value_d", "value_s"]
+
+
+def _partial_stats(c: str, dtype: str) -> list[tuple[str, str, str]]:
+    """(stat, kind 'd'|'s', spark agg expr) per column; stat prefix
+    declares how two states merge."""
+    cls = _dtype_class(dtype)
+    stats: list[tuple[str, str, str]] = [
+        ("s_n", "d", "CAST(count(*) AS DOUBLE)"),
+        ("s_nv", "d", f"CAST(count({c}) AS DOUBLE)"),
+    ]
+    if cls == "numeric":
+        x = f"CAST({c} AS DOUBLE)"
+        stats += [
+            ("s_sum1", "d", f"sum({x})"),
+            ("s_sum2", "d", f"sum({x}*{x})"),
+            ("s_sum3", "d", f"sum({x}*{x}*{x})"),
+            ("s_sum4", "d", f"sum({x}*{x}*{x}*{x})"),
+            ("s_frac", "d", f"sum(abs({x}) % 1.0)"),
+            ("s_zero", "d", f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)"),
+            ("s_neg", "d", f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)"),
+            ("s_int", "d",
+             f"CAST(sum(CASE WHEN {x} = floor({x}) THEN 1 ELSE 0 END) AS DOUBLE)"),
+            ("mn_min", "d", f"CAST(min({c}) AS DOUBLE)"),
+            ("mx_max", "d", f"CAST(max({c}) AS DOUBLE)"),
+        ]
+    elif cls == "string":
+        stats += [
+            ("mn_minlen", "d", f"CAST(min(length({c})) AS DOUBLE)"),
+            ("mx_maxlen", "d", f"CAST(max(length({c})) AS DOUBLE)"),
+            ("s_sumlen", "d", f"CAST(sum(length({c})) AS DOUBLE)"),
+            ("s_blank", "d", f"CAST(sum(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS DOUBLE)"),
+            ("mn_minstr", "s", f"min({c})"),
+            ("mx_maxstr", "s", f"max({c})"),
+        ]
+    elif cls == "date":
+        dq = f"CAST({c} AS DATE)"
+        stats += [
+            ("mn_mindate", "s", f"CAST(min({dq}) AS STRING)"),
+            ("mx_maxdate", "s", f"CAST(max({dq}) AS STRING)"),
+        ]
+    return stats
+
+
+def profile_partial(df: DataFrame, table_name: str, columns: list[str] | None = None) -> DataFrame:
+    """ONE aggregation pass -> long mergeable state
+    (table, column, stat, value_d, value_s). State size is
+    O(columns x ~12 stats) regardless of row count."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    plan: list[tuple[str, str, str, str]] = []
+    for c in cols:
+        for stat, kind, expr in _partial_stats(c, dtypes[c]):
+            plan.append((c, stat, kind, expr))
+    aggs = [
+        F.expr(f"CAST(({expr}) AS {'DOUBLE' if kind == 'd' else 'STRING'}) AS m{i}")
+        for i, (_, _, kind, expr) in enumerate(plan)
+    ]
+    row = df.agg(*aggs)
+    entries = []
+    for i, (c, stat, kind, _) in enumerate(plan):
+        v = f"m{i}" if kind == "d" else "CAST(NULL AS DOUBLE)"
+        vs = f"m{i}" if kind == "s" else "CAST(NULL AS STRING)"
+        entries.append(f"{_spark_quote(c)}, {_spark_quote(stat)}, {v}, {vs}")
+    stack = f"stack({len(plan)}, {', '.join(entries)}) AS (column_name, stat, value_d, value_s)"
+    return row.selectExpr(stack).select(
+        F.lit(table_name).alias("table_name"), "column_name", "stat", "value_d", "value_s"
+    )
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Associatively fold any number of partial states (e.g. one per
+    day-partition). Merge op comes from the stat prefix; the fold is a
+    single metadata-sized groupBy."""
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    is_sum = F.col("stat").startswith(_MERGE_SUM)
+    is_min = F.col("stat").startswith(_MERGE_MIN)
+    return u.groupBy("table_name", "column_name", "stat").agg(
+        F.when(is_sum, F.sum("value_d"))
+        .when(is_min, F.min("value_d"))
+        .otherwise(F.max("value_d"))
+        .alias("value_d"),
+        F.when(is_min, F.min("value_s")).otherwise(F.max("value_s")).alias("value_s"),
+    )
+
+
+def finalize_profile(partial: DataFrame, as_of: str) -> DataFrame:
+    """Partial state -> profile metrics (same long-form schema as
+    ``profile()`` for the covered subset). Moments come from power
+    sums — the exact merge-safe formulation; the finalize itself is a
+    metadata-sized pivot + projection."""
+    wide = (
+        partial.groupBy("table_name", "column_name")
+        .pivot("stat")
+        .agg(F.first(F.coalesce(F.col("value_d").cast("string"), F.col("value_s"))))
+    )
+    have = set(wide.columns)
+
+    def col_d(name: str):
+        return F.col(name).cast("double") if name in have else F.lit(None).cast("double")
+
+    n, nv = col_d("s_n"), col_d("s_nv")
+    s1, s2, s3, s4 = col_d("s_sum1"), col_d("s_sum2"), col_d("s_sum3"), col_d("s_sum4")
+    mean = s1 / F.when(nv != 0, nv)
+    ex2, ex3, ex4 = (s / F.when(nv != 0, nv) for s in (s2, s3, s4))
+    var_pop = ex2 - mean * mean
+    var_samp = (s2 - s1 * s1 / F.when(nv != 0, nv)) / F.when(nv > 1, nv - 1)
+    skew = (ex3 - 3 * mean * ex2 + 2 * F.pow(mean, 3)) / F.when(
+        F.pow(var_pop, 1.5) != 0, F.pow(var_pop, 1.5)
+    )
+    kurt = (
+        ex4 - 4 * mean * ex3 + 6 * F.pow(mean, 2) * ex2 - 3 * F.pow(mean, 4)
+    ) / F.when(F.pow(var_pop, 2) != 0, F.pow(var_pop, 2)) - 3.0
+
+    metrics: list[tuple[str, object, object]] = [
+        ("record_ct", n, None),
+        ("value_ct", nv, None),
+        ("null_ct", n - nv, None),
+        ("null_pct", F.round(100.0 * (n - nv) / F.when(n != 0, n), 4), None),
+        ("min_val", F.round(col_d("mn_min"), 4), None),
+        ("max_val", F.round(col_d("mx_max"), 4), None),
+        ("range", F.round(col_d("mx_max") - col_d("mn_min"), 4), None),
+        ("avg_val", F.round(mean, 4), None),
+        ("stddev_val", F.round(F.sqrt(var_samp), 4), None),
+        ("sum_val", F.round(s1, 2), None),
+        ("frac_sum", F.round(col_d("s_frac"), 3), None),
+        ("zero_ct", col_d("s_zero"), None),
+        ("neg_ct", col_d("s_neg"), None),
+        ("int_ct", col_d("s_int"), None),
+        ("skewness_pop", F.round(skew, 4), None),
+        ("kurtosis_pop", F.round(kurt, 4), None),
+        ("min_len", col_d("mn_minlen"), None),
+        ("max_len", col_d("mx_maxlen"), None),
+        ("avg_len", F.round(col_d("s_sumlen") / F.when(nv != 0, nv), 4), None),
+        ("blank_ct", col_d("s_blank"), None),
+        ("min_str", None, "mn_minstr"),
+        ("max_str", None, "mx_maxstr"),
+        ("min_date", None, "mn_mindate"),
+        ("max_date", None, "mx_maxdate"),
+        (
+            "span_days",
+            F.when(
+                F.lit("mn_mindate" in have),
+                F.datediff(
+                    (F.col("mx_maxdate") if "mx_maxdate" in have else F.lit(None)).cast("date"),
+                    (F.col("mn_mindate") if "mn_mindate" in have else F.lit(None)).cast("date"),
+                ).cast("double"),
+            ),
+            None,
+        ),
+    ]
+    entries = []
+    for name, vd, vs in metrics:
+        entries.append(
+            F.struct(
+                F.lit(name).alias("metric"),
+                (vd if vd is not None else F.lit(None).cast("double")).alias("value"),
+                (
+                    (F.col(vs) if vs in have else F.lit(None).cast("string"))
+                    if vs is not None
+                    else F.lit(None).cast("string")
+                ).alias("value_str"),
+            )
+        )
+    exploded = wide.select(
+        "table_name", "column_name", F.explode(F.array(*entries)).alias("m")
+    ).select(
+        "table_name",
+        "column_name",
+        F.col("m.metric").alias("metric"),
+        F.col("m.value").alias("value"),
+        F.col("m.value_str").alias("value_str"),
+    )
+    # drop metric rows that don't apply to the column's type (their
+    # state stats are absent -> both values NULL)
+    return exploded.filter(
+        F.col("value").isNotNull()
+        | F.col("value_str").isNotNull()
+        | F.col("metric").isin("record_ct", "value_ct", "null_ct")
+    )

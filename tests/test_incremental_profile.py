@@ -1,0 +1,74 @@
+"""Incremental profiling: per-partition partial states must merge to
+the same metrics as one full-table pass (the 100 TB no-rescan path)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.profile import (
+    finalize_profile,
+    merge_partials,
+    profile,
+    profile_partial,
+)
+from data_observability_installer_spark.plans.suites import AS_OF
+from data_observability_installer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _close(a, b, tol=1e-6):
+    if a is None or b is None:
+        return a == b
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def test_merged_halves_equal_full_profile(spark):
+    li = load_table(spark, SF, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 != 0)
+    merged = merge_partials(
+        profile_partial(a, "lineitem"), profile_partial(b, "lineitem")
+    )
+    inc = {
+        (r.column_name, r.metric): (r.value, r.value_str)
+        for r in finalize_profile(merged, AS_OF).collect()
+    }
+    full = {
+        (r.column_name, r.metric): (r.value, r.value_str)
+        for r in profile(li, "lineitem", AS_OF).collect()
+    }
+    shared = set(inc) & set(full)
+    # every incremental metric the one-pass profile also computes must agree
+    assert len(shared) >= 100
+    for key in sorted(shared):
+        (iv, is_), (fv, fs) = inc[key], full[key]
+        assert _close(iv, fv), (key, iv, fv)
+        assert is_ == fs, (key, is_, fs)
+
+
+def test_merge_is_associative_and_empty_safe(spark):
+    li = load_table(spark, SF, "lineitem")
+    thirds = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    parts = [profile_partial(t, "lineitem") for t in thirds]
+    empty = profile_partial(li.filter(F.lit(False)), "lineitem")
+
+    left = merge_partials(merge_partials(parts[0], parts[1]), parts[2], empty)
+    right = merge_partials(parts[0], merge_partials(parts[1], parts[2]))
+    lv = {(r.column_name, r.stat): (r.value_d, r.value_s) for r in left.collect()}
+    rv = {(r.column_name, r.stat): (r.value_d, r.value_s) for r in right.collect()}
+    assert set(lv) == set(rv)
+    for k in lv:
+        assert _close(lv[k][0], rv[k][0]), (k, lv[k], rv[k])
+        assert lv[k][1] == rv[k][1]
+
+
+def test_partial_state_is_metadata_sized(spark):
+    li = load_table(spark, SF, "lineitem")
+    state = profile_partial(li, "lineitem")
+    # 11 columns x ~12 stats — state size independent of row count
+    assert state.count() < 150
