@@ -33,6 +33,7 @@ HEADLINE = [
     "dq_suite_events",
     "profile_lineitem",
     "profile_lineitem_approx",
+    "profile_lineitem_incremental",
     "hygiene_lineitem",
     "a1_run_rollup_events",
     "a2_user_sessions",

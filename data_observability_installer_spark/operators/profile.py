@@ -457,6 +457,11 @@ def finalize_profile(partial: DataFrame, as_of: str) -> DataFrame:
     ex2, ex3, ex4 = (s / F.when(nv != 0, nv) for s in (s2, s3, s4))
     var_pop = ex2 - mean * mean
     var_samp = (s2 - s1 * s1 / F.when(nv != 0, nv)) / F.when(nv > 1, nv - 1)
+    # float cancellation can drive a true-zero variance epsilon-negative;
+    # clamp (NULL stays NULL) so sqrt never yields NaN
+    var_samp = F.when(var_samp > 0, var_samp).otherwise(
+        F.when(var_samp.isNotNull(), F.lit(0.0))
+    )
     skew = (ex3 - 3 * mean * ex2 + 2 * F.pow(mean, 3)) / F.when(
         F.pow(var_pop, 1.5) != 0, F.pow(var_pop, 1.5)
     )
@@ -529,4 +534,78 @@ def finalize_profile(partial: DataFrame, as_of: str) -> DataFrame:
         F.col("value").isNotNull()
         | F.col("value_str").isNotNull()
         | F.col("metric").isin("record_ct", "value_ct", "null_ct")
+    )
+
+
+def finalize_profile_sql(table: str, schema: list[tuple[str, str]], as_of: str) -> str:
+    """DuckDB twin of partial->merge->finalize over the FULL table:
+    merging per-partition states then finalizing must equal computing
+    the same power-sum formulas in one pass (associativity of the
+    state), so the oracle needs no partition plumbing."""
+    selects: list[str] = []
+    for c, dtype in schema:
+        cls = _dtype_class(dtype)
+        n, nv = "CAST(count(*) AS DOUBLE)", f"CAST(count({c}) AS DOUBLE)"
+        rows: list[tuple[str, str, str]] = [
+            ("record_ct", n, "NULL"),
+            ("value_ct", nv, "NULL"),
+            ("null_ct", f"{n} - {nv}", "NULL"),
+            ("null_pct", f"round(100.0 * ({n} - {nv}) / nullif({n}, 0), 4)", "NULL"),
+        ]
+        if cls == "numeric":
+            x = f"CAST({c} AS DOUBLE)"
+            s1, s2 = f"sum({x})", f"sum({x}*{x})"
+            s3, s4 = f"sum({x}*{x}*{x})", f"sum({x}*{x}*{x}*{x})"
+            mean = f"({s1} / nullif({nv}, 0))"
+            ex2, ex3, ex4 = (f"({s} / nullif({nv}, 0))" for s in (s2, s3, s4))
+            var_pop = f"({ex2} - {mean}*{mean})"
+            var_samp_raw = f"(({s2} - {s1}*{s1} / nullif({nv}, 0)) / (CASE WHEN {nv} > 1 THEN {nv} - 1 END))"
+            var_samp = f"(CASE WHEN {var_samp_raw} > 0 THEN {var_samp_raw} WHEN {var_samp_raw} IS NOT NULL THEN 0.0 END)"
+            skew = (
+                f"(({ex3} - 3*{mean}*{ex2} + 2*{mean}^3) / nullif({var_pop}^1.5, 0))"
+            )
+            kurt = (
+                f"(({ex4} - 4*{mean}*{ex3} + 6*{mean}^2*{ex2} - 3*{mean}^4)"
+                f" / nullif({var_pop}^2, 0) - 3.0)"
+            )
+            rows += [
+                ("min_val", f"round(CAST(min({c}) AS DOUBLE), 4)", "NULL"),
+                ("max_val", f"round(CAST(max({c}) AS DOUBLE), 4)", "NULL"),
+                ("range", f"round(CAST(max({c}) AS DOUBLE) - CAST(min({c}) AS DOUBLE), 4)", "NULL"),
+                ("avg_val", f"round({mean}, 4)", "NULL"),
+                ("stddev_val", f"round(sqrt({var_samp}), 4)", "NULL"),
+                ("sum_val", f"round({s1}, 2)", "NULL"),
+                ("frac_sum", f"round(sum(abs({x}) % 1.0), 3)", "NULL"),
+                ("zero_ct", f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
+                ("neg_ct", f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
+                ("int_ct", f"CAST(sum(CASE WHEN {x} = floor({x}) THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
+                ("skewness_pop", f"round({skew}, 4)", "NULL"),
+                ("kurtosis_pop", f"round({kurt}, 4)", "NULL"),
+            ]
+        elif cls == "string":
+            rows += [
+                ("min_len", f"CAST(min(length({c})) AS DOUBLE)", "NULL"),
+                ("max_len", f"CAST(max(length({c})) AS DOUBLE)", "NULL"),
+                ("avg_len", f"round(CAST(sum(length({c})) AS DOUBLE) / nullif({nv}, 0), 4)", "NULL"),
+                ("blank_ct", f"CAST(sum(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
+                ("min_str", "NULL", f"min({c})"),
+                ("max_str", "NULL", f"max({c})"),
+            ]
+        elif cls == "date":
+            dq = f"CAST({c} AS DATE)"
+            rows += [
+                ("min_date", "NULL", f"CAST(min({dq}) AS VARCHAR)"),
+                ("max_date", "NULL", f"CAST(max({dq}) AS VARCHAR)"),
+                ("span_days", f"CAST(datediff('day', min({dq}), max({dq})) AS DOUBLE)", "NULL"),
+            ]
+        for metric, vd, vs in rows:
+            selects.append(
+                f"SELECT '{table}' AS table_name, '{c}' AS column_name, "
+                f"'{metric}' AS metric, CAST({vd} AS DOUBLE) AS value, "
+                f"CAST({vs} AS VARCHAR) AS value_str FROM {table}"
+            )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"SELECT * FROM ({union}) WHERE value IS NOT NULL OR value_str IS NOT NULL "
+        f"OR metric IN ('record_ct', 'value_ct', 'null_ct')"
     )

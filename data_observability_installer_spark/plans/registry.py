@@ -95,6 +95,32 @@ for _table in ["lineitem", "orders", "customer", "events", "documents"]:
     ORACLES[_name] = profile_sql(_table, _table, STATIC_SCHEMAS[_table], AS_OF)
 
 
+@register(
+    "profile_lineitem_incremental",
+    None,  # oracle assigned below (needs the profile module import)
+)
+def profile_lineitem_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-rescan path: per-partition partial states (orderkey
+    parity stands in for day partitions) merged associatively, then
+    finalized. The oracle computes the same power-sum formulas over
+    the full table — merge-correctness IS the assertion."""
+    from ..operators.profile import finalize_profile, merge_partials, profile_partial
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        profile_partial(li.filter(F.col("l_orderkey") % 2 == i), "lineitem")
+        for i in range(2)
+    ]
+    return finalize_profile(merge_partials(*parts), AS_OF)
+
+
+from ..operators.profile import finalize_profile_sql as _fin_sql  # noqa: E402
+
+ORACLES["profile_lineitem_incremental"] = _fin_sql(
+    "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF
+)
+
+
 @register("profile_lineitem_approx")  # HLL + approx_percentile: the 100 TB
 def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale configuration (``exact=False``): approx_count_distinct
