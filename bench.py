@@ -49,6 +49,7 @@ HEADLINE = [
     "lineage_closure",
     "lineage_impact_failed",
     "asof_last_purchase",
+    "range_join_error_runs",
     "rollup_event_volume",
     "anomaly_daily_volume",
     "reconcile_orders_lineitem",

@@ -148,3 +148,42 @@ def rolling_anomaly(
             (hist >= min_history) & sd.isNotNull() & (sd > 0) & (F.abs(z) > z_threshold)
         ).alias("is_anomaly"),
     )
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    point_ts: str = "ts",
+    on: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Range join: attach every point to every interval containing it
+    (inclusive bounds), optionally also matching an equality key ``on``.
+
+    A naive theta join (``p.ts BETWEEN i.start AND i.end``) has no
+    equality key, so Spark plans a broadcast-nested-loop/cartesian —
+    quadratic at scale. Bucketing fixes the shape: each interval
+    explodes into the ``bucket``-granularity slots it covers
+    (``sequence()`` — intervals are short relative to the bucket in
+    the observability workload, so fan-out is small), each point maps
+    to its one slot, and the join runs as a plain HASH join on
+    (slot [, on]) with the exact containment as a post-filter.
+    Long-interval outliers cap the fan-out story: pick the bucket one
+    order above the p99 interval length.
+    """
+    slot = F.explode(
+        F.sequence(
+            F.date_trunc(bucket, F.col(start_col)),
+            F.date_trunc(bucket, F.col(end_col)),
+            F.expr(f"INTERVAL 1 {bucket}"),
+        )
+    ).alias("_slot")
+    i = intervals.select("*", slot)
+    p = points.withColumn("_slot", F.date_trunc(bucket, F.col(point_ts)))
+    keys = (["_slot", on] if on else ["_slot"])
+    joined = p.join(i, keys, "inner").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_slot")

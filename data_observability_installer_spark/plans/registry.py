@@ -958,6 +958,40 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_error_runs",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    pts AS (
+      SELECT event_id, 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline_key, ts
+      FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.pipeline_key,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, r.run_key
+    FROM pts p JOIN runs r
+      ON p.pipeline_key = r.pipeline_key
+     AND p.ts >= r.start_ts AND p.ts <= r.end_ts
+    """,
+)
+def range_join_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every error event attached to each same-pipeline run
+    interval containing it — day-bucketed into a HASH join (the theta
+    BETWEEN never reaches the planner), asserted in test_plans.py."""
+    ev = load_table(spark, sf_dir, "events")
+    runs = _events_run_rollup(ev).select("pipeline_key", "run_key", "start_ts", "end_ts")
+    pts = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline_key"),
+        "ts",
+    )
+    out = _rel.interval_point_join(runs, pts, on="pipeline_key")
+    return out.select(
+        "event_id",
+        "pipeline_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "run_key",
+    )
+
+
+@register(
     "rollup_event_volume",
     """
     SELECT event_type,

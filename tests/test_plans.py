@@ -55,6 +55,13 @@ def test_minhash_no_cartesian(spark, sf_smoke):
     assert "Cartesian" not in plan  # band equality keys every self-join
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_smoke):
+    plan = _executed(spark, "range_join_error_runs", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoop" not in final and "Cartesian" not in final
+    assert "Join" in final  # equality keys (slot, pipeline) -> hash/broadcast join
+
+
 def test_single_rowgroup_file_distributes_with_pushdown(spark):
     """Bench-scale files are one parquet row group (unsplittable): the
     loader must restore parallelism with a round-robin exchange while

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from data_observability_installer_spark.operators.relational import (
     asof_join,
+    interval_point_join,
     rolling_anomaly,
     time_bucket_rollup,
 )
@@ -104,3 +105,25 @@ def test_rolling_anomaly_constant_series_no_div_zero(spark):
     rows = rolling_anomaly(df, ["k"], "day", "cnt").collect()
     assert all(not r.is_anomaly for r in rows)
     assert all(r.z_score is None for r in rows if r.history_ct >= 2)  # sd = 0
+
+
+def test_interval_point_join_containment(spark):
+    intervals = spark.createDataFrame(
+        [
+            ("i1", "k", _ts(9), _ts(11)),
+            ("i2", "k", _ts(10, 30), _ts(12)),  # overlaps i1
+            ("i3", "other", _ts(9), _ts(23)),   # wrong key
+        ],
+        "iid string, key string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [("p1", "k", _ts(10, 45)), ("p2", "k", _ts(8)), ("p3", "k", _ts(11))],
+        "pid string, key string, ts timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_point_join(intervals, points, on="key").collect()
+    }
+    # p1 in both overlapping intervals; p2 before all; p3 at i1's
+    # inclusive end and inside i2
+    assert got == {("p1", "i1"), ("p1", "i2"), ("p3", "i1"), ("p3", "i2")}
