@@ -163,3 +163,33 @@ def impact_downstream(closure: DataFrame, seeds: DataFrame) -> DataFrame:
         F.col("dst").alias("affected"),
         "depth",
     )
+
+
+def declared_edges(dag_edges: DataFrame, left_col: str = "left", right_col: str = "right") -> DataFrame:
+    """Journey DAG edges ({left, right} component ids posted to
+    PUT /journeys/{id}/dag — demo_helper.py:252-276) as lineage
+    (src, dst). Rows with either side absent (un-edged nodes) drop."""
+    return (
+        dag_edges.filter(F.col(left_col).isNotNull() & F.col(right_col).isNotNull())
+        .select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .distinct()
+    )
+
+
+def unified_edges(declared: DataFrame, observed: DataFrame) -> DataFrame:
+    """Merge user-declared DAG lineage with run-observed lineage,
+    keeping provenance: (src, dst, declared bool, observed bool).
+    Edges only declared-but-never-observed surface stale DAGs; edges
+    observed-but-never-declared surface undocumented dependencies —
+    both are hygiene signals, so the flags matter as much as the union.
+    One groupBy on the edge key."""
+    d = declared.select("src", "dst").withColumn("_src", F.lit("declared"))
+    o = observed.select("src", "dst").withColumn("_src", F.lit("observed"))
+    return (
+        d.unionByName(o)
+        .groupBy("src", "dst")
+        .agg(
+            F.max((F.col("_src") == "declared").cast("int")).cast("boolean").alias("declared"),
+            F.max((F.col("_src") == "observed").cast("int")).cast("boolean").alias("observed"),
+        )
+    )

@@ -110,3 +110,31 @@ def test_impact_downstream_broadcasts_seeds(spark):
     seeds = spark.createDataFrame([("a",)], "dataset_key string")
     got = {(r.seed, r.affected): r.depth for r in impact_downstream(closure, seeds).collect()}
     assert got == {("a", "b"): 1, ("a", "c"): 2}
+
+
+def test_declared_and_unified_edges_provenance(spark):
+    from data_observability_installer_spark.operators.obs.lineage import (
+        dataset_edges,
+        declared_edges,
+        unified_edges,
+    )
+
+    dag = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), (None, "d"), ("e", None)],
+        "left string, right string",
+    )
+    decl = declared_edges(dag)
+    assert {(r.src, r.dst) for r in decl.collect()} == {("a", "b"), ("b", "c")}
+
+    io = io_records(
+        spark.createDataFrame(
+            [("r1", "b", "READ"), ("r1", "c", "WRITE"),   # observed b->c (also declared)
+             ("r2", "c", "READ"), ("r2", "x", "WRITE")],  # observed c->x (undocumented)
+            "run_key string, dataset_key string, direction string",
+        )
+    )
+    uni = {(r.src, r.dst): (r.declared, r.observed)
+           for r in unified_edges(decl, dataset_edges(io)).collect()}
+    assert uni[("a", "b")] == (True, False)   # stale/declared-only
+    assert uni[("b", "c")] == (True, True)    # confirmed
+    assert uni[("c", "x")] == (False, True)   # undocumented dependency
