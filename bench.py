@@ -62,6 +62,7 @@ HEADLINE = [
     "minhash_pairs_documents",
     "simhash_documents",
     "split_documents",
+    "chunk_documents",
     "pii_documents",
     "sample_documents_stratified",
     "curation_filter_documents",

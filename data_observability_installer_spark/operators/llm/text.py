@@ -181,3 +181,67 @@ def fingerprint_sql(table: str, text_col: str = "text", id_col: str = "doc_id") 
         f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))"
     )
     return f"SELECT {id_col}, md5({norm}) AS fingerprint FROM {table}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into whitespace-token windows of ``max_tokens``
+    with ``overlap`` tokens of context between consecutive chunks — the
+    standard pre-tokenization chunking for context-bounded training.
+
+    Pure Column arithmetic: split -> sequence of chunk starts ->
+    posexplode -> slice. The 1->N fan-out happens in-plan (no shuffle);
+    chunk text is emitted as md5 + token count so downstream dedup can
+    run per-chunk without re-materializing text. stride =
+    max_tokens - overlap; the last chunk may be short but is never
+    empty; a document shorter than max_tokens yields exactly one chunk.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    return (
+        df.select(id_col, words.alias("_w"), F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("int").alias("chunk_idx"),
+            F.size(F.slice(F.col("_w"), F.col("start") + 1, max_tokens)).alias("chunk_tokens"),
+            F.md5(F.array_join(F.slice(F.col("_w"), F.col("start") + 1, max_tokens), " ")).alias(
+                "chunk_md5"
+            ),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    max_tokens: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    stride = max_tokens - overlap
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT {id_col}, {words} AS ws,
+             greatest(CAST(ceil((len({words}) - {overlap}) * 1.0 / {stride}) AS BIGINT), 1)
+               AS n_chunks
+      FROM {table}),
+    u AS (SELECT {id_col}, ws, unnest(range(n_chunks)) AS start FROM w),
+    c AS (
+      SELECT {id_col}, CAST(start AS INT) AS chunk_idx,
+             ws[start * {stride} + 1 : start * {stride} + {max_tokens}] AS chunk
+      FROM u)
+    SELECT {id_col}, chunk_idx, CAST(len(chunk) AS INT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """

@@ -871,6 +871,13 @@ def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register("chunk_documents", _text.chunk_documents_sql("documents", max_tokens=50, overlap=10))
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (50-token chunks, 10 overlap): in-plan
+    1->N fan-out, chunks emitted as md5 + size for downstream dedup."""
+    return _text.chunk_documents(load_table(spark, sf_dir, "documents"), max_tokens=50, overlap=10)
+
+
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

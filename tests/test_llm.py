@@ -274,3 +274,27 @@ def test_topk_batch_matches_per_query_bruteforce(spark):
         single = topk_bruteforce(vecs, k=5, query_id=qid).collect()
         for rank, r in enumerate(single, start=1):
             assert got[(qid, rank)] == (r.vec_id, r.score)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import hashlib
+
+    from data_observability_installer_spark.operators.llm.text import chunk_documents
+
+    words = [f"w{i}" for i in range(120)]
+    short = "only three words"
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, short)], "doc_id bigint, text string"
+    )
+    got = {(r.doc_id, r.chunk_idx): r for r in
+           chunk_documents(df, max_tokens=50, overlap=10).collect()}
+    # 120 words, stride 40 -> chunks at 0/40/80 with sizes 50/50/40
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert [got[(1, i)].chunk_tokens for i in range(3)] == [50, 50, 40]
+    for i in range(3):
+        expect = hashlib.md5(" ".join(words[i * 40 : i * 40 + 50]).encode()).hexdigest()
+        assert got[(1, i)].chunk_md5 == expect
+    # short doc -> exactly one whole-doc chunk
+    assert got[(2, 0)].chunk_tokens == 3
+    assert got[(2, 0)].chunk_md5 == hashlib.md5(short.encode()).hexdigest()
+    assert (2, 1) not in got
