@@ -105,9 +105,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_df: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by n-gram Jaccard via inverted-index join."""
-    sh = exploded_shingles(df, text_col, id_col, n)
+    """Near-dup pairs by n-gram Jaccard via inverted-index join.
+    ``shingles`` lets callers share one (persisted) exploded-shingle
+    frame across dedup operators instead of re-shingling the corpus."""
+    sh = shingles if shingles is not None else exploded_shingles(df, text_col, id_col, n)
     # skew guard: a shingle in more than max_df docs can't witness a
     # high-Jaccard pair anyway at corpus scale, but it CAN melt a join
     keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
@@ -182,6 +185,7 @@ def minhash_pairs(
     bands: int = 4,
     threshold: float = 0.4,
     max_df: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs, verified with exact Jaccard.
 
@@ -191,8 +195,13 @@ def minhash_pairs(
     """
     rows_per_band = num_hashes // bands
     # ONE shingling pass feeds signatures, the df-cap, and the exact
-    # verify — persisted so the corpus is shingled exactly once.
-    sh0 = exploded_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # verify — persisted so the corpus is shingled exactly once (or
+    # shared across operators when the caller passes ``shingles``).
+    sh0 = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"sig_{i}")
         for i in range(num_hashes)

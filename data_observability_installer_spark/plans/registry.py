@@ -817,6 +817,21 @@ _MINHASH_ARGS = dict(
     text_col="text", id_col="doc_id", n=3, num_hashes=12, bands=4, threshold=0.3, max_df=1000
 )
 
+# one persisted 3-gram inverted index per (session, sf) feeds jaccard,
+# minhash, AND the dedup-groups pipeline — the corpus shingles once
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        from pyspark import StorageLevel
+
+        _SHINGLE_CACHE[key] = _dedup.exploded_shingles(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id", 3
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _SHINGLE_CACHE[key]
+
 
 @register("dedup_exact_documents", _dedup.dedup_exact_sql("documents"))
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,12 +840,20 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ngram_jaccard_documents", _dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS))
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), **_JACCARD_ARGS)
+    return _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shared_shingles(spark, sf_dir),
+        **_JACCARD_ARGS,
+    )
 
 
 @register("minhash_pairs_documents", _dedup.minhash_pairs_sql("documents", **_MINHASH_ARGS))
 def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.minhash_pairs(load_table(spark, sf_dir, "documents"), **_MINHASH_ARGS)
+    return _dedup.minhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shared_shingles(spark, sf_dir),
+        **_MINHASH_ARGS,
+    )
 
 
 @register(
@@ -842,7 +865,11 @@ def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: jaccard>=0.3 pairs -> connected components
     (group survivor = min doc id)."""
-    pairs = _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), **_JACCARD_ARGS)
+    pairs = _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shared_shingles(spark, sf_dir),
+        **_JACCARD_ARGS,
+    )
     return _dedup.dedup_groups(pairs)
 
 
@@ -971,17 +998,20 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts AS (
       SELECT event_id, 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline_key, ts
       FROM events WHERE event_type = 'error')
-    SELECT p.event_id, p.pipeline_key,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, r.run_key
+    SELECT r.pipeline_key, r.run_key, count(*) AS matched_error_ct,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS distinct_error_ct
     FROM pts p JOIN runs r
       ON p.pipeline_key = r.pipeline_key
      AND p.ts >= r.start_ts AND p.ts <= r.end_ts
+    GROUP BY r.pipeline_key, r.run_key
     """,
 )
 def range_join_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: every error event attached to each same-pipeline run
     interval containing it — day-bucketed into a HASH join (the theta
-    BETWEEN never reaches the planner), asserted in test_plans.py."""
+    BETWEEN never reaches the planner, asserted in test_plans.py) —
+    rolled up to per-run match counts so the result stays
+    aggregate-sized (the raw pairing is ~30x the error count)."""
     ev = load_table(spark, sf_dir, "events")
     runs = _events_run_rollup(ev).select("pipeline_key", "run_key", "start_ts", "end_ts")
     pts = ev.filter(F.col("event_type") == "error").select(
@@ -990,11 +1020,9 @@ def range_join_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     out = _rel.interval_point_join(runs, pts, on="pipeline_key")
-    return out.select(
-        "event_id",
-        "pipeline_key",
-        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
-        "run_key",
+    return out.groupBy("pipeline_key", "run_key").agg(
+        F.count(F.lit(1)).alias("matched_error_ct"),
+        F.countDistinct("event_id").alias("distinct_error_ct"),
     )
 
 
