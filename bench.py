@@ -66,6 +66,7 @@ HEADLINE = [
     "pii_documents",
     "sample_documents_stratified",
     "curation_filter_documents",
+    "embedding_stats",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",
     "topk_lsh_embeddings",

@@ -455,3 +455,52 @@ def topk_batch_sql(
     SELECT query_id, CAST(rank AS INT) AS rank, {id_col}, round(cos, 4) AS score
     FROM ranked WHERE rank <= {k}
     """
+
+
+def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Embedding-column quality screen: one aggregate row with vector
+    count, dimension bounds (mixed dims = corrupt ingest), zero/NaN
+    vector counts (collapsed or failed encodes), and the norm
+    distribution (a collapsing embedding model drives norms degenerate
+    before cosine metrics notice). Pure zip_with/aggregate arithmetic,
+    one pass, map-side partials."""
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    has_nan = F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+    norm = F.sqrt(dot)
+    per = embeddings.select(
+        F.size("embedding").alias("dim"),
+        has_nan.alias("has_nan"),
+        F.when(~has_nan, norm).alias("norm"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("vec_ct"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum(F.col("has_nan").cast("int")).alias("nan_vec_ct"),
+        F.sum((F.col("norm") == 0.0).cast("int")).alias("zero_vec_ct"),
+        F.round(F.min("norm"), 4).alias("norm_min"),
+        F.round(F.max("norm"), 4).alias("norm_max"),
+        F.round(F.avg("norm"), 4).alias("norm_avg"),
+        F.round(F.stddev_samp("norm"), 4).alias("norm_sd"),
+    )
+
+
+def embedding_stats_sql(table: str, id_col: str = "vec_id") -> str:
+    dot = "list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])"
+    has_nan = "len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0"
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT len(embedding) AS dim, {has_nan} AS has_nan,
+             CASE WHEN NOT ({has_nan}) THEN sqrt({dot}) END AS norm
+      FROM {table})
+    SELECT count(*) AS vec_ct, min(dim) AS dim_min, max(dim) AS dim_max,
+           CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS nan_vec_ct,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vec_ct,
+           round(min(norm), 4) AS norm_min, round(max(norm), 4) AS norm_max,
+           round(avg(norm), 4) AS norm_avg, round(stddev_samp(norm), 4) AS norm_sd
+    FROM per
+    """

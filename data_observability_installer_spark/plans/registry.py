@@ -925,6 +925,13 @@ def topk_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_batch(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=10)
 
 
+@register("embedding_stats", _sim.embedding_stats_sql("embeddings"))
+def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column quality screen: dims, NaN/zero vectors, norm
+    distribution — one pass."""
+    return _sim.embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("topk_ivf_embeddings")  # k-means buckets: rows-only check
 def topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

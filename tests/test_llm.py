@@ -298,3 +298,22 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(2, 0)].chunk_tokens == 3
     assert got[(2, 0)].chunk_md5 == hashlib.md5(short.encode()).hexdigest()
     assert (2, 1) not in got
+
+
+def test_embedding_stats_flags_degenerate_vectors(spark):
+    from data_observability_installer_spark.operators.llm.similarity import embedding_stats
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0]),            # norm 5
+            (1, [0.0, 0.0]),            # zero vector
+            (2, [float("nan"), 1.0]),   # NaN vector
+            (3, [1.0, 0.0, 0.0]),       # mixed dimension
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    row = embedding_stats(vecs).collect()[0]
+    assert row.vec_ct == 4
+    assert (row.dim_min, row.dim_max) == (2, 3)
+    assert row.nan_vec_ct == 1 and row.zero_vec_ct == 1
+    assert row.norm_max == 5.0 and row.norm_min == 0.0
