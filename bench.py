@@ -66,6 +66,14 @@ HEADLINE = [
     "pii_documents",
     "sample_documents_stratified",
     "curation_filter_documents",
+    "decontam_documents",
+    "repetition_documents",
+    "pack_chunks_documents",
+    "bm25_search_documents",
+    "mixture_weights_documents",
+    "dedup_incremental_documents",
+    "run_duration_sla_events",
+    "event_gaps_events",
     "embedding_stats",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",

@@ -226,3 +226,56 @@ def curation_filter_sql(
         f"FROM q JOIN lg ON q.{id_col} = lg.{id_col} JOIN p ON q.{id_col} = p.{id_col}) "
         f"SELECT {id_col}, reason = 'kept' AS keep, reason FROM r"
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    label_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain-mixture sampling weights.
+
+    Per domain: doc count, whitespace-token count, and the sampling
+    probability ``weight = tokens^alpha / Σ tokens^alpha`` (alpha=1 is
+    proportional-to-size, alpha→0 is uniform; 0<alpha<1 upsamples small
+    domains the way multilingual/multi-source training mixes do).
+
+    One map-side-combinable groupBy over the corpus; the normalizer is
+    a 1-row agg joined back by a 1×1 cross join — nothing about this
+    changes at 100 TB.
+    """
+    per = df.groupBy(F.col(label_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tokens"),
+    )
+    tot = per.agg(F.sum(F.pow("tokens", alpha)).alias("z"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "docs",
+            "tokens",
+            F.round(F.pow("tokens", alpha) / F.col("z"), 6).alias("weight"),
+        )
+    )
+
+
+def mixture_weights_sql(
+    table: str,
+    label_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT {label_col} AS domain, count(*) AS docs,
+             CAST(sum({toks}) AS BIGINT) AS tokens
+      FROM {table} GROUP BY {label_col}),
+    tot AS (SELECT sum(pow(tokens, {alpha})) AS z FROM per)
+    SELECT domain, docs, tokens, round(pow(tokens, {alpha}) / z, 6) AS weight
+    FROM per CROSS JOIN tot
+    """

@@ -59,18 +59,23 @@ def _words(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def _shingles_sql(text_col: str, n: int) -> str:
+def _shingles_sql(text_col: str, n: int, distinct: bool = True) -> str:
     words = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    wrap = "list_distinct" if distinct else ""
     if n == 1:
-        return f"list_distinct({words})"
+        return f"{wrap}({words})" if distinct else words
     return (
-        f"list_distinct([array_to_string(({words})[i + 1 : i + {n}], ' ') "
+        f"{wrap}([array_to_string(({words})[i + 1 : i + {n}], ' ') "
         f"FOR i IN range(0, greatest(len({words}) - {n}, 0) + 1)])"
     )
 
 
-def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(doc, sh) — one row per distinct word n-gram per document.
+def exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(doc, sh) — one row per distinct word n-gram per document
+    (``distinct=False`` keeps every occurrence, for frequency-weighted
+    consumers like the repetition screen and BM25).
 
     Shingling goes through ``ml.feature.NGram`` (a compiled Scala
     sliding-window UDF) instead of a SQL higher-order ``transform``
@@ -82,15 +87,16 @@ def exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
     (matching the SQL oracle's truncated-slice semantics).
     """
     base = df.select(F.col(id_col).alias("doc"), _words(text_col).alias("words"))
+    dedupe = F.array_distinct if distinct else (lambda c: c)
     if n == 1:
-        return base.select("doc", F.explode(F.array_distinct("words")).alias("sh"))
+        return base.select("doc", F.explode(dedupe(F.col("words"))).alias("sh"))
     from pyspark.ml.feature import NGram
 
     with_ngrams = NGram(n=n, inputCol="words", outputCol="ngrams").transform(base)
     shingles = F.when(
         F.size("words") >= n, F.col("ngrams")
     ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
-    return with_ngrams.select("doc", F.explode(F.array_distinct(shingles)).alias("sh"))
+    return with_ngrams.select("doc", F.explode(dedupe(shingles)).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -399,3 +405,61 @@ def simhash_buckets(
         bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select(F.col("doc").alias(id_col), sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot) dedup: new batch vs already-ingested corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    incoming: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs from ``incoming`` that survive dedup against BOTH the batch
+    itself and an already-ingested snapshot.
+
+    ``seen_fingerprints`` is a 1-column (``fingerprint``) frame — the
+    persisted output of prior ingests. Within-batch survivor = min doc
+    id per fingerprint; then a LEFT ANTI join drops anything the
+    snapshot already holds.
+
+    Scale: both the groupBy and the anti join hash-partition on the
+    fingerprint — one co-partitioned exchange each, no sort. At 100 TB
+    the snapshot side is the big one; a bloom-filter pre-pass over the
+    batch (tiny) pushed into the snapshot scan would cut it further,
+    but the hash anti join is already the right asymptotic plan and
+    AQE converts it to broadcast whenever a daily batch is small.
+
+    Returns (id_col, fingerprint), one row per kept incoming doc.
+    """
+    from .text import fingerprint_col
+
+    batch = (
+        incoming.select(F.col(id_col), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    ).select(id_col, "fingerprint")
+
+
+def dedup_incremental_sql(
+    incoming_sql: str, seen_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Twin: ``incoming_sql`` / ``seen_sql`` are table expressions; the
+    seen side must expose a ``fingerprint`` column."""
+    norm = (
+        f"md5(trim(regexp_replace(regexp_replace(lower({text_col}), "
+        f"'[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+    WITH batch AS (
+      SELECT {norm} AS fingerprint, min({id_col}) AS {id_col}
+      FROM {incoming_sql} GROUP BY 1)
+    SELECT {id_col}, fingerprint FROM batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM {seen_sql})
+    """

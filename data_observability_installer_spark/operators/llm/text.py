@@ -221,6 +221,72 @@ def chunk_documents(
     )
 
 
+def repetition_screen(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): for each doc, over its word ``n``-grams WITH multiplicity,
+
+    - ``total_ngrams``  — occurrences,
+    - ``top_ngram_ct``  — occurrences of the most frequent n-gram,
+    - ``top_ngram_frac`` — top_ngram_ct / total (the "fraction of
+      characters in the most common n-gram" proxy),
+    - ``dup_ngram_frac`` — fraction of occurrences that are repeats
+      (1 - distinct/total).
+
+    Docs dominated by a few repeated phrases (boilerplate, scraped
+    nav bars, degenerate generations) score high and get dropped.
+
+    Plan: explode n-grams (map stage), ONE shuffle on the composite
+    (doc, gram) key — well-spread at any corpus size because the doc
+    id is in the key — then a per-doc agg whose input is already
+    doc-partitioned (no second exchange of comparable size). No
+    Python, no windows.
+    """
+    from .dedup import exploded_shingles
+
+    grams = exploded_shingles(df, text_col, id_col, n, distinct=False)
+    per_gram = grams.groupBy("doc", "sh").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            F.sum("ct").alias("total_ngrams"),
+            F.max("ct").alias("top_ngram_ct"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "total_ngrams",
+            "top_ngram_ct",
+            F.round(F.col("top_ngram_ct") / F.col("total_ngrams"), 4).alias("top_ngram_frac"),
+            F.round(1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 4).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )
+
+
+def repetition_screen_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> str:
+    from .dedup import _shingles_sql
+
+    sh = _shingles_sql(text_col, n, distinct=False)
+    return f"""
+    WITH g AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({sh}) AS sh FROM {table}),
+    per_gram AS (SELECT doc, sh, count(*) AS ct FROM g GROUP BY doc, sh),
+    agg AS (
+      SELECT doc, CAST(sum(ct) AS BIGINT) AS total_ngrams, max(ct) AS top_ngram_ct,
+             count(*) AS distinct_ngrams
+      FROM per_gram GROUP BY doc)
+    SELECT doc AS {id_col}, total_ngrams, top_ngram_ct,
+           round(top_ngram_ct * 1.0 / total_ngrams, 4) AS top_ngram_frac,
+           round(1 - distinct_ngrams * 1.0 / total_ngrams, 4) AS dup_ngram_frac
+    FROM agg
+    """
+
+
 def chunk_documents_sql(
     table: str,
     max_tokens: int = 50,

@@ -27,3 +27,57 @@ def agent_liveness(heartbeats: DataFrame, as_of_ts: str, timeout_s: int = 75) ->
         )
         .withColumn("live", F.col("age_s") <= timeout_s)
     )
+
+
+def event_gaps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    min_gap_s: int = 3600,
+) -> DataFrame:
+    """Downtime windows per stream: maximal periods longer than
+    ``min_gap_s`` with no event for a key (the gaps half of
+    gaps-and-islands) — heartbeat/feed silence detection over history,
+    complementing the point-in-time ``agent_liveness`` check.
+
+    One window, PARTITIONED by the key and sorted by time — the
+    per-key time ordering is inherent to the semantics, and keys
+    spread the sort across the cluster; no global ordering anywhere.
+    A key whose whole history fits one executor is the operating
+    assumption (per-feed event counts, not corpus rows); for a
+    pathological mega-key, pre-bucket by day and stitch day-boundary
+    gaps in a second tiny pass.
+    """
+    from pyspark.sql import Window
+
+    return (
+        events.select(F.col(key_col).alias("stream_key"), F.col(ts_col).alias("ts"))
+        .withColumn("prev_ts", F.lag("ts").over(Window.partitionBy("stream_key").orderBy("ts")))
+        .withColumn(
+            # timestamp->double keeps microseconds (unix_timestamp
+            # truncates and would mis-classify boundary gaps)
+            "gap_s",
+            F.col("ts").cast("double") - F.col("prev_ts").cast("double"),
+        )
+        .filter(F.col("gap_s") > min_gap_s)
+        .select(
+            "stream_key",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            F.round("gap_s", 3).alias("gap_s"),
+        )
+    )
+
+
+def event_gaps_sql(
+    table: str, key_col: str, ts_col: str = "ts", min_gap_s: int = 3600
+) -> str:
+    return f"""
+    WITH g AS (
+      SELECT {key_col} AS stream_key, {ts_col} AS ts,
+             lag({ts_col}) OVER (PARTITION BY {key_col} ORDER BY {ts_col}) AS prev_ts
+      FROM {table})
+    SELECT stream_key, prev_ts AS gap_start, ts AS gap_end,
+           round(epoch(ts) - epoch(prev_ts), 3) AS gap_s
+    FROM g WHERE epoch(ts) - epoch(prev_ts) > {min_gap_s}
+    """

@@ -103,3 +103,48 @@ def entity_search(components: DataFrame, query: str) -> DataFrame:
         .orderBy("name")
         .limit(1)
     )
+
+
+def run_duration_sla(runs: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-pipeline run-duration SLA rollup: count, p50/p90/p99 and max
+    duration seconds — the "is this pipeline getting slower" dashboard
+    over the A1 run rollup (columns pipeline_key/start_ts/end_ts).
+
+    ``percentile`` is Spark's exact linear-interpolation aggregate
+    (same semantics as ANSI/DuckDB ``quantile_cont``), computed in ONE
+    group pass; per-group state is the sorted duration buffer, bounded
+    by runs-per-pipeline (thousands, not corpus-scale — safe). For
+    billions of runs per key switch to ``percentile_approx``, which is
+    mergeable constant-state; the exact form is the oracle-checkable
+    default.
+    """
+    # timestamp->double keeps microseconds (unix_timestamp would
+    # truncate to whole seconds and disagree with the oracle's epoch())
+    dur = F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
+    d = runs.select("pipeline_key", dur.alias("dur_s"))
+    return (
+        d.groupBy("pipeline_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.round(F.percentile("dur_s", 0.5), round_to).alias("p50_s"),
+            F.round(F.percentile("dur_s", 0.9), round_to).alias("p90_s"),
+            F.round(F.percentile("dur_s", 0.99), round_to).alias("p99_s"),
+            F.round(F.max("dur_s"), round_to).alias("max_s"),
+        )
+    )
+
+
+def run_duration_sla_sql(runs_sql: str, round_to: int = 4) -> str:
+    return f"""
+    WITH r AS MATERIALIZED ({runs_sql}),
+    d AS (
+      SELECT pipeline_key,
+             CAST(epoch(end_ts) - epoch(start_ts) AS DOUBLE) AS dur_s
+      FROM r)
+    SELECT pipeline_key, count(*) AS n_runs,
+           round(quantile_cont(dur_s, 0.5), {round_to}) AS p50_s,
+           round(quantile_cont(dur_s, 0.9), {round_to}) AS p90_s,
+           round(quantile_cont(dur_s, 0.99), {round_to}) AS p99_s,
+           round(max(dur_s), {round_to}) AS max_s
+    FROM d GROUP BY pipeline_key
+    """

@@ -1274,6 +1274,137 @@ def lineage_impact_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators round 3: decontamination, repetition
+# screen, sequence packing, BM25 search, mixture weights, incremental
+# dedup — the remaining standard stages of a pre-training data pipeline.
+# ---------------------------------------------------------------------------
+
+from ..operators.llm import decontam as _decontam  # noqa: E402
+from ..operators.llm import packing as _packing  # noqa: E402
+from ..operators.llm import search as _search  # noqa: E402
+from ..operators.llm.curation import mixture_weights, mixture_weights_sql  # noqa: E402
+
+_BENCH_PRED = "doc_id % 20 = 0"  # the held-out "benchmark" slice of documents
+
+
+@register(
+    "decontam_documents",
+    _decontam.decontaminate_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_BENCH_PRED}))",
+        f"(SELECT * FROM documents WHERE {_BENCH_PRED})",
+        n=5,
+        min_hits=2,
+    ),
+)
+def decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥2 distinct
+    5-grams with the held-out eval slice are flagged. The eval shingle
+    set broadcasts — the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return _decontam.decontaminate(train, bench, n=5, min_hits=2)
+
+
+@register("repetition_documents", _text.repetition_screen_sql("documents", n=2))
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: top-bigram and duplicate-
+    bigram fractions; one (doc, gram) shuffle."""
+    return _text.repetition_screen(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "pack_chunks_documents",
+    _packing.pack_sequences_sql(
+        _text.chunk_documents_sql("documents", max_tokens=50, overlap=10), seq_len=512
+    ),
+)
+def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing of the 50-token chunk stream
+    into 512-token packs via a two-level distributed prefix sum (no
+    global-order window anywhere in the Spark plan)."""
+    chunks = _text.chunk_documents(load_table(spark, sf_dir, "documents"), max_tokens=50, overlap=10)
+    return _packing.pack_sequences(chunks, seq_len=512)
+
+
+_BM25_TERMS = ["spark", "join", "window", "stream"]
+
+
+@register("bm25_search_documents", _search.bm25_topk_sql("documents", _BM25_TERMS, k=10))
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 for a 4-term query; corpus tokens die
+    at the map stage, stats broadcast, TakeOrdered final."""
+    return _search.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register("mixture_weights_documents", mixture_weights_sql("documents", alpha=0.5))
+def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) per-source sampling weights."""
+    return mixture_weights(load_table(spark, sf_dir, "documents"), alpha=0.5)
+
+
+_SNAP_PRED = "doc_id % 4 = 0"  # the "already ingested" snapshot slice
+
+
+@register(
+    "dedup_incremental_documents",
+    _dedup.dedup_incremental_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_SNAP_PRED}))",
+        "(SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), "
+        f"'\\s+', ' ', 'g'))) AS fingerprint FROM documents WHERE {_SNAP_PRED})",
+    ),
+)
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup: the new batch (¾ of docs) dedups
+    within itself, then anti-joins the snapshot's fingerprint set."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap = docs.filter(F.col("doc_id") % 4 == 0)
+    incoming = docs.filter(F.col("doc_id") % 4 != 0)
+    seen = _text.fingerprint(snap).select("fingerprint")
+    return _dedup.dedup_incremental(incoming, seen)
+
+
+# ---------------------------------------------------------------------------
+# Observability additions round 3: run-duration SLA percentiles and
+# event-gap (downtime) detection.
+# ---------------------------------------------------------------------------
+
+from ..operators.obs.liveness import event_gaps, event_gaps_sql  # noqa: E402
+from ..operators.obs.rollup import run_duration_sla, run_duration_sla_sql  # noqa: E402
+
+
+@register("run_duration_sla_events", run_duration_sla_sql(_RUNS_SQL))
+def run_duration_sla_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99/max run duration per pipeline over the A1 rollup —
+    exact interpolated percentiles (DuckDB quantile_cont semantics)."""
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    return run_duration_sla(runs)
+
+
+@register(
+    "event_gaps_events",
+    f"""
+    WITH gaps AS ({event_gaps_sql("events", "event_type", min_gap_s=1800)})
+    SELECT stream_key, strftime(gap_start, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(gap_end, '%Y-%m-%d %H:%M:%S') AS gap_end, gap_s
+    FROM gaps
+    """,
+)
+def event_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-silence detection: >30 min gaps per event_type stream,
+    key-partitioned lag window (gaps-and-islands)."""
+    return (
+        event_gaps(load_table(spark, sf_dir, "events"), "event_type", min_gap_s=1800)
+        .select(
+            "stream_key",
+            F.date_format("gap_start", _TS_FMT_SPARK).alias("gap_start"),
+            F.date_format("gap_end", _TS_FMT_SPARK).alias("gap_end"),
+            "gap_s",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

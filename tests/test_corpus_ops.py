@@ -1,0 +1,169 @@
+"""Round-3 corpus-preparation operators: decontamination, repetition
+screen, sequence packing, BM25 search, mixture weights, incremental
+dedup — planted-fixture semantics checks (the sf0.01 value parity runs
+in the driver's oracle gate via plans/registry.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.llm.decontam import decontaminate
+from data_observability_installer_spark.operators.llm.dedup import dedup_incremental
+from data_observability_installer_spark.operators.llm.packing import pack_sequences
+from data_observability_installer_spark.operators.llm.search import bm25_topk
+from data_observability_installer_spark.operators.llm.text import fingerprint, repetition_screen
+from data_observability_installer_spark.operators.llm.curation import mixture_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    docs = _docs(
+        spark,
+        [
+            (1, "intro words then alpha beta gamma delta epsilon and more"),  # contaminated
+            (2, "totally unrelated content nothing shared here at all"),  # clean
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=5, min_hits=1).collect()}
+    assert out[1]["contaminated"] and out[1]["hit_shingles"] >= 1
+    assert not out[2]["contaminated"] and out[2]["hit_shingles"] == 0
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    bench = _docs(spark, [(100, "a b c d e f")])
+    docs = _docs(spark, [(1, "x x a b c d e x x")])  # shares 2 5-grams: "a b c d e", no wait
+    out = decontaminate(docs, bench, n=5, min_hits=3).collect()[0]
+    # doc 1 shares "a b c d e" only (bench has "a b c d e" and "b c d e f")
+    assert out["hit_shingles"] == 1 and not out["contaminated"]
+
+
+def test_repetition_screen_degenerate_doc(spark):
+    docs = _docs(spark, [(1, "a b a b a b"), (2, "one two three four five")])
+    out = {r["doc_id"]: r for r in repetition_screen(docs, n=2).collect()}
+    # doc 1 bigrams: ab ba ab ba ab -> total 5, top 3, distinct 2
+    assert out[1]["total_ngrams"] == 5
+    assert out[1]["top_ngram_ct"] == 3
+    assert out[1]["top_ngram_frac"] == pytest.approx(0.6)
+    assert out[1]["dup_ngram_frac"] == pytest.approx(0.6)
+    # doc 2: no repeats
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram_ct"] == 1
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, 40), (1, 1, 40), (2, 0, 30), (3, 0, 10)],
+        "doc_id long, chunk_idx int, chunk_tokens int",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in pack_sequences(chunks, seq_len=64, bucket_width=1000).collect()
+    }
+    assert rows[(1, 0)]["chunk_start"] == 0 and rows[(1, 0)]["pack_id"] == 0
+    assert rows[(1, 1)]["chunk_start"] == 40
+    assert rows[(1, 1)]["crosses_pack"]  # tokens 40..79 straddle the 64 cut
+    assert rows[(2, 0)]["chunk_start"] == 80 and rows[(2, 0)]["pack_id"] == 1
+    assert rows[(3, 0)]["chunk_start"] == 110
+    assert not rows[(3, 0)]["crosses_pack"]
+
+
+def test_pack_sequences_bucketing_invariance(spark):
+    """The two-level prefix sum must equal the naive global cumsum for
+    ANY bucket_width (associativity is the whole trick)."""
+    import random
+
+    rng = random.Random(7)
+    data = [
+        (doc, idx, rng.randint(1, 90))
+        for doc in range(20)
+        for idx in range(rng.randint(1, 5))
+    ]
+    chunks = spark.createDataFrame(data, "doc_id long, chunk_idx int, chunk_tokens int")
+    a = sorted(pack_sequences(chunks, seq_len=128, bucket_width=3).collect())
+    b = sorted(pack_sequences(chunks, seq_len=128, bucket_width=10**6).collect())
+    assert a == b
+    # offsets are a permutation-free exact prefix sum
+    expect = 0
+    for row in sorted(a, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        assert row["chunk_start"] == expect
+        expect += row["chunk_tokens"]
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark join window"),
+            (2, "spark appears once in this much longer document about other things entirely"),
+            (3, "no relevant terms at all here"),
+        ],
+    )
+    out = bm25_topk(docs, ["spark"], k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 never scores
+    assert out[0]["score"] > out[1]["score"] > 0
+
+
+def test_mixture_weights_alpha(spark):
+    docs = spark.createDataFrame(
+        [(1, "w " * 99 + "w", "big"), (2, "w w w w", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["domain"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    assert out["big"]["tokens"] == 100 and out["small"]["tokens"] == 4
+    # sqrt weighting: 10 vs 2 -> 10/12 and 2/12
+    assert out["big"]["weight"] == pytest.approx(10 / 12, abs=1e-6)
+    assert out["small"]["weight"] == pytest.approx(2 / 12, abs=1e-6)
+    assert out["big"]["weight"] + out["small"]["weight"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_dedup_incremental_drops_seen_and_batch_dups(spark):
+    snap = _docs(spark, [(1, "Already ingested document.")])
+    seen = fingerprint(snap).select("fingerprint")
+    incoming = _docs(
+        spark,
+        [
+            (10, "already ingested document"),  # dup of snapshot (normalized)
+            (11, "fresh content one"),
+            (12, "Fresh   CONTENT one!"),  # batch-dup of 11 (normalized)
+            (13, "fresh content two"),
+        ],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_incremental(incoming, seen).collect())
+    assert kept == [11, 13]
+
+
+def test_event_gaps_and_sla(spark):
+    from data_observability_installer_spark.operators.obs.liveness import event_gaps
+    from data_observability_installer_spark.operators.obs.rollup import run_duration_sla
+
+    ev = spark.createDataFrame(
+        [
+            ("feed-a", "2024-01-01 00:00:00"),
+            ("feed-a", "2024-01-01 00:10:00"),
+            ("feed-a", "2024-01-01 02:10:00"),  # 2h gap
+            ("feed-b", "2024-01-01 00:00:00"),
+        ],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    gaps = event_gaps(ev, "k", min_gap_s=3600).collect()
+    assert len(gaps) == 1
+    assert gaps[0]["stream_key"] == "feed-a" and gaps[0]["gap_s"] == 7200.0
+
+    runs = spark.createDataFrame(
+        [("p", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+         ("p", "2024-01-01 00:00:00", "2024-01-01 00:00:20"),
+         ("p", "2024-01-01 00:00:00", "2024-01-01 00:00:30")],
+        "pipeline_key string, start_ts string, end_ts string",
+    ).select(
+        "pipeline_key",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    sla = run_duration_sla(runs).collect()[0]
+    assert sla["n_runs"] == 3 and sla["p50_s"] == 20.0 and sla["max_s"] == 30.0
+    assert sla["p90_s"] == pytest.approx(28.0)  # interpolated: 20 + 0.8*(30-20)
