@@ -74,6 +74,9 @@ HEADLINE = [
     "dedup_incremental_documents",
     "run_duration_sla_events",
     "event_gaps_events",
+    "vocab_topk_documents",
+    "unigram_nll_documents",
+    "corpus_funnel_documents",
     "embedding_stats",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",

@@ -279,3 +279,93 @@ def mixture_weights_sql(
     SELECT domain, docs, tokens, round(pow(tokens, {alpha}) / z, 6) AS weight
     FROM per CROSS JOIN tot
     """
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_quality: float = 0.5,
+    decontam_n: int = 5,
+    decontam_min_hits: int = 2,
+) -> DataFrame:
+    """The composed end-to-end curation pipeline as ONE query: quality
+    filter → exact dedup → benchmark decontamination, reporting the
+    retention funnel (stage, docs_remaining).
+
+    This is the integration proof that the stage operators compose in a
+    single Spark plan: each stage is the library operator applied to
+    the previous stage's survivors, and the four counts come back in
+    one collect. At 100 TB you would persist each kept-set between
+    stages (they feed both the next stage and the final write);
+    at oracle scale recomputation is cheaper than caching.
+    """
+    from .decontam import decontaminate
+    from .text import fingerprint_col
+
+    cf = curation_filter(
+        docs, text_col, id_col, min_words=min_words, min_quality=min_quality
+    )
+    kept1 = docs.join(cf.filter(F.col("keep")).select(id_col), id_col)
+    surv = (
+        kept1.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept2 = kept1.join(surv, id_col)
+    dec = decontaminate(kept2, bench, text_col, id_col, n=decontam_n, min_hits=decontam_min_hits)
+    kept3 = kept2.join(dec.filter(~F.col("contaminated")).select(id_col), id_col)
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("docs_remaining")).select(
+            F.lit(name).alias("stage"), "docs_remaining"
+        )
+
+    return (
+        stage("0_input", docs)
+        .unionByName(stage("1_quality_filter", kept1))
+        .unionByName(stage("2_exact_dedup", kept2))
+        .unionByName(stage("3_decontam", kept3))
+    )
+
+
+def corpus_funnel_sql(
+    docs_sql: str,
+    bench_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    min_quality: float = 0.5,
+    decontam_n: int = 5,
+    decontam_min_hits: int = 2,
+) -> str:
+    from .dedup import _shingles_sql
+
+    norm_fp = (
+        f"md5(trim(regexp_replace(regexp_replace(lower({text_col}), "
+        f"'[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+    )
+    sh = _shingles_sql(text_col, decontam_n)
+    return f"""
+    WITH cf AS MATERIALIZED (
+      {curation_filter_sql(docs_sql, text_col, id_col, min_words=min_words, min_quality=min_quality)}),
+    kept1 AS MATERIALIZED (
+      SELECT d.* FROM {docs_sql} d JOIN cf ON cf.{id_col} = d.{id_col} AND cf.keep),
+    surv AS (
+      SELECT min({id_col}) AS {id_col}
+      FROM (SELECT {id_col}, {norm_fp} AS fp FROM kept1) GROUP BY fp),
+    kept2 AS MATERIALIZED (SELECT k.* FROM kept1 k JOIN surv USING ({id_col})),
+    bsh AS (SELECT DISTINCT unnest({sh}) AS sh FROM {bench_sql}),
+    ksh AS (SELECT {id_col} AS doc, unnest({sh}) AS sh FROM kept2),
+    hits AS (
+      SELECT doc FROM ksh JOIN bsh USING (sh)
+      GROUP BY doc HAVING count(*) >= {decontam_min_hits}),
+    kept3 AS (SELECT k.* FROM kept2 k ANTI JOIN hits h ON h.doc = k.{id_col})
+    SELECT '0_input' AS stage, count(*) AS docs_remaining FROM {docs_sql}
+    UNION ALL SELECT '1_quality_filter', count(*) FROM kept1
+    UNION ALL SELECT '2_exact_dedup', count(*) FROM kept2
+    UNION ALL SELECT '3_decontam', count(*) FROM kept3
+    """

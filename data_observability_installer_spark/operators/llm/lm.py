@@ -1,0 +1,140 @@
+"""Corpus language-model statistics: vocabulary construction and a
+unigram-LM perplexity proxy.
+
+CCNet-style pipelines score documents with a language model trained on
+a trusted corpus and drop the worst tail; the cheap in-engine surrogate
+is a **unigram LM trained on the corpus itself** — a document whose
+tokens are systematically rare (OCR noise, binary spew, wrong-language
+text) has high average negative log-likelihood and gets filtered.
+
+Scale design: term frequencies follow Zipf, so the term key is the
+textbook skew case — "the" appears in every document and a plain
+shuffle join on the term funnels df(term)≈N rows through one task. The
+score join therefore splits the frequency table at ``hot_df``: the head
+(a few hundred terms carrying ~half of all token mass) joins as a
+BROADCAST map-side branch, the long tail (bounded df by construction)
+shuffle-joins; the union is the whole LM. Per-doc aggregation keys on
+the doc id and is skew-free. The oracle twin is the plain join — the
+hot/cold split is a physical rewrite with identical semantics, which is
+exactly what the oracle should confirm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORDS = r"\s+"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), _WORDS)).alias("w"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` vocabulary terms: corpus frequency (tf) and document
+    frequency (df_ct), ties broken by term — the input stats for
+    tokenizer training and stop-list construction.
+
+    Plan: one explode, a (doc, term) pre-agg (skew-free composite key,
+    map-side combinable), then a term-level agg whose input is one row
+    per (doc, term) — the Zipf head's partition holds df(term) rows,
+    bounded by the doc count, not the token count. TakeOrdered final.
+    """
+    per_doc = _tokens(df, text_col, id_col).groupBy("doc", "w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    return (
+        per_doc.groupBy("w")
+        .agg(F.sum("ct").alias("tf"), F.count(F.lit(1)).alias("df_ct"))
+        .orderBy(F.col("tf").desc(), F.col("w"))
+        .limit(k)
+        .select(F.col("w").alias("term"), F.col("tf").cast("long").alias("tf"), "df_ct")
+    )
+
+
+def vocab_topk_sql(
+    table: str, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    per_doc AS (SELECT doc, w, count(*) AS ct FROM t GROUP BY doc, w),
+    v AS (
+      SELECT w, CAST(sum(ct) AS BIGINT) AS tf, count(*) AS df_ct
+      FROM per_doc GROUP BY w)
+    SELECT w AS term, tf, df_ct FROM v ORDER BY tf DESC, w LIMIT {k}
+    """
+
+
+def unigram_logprob_screen(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_df: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-doc average negative log2-likelihood under the corpus's own
+    unigram LM: ``avg_nll_bits = mean_w -log2(c(w)/T)`` plus the token
+    count. High bits ⇒ systematically rare tokens ⇒ quality outlier.
+
+    Every scored token exists in the LM (it was trained on the same
+    corpus), so no smoothing term is needed and the score is exact.
+
+    The LM join is skew-split on ``hot_df`` (see module docstring):
+    terms in more than ``hot_df`` docs broadcast, the rest shuffle.
+    """
+    toks = _tokens(df, text_col, id_col)
+    per_doc = toks.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("ct"))
+    freq = per_doc.groupBy("w").agg(
+        F.sum("ct").alias("c_w"), F.count(F.lit(1)).alias("df_ct")
+    )
+    total = freq.agg(F.sum("c_w").alias("t_tokens"))
+    hot = freq.filter(F.col("df_ct") > hot_df).select("w", "c_w")
+    cold = freq.filter(F.col("df_ct") <= hot_df).select("w", "c_w")
+    scored = per_doc.join(F.broadcast(hot), "w").unionByName(
+        per_doc.join(cold, "w")
+    )
+    nll = -F.log2(F.col("c_w") / F.col("t_tokens"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.sum(F.col("ct") * nll).alias("bits"),
+            F.sum("ct").alias("n_tokens"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("bits") / F.col("n_tokens"), round_to).alias("avg_nll_bits"),
+        )
+    )
+
+
+def unigram_logprob_screen_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> str:
+    """Twin: the plain (unsplit) LM join — semantically identical to
+    the hot/cold physical rewrite."""
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    per_doc AS MATERIALIZED (SELECT doc, w, count(*) AS ct FROM t GROUP BY doc, w),
+    freq AS (SELECT w, CAST(sum(ct) AS BIGINT) AS c_w FROM per_doc GROUP BY w),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_tokens FROM freq)
+    SELECT per_doc.doc AS {id_col},
+           CAST(sum(ct) AS BIGINT) AS n_tokens,
+           round(sum(ct * -log2(c_w * 1.0 / t_tokens)) / sum(ct), {round_to})
+             AS avg_nll_bits
+    FROM per_doc JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY per_doc.doc
+    """

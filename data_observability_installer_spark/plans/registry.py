@@ -1365,6 +1365,40 @@ def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_incremental(incoming, seen)
 
 
+from ..operators.llm import lm as _lm  # noqa: E402
+from ..operators.llm.curation import corpus_funnel, corpus_funnel_sql  # noqa: E402
+
+
+@register("vocab_topk_documents", _lm.vocab_topk_sql("documents", k=50))
+def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary terms (corpus tf + doc df) — tokenizer/stop-
+    list input; (doc, term) pre-agg keeps the Zipf head skew-free."""
+    return _lm.vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@register("unigram_nll_documents", _lm.unigram_logprob_screen_sql("documents"))
+def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg negative log2-likelihood under the corpus unigram LM
+    (CCNet-style quality proxy); LM join skew-split hot/cold."""
+    return _lm.unigram_logprob_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_funnel_documents",
+    corpus_funnel_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_BENCH_PRED}))",
+        f"(SELECT * FROM documents WHERE {_BENCH_PRED})",
+    ),
+)
+def corpus_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (quality → exact dedup → decontam) as
+    one composed plan; returns per-stage retention counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return corpus_funnel(train, bench)
+
+
 # ---------------------------------------------------------------------------
 # Observability additions round 3: run-duration SLA percentiles and
 # event-gap (downtime) detection.

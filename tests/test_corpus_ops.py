@@ -167,3 +167,56 @@ def test_event_gaps_and_sla(spark):
     sla = run_duration_sla(runs).collect()[0]
     assert sla["n_runs"] == 3 and sla["p50_s"] == 20.0 and sla["max_s"] == 30.0
     assert sla["p90_s"] == pytest.approx(28.0)  # interpolated: 20 + 0.8*(30-20)
+
+
+def test_vocab_topk_counts(spark):
+    from data_observability_installer_spark.operators.llm.lm import vocab_topk
+
+    docs = _docs(spark, [(1, "a a b"), (2, "a c")])
+    out = vocab_topk(docs, k=2).collect()
+    assert [(r["term"], r["tf"], r["df_ct"]) for r in out] == [("a", 3, 2), ("b", 1, 1)]
+    # tie between b and c broken by term order -> b
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    from data_observability_installer_spark.operators.llm.lm import unigram_logprob_screen
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_screen(docs).collect()}
+    assert out[2]["avg_nll_bits"] > out[1]["avg_nll_bits"]
+    assert out[1]["n_tokens"] == 4
+    # hot/cold split is a pure physical rewrite: any hot_df gives the
+    # same result
+    alt = {r["doc_id"]: r for r in unigram_logprob_screen(docs, hot_df=0).collect()}
+    assert alt == out
+
+
+def test_corpus_funnel_stages(spark):
+    from data_observability_installer_spark.operators.llm.curation import corpus_funnel
+
+    long_en = (
+        "the quick brown fox and the lazy dog are in the yard with a ball "
+        "and they play all day in the sun with the other animals around"
+    )
+    eval_phrase = "the secret benchmark answer is forty two indeed"
+    docs = _docs(
+        spark,
+        [
+            (1, long_en),
+            (2, long_en),  # exact dup of 1 (drops at stage 2)
+            (3, "short text"),  # drops at quality filter
+            (4, long_en + " " + eval_phrase),  # contaminated (drops at stage 3)
+        ],
+    )
+    bench = _docs(spark, [(100, eval_phrase)])
+    out = {r["stage"]: r["docs_remaining"] for r in corpus_funnel(docs, bench).collect()}
+    assert out["0_input"] == 4
+    assert out["1_quality_filter"] == 3  # doc 3 gone
+    assert out["2_exact_dedup"] == 2  # doc 2 gone
+    assert out["3_decontam"] == 1  # doc 4 shares eval 5-grams with bench
