@@ -77,6 +77,9 @@ HEADLINE = [
     "vocab_topk_documents",
     "unigram_nll_documents",
     "corpus_funnel_documents",
+    "nll_tailcut_documents",
+    "run_concurrency_events",
+    "alert_bursts_events",
     "embedding_stats",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",

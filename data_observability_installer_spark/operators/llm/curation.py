@@ -369,3 +369,71 @@ def corpus_funnel_sql(
     UNION ALL SELECT '2_exact_dedup', count(*) FROM kept2
     UNION ALL SELECT '3_decontam', count(*) FROM kept3
     """
+
+
+def filter_by_quantile(
+    scored: DataFrame,
+    score_col: str,
+    q: float = 0.9,
+    keep: str = "below",
+    per: str | None = None,
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Quantile tail-cut: keep docs whose ``score_col`` is below (or
+    above) the ``q``-quantile — the CCNet-style "drop the worst tail by
+    LM perplexity" step, generalized to any score.
+
+    ``per`` makes the threshold group-relative (e.g. per source/
+    language): small domains aren't wiped out by a global cut that one
+    verbose domain dominates.
+
+    Plan: ONE pass computes the exact interpolated quantile (per group
+    or 1-row global); the threshold table is tiny and broadcasts back —
+    the corpus is scanned twice (score pass upstream, filter pass), no
+    corpus shuffle. Thresholds round like the scores so the boundary
+    comparison is reproducible across engines.
+    """
+    if keep not in ("below", "above"):
+        raise ValueError("keep must be 'below' or 'above'")
+    thr_expr = F.round(F.percentile(score_col, q), round_to).alias("threshold")
+    if per is None:
+        thr = scored.agg(thr_expr)
+        joined = scored.crossJoin(F.broadcast(thr))
+    else:
+        thr = scored.groupBy(per).agg(thr_expr)
+        joined = scored.join(F.broadcast(thr), per)
+    cond = (
+        F.col(score_col) <= F.col("threshold")
+        if keep == "below"
+        else F.col(score_col) >= F.col("threshold")
+    )
+    out_cols = [id_col, score_col, "threshold"] if per is None else [id_col, per, score_col, "threshold"]
+    return joined.filter(cond).select(*out_cols)
+
+
+def filter_by_quantile_sql(
+    scored_sql: str,
+    score_col: str,
+    q: float = 0.9,
+    keep: str = "below",
+    per: str | None = None,
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> str:
+    op = "<=" if keep == "below" else ">="
+    if per is None:
+        return f"""
+        WITH s AS MATERIALIZED ({scored_sql}),
+        thr AS (SELECT round(quantile_cont({score_col}, {q}), {round_to}) AS threshold FROM s)
+        SELECT {id_col}, {score_col}, threshold
+        FROM s CROSS JOIN thr WHERE {score_col} {op} threshold
+        """
+    return f"""
+    WITH s AS MATERIALIZED ({scored_sql}),
+    thr AS (
+      SELECT {per}, round(quantile_cont({score_col}, {q}), {round_to}) AS threshold
+      FROM s GROUP BY {per})
+    SELECT s.{id_col}, s.{per}, s.{score_col}, thr.threshold
+    FROM s JOIN thr USING ({per}) WHERE s.{score_col} {op} thr.threshold
+    """

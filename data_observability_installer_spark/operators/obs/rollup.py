@@ -148,3 +148,60 @@ def run_duration_sla_sql(runs_sql: str, round_to: int = 4) -> str:
            round(max(dur_s), {round_to}) AS max_s
     FROM d GROUP BY pipeline_key
     """
+
+
+def run_concurrency(runs: DataFrame) -> DataFrame:
+    """Peak concurrent runs per pipeline — the capacity/contention
+    metric behind "why is my pipeline queueing".
+
+    Interval-overlap counting without a theta join: each run emits a
+    +1 at start and a −1 at end; a running sum over (ts, delta) order
+    within the pipeline partition IS the concurrency curve, and its max
+    is the peak. Ends sort before starts at the same instant (delta
+    ascending), so back-to-back runs don't count as overlapping.
+    One explode (2 rows per run) + one key-partitioned window — scales
+    with runs per pipeline, never pairwise.
+    """
+    from pyspark.sql import Window
+
+    deltas = runs.select(
+        "pipeline_key",
+        F.explode(
+            F.array(
+                F.struct(F.col("start_ts").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("pipeline_key", "e.ts", "e.delta")
+    w = (
+        Window.partitionBy("pipeline_key")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.withColumn("concurrent", F.sum("delta").over(w))
+        .groupBy("pipeline_key")
+        .agg(
+            F.max("concurrent").cast("int").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_runs"),
+        )
+    )
+
+
+def run_concurrency_sql(runs_sql: str) -> str:
+    return f"""
+    WITH r AS MATERIALIZED ({runs_sql}),
+    deltas AS (
+      SELECT pipeline_key, start_ts AS ts, 1 AS delta FROM r
+      UNION ALL
+      SELECT pipeline_key, end_ts, -1 FROM r),
+    curve AS (
+      SELECT pipeline_key,
+             sum(delta) OVER (PARTITION BY pipeline_key ORDER BY ts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM deltas)
+    SELECT pipeline_key, CAST(max(concurrent) AS INT) AS peak_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_runs
+    FROM curve GROUP BY pipeline_key
+    """

@@ -116,3 +116,64 @@ def evaluate_rules(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def suppress_flapping(
+    alerts: DataFrame,
+    key_cols: tuple[str, ...] = ("subject_key", "alert_type"),
+    ts_col: str = "event_ts",
+    cooldown_s: int = 3600,
+) -> DataFrame:
+    """Notification debouncing: collapse bursts of identical alerts
+    into one notification per burst (flap suppression).
+
+    Semantics: alerts for the same key chain into a burst while each
+    is within ``cooldown_s`` of the PREVIOUS alert; the first alert of
+    each burst is emitted with the burst's size. This is gap
+    sessionization (same construction as journey instance windowing):
+    a lag-gap flag, a running sum for the burst id, then first/count
+    per burst — two key-partitioned windows, one tiny agg; no state
+    beyond the window sort.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_burst = F.when(gap.isNull() | (gap > cooldown_s), 1).otherwise(0)
+    wb = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    with_burst = alerts.withColumn("burst_id", F.sum(new_burst).over(wb))
+    return (
+        with_burst.groupBy(*key_cols, "burst_id")
+        .agg(
+            F.min(ts_col).alias("first_ts"),
+            F.count(F.lit(1)).alias("burst_size"),
+        )
+        .select(*key_cols, "first_ts", (F.col("burst_size") - 1).alias("suppressed_ct"))
+    )
+
+
+def suppress_flapping_sql(
+    alerts_sql: str,
+    key_cols: tuple[str, ...] = ("subject_key", "alert_type"),
+    ts_col: str = "event_ts",
+    cooldown_s: int = 3600,
+) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH a AS MATERIALIZED ({alerts_sql}),
+    flagged AS (
+      SELECT a.*,
+             CASE WHEN epoch({ts_col}) - epoch(lag({ts_col}) OVER
+                    (PARTITION BY {keys} ORDER BY {ts_col})) > {cooldown_s}
+                  OR lag({ts_col}) OVER (PARTITION BY {keys} ORDER BY {ts_col}) IS NULL
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM a),
+    bursts AS (
+      SELECT *, sum(new_burst) OVER (PARTITION BY {keys} ORDER BY {ts_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+      FROM flagged)
+    SELECT {keys}, min({ts_col}) AS first_ts,
+           count(*) - 1 AS suppressed_ct
+    FROM bursts GROUP BY {keys}, burst_id
+    """

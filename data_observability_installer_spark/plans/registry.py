@@ -1439,6 +1439,73 @@ def event_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.llm.curation import filter_by_quantile, filter_by_quantile_sql  # noqa: E402
+from ..operators.obs.rollup import run_concurrency, run_concurrency_sql  # noqa: E402
+from ..operators.obs.rules import suppress_flapping, suppress_flapping_sql  # noqa: E402
+
+_SCORED_SQL = f"""
+    SELECT s.doc_id, d.source, s.avg_nll_bits
+    FROM ({_lm.unigram_logprob_screen_sql("documents")}) s
+    JOIN documents d USING (doc_id)
+"""
+
+
+@register(
+    "nll_tailcut_documents",
+    filter_by_quantile_sql(_SCORED_SQL, "avg_nll_bits", q=0.9, keep="below", per="source"),
+)
+def nll_tailcut_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style tail cut: keep docs below the per-source p90 of
+    unigram-LM negative log-likelihood — group-relative thresholds so
+    a verbose domain can't wipe out small ones. Threshold table is
+    tiny and broadcast; the corpus never shuffles for the filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _lm.unigram_logprob_screen(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return filter_by_quantile(scored, "avg_nll_bits", q=0.9, keep="below", per="source")
+
+
+@register("run_concurrency_events", run_concurrency_sql(_RUNS_SQL))
+def run_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent runs per pipeline: +1/−1 sweep + key-partitioned
+    running sum (no interval theta join)."""
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    return run_concurrency(runs)
+
+
+_ALERTS_SQL = """
+    SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS subject_key,
+           'error' AS alert_type, ts AS event_ts
+    FROM events WHERE event_type = 'error'
+"""
+
+
+@register(
+    "alert_bursts_events",
+    f"""
+    WITH b AS ({suppress_flapping_sql(_ALERTS_SQL, cooldown_s=1800)})
+    SELECT subject_key, alert_type,
+           strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts, suppressed_ct
+    FROM b
+    """,
+)
+def alert_bursts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap suppression: error-alert bursts per pipeline collapse to
+    one notification (first alert + suppressed count) while alerts
+    chain within a 30-min cooldown — gap sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    alerts = ev.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("subject_key"),
+        F.lit("error").alias("alert_type"),
+        F.col("ts").alias("event_ts"),
+    )
+    return suppress_flapping(alerts, cooldown_s=1800).select(
+        "subject_key",
+        "alert_type",
+        F.date_format("first_ts", _TS_FMT_SPARK).alias("first_ts"),
+        "suppressed_ct",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

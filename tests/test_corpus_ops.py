@@ -220,3 +220,72 @@ def test_corpus_funnel_stages(spark):
     assert out["1_quality_filter"] == 3  # doc 3 gone
     assert out["2_exact_dedup"] == 2  # doc 2 gone
     assert out["3_decontam"] == 1  # doc 4 shares eval 5-grams with bench
+
+
+def test_filter_by_quantile_per_group(spark):
+    from data_observability_installer_spark.operators.llm.curation import filter_by_quantile
+
+    scored = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 100.0), (4, "b", 5.0), (5, "b", 6.0)],
+        "doc_id long, source string, score double",
+    )
+    # global p50 cut would drop all of "b"; per-source keeps each
+    # domain's better half
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_by_quantile(scored, "score", q=0.5, per="source").collect()
+    )
+    assert kept == [1, 2, 4]  # thresholds: a->2.0, b->5.5
+    kept_g = sorted(
+        r["doc_id"] for r in filter_by_quantile(scored, "score", q=0.5).collect()
+    )
+    assert kept_g == [1, 2, 4]  # global median = 5.0
+    top = sorted(
+        r["doc_id"]
+        for r in filter_by_quantile(scored, "score", q=0.5, keep="above").collect()
+    )
+    assert top == [3, 4, 5]
+
+
+def test_run_concurrency_overlaps(spark):
+    from data_observability_installer_spark.operators.obs.rollup import run_concurrency
+
+    runs = spark.createDataFrame(
+        [
+            ("p1", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            ("p1", "2024-01-01 00:30:00", "2024-01-01 02:00:00"),  # overlaps 1st
+            ("p1", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),  # back-to-back: no overlap
+            ("p2", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "pipeline_key string, start_ts string, end_ts string",
+    ).select(
+        "pipeline_key",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    out = {r["pipeline_key"]: r for r in run_concurrency(runs).collect()}
+    assert out["p1"]["peak_concurrent"] == 2 and out["p1"]["n_runs"] == 3
+    assert out["p2"]["peak_concurrent"] == 1
+
+
+def test_suppress_flapping_bursts(spark):
+    from data_observability_installer_spark.operators.obs.rules import suppress_flapping
+
+    alerts = spark.createDataFrame(
+        [
+            ("p1", "error", "2024-01-01 00:00:00"),
+            ("p1", "error", "2024-01-01 00:10:00"),  # within cooldown -> suppressed
+            ("p1", "error", "2024-01-01 00:20:00"),  # chains (10 min from prev)
+            ("p1", "error", "2024-01-01 02:00:00"),  # new burst
+            ("p2", "error", "2024-01-01 00:05:00"),
+        ],
+        "subject_key string, alert_type string, event_ts string",
+    ).select("subject_key", "alert_type", F.col("event_ts").cast("timestamp").alias("event_ts"))
+    out = sorted(
+        suppress_flapping(alerts, cooldown_s=1800).collect(),
+        key=lambda r: (r["subject_key"], r["first_ts"]),
+    )
+    assert len(out) == 3
+    assert out[0]["subject_key"] == "p1" and out[0]["suppressed_ct"] == 2
+    assert out[1]["subject_key"] == "p1" and out[1]["suppressed_ct"] == 0
+    assert out[2]["subject_key"] == "p2" and out[2]["suppressed_ct"] == 0
