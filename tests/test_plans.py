@@ -84,3 +84,44 @@ def test_single_rowgroup_file_distributes_with_pushdown(spark):
     assert "RoundRobinPartitioning" not in small_plan.executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
+
+
+def test_decontam_broadcasts_bench_shingles(spark, sf_smoke):
+    """The eval shingle set must be the build side everywhere — the
+    training corpus never shuffles for the contamination check."""
+    plan = _executed(spark, "decontam_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_pack_chunks_single_partition_only_for_bucket_totals(spark, sf_smoke):
+    """The two-level prefix sum: exactly ONE SinglePartition exchange
+    (the bucket-total cumsum over a corpus/10⁶-row table); every other
+    window is key-partitioned."""
+    plan = _executed(spark, "pack_chunks_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") == 1
+
+
+def test_bm25_take_ordered_and_broadcast_stats(spark, sf_smoke):
+    plan = _executed(spark, "bm25_search_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final  # no global sort shuffle
+    assert "BroadcastExchange" in final  # dfreq + corpus stats broadcast
+
+
+def test_unigram_nll_hot_cold_split(spark, sf_smoke):
+    """The Zipf-head LM branch joins as broadcast; no Python."""
+    plan = _executed(spark, "unigram_nll_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_event_gaps_window_is_key_partitioned(spark, sf_smoke):
+    plan = _executed(spark, "event_gaps_events", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in final
+    assert "hashpartitioning(stream_key" in final
