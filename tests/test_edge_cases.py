@@ -77,3 +77,58 @@ def test_single_doc_corpus(spark):
     assert ngram_jaccard_pairs(one).count() == 0  # no self-pairs
     split = deterministic_split(one).collect()[0]
     assert split.split in ("train", "val", "test")
+
+
+def test_round3_ops_on_empty_and_degenerate_input(spark):
+    """Every round-3 operator must return an empty (or all-clean)
+    result on empty input rather than raising — partition-empty
+    robustness is table stakes at 100 TB."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        filter_by_quantile,
+        mixture_weights,
+    )
+    from data_observability_installer_spark.operators.llm.decontam import decontaminate
+    from data_observability_installer_spark.operators.llm.dedup import dedup_incremental
+    from data_observability_installer_spark.operators.llm.packing import pack_sequences
+    from data_observability_installer_spark.operators.llm.search import bm25_topk
+    from data_observability_installer_spark.operators.llm.lm import (
+        unigram_logprob_screen,
+        vocab_topk,
+    )
+    from data_observability_installer_spark.operators.llm.text import repetition_screen
+    from data_observability_installer_spark.operators.obs.rollup import run_concurrency
+    from data_observability_installer_spark.operators.obs.rules import suppress_flapping
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_doc = spark.createDataFrame([(1, "only doc here")], "doc_id long, text string")
+
+    assert decontaminate(empty_docs, one_doc).count() == 0
+    # empty BENCH side: every doc is clean, none dropped
+    dec = decontaminate(one_doc, empty_docs).collect()
+    assert len(dec) == 1 and not dec[0]["contaminated"]
+    assert repetition_screen(empty_docs).count() == 0
+    assert bm25_topk(empty_docs, ["term"]).count() == 0
+    assert vocab_topk(empty_docs).count() == 0
+    assert unigram_logprob_screen(empty_docs).count() == 0
+    assert mixture_weights(
+        spark.createDataFrame([], "doc_id long, text string, source string")
+    ).count() == 0
+
+    empty_chunks = spark.createDataFrame([], "doc_id long, chunk_idx int, chunk_tokens int")
+    assert pack_sequences(empty_chunks).count() == 0
+
+    empty_fp = spark.createDataFrame([], "fingerprint string")
+    kept = dedup_incremental(one_doc, empty_fp).collect()
+    assert len(kept) == 1  # nothing seen yet -> everything kept
+
+    empty_scored = spark.createDataFrame([], "doc_id long, source string, score double")
+    assert filter_by_quantile(empty_scored, "score", per="source").count() == 0
+
+    empty_runs = spark.createDataFrame(
+        [], "pipeline_key string, start_ts timestamp, end_ts timestamp"
+    )
+    assert run_concurrency(empty_runs).count() == 0
+    empty_alerts = spark.createDataFrame(
+        [], "subject_key string, alert_type string, event_ts timestamp"
+    )
+    assert suppress_flapping(empty_alerts).count() == 0
