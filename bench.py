@@ -78,6 +78,7 @@ HEADLINE = [
     "unigram_nll_documents",
     "corpus_funnel_documents",
     "nll_tailcut_documents",
+    "clf_score_documents",
     "run_concurrency_events",
     "alert_bursts_events",
     "embedding_stats",

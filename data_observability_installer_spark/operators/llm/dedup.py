@@ -1,5 +1,11 @@
 """Deduplication operators for training-data pipelines.
 
+MinHash is Broder 1997 ("On the resemblance and containment of
+documents"); SimHash is Charikar 2002 ("Similarity estimation
+techniques from rounding algorithms"); the dedup-before-training
+motivation is Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better").
+
 Four families, each with the partition/shuffle story spelled out:
 
 - **exact** — hash-groupBy on the content fingerprint. One shuffle on

@@ -1,8 +1,12 @@
 """Corpus language-model statistics: vocabulary construction and a
 unigram-LM perplexity proxy.
 
-CCNet-style pipelines score documents with a language model trained on
-a trusted corpus and drop the worst tail; the cheap in-engine surrogate
+CCNet-style pipelines (Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data") score documents with
+a language model trained on a trusted corpus and drop the worst tail;
+the classifier scorer follows the fastText shape (Joulin et al. 2017,
+"Bag of Tricks for Efficient Text Classification") used as the quality
+filter in GPT-3/PaLM-style data pipelines. The cheap in-engine surrogate
 is a **unigram LM trained on the corpus itself** — a document whose
 tokens are systematically rare (OCR noise, binary spew, wrong-language
 text) has high average negative log-likelihood and gets filtered.
@@ -137,4 +141,87 @@ def unigram_logprob_screen_sql(
              AS avg_nll_bits
     FROM per_doc JOIN freq USING (w) CROSS JOIN tot
     GROUP BY per_doc.doc
+    """
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier scoring (fastText-style quality filter)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _bucket_col(token) -> "F.Column":
+    """16-bit feature bucket from the first 4 hex chars of md5(token) —
+    computed with arithmetic both engines share bit-for-bit."""
+    h = F.md5(token)
+    digit = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    return ((digit(1) * 16 + digit(2)) * 16 + digit(3)) * 16 + digit(4)
+
+
+def _bucket_sql(token_sql: str) -> str:
+    h = f"md5({token_sql})"
+    digit = lambda i: f"(strpos('{_HEX}', substr({h}, {i}, 1)) - 1)"  # noqa: E731
+    return f"((({digit(1)} * 16 + {digit(2)}) * 16 + {digit(3)}) * 16 + {digit(4)})"
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Linear text-classifier scoring over hashed bag-of-words features
+    — the fastText-shaped quality/domain classifier every production
+    corpus filter runs, as a pure Spark plan:
+
+    ``score = sigmoid(bias + mean_tokens w[h16(token)])``
+
+    with h16 = a 16-bit md5-derived feature bucket. ``weights`` is a
+    (bucket, w) table — at most 65 536 rows, so it ALWAYS broadcasts
+    and scoring is a map-stage join + one doc-keyed agg; swapping in
+    trained weights changes no plan shape. When ``weights`` is None a
+    deterministic hash-derived weight table stands in (Knuth
+    multiplicative mix of the bucket id), keeping the operator
+    self-contained and oracle-checkable end to end.
+    """
+    toks = _tokens(df, text_col, id_col)
+    b = _bucket_col(F.col("w")).alias("bucket")
+    feat = toks.select("doc", b)
+    if weights is None:
+        w_expr = ((F.col("bucket") * F.lit(2654435761)) % 1009 / 1009.0 - 0.5).alias("w")
+        scored = feat.select("doc", w_expr)
+    else:
+        scored = feat.join(F.broadcast(weights), "bucket").select("doc", "w")
+    z = F.lit(bias) + F.sum("w") / F.count(F.lit(1))
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias("clf_score"))
+        .select(F.col("doc").alias(id_col), "clf_score")
+    )
+
+
+def classifier_score_sql(
+    table: str,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> str:
+    """Twin of the self-contained (hash-weight) configuration."""
+    bucket = _bucket_sql("w")
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    feat AS (
+      SELECT doc, (({bucket} * 2654435761) % 1009) / 1009.0 - 0.5 AS w
+      FROM t)
+    SELECT doc AS {id_col},
+           round(1.0 / (1.0 + exp(-({bias} + sum(w) / count(*)))), {round_to})
+             AS clf_score
+    FROM feat GROUP BY doc
     """

@@ -1,7 +1,8 @@
 """BM25 keyword search over a document corpus.
 
-Classic Okapi BM25 (Robertson & Spärck Jones probabilistic relevance
-framework) expressed as pure DataFrame aggregation — the lexical-recall
+Classic Okapi BM25 (Robertson et al., TREC-3 1994, from the
+Robertson–Spärck Jones probabilistic relevance framework) expressed as
+pure DataFrame aggregation — the lexical-recall
 half of a retrieval pipeline next to the embedding ANN operators in
 ``similarity.py``.
 

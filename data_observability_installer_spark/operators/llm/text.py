@@ -224,8 +224,10 @@ def chunk_documents(
 def repetition_screen(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:
-    """Within-document repetition signals (Gopher-style quality
-    filters): for each doc, over its word ``n``-grams WITH multiplicity,
+    """Within-document repetition signals (the Gopher repetition
+    filters — Rae et al. 2021, "Scaling Language Models: Methods,
+    Analysis & Insights from Training Gopher", Table A1): for each doc,
+    over its word ``n``-grams WITH multiplicity,
 
     - ``total_ngrams``  — occurrences,
     - ``top_ngram_ct``  — occurrences of the most frequent n-gram,

@@ -1464,6 +1464,13 @@ def nll_tailcut_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_by_quantile(scored, "avg_nll_bits", q=0.9, keep="below", per="source")
 
 
+@register("clf_score_documents", _lm.classifier_score_sql("documents"))
+def clf_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear classifier scoring (16-bit
+    md5 buckets, broadcast weight table, map-stage scoring)."""
+    return _lm.classifier_score(load_table(spark, sf_dir, "documents"))
+
+
 @register("run_concurrency_events", run_concurrency_sql(_RUNS_SQL))
 def run_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent runs per pipeline: +1/−1 sweep + key-partitioned

@@ -289,3 +289,25 @@ def test_suppress_flapping_bursts(spark):
     assert out[0]["subject_key"] == "p1" and out[0]["suppressed_ct"] == 2
     assert out[1]["subject_key"] == "p1" and out[1]["suppressed_ct"] == 0
     assert out[2]["subject_key"] == "p2" and out[2]["suppressed_ct"] == 0
+
+
+def test_classifier_score_weights_table_equals_hash_weights(spark):
+    """Supplying the SAME weights as an explicit (bucket, w) table must
+    reproduce the self-contained hash-weight scores — proving the
+    broadcast-join production path and the hash stand-in agree."""
+    from data_observability_installer_spark.operators.llm.lm import classifier_score
+
+    docs = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon")])
+    base = {r["doc_id"]: r["clf_score"] for r in classifier_score(docs).collect()}
+    assert all(0.0 < v < 1.0 for v in base.values())
+    weights = spark.range(65536).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1009 / 1009.0 - 0.5).alias("w"),
+    )
+    via_table = {
+        r["doc_id"]: r["clf_score"] for r in classifier_score(docs, weights=weights).collect()
+    }
+    assert via_table == base
+    # bias shifts scores monotonically
+    hi = {r["doc_id"]: r["clf_score"] for r in classifier_score(docs, bias=2.0).collect()}
+    assert all(hi[k] > base[k] for k in base)
