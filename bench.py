@@ -61,6 +61,7 @@ HEADLINE = [
     "quality_documents",
     "minhash_pairs_documents",
     "simhash_documents",
+    "simhash_md5_documents",
     "split_documents",
     "chunk_documents",
     "pii_documents",

@@ -469,3 +469,54 @@ def dedup_incremental_sql(
     SELECT {id_col}, fingerprint FROM batch
     WHERE fingerprint NOT IN (SELECT fingerprint FROM {seen_sql})
     """
+
+
+def simhash_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash with md5-derived bit votes — identical construction to
+    ``simhash_buckets`` but the per-word hash is the 16-bit md5 bucket
+    both engines compute bit-for-bit (``lm._bucket_col``), so this
+    variant is fully oracle-checkable (the xxhash64 form stays the
+    throughput default; xxhash64 exists only JVM-side).
+    """
+    from .lm import _bucket_col
+
+    if bits > 16:
+        raise ValueError("md5 bucket provides 16 bits")
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_words(text_col))).alias("word"),
+    ).withColumn("h", _bucket_col(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = w.groupBy("doc").agg(*votes)
+    sim = None
+    for k in range(bits):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col("doc").alias(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_md5_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> str:
+    from .lm import _bucket_sql
+
+    words = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    bucket = _bucket_sql("word")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(bits)
+    )
+    bit_sum = " + ".join(f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits))
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest(list_distinct({words})) AS word FROM {table}),
+    h AS (SELECT doc, {bucket} AS h FROM w),
+    v AS (SELECT doc, {votes} FROM h GROUP BY doc)
+    SELECT doc AS {id_col}, CAST({bit_sum} AS BIGINT) AS simhash FROM v
+    """

@@ -878,6 +878,14 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
 
 
+@register("simhash_md5_documents", _dedup.simhash_md5_sql("documents"))
+def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with md5-derived bit votes — same construction as the
+    xxhash64 default but hash-checkable in DuckDB, giving the SimHash
+    family a full value-parity oracle row."""
+    return _dedup.simhash_md5(load_table(spark, sf_dir, "documents"))
+
+
 @register("fingerprint_documents", _text.fingerprint_sql("documents"))
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprint(load_table(spark, sf_dir, "documents"))

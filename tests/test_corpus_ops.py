@@ -311,3 +311,25 @@ def test_classifier_score_weights_table_equals_hash_weights(spark):
     # bias shifts scores monotonically
     hi = {r["doc_id"]: r["clf_score"] for r in classifier_score(docs, bias=2.0).collect()}
     assert all(hi[k] > base[k] for k in base)
+
+
+def test_simhash_md5_near_dup_docs_collide(spark):
+    """Near-identical docs must share (or nearly share) a SimHash
+    bucket; unrelated docs must not — same planted-corpus property as
+    the xxhash64 variant, on the oracle-checkable md5 path."""
+    from data_observability_installer_spark.operators.llm.dedup import simhash_md5
+
+    base = "spark query engine join window aggregate shuffle partition broadcast schedule"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " extra"),  # one-word delta: small hamming distance
+            (3, "completely different vocabulary about cooking pasta recipes tonight"),
+        ],
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash_md5(docs).collect()}
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 <= 3
+    assert ham13 > ham12
