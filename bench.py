@@ -82,6 +82,7 @@ HEADLINE = [
     "clf_score_documents",
     "run_concurrency_events",
     "alert_bursts_events",
+    "pipeline_health_events",
     "embedding_stats",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",

@@ -205,3 +205,80 @@ def run_concurrency_sql(runs_sql: str) -> str:
            CAST(count(*) / 2 AS BIGINT) AS n_runs
     FROM curve GROUP BY pipeline_key
     """
+
+
+def pipeline_health(runs: DataFrame, alerts: DataFrame, round_to: int = 4) -> DataFrame:
+    """One-row-per-pipeline health scorecard — the composition query a
+    status dashboard issues: success rate, p90 duration, alert volume,
+    and a blended 0-100 health score.
+
+    ``runs``: A1 rollup (pipeline_key/start_ts/end_ts/final_status).
+    ``alerts``: (subject_key, ...) alert rows, counted per pipeline.
+
+    health = 100·(0.5·success_rate
+                  + 0.3·(1 − min(p90_s/86400, 1))
+                  + 0.2·(1 / (1 + alerts_per_run)))
+
+    Two key-partitioned aggregates + one broadcast-sized join (#pipelines
+    rows each side) — composing rollups costs one tiny join, never a
+    second corpus pass.
+    """
+    dur = F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
+    per_run = runs.select(
+        "pipeline_key",
+        dur.alias("dur_s"),
+        (F.col("final_status") == "FAILED").cast("int").alias("failed"),
+    )
+    agg = per_run.groupBy("pipeline_key").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("failed").alias("failed_runs"),
+        F.round(1 - F.sum("failed") / F.count(F.lit(1)), round_to).alias("success_rate"),
+        F.round(F.percentile("dur_s", 0.9), round_to).alias("p90_s"),
+    )
+    al = alerts.groupBy(F.col("subject_key").alias("pipeline_key")).agg(
+        F.count(F.lit(1)).alias("alert_ct")
+    )
+    j = agg.join(al, "pipeline_key", "left").withColumn(
+        "alert_ct", F.coalesce("alert_ct", F.lit(0))
+    )
+    health = 100 * (
+        0.5 * F.col("success_rate")
+        + 0.3 * (1 - F.least(F.col("p90_s") / 86400.0, F.lit(1.0)))
+        + 0.2 * (1.0 / (1.0 + F.col("alert_ct") / F.col("n_runs")))
+    )
+    return j.select(
+        "pipeline_key",
+        "n_runs",
+        "failed_runs",
+        "success_rate",
+        "p90_s",
+        "alert_ct",
+        F.round(health, 2).alias("health"),
+    )
+
+
+def pipeline_health_sql(runs_sql: str, alerts_sql: str, round_to: int = 4) -> str:
+    return f"""
+    WITH r AS MATERIALIZED ({runs_sql}),
+    per_run AS (
+      SELECT pipeline_key,
+             CAST(epoch(end_ts) - epoch(start_ts) AS DOUBLE) AS dur_s,
+             CASE WHEN final_status = 'FAILED' THEN 1 ELSE 0 END AS failed
+      FROM r),
+    agg AS (
+      SELECT pipeline_key, count(*) AS n_runs,
+             CAST(sum(failed) AS BIGINT) AS failed_runs,
+             round(1 - sum(failed) * 1.0 / count(*), {round_to}) AS success_rate,
+             round(quantile_cont(dur_s, 0.9), {round_to}) AS p90_s
+      FROM per_run GROUP BY pipeline_key),
+    al AS (
+      SELECT subject_key AS pipeline_key, count(*) AS alert_ct
+      FROM ({alerts_sql}) GROUP BY subject_key)
+    SELECT agg.pipeline_key, agg.n_runs, agg.failed_runs, agg.success_rate,
+           agg.p90_s, coalesce(al.alert_ct, 0) AS alert_ct,
+           round(100 * (0.5 * agg.success_rate
+                        + 0.3 * (1 - least(agg.p90_s / 86400.0, 1.0))
+                        + 0.2 * (1.0 / (1.0 + coalesce(al.alert_ct, 0) * 1.0 / agg.n_runs))), 2)
+             AS health
+    FROM agg LEFT JOIN al USING (pipeline_key)
+    """

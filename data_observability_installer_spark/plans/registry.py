@@ -1448,7 +1448,12 @@ def event_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.llm.curation import filter_by_quantile, filter_by_quantile_sql  # noqa: E402
-from ..operators.obs.rollup import run_concurrency, run_concurrency_sql  # noqa: E402
+from ..operators.obs.rollup import (  # noqa: E402
+    pipeline_health,
+    pipeline_health_sql,
+    run_concurrency,
+    run_concurrency_sql,
+)
 from ..operators.obs.rules import suppress_flapping, suppress_flapping_sql  # noqa: E402
 
 _SCORED_SQL = f"""
@@ -1519,6 +1524,19 @@ def alert_bursts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_ts", _TS_FMT_SPARK).alias("first_ts"),
         "suppressed_ct",
     )
+
+
+@register("pipeline_health_events", pipeline_health_sql(_RUNS_SQL, _ALERTS_SQL))
+def pipeline_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pipeline health scorecard: success rate + p90 duration +
+    alert volume blended into a 0-100 score; rollup composition costs
+    one broadcast-sized join."""
+    ev = load_table(spark, sf_dir, "events")
+    runs = _events_run_rollup(ev)
+    alerts = ev.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("subject_key")
+    )
+    return pipeline_health(runs, alerts)
 
 
 def queries() -> dict[str, QueryFn]:

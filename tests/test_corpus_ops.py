@@ -333,3 +333,29 @@ def test_simhash_md5_near_dup_docs_collide(spark):
     ham13 = bin(out[1] ^ out[3]).count("1")
     assert ham12 <= 3
     assert ham13 > ham12
+
+
+def test_pipeline_health_blend(spark):
+    from data_observability_installer_spark.operators.obs.rollup import pipeline_health
+
+    runs = spark.createDataFrame(
+        [
+            ("good", "2024-01-01 00:00:00", "2024-01-01 00:10:00", "COMPLETED"),
+            ("good", "2024-01-02 00:00:00", "2024-01-02 00:10:00", "COMPLETED"),
+            ("bad", "2024-01-01 00:00:00", "2024-01-02 00:00:00", "FAILED"),
+            ("bad", "2024-01-02 00:00:00", "2024-01-03 00:00:00", "COMPLETED"),
+        ],
+        "pipeline_key string, start_ts string, end_ts string, final_status string",
+    ).select(
+        "pipeline_key",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+        "final_status",
+    )
+    alerts = spark.createDataFrame([("bad",), ("bad",)], "subject_key string")
+    out = {r["pipeline_key"]: r for r in pipeline_health(runs, alerts).collect()}
+    assert out["good"]["health"] > out["bad"]["health"]
+    assert out["good"]["alert_ct"] == 0 and out["bad"]["alert_ct"] == 2
+    assert out["good"]["success_rate"] == 1.0 and out["bad"]["success_rate"] == 0.5
+    # perfect pipeline: 100*(0.5 + 0.3*(1-600/86400) + 0.2) ≈ 99.79
+    assert out["good"]["health"] == pytest.approx(99.79, abs=0.01)
