@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: times the headline registry queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``. The FINAL stdout line is one compact
+JSON object::
 
     {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "sf": <sf>, "n_queries": N, "failed": N}
+
+Per-query timings are written to ``bench_queries.json`` and echoed on
+an earlier stdout line (the driver's tail capture clips long final
+lines, so the final line must stay <1 KB).
 
 Each query is fully materialized with ``collect()`` (results are
 aggregate-sized). A failing query records ``null`` for its timing and
@@ -126,16 +131,22 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     spark.stop()
-    # JSON is the LAST stdout line — nothing (Spark shutdown noise
-    # included) may print after it; the driver parses the tail.
+    # Per-query timings go to a file + an EARLY stdout line; the FINAL
+    # stdout line stays compact (<1 KB) because the driver captures only
+    # a tail window — a 2 KB line got clipped mid-token two rounds in a
+    # row (BENCH_r01/r02 "parsed: null").
+    with open("bench_queries.json", "w") as fh:
+        json.dump({"sf": sf_val, "queries": timings}, fh)
+    print(json.dumps({"detail": "bench_queries.json", "queries": timings}))
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "failed": sum(1 for v in timings.values() if v is None),
             }
         )
     )

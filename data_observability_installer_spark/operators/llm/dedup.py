@@ -343,13 +343,19 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     O(log n) worst-case rounds; unnecessary for shallow dup clusters.)
 
     Returns (doc, group_id), one row per doc that appears in ≥1 pair.
+
+    Deep chains (diameter ≫ 3) would otherwise stack one join+agg onto
+    the plan per round, so every 3rd round the label table is cut over
+    to a ``localCheckpoint`` — lineage truncation keeps the plan tree
+    (and the next round's analysis cost) constant regardless of
+    diameter; the label table itself is tiny (one row per paired doc).
     """
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).distinct().cache()
     labels = e.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
     prev_sum = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         labels = labels.cache()
         neigh = (
             e.join(labels, e.dst == labels.doc)
@@ -360,6 +366,8 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.join(neigh, labels.doc == neigh.doc2, "left")
             .select(F.col("doc"), F.least(F.col("label"), F.col("nmin")).alias("label"))
         )
+        if it % 3 == 2:
+            labels = labels.localCheckpoint(eager=True)
         cur = labels.agg(F.sum("label")).collect()[0][0]
         if cur == prev_sum:
             break

@@ -6,12 +6,13 @@ struct; all heavy per-item work (decode, feature-extract, resize,
 frame-sample) runs as Arrow-batched ``mapInPandas`` stages so Python
 touches whole columnar batches, never row-at-a-time.
 
-Codec libraries (PIL / libav / soundfile) are NOT in this container,
-so the decode step is pluggable: ``real_decoder(kind)`` raises
-``NotImplementedError`` with the dependency named, and
-``fake_decoder`` derives a small deterministic tensor from the payload
-bytes — the Spark-side plumbing (schema, batch shape, UDF signature,
-fan-out) is real and fully tested against the fake.
+The decode step is pluggable. ``real_decoder(kind)`` decodes the
+container-free formats natively in pure numpy — netpbm P5/P6 images
+and PCM RIFF/WAVE audio (8/16/32-bit) — and raises
+``NotImplementedError`` naming the dependency for codecs that need an
+external library (JPEG/PNG/H.264: PIL / libav / soundfile are not in
+this container). ``fake_decoder`` derives a small deterministic tensor
+from the payload bytes for plumbing tests.
 
 Scale notes (100 TB of media):
 - payloads dominate row size → cap Arrow batches via
@@ -50,16 +51,119 @@ RESIZE_SCHEMA = MEDIA_SCHEMA
 Decoder = Callable[[bytes, dict], np.ndarray]
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decode: P5 (grayscale) -> (h, w) uint8/uint16,
+    P6 (RGB) -> (h, w, 3). Handles '#' comments and maxval > 255
+    (16-bit big-endian per the netpbm spec)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
+    # header = magic + 3 ASCII ints separated by whitespace/comments,
+    # then ONE whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    channels = 3 if payload[:2] == b"P6" else 1
+    n = width * height * channels
+    img = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return img.reshape(shape).astype(np.uint16 if maxval > 255 else np.uint8)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-numpy PCM RIFF/WAVE decode -> mono float32 in [-1, 1]
+    (channels averaged). Supports format 1 (integer PCM, 8/16/32-bit)
+    and 3 (float32); walks the chunk list, so extra chunks (LIST,
+    fact, ...) are fine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = max(int.from_bytes(fmt[2:4], "little"), 1)
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 3 and bits == 32:
+        wave = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        wave = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        wave = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 8:  # 8-bit WAV is unsigned
+        wave = (np.frombuffer(data, dtype="u1").astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV format {audio_format}/{bits}-bit needs soundfile/libav")
+    if n_channels > 1:
+        wave = wave[: len(wave) - len(wave) % n_channels]
+        wave = wave.reshape(-1, n_channels).mean(axis=1)
+    return wave.astype(np.float32)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` for fixtures/tests (8-bit only)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[0], arr.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def encode_wav(wave: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Inverse of :func:`decode_wav` for fixtures/tests: mono 16-bit PCM."""
+    pcm = (np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0) * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def real_decoder(kind: str) -> Decoder:
-    """The production decode path. Raises until the codec libraries are
-    installed on the cluster image — STUB, clearly marked."""
+    """The production decode path: sniff the payload magic and decode
+    the numpy-native formats in-process; raise (naming the missing
+    dependency) for codecs that need an external library."""
 
     def decode(payload: bytes, meta: dict) -> np.ndarray:
-        raise NotImplementedError(
-            f"{kind} decode requires a codec library (PIL/libav/soundfile) "
-            "not present in this container; plug a Decoder into the "
-            "operator or use fake_decoder for plumbing tests"
-        )
+        if kind == "image":
+            if payload[:2] in (b"P5", b"P6"):
+                return decode_ppm(payload)
+            raise NotImplementedError(
+                f"image codec {payload[:4]!r} requires PIL, absent from this "
+                "container; netpbm P5/P6 decode natively"
+            )
+        if kind == "audio":
+            if payload[:4] == b"RIFF":
+                return decode_wav(payload)
+            raise NotImplementedError(
+                f"audio codec {payload[:4]!r} requires soundfile/libav, absent "
+                "from this container; PCM RIFF/WAVE decodes natively"
+            )
+        raise NotImplementedError(f"{kind} decode requires libav, absent from this container")
 
     return decode
 

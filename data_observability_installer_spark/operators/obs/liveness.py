@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ...functions.time import epoch_seconds
+
 
 def agent_liveness(heartbeats: DataFrame, as_of_ts: str, timeout_s: int = 75) -> DataFrame:
     return (
@@ -54,10 +56,10 @@ def event_gaps(
         events.select(F.col(key_col).alias("stream_key"), F.col(ts_col).alias("ts"))
         .withColumn("prev_ts", F.lag("ts").over(Window.partitionBy("stream_key").orderBy("ts")))
         .withColumn(
-            # timestamp->double keeps microseconds (unix_timestamp
+            # epoch_seconds keeps microseconds (unix_timestamp
             # truncates and would mis-classify boundary gaps)
             "gap_s",
-            F.col("ts").cast("double") - F.col("prev_ts").cast("double"),
+            epoch_seconds("ts") - epoch_seconds("prev_ts"),
         )
         .filter(F.col("gap_s") > min_gap_s)
         .select(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ...functions.time import epoch_seconds
+
 
 def run_state_rollup(events: DataFrame) -> DataFrame:
     """RUN_STATUS events -> one row per run."""
@@ -118,9 +120,9 @@ def run_duration_sla(runs: DataFrame, round_to: int = 4) -> DataFrame:
     mergeable constant-state; the exact form is the oracle-checkable
     default.
     """
-    # timestamp->double keeps microseconds (unix_timestamp would
-    # truncate to whole seconds and disagree with the oracle's epoch())
-    dur = F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
+    # epoch_seconds keeps microseconds (unix_timestamp would truncate
+    # to whole seconds and disagree with the oracle's epoch())
+    dur = epoch_seconds("end_ts") - epoch_seconds("start_ts")
     d = runs.select("pipeline_key", dur.alias("dur_s"))
     return (
         d.groupBy("pipeline_key")
@@ -223,7 +225,7 @@ def pipeline_health(runs: DataFrame, alerts: DataFrame, round_to: int = 4) -> Da
     rows each side) — composing rollups costs one tiny join, never a
     second corpus pass.
     """
-    dur = F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
+    dur = epoch_seconds("end_ts") - epoch_seconds("start_ts")
     per_run = runs.select(
         "pipeline_key",
         dur.alias("dur_s"),

@@ -26,6 +26,8 @@ import json
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ...functions.time import epoch_seconds
+
 _METRIC_OPS = {
     "gt": lambda c, v: c > v,
     "gte": lambda c, v: c >= v,
@@ -139,7 +141,7 @@ def suppress_flapping(
 
     keys = [F.col(c) for c in key_cols]
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     new_burst = F.when(gap.isNull() | (gap > cooldown_s), 1).otherwise(0)
     wb = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
     with_burst = alerts.withColumn("burst_id", F.sum(new_burst).over(wb))

@@ -104,15 +104,25 @@ def _distribute(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read the raw int64 and convert (integer DIV —
-        # a double division would lose precision above 2^53 ns).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Testdata vintages differ: TIMESTAMP(NANOS) (Spark's reader
+        # rejects it — read raw int64 and convert; integer DIV, a double
+        # division would lose precision above 2^53 ns) or TIMESTAMP(MICROS)
+        # without a timezone annotation (loads as TIMESTAMP_NTZ, on which
+        # Spark 4 forbids numeric casts). Normalise both to TIMESTAMP so
+        # downstream epoch arithmetic always sees one type.
+        _NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(_NANOS_KEY, "false") != "true":
+            spark.conf.set(_NANOS_KEY, "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is UTC (session.get_spark), so this cast is an
+            # identity on the epoch value
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return _distribute(spark, df, path)
     return _distribute(spark, spark.read.parquet(path), path)
 

@@ -94,6 +94,23 @@ def test_dedup_groups_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dedup_groups_deep_chain_converges(spark):
+    """Path graph of length 20: worst-case diameter for label
+    propagation. The periodic localCheckpoint truncates lineage, so
+    20 rounds neither blow the plan tree nor change the answer."""
+    from data_observability_installer_spark.operators.llm.dedup import dedup_groups
+
+    edges = [(i, i + 1, 0.9) for i in range(20)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint, jaccard double")
+    out = dedup_groups(pairs, max_iters=30)
+    got = {r.doc: r.group_id for r in out.collect()}
+    assert got == {i: 0 for i in range(21)}
+    # lineage stays bounded: the final plan string must not contain a
+    # 20-deep join stack (checkpoint every 3 rounds caps it)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") < 10
+
+
 def test_simhash_buckets_exact_dups_collide(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
     assert sh[1] == sh[2]  # identical text, identical signature
