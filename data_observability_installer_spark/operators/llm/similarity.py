@@ -59,12 +59,22 @@ def topk_bruteforce(
     """Exact cosine top-k against the stored vector ``query_id``
     (excluded from results)."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
     )
     return (
         embeddings.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .select(id_col, F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
+        .select(
+            id_col,
+            # query norm comes from the broadcast row — each corpus row
+            # pays 2 array-dots, not 3
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm")),
+                4,
+            ).alias("score"),
+        )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
@@ -392,23 +402,39 @@ def topk_batch(
     formulation would drag every scored row through the exchange,
     because ``collect_list`` partial buffers are unbounded), then one
     JVM merge over the surviving k x batches x queries rows. Shuffled
-    bytes are independent of corpus size. Ties rank by vec_id,
-    matching the oracle's ORDER BY; scores stay full-precision doubles
-    until the final rounding so both engines rank identical values."""
+    bytes are independent of corpus size. Ranking is on the ROUNDED
+    score with vec_id tiebreak in BOTH engines — raw doubles can
+    differ in the last ulp between summation orders."""
     from collections.abc import Iterator
 
     import pandas as pd
 
+    # norms materialize BEFORE the cross join, so each corpus row pays
+    # one sqrt(dot) total instead of one per query — the naive _cosine
+    # form re-derives both norms per (row, query) pair, tripling the
+    # higher-order-function work in the hot scoring stage
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
-            F.col(id_col).alias("vid"),
-            _cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+            "vid",
+            # rank on the ROUNDED score (ties then break on vid): raw
+            # doubles can differ in the last ulp between engines'
+            # summation orders and flip the k-th row
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 4
+            ).alias("cos"),
         )
     )
 
@@ -431,7 +457,7 @@ def topk_batch(
             "query_id",
             "rank",
             F.col("vid").alias(id_col),
-            F.round("cos", 4).alias("score"),
+            F.col("cos").alias("score"),
         )
     )
 
@@ -445,14 +471,14 @@ def topk_batch_sql(
     WITH q AS (SELECT {id_col} AS query_id, embedding AS q_emb
                FROM {table} WHERE {id_col} IN ({ids})),
     scored AS (
-      SELECT q.query_id, e.{id_col}, {cos} AS cos
+      SELECT q.query_id, e.{id_col}, round({cos}, 4) AS cos
       FROM {table} e, q WHERE e.{id_col} <> q.query_id),
     ranked AS (
       SELECT query_id, {id_col}, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, {id_col}) AS rank
       FROM scored)
-    SELECT query_id, CAST(rank AS INT) AS rank, {id_col}, round(cos, 4) AS score
+    SELECT query_id, CAST(rank AS INT) AS rank, {id_col}, cos AS score
     FROM ranked WHERE rank <= {k}
     """
 

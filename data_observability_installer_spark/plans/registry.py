@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.time import epoch_seconds
 from ..operators.dq.compiler import compile_suite, compile_suite_sql
+from .cache import DFCache
 from ..operators.hygiene import hygiene, hygiene_sql
 from ..operators.profile import column_metrics, profile, profile_sql
 from ..sources.tables import STATIC_SCHEMAS, load_table
@@ -65,13 +66,12 @@ for _name, (_table, _specs, _view, _table_sql) in DEMO_SUITES.items():
 # profile result is metadata-sized (≤ ~300 rows), so it is cached per
 # (session, sf_dir, table) and every consumer after the first reads the
 # cache instead of re-scanning the table (at 100 TB a second full scan
-# per table is real money).
-_PROFILE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# per table is real money). Bounded LRU — evicted entries unpersist.
+_PROFILE_CACHE = DFCache(capacity=8)
 
 
 def cached_profile(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, table)
-    if key not in _PROFILE_CACHE:
+    def build() -> DataFrame:
         # cache the (already repartitioned) input across the exact
         # profile's ~5 chunked agg passes, then drop it once the
         # metadata-sized profile result is itself materialized+cached
@@ -79,8 +79,11 @@ def cached_profile(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         prof = profile(src, table, AS_OF).cache()
         prof.count()
         src.unpersist()
-        _PROFILE_CACHE[key] = prof
-    return _PROFILE_CACHE[key]
+        return prof
+
+    return _PROFILE_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir, table), build
+    )
 
 
 def _make_profile_query(table: str) -> QueryFn:
@@ -819,18 +822,18 @@ _MINHASH_ARGS = dict(
 
 # one persisted 3-gram inverted index per (session, sf) feeds jaccard,
 # minhash, AND the dedup-groups pipeline — the corpus shingles once
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE = DFCache(capacity=4)
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
+    def build() -> DataFrame:
         from pyspark import StorageLevel
 
-        _SHINGLE_CACHE[key] = _dedup.exploded_shingles(
+        return _dedup.exploded_shingles(
             load_table(spark, sf_dir, "documents"), "text", "doc_id", 3
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    return _SHINGLE_CACHE[key]
+
+    return _SHINGLE_CACHE.get_or_build((spark.sparkContext.applicationId, sf_dir), build)
 
 
 @register("dedup_exact_documents", _dedup.dedup_exact_sql("documents"))
@@ -1209,15 +1212,15 @@ def _lineage_io(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the BFS closure is a sequence of materializing jobs — share one per
 # (session, sf) across every lineage consumer, like cached_profile
-_CLOSURE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLOSURE_CACHE = DFCache(capacity=4)
 
 
 def _cached_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CLOSURE_CACHE:
+    def build() -> DataFrame:
         edges = _lin.dataset_edges(_lineage_io(spark, sf_dir))
-        _CLOSURE_CACHE[key] = _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
-    return _CLOSURE_CACHE[key]
+        return _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
+
+    return _CLOSURE_CACHE.get_or_build((spark.sparkContext.applicationId, sf_dir), build)
 
 
 @register("lineage_dataset_edges", _LINEAGE_EDGES_SQL + "\n    SELECT src, dst FROM e")
@@ -1627,6 +1630,15 @@ def _gate_sorted(d: dict) -> dict:
     tail = [n for n in d if n not in rank]
     order = [n for n in _GATE_ORDER if n in d] + tail
     return {n: d[n] for n in order}
+
+
+def clear_caches() -> None:
+    """Unpersist every shared intermediate (profile / shingle index /
+    lineage closure). Call at session teardown in long-lived services;
+    the caches are otherwise LRU-bounded."""
+    _PROFILE_CACHE.clear()
+    _SHINGLE_CACHE.clear()
+    _CLOSURE_CACHE.clear()
 
 
 def queries() -> dict[str, QueryFn]:

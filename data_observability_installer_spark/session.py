@@ -26,6 +26,11 @@ def get_spark(app_name: str = "data-observability-spark", cpus: int | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet has carried TIMESTAMP(NANOS) in some
+        # vintages; set once here so load_table never mutates a live
+        # session's conf (it only falls back to a guarded set when
+        # handed a foreign session, e.g. the round driver's)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,44 @@
+"""Shared-intermediate cache lifecycle: LRU bound + clear()."""
+
+from __future__ import annotations
+
+from data_observability_installer_spark.plans import registry
+from data_observability_installer_spark.plans.cache import DFCache
+
+
+class _FakeDF:
+    def __init__(self):
+        self.unpersisted = False
+
+    def unpersist(self):
+        self.unpersisted = True
+
+
+def test_dfcache_lru_bound_unpersists_evicted():
+    c = DFCache(capacity=2)
+    frames = [_FakeDF() for _ in range(3)]
+    for i, f in enumerate(frames):
+        c.get_or_build(("k", i), lambda f=f: f)
+    assert len(c) == 2
+    assert frames[0].unpersisted and not frames[1].unpersisted
+
+
+def test_dfcache_hit_returns_same_and_refreshes_lru():
+    c = DFCache(capacity=2)
+    a, b, d = _FakeDF(), _FakeDF(), _FakeDF()
+    assert c.get_or_build(("a",), lambda: a) is a
+    c.get_or_build(("b",), lambda: b)
+    assert c.get_or_build(("a",), lambda: _FakeDF()) is a  # hit, no rebuild
+    c.get_or_build(("d",), lambda: d)  # evicts b (LRU), not a
+    assert b.unpersisted and not a.unpersisted
+
+
+def test_registry_clear_caches_empties_all(spark, sf_smoke):
+    registry.cached_profile(spark, sf_smoke, "customer")
+    assert len(registry._PROFILE_CACHE) >= 1
+    registry.clear_caches()
+    assert len(registry._PROFILE_CACHE) == 0
+    assert len(registry._SHINGLE_CACHE) == 0
+    assert len(registry._CLOSURE_CACHE) == 0
+    # rebuild after clear works
+    assert registry.cached_profile(spark, sf_smoke, "customer").count() > 0
