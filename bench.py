@@ -58,6 +58,7 @@ HEADLINE = [
     "rollup_event_volume",
     "anomaly_daily_volume",
     "reconcile_orders_lineitem",
+    "fk_orphans_customer_orders",
     "ngram_jaccard_documents",
     "dedup_exact_documents",
     "fingerprint_documents",
@@ -89,6 +90,7 @@ HEADLINE = [
     "alert_bursts_events",
     "pipeline_health_events",
     "embedding_stats",
+    "topk_ivf_fixed_embeddings",
     "topk_bruteforce_embeddings",
     "topk_batch_embeddings",
     "topk_lsh_embeddings",

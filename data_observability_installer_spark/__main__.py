@@ -79,7 +79,23 @@ def cmd_test(args) -> int:
     if args.suite not in DEMO_SUITES:
         print(f"unknown suite {args.suite!r}; see `list`", file=sys.stderr)
         return 2
-    table, specs, view, _ = DEMO_SUITES[args.suite]
+    table, specs, view, table_sql = DEMO_SUITES[args.suite]
+    if args.indb:
+        # in-database execution: the warehouse (here an embedded DuckDB
+        # over the same parquet) computes the aggregates; no SparkSession
+        import duckdb
+
+        from .operators.dq.indb import run_suite_indb
+        from .sources.tables import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+            )
+        for row in run_suite_indb(con, table_sql, specs, AS_OF):
+            print(row)
+        return 0
     spark = _spark(args)
     df = load_table(spark, args.sf_dir, table)
     if view is not None:
@@ -178,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p = sub.add_parser("test")
     p.add_argument("suite")
+    p.add_argument("--indb", action="store_true",
+                   help="execute source-side on DuckDB (no Spark, no data copies)")
     p = sub.add_parser("generate")
     p.add_argument("table")
     p.add_argument("--dry-run", action="store_true")

@@ -238,6 +238,121 @@ def topk_ivf(
     )
 
 
+def ivf_centroids(dim: int = _DIM, n_clusters: int = 16, seed: int = 99) -> list[list[float]]:
+    """Deterministic 'pre-trained' centroids, rounded so the literal
+    text (and thus every engine's arithmetic) is identical. At scale,
+    IVF centroids are trained offline and shipped to the query layer
+    as constants — exactly this shape; the k-means path
+    (:func:`ivf_index`) learns them in-cluster instead."""
+    rs = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rs.uniform(-1, 1, (n_clusters, dim))]
+
+
+def _centroid_scores(emb: Column, nrm: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<s,double nc,int>> of (rounded cosine-to-centroid,
+    NEGATED centroid id) — sort_array desc then picks the highest
+    score with ties to the LOWEST centroid id."""
+    entries = []
+    for i, ctr in enumerate(centroids):
+        c = F.array(*[F.lit(v) for v in ctr])
+        cn = sum(v * v for v in ctr) ** 0.5
+        cos = F.round(_dot(emb, c) / (nrm * F.lit(cn)), 6)
+        entries.append(F.struct(cos.alias("s"), F.lit(-i).alias("nc")))
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def topk_ivf_fixed(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat top-k with FIXED literal centroids — the value-checkable
+    twin of :func:`topk_ivf` (whose k-means centroids aren't
+    SQL-expressible). Fully declarative: assignment = argmax cosine to
+    centroid per row; probe set = the query row's ``nprobe`` best
+    centroids, joined (broadcast — nprobe rows) against the
+    assignments; exact re-rank inside the probed buckets only. At
+    100 TB the bucket id is the table's cluster key, so the probe scan
+    prunes to nprobe/n_clusters of the files. Assignment and ranking
+    use ROUNDED scores with deterministic tiebreaks in both engines.
+    """
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    e = embeddings.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    assigned = e.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        "nrm",
+        (-_centroid_scores(F.col("embedding"), F.col("nrm"), centroids)[0]["nc"]).alias("bucket"),
+    )
+    qrow = e.filter(F.col(id_col) == query_id).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.slice(
+            F.transform(
+                _centroid_scores(F.col("embedding"), F.col("nrm"), centroids),
+                lambda st: -st["nc"],
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
+    )
+    probed = assigned.join(
+        F.broadcast(qrow), F.array_contains(F.col("probes"), F.col("bucket"))
+    ).filter(F.col("vid") != query_id)
+    return (
+        probed.select(
+            F.col("vid").alias(id_col),
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def topk_ivf_fixed_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> str:
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in ctr)}]::DOUBLE[])" for i, ctr in enumerate(centroids)
+    )
+    cos_c = "list_inner_product(e.embedding::DOUBLE[], c.vec) / (e.nrm * sqrt(list_inner_product(c.vec, c.vec)))"
+    cos_q = "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / (e.nrm * q.q_nrm)"
+    return f"""
+    WITH c(cid, vec) AS (VALUES {values}),
+    e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    scored AS (
+      SELECT e.vid, e.embedding, e.nrm, c.cid, round({cos_c}, 6) AS cs
+      FROM e, c),
+    assigned AS (
+      SELECT vid, embedding, nrm, cid AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT cid AS bucket FROM scored WHERE vid = {query_id}
+      ORDER BY cs DESC, cid LIMIT {nprobe}),
+    q AS (
+      SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vid = {query_id})
+    SELECT e.vid AS {id_col}, round({cos_q}, 4) AS score
+    FROM assigned e JOIN probes USING (bucket), q
+    WHERE e.vid <> {query_id}
+    ORDER BY score DESC, e.vid LIMIT {k}
+    """
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -771,6 +771,26 @@ ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
 )
 
 
+from ..operators.dq.reconcile import fk_integrity, fk_integrity_sql  # noqa: E402
+
+
+@register(
+    "fk_orphans_customer_orders",
+    fk_integrity_sql("customer", "orders", "c_custkey", "o_custkey"),
+)
+def fk_orphans_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: customer keys never referenced by
+    an order (TPC-H guarantees ~1/3 of customers are orderless, so the
+    anti-join has real rows to pin). Reconciliation's per-key member —
+    the scalar checks compare totals, this names the broken keys."""
+    return fk_integrity(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        fk_col="c_custkey",
+        pk_col="o_custkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data drift (README.md:208 "data drift checks"): PSI vs baselines
 # frozen at sf0.01 — identical data scores ~0, other sfs register real
@@ -946,6 +966,14 @@ def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("topk_ivf_embeddings")  # k-means buckets: rows-only check
 def topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register("topk_ivf_fixed_embeddings", _sim.topk_ivf_fixed_sql("embeddings", k=10, query_id=0))
+def topk_ivf_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with literal (offline-trained-style) centroids — the
+    value-checkable member of the IVF family; the k-means variant above
+    stays rows-only because learned centroids aren't SQL-expressible."""
+    return _sim.topk_ivf_fixed(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
 @register("embedding_near_dups", _sim.embedding_near_dups_sql("embeddings", threshold=0.35))

@@ -30,3 +30,10 @@ def test_cli_export_roundtrip(spark, sf_smoke, tmp_path, capsys):
     assert len(rows) >= 4  # one event per (suite table, chunk)
     assert all(r.event_type == "TEST_OUTCOMES" for r in rows)
     assert sum(r.outcome_ct for r in rows) >= 40  # 46 specs across suites
+
+
+def test_cli_test_suite_indb(sf_smoke, capsys):
+    """--indb executes source-side (DuckDB) with no SparkSession."""
+    assert main(["--sf-dir", sf_smoke, "test", "dq_suite_orders", "--indb"]) == 0
+    out = capsys.readouterr().out
+    assert "Row_Ct" in out and "result" in out

@@ -85,3 +85,18 @@ def test_reconcile_checks(spark):
     )
     got = {r.check_name: r.status for r in out.collect()}
     assert got == {"row_count_equal": "FAILED", "sum_covered": "PASSED", "ids_match": "WARNING"}
+
+
+def test_fk_integrity_orphans_and_null_exclusion(spark):
+    from data_observability_installer_spark.operators.dq.reconcile import fk_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "row_id bigint, fk bigint",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk bigint")
+    got = {r.orphan_key: r.row_ct for r in
+           fk_integrity(child, parent, "fk", "pk").collect()}
+    # 99 is orphaned twice; NULL FKs reference nothing (excluded);
+    # valid keys and childless parents (30) don't appear
+    assert got == {99: 2}

@@ -189,6 +189,26 @@ def test_topk_ivf_recall_vs_bruteforce(spark):
     assert exhaustive == set(brute)  # probing every bucket == brute force
 
 
+def test_topk_ivf_fixed_exact_scores_and_full_probe_recall(spark):
+    """The literal-centroid IVF: same exactness contract — returned
+    scores equal brute-force scores, and probing every bucket recovers
+    the brute-force set exactly."""
+    from data_observability_installer_spark.operators.llm.similarity import topk_ivf_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {r["vec_id"]: r["score"] for r in topk_bruteforce(emb, k=10, query_id=0).collect()}
+    full = {r["vec_id"]: r["score"]
+            for r in topk_bruteforce(emb, k=500, query_id=0).collect()}
+    ivf = {r["vec_id"]: r["score"]
+           for r in topk_ivf_fixed(emb, k=10, query_id=0, nprobe=4).collect()}
+    assert len(ivf) == 10
+    for vid, score in ivf.items():
+        assert full[vid] == score
+    exhaustive = {r["vec_id"] for r in
+                  topk_ivf_fixed(emb, k=10, query_id=0, nprobe=16).collect()}
+    assert exhaustive == set(brute)
+
+
 def _planted_corpus(spark, n_base=120, n_dups=15, dim=64, seed=3):
     """n_base random unit-ish vectors + n_dups slightly-perturbed copies
     of the first n_dups bases (cosine ≈ 0.995): known near-dup ground

@@ -125,3 +125,25 @@ def test_event_gaps_window_is_key_partitioned(spark, sf_smoke):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" not in final
     assert "hashpartitioning(stream_key" in final
+
+
+def test_fk_orphans_broadcast_anti_join(spark, sf_smoke):
+    """The parent side prunes to its single key column and broadcasts;
+    the anti-join never shuffles the child table."""
+    plan = _executed(spark, "fk_orphans_customer_orders", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final
+    assert "BroadcastExchange" in final
+    # column pruning reached the parent scan: only the key is read
+    orders_scan = [ln for ln in final.splitlines() if "orders" in ln and "ReadSchema" in ln]
+    assert orders_scan and all("o_custkey" in ln and "o_totalprice" not in ln for ln in orders_scan)
+
+
+def test_topk_ivf_fixed_no_python_and_broadcast_probe(spark, sf_smoke):
+    """Centroid assignment is pure JVM expression work; the probe set
+    joins as a broadcast (nprobe rows)."""
+    plan = _executed(spark, "topk_ivf_fixed_embeddings", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert "BroadcastExchange" in final
+    assert "TakeOrderedAndProject" in final

@@ -1,0 +1,90 @@
+"""Regenerate COVERAGE.md's "Gate summary" from actual tool output.
+
+Runs the oracle gate (`tools/check_oracle.py`) and the test suite,
+parses their real results, and rewrites the block between the
+``<!-- gate:begin -->`` / ``<!-- gate:end -->`` markers. Claims in
+COVERAGE.md must come from this script, never by hand — round 2
+shipped a hand-maintained summary asserting 73/73 OK and all-green
+tests while 5 queries were broken and 1 test red.
+
+Usage: python tools/gen_coverage.py [--sf DIR] [--skip-pytest]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COVERAGE = os.path.join(REPO, "COVERAGE.md")
+MARK_BEGIN, MARK_END = "<!-- gate:begin -->", "<!-- gate:end -->"
+
+
+def run_oracle(sf: str) -> tuple[list[str], list[str], list[str]]:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), "--sf", sf],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    ok, fail, skip = [], [], []
+    # progress bars glue \r fragments onto lines; split on both
+    for line in re.split(r"[\r\n]+", proc.stdout):
+        line = line.strip()
+        if m := re.match(r"OK\s+(\S+)", line):
+            ok.append(m.group(1))
+        elif m := re.match(r"FAIL\s+(\S+)", line):
+            fail.append(m.group(1))
+        elif m := re.match(r"SKIP\s+(\S+)", line):
+            skip.append(m.group(1))
+    return ok, fail, skip
+
+
+def run_pytest() -> str:
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if "passed" in line or "failed" in line or "error" in line:
+            return line.strip().strip("= ")
+    return f"pytest exited {proc.returncode} with unparseable output"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-pytest", action="store_true")
+    args = ap.parse_args()
+
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+
+    ok, fail, skip = run_oracle(args.sf)
+    pytest_line = "(skipped)" if args.skip_pytest else run_pytest()
+
+    lines = [
+        f"- Generated {datetime.date.today().isoformat()} at commit `{head or 'unknown'}` "
+        f"by `tools/gen_coverage.py` against `{args.sf}`.",
+        f"- Oracle gate: **{len(ok)}/{len(ok) + len(fail)} OK**"
+        + (f", FAILING: {', '.join(fail)}" if fail else "")
+        + f"; {len(skip)} rows-only by design ({', '.join(skip) or 'none'}).",
+        f"- Registry: {len(ok) + len(fail) + len(skip)} queries registered.",
+        f"- Test suite: {pytest_line}.",
+    ]
+    block = "\n".join(lines)
+
+    text = open(COVERAGE).read()
+    pre, rest = text.split(MARK_BEGIN, 1)
+    _, post = rest.split(MARK_END, 1)
+    open(COVERAGE, "w").write(pre + MARK_BEGIN + "\n" + block + "\n" + MARK_END + post)
+    print(block)
+    if fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
