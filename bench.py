@@ -34,6 +34,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 HEADLINE = [
     "pricing_summary",
     "top_customers_by_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
     "dq_suite_lineitem",
     "dq_suite_events",
     "profile_lineitem",

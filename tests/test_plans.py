@@ -147,3 +147,22 @@ def test_topk_ivf_fixed_no_python_and_broadcast_probe(spark, sf_smoke):
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
     assert "BroadcastExchange" in final
     assert "TakeOrderedAndProject" in final
+
+
+def test_local_supplier_volume_dims_broadcast(spark, sf_smoke):
+    """Q5 shape: region/nation/supplier collapse into broadcast builds;
+    top-k-free 5-row agg; the only exchanges are the fact joins."""
+    plan = _executed(spark, "local_supplier_volume", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # region filter pruned into the scan, not applied post-join
+    region_scan = [ln for ln in final.splitlines() if "region" in ln and "PushedFilters" in ln]
+    assert region_scan and any("r_name" in ln for ln in region_scan)
+
+
+def test_shipping_priority_filters_pushed(spark, sf_smoke):
+    plan = _executed(spark, "shipping_priority", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final  # top-10 without a global sort
+    cust_scan = [ln for ln in final.splitlines() if "customer" in ln and "PushedFilters" in ln]
+    assert cust_scan and any("c_mktsegment" in ln for ln in cust_scan)
