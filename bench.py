@@ -59,6 +59,8 @@ HEADLINE = [
     "range_join_error_runs",
     "rollup_event_volume",
     "anomaly_daily_volume",
+    "funnel_events",
+    "retention_events",
     "reconcile_orders_lineitem",
     "fk_orphans_customer_orders",
     "ngram_jaccard_documents",

@@ -1198,6 +1198,31 @@ def rollup_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.obs.funnel import (  # noqa: E402
+    funnel_stages,
+    funnel_stages_sql,
+    retention_cohorts,
+    retention_cohorts_sql,
+)
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+@register("funnel_events", funnel_stages_sql("events", _FUNNEL))
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel over the events
+    table: per-stage reach counts, each stage's qualifying event
+    strictly after the previous stage's reach time."""
+    return funnel_stages(load_table(spark, sf_dir, "events"), _FUNNEL)
+
+
+@register("retention_events", retention_cohorts_sql("events"))
+def retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: cohort by first-seen week, active
+    entities per (cohort, week offset)."""
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "anomaly_daily_volume",
     """

@@ -200,3 +200,49 @@ def test_cron_expansion():
     c2 = Cron("*/15 9-10 * * 1-5")
     t2 = c2.ticks(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))  # a Monday
     assert len(t2) == 8 and t2[0] == dt.datetime(2024, 1, 1, 9, 0)
+
+
+def test_funnel_strict_ordering(spark):
+    """A click BEFORE the first view must not count toward stage 2."""
+    from data_observability_installer_spark.operators.obs.funnel import funnel_stages
+
+    rows = [
+        # u1: view -> click -> purchase (full funnel)
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: click before any view -> stops at stage 1
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3: view only
+        (3, "2024-01-01 10:00:00", "view"),
+        # u4: never views -> not in funnel at all
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts string, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {r.stage: r.entity_ct for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohort_offsets(spark):
+    from data_observability_installer_spark.operators.obs.funnel import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday, week 0
+        (1, "2024-01-09 10:00:00"),  # next week -> offset 1
+        (1, "2024-01-16 10:00:00"),  # offset 2
+        (2, "2024-01-02 10:00:00"),  # same cohort week as u1
+        (2, "2024-01-17 10:00:00"),  # offset 2
+        (3, "2024-01-10 10:00:00"),  # cohort week 2024-01-08
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.cohort_week, r.week_offset): r.active_entities
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1,
+    }
