@@ -63,6 +63,7 @@ HEADLINE = [
     "retention_events",
     "reconcile_orders_lineitem",
     "fk_orphans_customer_orders",
+    "benford_orders",
     "ngram_jaccard_documents",
     "dedup_exact_documents",
     "fingerprint_documents",

@@ -147,3 +147,65 @@ def psi_categorical_sql(table: str, col: str, baseline_freqs: dict[str, float]) 
         f"CASE WHEN {psi} > 0.25 THEN 'MAJOR' WHEN {psi} > 0.1 THEN 'MODERATE' "
         f"ELSE 'STABLE' END AS drift FROM {table}"
     )
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen — the classic
+    anomaly/fabrication check for naturally-occurring positive
+    magnitudes (amounts, populations, file sizes): digit d should
+    appear with frequency log10(1 + 1/d).
+
+    One row per digit 1-9 with observed vs expected share and the
+    chi-square contribution; the last column carries the total
+    chi-square statistic (same on every row — a scalar broadcast back
+    into the 9-row result, not a second scan). One hash aggregate on a
+    9-value key: map-side partials collapse the scan to 9 rows per
+    partition regardless of table size.
+
+    First digit via log10: d = floor(x / 10^floor(log10(x))) for
+    x > 0 — works across any magnitude, including 0 < x < 1.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        df.filter(x > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("obs_ct"))
+    )
+    w = Window.partitionBy()  # 9-row frame: the scalar-total window is safe
+    obs_share = F.col("obs_ct") / F.sum("obs_ct").over(w)
+    exp_share = F.log10(1 + 1 / F.col("digit"))
+    chi = F.pow(obs_share - exp_share, 2) / exp_share
+    return (
+        counts.select(
+            "digit",
+            "obs_ct",
+            F.round(obs_share, 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(chi, 6).alias("chi_contrib"),
+            F.round(F.sum(chi).over(w), 6).alias("chi_square"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_screen_sql(table: str, col: str) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT CAST(floor(x / power(10, floor(log10(x)))) AS INT) AS digit,
+             count(*) AS obs_ct
+      FROM (SELECT CAST({col} AS DOUBLE) AS x FROM {table}) WHERE x > 0
+      GROUP BY 1),
+    shares AS (
+      SELECT digit, obs_ct,
+             obs_ct * 1.0 / sum(obs_ct) OVER () AS obs_share,
+             log10(1 + 1.0 / digit) AS exp_share
+      FROM counts)
+    SELECT digit, obs_ct, round(obs_share, 6) AS obs_share,
+           round(exp_share, 6) AS exp_share,
+           round(pow(obs_share - exp_share, 2) / exp_share, 6) AS chi_contrib,
+           round(sum(pow(obs_share - exp_share, 2) / exp_share) OVER (), 6) AS chi_square
+    FROM shares ORDER BY digit
+    """

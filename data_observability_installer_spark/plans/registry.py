@@ -918,6 +918,16 @@ def drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.drift import benford_screen, benford_screen_sql  # noqa: E402
+
+
+@register("benford_orders", benford_screen_sql("orders", "o_totalprice"))
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: observed vs
+    expected digit shares + chi-square, one 9-key hash aggregate."""
+    return benford_screen(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline operators (build charter: dedup, similarity,
 # text analysis over documents/embeddings). Params are chosen so the

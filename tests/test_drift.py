@@ -39,3 +39,32 @@ def test_categorical_psi_novel_category(spark):
     novel = spark.createDataFrame([("A",), ("Z",)] * 20, "c string")  # 50% unseen
     out = psi_categorical(novel, "c", base).collect()[0]
     assert out.drift == "MAJOR" and out.psi > 0.25
+
+
+def test_benford_uniform_digits_flagged(spark):
+    """Uniform 1..9999 values deviate from Benford (uniform first
+    digits ~1/9 each vs log10(1+1/d)); a log-uniform sample conforms."""
+    import math
+
+    from data_observability_installer_spark.operators.drift import benford_screen
+
+    uniform = spark.range(1, 10000).selectExpr("CAST(id AS DOUBLE) AS v")
+    rows = benford_screen(uniform, "v").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4  # 9 shares, 6dp rounding
+    chi_uniform = rows[0].chi_square
+    assert chi_uniform > 0.01  # uniform magnitudes are NOT Benford
+
+    # log-uniform magnitudes are exactly Benford in the limit
+    log_uniform = spark.range(0, 40000).selectExpr("pow(10, (id % 4000) / 1000.0) AS v")
+    chi_log = benford_screen(log_uniform, "v").collect()[0].chi_square
+    assert chi_log < 0.001 < chi_uniform  # conforms vs deviates
+
+
+def test_benford_subunit_values(spark):
+    from data_observability_installer_spark.operators.drift import benford_screen
+
+    df = spark.createDataFrame([(0.071,), (0.73,), (7.3,), (73.0,), (0.0,), (None,)], "v double")
+    rows = benford_screen(df, "v").collect()
+    # every value's first significant digit is 7; zeros/nulls excluded
+    assert [(r.digit, r.obs_ct) for r in rows] == [(7, 4)]
