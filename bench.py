@@ -73,6 +73,7 @@ HEADLINE = [
     "minhash_pairs_documents",
     "simhash_documents",
     "simhash_md5_documents",
+    "dup_spans_documents",
     "split_documents",
     "chunk_documents",
     "pii_documents",

@@ -528,3 +528,49 @@ def simhash_md5_sql(
     v AS (SELECT doc, {votes} FROM h GROUP BY doc)
     SELECT doc AS {id_col}, CAST({bit_sum} AS BIGINT) AS simhash FROM v
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span screen (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_fraction(shingles: DataFrame) -> DataFrame:
+    """Per-document cross-corpus duplicated-span fraction: the share of
+    a document's distinct word n-grams that also occur in >=1 OTHER
+    document — the per-doc signal behind exact-substring deduplication
+    ("Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022: docs dominated by spans shared across the corpus are
+    boilerplate/templates even when no whole-document near-dup fires).
+
+    Input is the (doc, sh) distinct-shingle relation — the SAME
+    persisted index the Jaccard/MinHash/groups pipeline shingles once
+    per corpus. Cost on top of it: one groupBy on the shingle (the
+    doc-frequency table, map-side combined), one co-partitioned join
+    back, one per-doc aggregate. No pairwise anything — this screen is
+    linear in corpus shingles where the pair-based family is
+    collision-bounded.
+    """
+    df_ct = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct"))
+    return (
+        shingles.join(df_ct, "sh")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("df_ct") >= 2).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def dup_span_fraction_sql(table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> str:
+    return f"""
+    WITH shx AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    dfreq AS (SELECT sh, count(*) AS df_ct FROM shx GROUP BY sh)
+    SELECT doc AS doc_id, count(*) AS n_shingles,
+           round(sum(CASE WHEN df_ct >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_fraction
+    FROM shx JOIN dfreq USING (sh)
+    GROUP BY doc
+    """

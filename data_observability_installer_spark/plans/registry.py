@@ -1000,6 +1000,17 @@ def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_groups(pairs)
 
 
+@register(
+    "dup_spans_documents",
+    _dedup.dup_span_fraction_sql("documents", "text", "doc_id", n=3),
+)
+def dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction — the exact-substring
+    dedup signal, computed as the FOURTH consumer of the shared
+    persisted shingle index (the corpus still shingles once)."""
+    return _dedup.dup_span_fraction(_shared_shingles(spark, sf_dir))
+
+
 @register("simhash_documents")  # xxhash64 is Spark-native: rows-only check
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))

@@ -354,3 +354,27 @@ def test_embedding_stats_flags_degenerate_vectors(spark):
     assert (row.dim_min, row.dim_max) == (2, 3)
     assert row.nan_vec_ct == 1 and row.zero_vec_ct == 1
     assert row.norm_max == 5.0 and row.norm_min == 0.0
+
+
+def test_dup_span_fraction_planted(spark):
+    """Two docs sharing half their trigrams get a positive fraction;
+    a fully unique doc gets 0; identical docs get 1."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        dup_span_fraction,
+        exploded_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleeping cat"),
+            (3, "completely unrelated text about spark engines here"),
+            (4, "completely unrelated text about spark engines here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = exploded_shingles(docs, "text", "doc_id", 3)
+    got = {r.doc_id: r.dup_fraction for r in dup_span_fraction(sh).collect()}
+    assert got[3] == 1.0 and got[4] == 1.0  # identical docs: all spans shared
+    assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0  # partial overlap
+    assert got[1] == round(4 / 7, 4)  # 7 trigrams, 4 shared with doc 2
