@@ -73,16 +73,15 @@ def fk_integrity(
     parent: DataFrame,
     fk_col: str,
     pk_col: str,
-    sample_keys: int = 5,
+    max_keys: int = 5000,
 ) -> DataFrame:
     """Referential-integrity check: child rows whose foreign key has no
     parent — the reconciliation family's per-key member (the scalar
     checks above compare totals; this one pins WHICH keys are broken).
 
-    One row per orphaned key value with its row count plus a sorted
-    sample of up to ``sample_keys`` shown implicitly by ordering —
-    aggregated per key, so output is bounded by #distinct orphan keys,
-    never child-table rows.
+    One row per orphaned key value with its row count, ordered by key
+    and capped at ``max_keys`` distinct keys — aggregated per key, so
+    output is bounded by #distinct orphan keys, never child-table rows.
 
     Scale: left-anti join shuffled on the key (AQE broadcasts the
     parent's distinct-key projection when small — column-pruned to the
@@ -98,19 +97,19 @@ def fk_integrity(
         orphans.groupBy(F.col(fk_col).alias("orphan_key"))
         .agg(F.count(F.lit(1)).alias("row_ct"))
         .orderBy("orphan_key")
-        .limit(sample_keys * 1000)  # serving-size guard; counts stay exact per key
+        .limit(max_keys)  # serving-size guard; counts stay exact per key
     )
 
 
 def fk_integrity_sql(
-    child_sql: str, parent_sql: str, fk_col: str, pk_col: str, sample_keys: int = 5
+    child_sql: str, parent_sql: str, fk_col: str, pk_col: str, max_keys: int = 5000
 ) -> str:
     return f"""
     SELECT {fk_col} AS orphan_key, count(*) AS row_ct
     FROM {child_sql} c
     WHERE {fk_col} IS NOT NULL
       AND NOT EXISTS (SELECT 1 FROM {parent_sql} p WHERE p.{pk_col} = c.{fk_col})
-    GROUP BY {fk_col} ORDER BY orphan_key LIMIT {sample_keys * 1000}
+    GROUP BY {fk_col} ORDER BY orphan_key LIMIT {max_keys}
     """
 
 

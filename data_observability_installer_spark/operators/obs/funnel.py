@@ -8,10 +8,16 @@ longitudinal one: of the entities first seen in week W, how many came
 back k weeks later. Both are staples of any event-analytics engine.
 
 Scale shape:
-- funnel: one pre-aggregate per stage keyed on the entity (map-side
-  combined min), chained with entity-keyed joins — the chain moves
-  #entities rows per stage, never raw events; a first-touch filter
-  per stage keeps the join inputs aggregate-sized.
+- funnel: ONE scan (filtered to the stage types, pushed to the
+  source) and ONE shuffle — events group to (entity, per-stage
+  timestamp array) with map-side partial collect, reach times fold
+  over the arrays as native array expressions (array_min/filter),
+  and the final count is a single global aggregate unpivoted with
+  stack(). No per-stage rescans, no chained joins. Caveat: a
+  pathologically hot entity materializes its stage events as one
+  array — the same rows the join formulation would shuffle for that
+  key anyway; AQE skew handling does not split a single group, so
+  cap per-entity event counts upstream if that matters.
 - retention: two entity-keyed aggregates (first-touch, distinct
   active weeks) and one join on the entity; output is
   O(#cohorts × horizon) — dashboard-sized.
@@ -37,32 +43,53 @@ def funnel_stages(
     """
     if not stages:
         raise ValueError("empty funnel")
-    reached = (
-        events.filter(F.col(type_col) == stages[0])
+    # One scan: filter to the stage vocabulary (pushed to the source),
+    # then one shuffle to (entity, ts-array per stage). collect_list
+    # partial-aggregates map-side, so the shuffle carries exactly the
+    # qualifying (entity, ts) pairs — the same volume a single chained
+    # join stage would move, but only once for all S stages.
+    per_entity = (
+        events.filter(F.col(type_col).isin(stages))
         .groupBy(entity_col)
-        .agg(F.min(ts_col).alias("reach_ts"))
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col(type_col) == stage, F.col(ts_col))
+                ).alias(f"ts_{i}")
+                for i, stage in enumerate(stages)
+            ]
+        )
     )
-    counts = [reached]
-    for stage in stages[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == stage)
-            .select(entity_col, F.col(ts_col).alias("ev_ts"))
-            .join(reached, entity_col)
-            .filter(F.col("ev_ts") > F.col("reach_ts"))
-            .groupBy(entity_col)
-            .agg(F.min("ev_ts").alias("reach_ts"))
+    # Fold reach times left-to-right as array expressions: reach_0 is
+    # the stage-0 min; reach_i is the min stage-i timestamp strictly
+    # after reach_{i-1}. A null prior reach null-propagates through the
+    # lambda comparison, so filter() drops everything and array_min
+    # yields null — no explicit when() ladder needed.
+    def _after(prev):
+        return lambda t: t > prev
+
+    reach = per_entity.withColumn("reach_0", F.array_min("ts_0"))
+    for i in range(1, len(stages)):
+        reach = reach.withColumn(
+            f"reach_{i}",
+            F.array_min(
+                F.filter(F.col(f"ts_{i}"), _after(F.col(f"reach_{i - 1}")))
+            ),
         )
-        counts.append(nxt)
-        reached = nxt
-    rows = None
-    for i, (stage, df) in enumerate(zip(stages, counts)):
-        row = df.agg(
-            F.lit(i + 1).alias("stage_idx"),
-            F.lit(stage).alias("stage"),
-            F.count(F.lit(1)).alias("entity_ct"),
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    counted = reach.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"reach_{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"ct_{i}")
+            for i in range(len(stages))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{stage}', ct_{i}" for i, stage in enumerate(stages)
+    )
+    return counted.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, entity_ct)"
+    )
 
 
 def funnel_stages_sql(
@@ -131,17 +158,25 @@ def retention_cohorts(
 def retention_cohorts_sql(
     table: str, entity_col: str = "user_id", ts_col: str = "ts", max_weeks: int = 12
 ) -> str:
+    # week_offset uses DuckDB integer division (`//`, truncating for the
+    # non-negative offsets here) to match Spark's `.cast("int")` truncation;
+    # `CAST(x / 7 AS INT)` would ROUND (12.57 -> 13) and `x / 7 <= N` is
+    # float division, excluding day offsets 85-90 that Spark includes.
     return f"""
     WITH first_touch AS (
       SELECT {entity_col}, date_trunc('week', min({ts_col})) AS cohort_week
       FROM {table} GROUP BY {entity_col}),
     active AS (
       SELECT DISTINCT {entity_col}, date_trunc('week', {ts_col}) AS active_week
-      FROM {table})
+      FROM {table}),
+    offsets AS (
+      SELECT cohort_week,
+             date_diff('day', cohort_week, active_week) // 7 AS week_offset
+      FROM active JOIN first_touch USING ({entity_col}))
     SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
-           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+           CAST(week_offset AS INT) AS week_offset,
            count(*) AS active_entities
-    FROM active JOIN first_touch USING ({entity_col})
-    WHERE date_diff('day', cohort_week, active_week) / 7 <= {max_weeks}
+    FROM offsets
+    WHERE week_offset <= {max_weeks}
     GROUP BY 1, 2
     """

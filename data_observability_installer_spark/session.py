@@ -44,3 +44,14 @@ def get_spark(app_name: str = "data-observability-spark", cpus: int | None = Non
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Guarded, set-once enable of TIMESTAMP(NANOS)-as-long reads for
+    sessions not built by :func:`get_spark` (e.g. the round driver's).
+    Sessions from this factory already carry the setting, so this is a
+    no-op for them; keeping every ``spark.conf.set`` in this module
+    keeps runtime conf mutation auditable in one place."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

@@ -110,9 +110,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # without a timezone annotation (loads as TIMESTAMP_NTZ, on which
         # Spark 4 forbids numeric casts). Normalise both to TIMESTAMP so
         # downstream epoch arithmetic always sees one type.
-        _NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
-        if spark.conf.get(_NANOS_KEY, "false") != "true":
-            spark.conf.set(_NANOS_KEY, "true")
+        from ..session import ensure_nanos_conf
+
+        ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 

@@ -166,3 +166,23 @@ def test_shipping_priority_filters_pushed(spark, sf_smoke):
     assert "TakeOrderedAndProject" in final  # top-10 without a global sort
     cust_scan = [ln for ln in final.splitlines() if "customer" in ln and "PushedFilters" in ln]
     assert cust_scan and any("c_mktsegment" in ln for ln in cust_scan)
+
+
+def test_funnel_single_scan_single_shuffle(spark, sf_smoke):
+    """S funnel stages must cost ONE events scan (type-filter pushed)
+    and ONE entity shuffle — not S scans / S chained join shuffles."""
+    df = registry.QUERIES["funnel_events"](spark, sf_smoke)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    # stage-type filter reaches the parquet scan
+    assert "PushedFilters: [In(event_type" in final
+    # exactly one key shuffle (the entity groupBy); the single-row
+    # global count agg adds its own SinglePartition exchange at most
+    key_exchanges = [
+        ln for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(key_exchanges) == 1
+    assert "Join" not in final  # reach-time fold is array expressions

@@ -24,13 +24,22 @@ def test_gate_order_names_resolve():
     assert len(registry.queries()) == len(registry.QUERIES)
 
 
-def test_gate_window_is_value_checkable():
-    """The driver hard-checks only the first 50 registrations; every
-    one of those slots must carry an oracle (rows-only variants belong
-    behind the window)."""
+def test_gate_window_rotation():
+    """The driver hard-checks only the first 50 registrations, so the
+    window ROTATES: round 4 front-loads every query that lacked a
+    driver-green row after rounds 2-3 (including the three documented
+    rows-only entries, which get the driver's weaker rows-check this
+    way), back-filled with already-proven flagships. Everything in the
+    window that claims an oracle twin must actually have one."""
     names = list(registry.queries())
     oracles = registry.oracle_sql()
-    assert [n for n in names[:50] if n not in oracles] == []
+    rows_only = {
+        "profile_lineitem_approx",
+        "simhash_documents",
+        "topk_ivf_embeddings",
+    }
+    assert names[: len(registry._ROTATED_IN_R4)] == registry._ROTATED_IN_R4
+    assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
 
 
 @pytest.mark.parametrize("name", _NAMES)

@@ -62,6 +62,13 @@ def main() -> None:
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
     ).stdout.strip()
+    # The gate runs against the WORKING TREE, not the commit — mark the
+    # stamp when they differ so the recorded provenance stays honest.
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
+    if head and dirty:
+        head += "-dirty"
 
     ok, fail, skip = run_oracle(args.sf)
     pytest_line = "(skipped)" if args.skip_pytest else run_pytest()
