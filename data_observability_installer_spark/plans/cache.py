@@ -21,11 +21,20 @@ class DFCache:
     def __init__(self, capacity: int = 8):
         self._entries: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._capacity = capacity
+        # hit/miss counters: consumers that are SUPPOSED to share one
+        # materialization (jaccard/minhash/groups/dup-spans over the
+        # shingle index) can assert the sharing actually happens — a
+        # silent rebuild is a pure perf bug that no correctness test
+        # would ever catch.
+        self.hits = 0
+        self.misses = 0
 
     def get_or_build(self, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
         if key in self._entries:
+            self.hits += 1
             self._entries.move_to_end(key)
             return self._entries[key]
+        self.misses += 1
         df = build()
         self._entries[key] = df
         while len(self._entries) > self._capacity:

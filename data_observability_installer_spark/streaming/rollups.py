@@ -135,16 +135,36 @@ def message_log_stream(
     )
 
 
-def alert_sink(alerts: DataFrame, deliver, query_name: str = "alert_sink"):
+def alert_sink(
+    alerts: DataFrame,
+    deliver,
+    query_name: str = "alert_sink",
+    max_rows_per_batch: int = 10_000,
+):
     """Rule-action delivery (SEND_EMAIL / CALL_WEBHOOK analog): a
     ``foreachBatch`` sink invoking ``deliver(rows, batch_id)`` with the
-    micro-batch's alert rows. The collect is bounded by alert volume
-    (rule hits), not stream volume — rules fire rarely by design."""
+    micro-batch's alert rows.
+
+    Well-behaved rules fire rarely, so the per-batch collect is alert-
+    volume-bounded — but a mis-written rule matching EVERY event would
+    turn it into a driver OOM. The collect is therefore hard-capped at
+    ``max_rows_per_batch``: an over-cap batch delivers the first N rows
+    and flags the truncation via ``deliver(rows, batch_id,
+    overflowed=True)`` when the callable accepts the keyword (legacy
+    two-arg callables still work). Paging-system semantics: 10k
+    identical alerts carry no more information than 10k + "and more"."""
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
+        # limit(N+1) caps the driver transfer no matter what the rule
+        # matched; the sentinel extra row only signals overflow
+        rows = batch_df.limit(max_rows_per_batch + 1).collect()
+        overflowed = len(rows) > max_rows_per_batch
+        rows = rows[:max_rows_per_batch]
         if rows:
-            deliver(rows, batch_id)
+            try:
+                deliver(rows, batch_id, overflowed=overflowed)
+            except TypeError:
+                deliver(rows, batch_id)
 
     return (
         alerts.writeStream.foreachBatch(_emit)

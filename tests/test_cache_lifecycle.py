@@ -42,3 +42,19 @@ def test_registry_clear_caches_empties_all(spark, sf_smoke):
     assert len(registry._CLOSURE_CACHE) == 0
     # rebuild after clear works
     assert registry.cached_profile(spark, sf_smoke, "customer").count() > 0
+
+
+def test_shingle_cache_hits_across_dedup_family(spark, sf_smoke):
+    """jaccard -> minhash -> dup_spans must share ONE shingle
+    materialization (the r3 bench regression suspect was a silent
+    rebuild): after the first consumer's miss, every later consumer is
+    a cache HIT and the cache still holds exactly one entry."""
+    registry.clear_caches()
+    base_h, base_m = registry._SHINGLE_CACHE.hits, registry._SHINGLE_CACHE.misses
+    registry.QUERIES["ngram_jaccard_documents"](spark, sf_smoke).collect()
+    assert registry._SHINGLE_CACHE.misses == base_m + 1
+    registry.QUERIES["minhash_pairs_documents"](spark, sf_smoke).collect()
+    registry.QUERIES["dup_spans_documents"](spark, sf_smoke).collect()
+    assert registry._SHINGLE_CACHE.misses == base_m + 1  # no rebuilds
+    assert registry._SHINGLE_CACHE.hits >= base_h + 2
+    assert len(registry._SHINGLE_CACHE) == 1

@@ -255,3 +255,232 @@ def test_streaming_curation_is_stateless_passthrough(spark, tmp_path):
         spark, curate_stream(stream), "append", "curate_stream"
     ).collect()}
     assert got[1].keep and got[2].reason == "too_short"
+
+
+# ---------------------------------------------------------------------------
+# Streaming <-> batch parity. The reference's core premise is that replayed
+# history and live events agree — the demo replays runs backdated up to 55 h
+# through the same backend as live traffic (demo/demo/observability_demo.py:24).
+# Each test feeds the SAME fixture through the streaming operator
+# (availableNow) and its batch twin and asserts row-level agreement.
+# ``withWatermark`` is a documented no-op on batch frames, so stateless and
+# windowed stream functions can serve as their own batch twins; the stateful
+# ones compare against the independent batch operators.
+# ---------------------------------------------------------------------------
+
+
+def test_parity_run_tracker_vs_batch_rollup(spark, event_stream_path):
+    """Terminal runs from the stateful tracker must be row-identical to
+    the batch A1 rollup (start/end/status/event count); non-terminal
+    runs are RUNNING in batch and STUCK-or-absent in streaming, so the
+    comparison is on the terminal subset both paths define."""
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, track_runs_stream(stream), "append", "tracker_parity")
+    batch = run_state_rollup(spark.read.schema(OBS_EVENT).json(event_stream_path))
+    want = {
+        (r.pipeline_key, r.run_key): (r.start_ts, r.end_ts, r.final_status, r.event_ct)
+        for r in batch.filter(F.col("final_status") != "RUNNING").collect()
+    }
+    got = {
+        (r.pipeline_key, r.run_key): (r.start_ts, r.end_ts, r.final_status, r.event_ct)
+        for r in out.collect()
+        if r.final_status != "STUCK"
+    }
+    assert got == want and len(want) >= 16
+
+
+def test_parity_session_windows_vs_batch(spark, event_stream_path):
+    """Append mode emits only watermark-sealed sessions; every sealed
+    session must appear byte-identical in the batch session_window
+    aggregation over the same events (and at least one must seal)."""
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    rs = F.col("event_type") == "RUN_STATUS"
+    out = _run_stream(
+        spark,
+        session_rollup_stream(stream.filter(rs)),
+        "append",
+        "session_parity",
+    )
+    batch = session_rollup_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path).filter(rs)
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got <= want
+
+
+def test_parity_metric_alerts_vs_batch(spark, event_stream_path):
+    """The stateless A5 filter is the same plan in both modes — the
+    streamed append output must equal the batch filter exactly."""
+    args = ("Cluster Capacity Percentage", "gt", 80.0)
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, metric_alert_stream(stream, *args), "append", "a5_parity")
+    batch = metric_alert_stream(spark.read.schema(OBS_EVENT).json(event_stream_path), *args)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_parity_message_log_windows_vs_batch(spark, event_stream_path):
+    from data_observability_installer_spark.streaming.rollups import message_log_stream
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark,
+        message_log_stream(stream, window="30 minutes", watermark="10 minutes"),
+        "append",
+        "msglog_parity",
+    )
+    batch = message_log_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path),
+        window="30 minutes",
+        watermark="10 minutes",
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got <= want
+
+
+def test_parity_volume_anomaly_vs_batch(spark, event_stream_path):
+    from data_observability_installer_spark.streaming.dq import volume_anomaly_stream
+
+    kw = dict(
+        ts_col="event_timestamp",
+        key_col="pipeline_key",
+        expected_per_window=1000.0,
+        tolerance_pct=50.0,
+    )
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark, volume_anomaly_stream(stream, **kw), "append", "vol_parity"
+    )
+    batch = volume_anomaly_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path), **kw
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got <= want
+
+
+def test_parity_liveness_vs_batch(spark, tmp_path):
+    from data_observability_installer_spark.schemas import HEARTBEAT
+    from data_observability_installer_spark.streaming.rollups import liveness_stream
+
+    hb = build_demo(spark)["heartbeats"]
+    path = str(tmp_path / "heartbeats")
+    hb.write.mode("overwrite").json(path)
+    stream = spark.readStream.schema(HEARTBEAT).json(path)
+    out = _run_stream(spark, liveness_stream(stream), "update", "live_parity")
+    want = {
+        (r.agent_key): (r.last_heartbeat, r.heartbeat_ct)
+        for r in hb.groupBy("agent_key")
+        .agg(
+            F.max("latest_event_timestamp").alias("last_heartbeat"),
+            F.count(F.lit(1)).alias("heartbeat_ct"),
+        )
+        .collect()
+    }
+    got = {r.agent_key: (r.last_heartbeat, r.heartbeat_ct) for r in out.collect()}
+    assert got == want and len(got) == 2
+
+
+def test_parity_dedup_exact_vs_batch(spark, tmp_path):
+    """First-arrival streaming dedup and min-id batch dedup may keep
+    different survivors, but the surviving CONTENT is the same: one row
+    per distinct normalized fingerprint, identical fingerprint sets."""
+    import datetime as dt
+
+    from data_observability_installer_spark.operators.llm.text import fingerprint_col
+    from data_observability_installer_spark.streaming.dedup import dedup_exact_stream
+
+    rows = [
+        (1, "The Quick, Brown Fox!", dt.datetime(2025, 1, 1, 10, 0)),
+        (2, "an entirely different document", dt.datetime(2025, 1, 1, 10, 1)),
+        (3, "the quick  brown fox", dt.datetime(2025, 1, 1, 10, 2)),
+        (4, "The Quick Brown Fox", dt.datetime(2025, 1, 1, 10, 3)),
+    ]
+    path = str(tmp_path / "docs_parity")
+    bdf = spark.createDataFrame(rows, "doc_id bigint, text string, ts timestamp")
+    bdf.write.mode("overwrite").json(path)
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(path)
+    got = _run_stream(spark, dedup_exact_stream(stream), "append", "dedup_parity").collect()
+    want_fps = {
+        r.fp for r in bdf.select(fingerprint_col("text").alias("fp")).distinct().collect()
+    }
+    assert {r.fingerprint for r in got} == want_fps
+    assert len(got) == len(want_fps)
+
+
+def test_parity_late_start_vs_batch(spark, tmp_path):
+    """A3 absence detection: streaming alerts (sealed ticks only) must
+    equal the batch cron-anti-join restricted to the same sealed
+    horizon — the one equivalence a user running both paths relies on."""
+    import datetime as dt
+
+    from data_observability_installer_spark.operators.obs.schedules import (
+        expected_ticks,
+        late_runs,
+    )
+    from data_observability_installer_spark.streaming.schedules import late_start_stream
+
+    def ev(eid, day, hh, mm, pipeline="sched_pipe"):
+        return {
+            "event_id": eid,
+            "event_type": "RUN_STATUS",
+            "event_timestamp": dt.datetime(2025, 1, day, hh, mm),
+            "pipeline_key": pipeline,
+            "run_key": f"{pipeline}:{day}",
+            "task_key": None,
+            "status": "RUNNING",
+        }
+
+    rows = [ev(1, 1, 23, 5), ev(2, 3, 23, 5)]  # day 2 silent
+    path = str(tmp_path / "late_parity")
+    bdf = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in OBS_EVENT.fields) for r in rows], OBS_EVENT
+    )
+    bdf.write.mode("overwrite").json(path)
+
+    stream = spark.readStream.schema(OBS_EVENT).json(path)
+    got_rows = _run_stream(
+        spark,
+        late_start_stream(stream, {"sched_pipe": ("0 23 * * *", 600)}, watermark="2 hours"),
+        "append",
+        "late_parity",
+    ).collect()
+    got = {(r.pipeline_key, r.tick_ts) for r in got_rows}
+
+    ticks = expected_ticks(
+        spark,
+        [{"component_key": "sched_pipe", "schedule": "0 23 * * *", "margin_s": 600}],
+        dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 4),
+    )
+    batch_late = late_runs(run_state_rollup(bdf), ticks)
+    # the stream's final watermark: max event time - 2 h; only ticks whose
+    # margin window closed before it have been adjudicated by streaming
+    wm = dt.datetime(2025, 1, 3, 23, 5) - dt.timedelta(hours=2)
+    want = {
+        (r.component_key, r.tick_ts)
+        for r in batch_late.collect()
+        if r.tick_ts + dt.timedelta(seconds=r.margin_s) <= wm
+    }
+    assert got == want == {("sched_pipe", dt.datetime(2025, 1, 2, 23, 0))}
+
+
+def test_alert_sink_bounds_pathological_rule(spark, event_stream_path):
+    """A rule matching EVERY event must not collect the stream onto the
+    driver: delivery is capped at max_rows_per_batch and the overflow
+    is flagged to the deliver callable."""
+    from data_observability_installer_spark.streaming.rollups import alert_sink
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    # pathological "rule": everything is an alert
+    alerts = stream.select("event_id", F.lit("MATCH_ALL").alias("alert_type"))
+    seen = []
+    q = alert_sink(
+        alerts,
+        lambda rows, bid, overflowed: seen.append((len(rows), overflowed)),
+        "sink_overflow_test",
+        max_rows_per_batch=10,
+    )
+    q.awaitTermination(120)
+    assert seen and all(n <= 10 for n, _ in seen)
+    assert any(ovf for _, ovf in seen)  # fixture has >10 events per batch
