@@ -72,6 +72,7 @@ HEADLINE = [
     "quality_documents",
     "minhash_pairs_documents",
     "simhash_documents",
+    "multimodal_features",
     "simhash_md5_documents",
     "dup_spans_documents",
     "split_documents",

@@ -157,16 +157,16 @@ def benford_screen(df: DataFrame, col: str) -> DataFrame:
 
     One row per digit 1-9 with observed vs expected share and the
     chi-square contribution; the last column carries the total
-    chi-square statistic (same on every row — a scalar broadcast back
-    into the 9-row result, not a second scan). One hash aggregate on a
-    9-value key: map-side partials collapse the scan to 9 rows per
-    partition regardless of table size.
+    chi-square statistic (same on every row). Both scalar totals — the
+    row count and the chi-square sum — come back via broadcast scalar
+    joins onto the 9-row frame, NOT unpartitioned windows: same result,
+    but no single-partition WindowExec (and none of its per-run
+    warnings). One hash aggregate on a 9-value key: map-side partials
+    collapse the scan to 9 rows per partition regardless of table size.
 
     First digit via log10: d = floor(x / 10^floor(log10(x))) for
     x > 0 — works across any magnitude, including 0 < x < 1.
     """
-    from pyspark.sql import Window
-
     x = F.col(col).cast("double")
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
     counts = (
@@ -174,18 +174,28 @@ def benford_screen(df: DataFrame, col: str) -> DataFrame:
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("obs_ct"))
     )
-    w = Window.partitionBy()  # 9-row frame: the scalar-total window is safe
-    obs_share = F.col("obs_ct") / F.sum("obs_ct").over(w)
+    total = counts.agg(F.sum("obs_ct").alias("total_ct"))
+    obs_share = F.col("obs_ct") / F.col("total_ct")
     exp_share = F.log10(1 + 1 / F.col("digit"))
     chi = F.pow(obs_share - exp_share, 2) / exp_share
+    shares = counts.join(F.broadcast(total)).select(
+        "digit",
+        "obs_ct",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(chi, 6).alias("chi_contrib"),
+        chi.alias("_chi_raw"),
+    )
+    chi_total = shares.agg(F.sum("_chi_raw").alias("_chi_total"))
     return (
-        counts.select(
+        shares.join(F.broadcast(chi_total))
+        .select(
             "digit",
             "obs_ct",
-            F.round(obs_share, 6).alias("obs_share"),
-            F.round(exp_share, 6).alias("exp_share"),
-            F.round(chi, 6).alias("chi_contrib"),
-            F.round(F.sum(chi).over(w), 6).alias("chi_square"),
+            "obs_share",
+            "exp_share",
+            "chi_contrib",
+            F.round(F.col("_chi_total"), 6).alias("chi_square"),
         )
         .orderBy("digit")
     )

@@ -33,6 +33,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -309,6 +310,75 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(media.kind == "video").select("media_id", "payload", "meta").mapInPandas(
         run, FRAME_SCHEMA
     )
+
+
+def demo_media(spark, n: int = 48):
+    """Deterministic media table with REAL encoded payloads — netpbm
+    P5/P6 rasters and PCM RIFF/WAVE clips built by :func:`encode_ppm` /
+    :func:`encode_wav` — so the full decode path (not the fake decoder)
+    runs wherever a query needs a media input and the testdata ships
+    none. Pixel/sample values are pure functions of the media id:
+    byte-identical payloads (and therefore features) on every build.
+    """
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            if i % 4 == 0:  # alternate grayscale P5 / RGB P6
+                img = ((xx * 3 + yy * 5 + i * 7) % 256).astype(np.uint8)
+            else:
+                img = np.stack(
+                    [((xx * c + yy * (c + 2) + i) % 256) for c in (1, 2, 3)], axis=-1
+                ).astype(np.uint8)
+            meta = (w, h, None, None, "ppm")
+            rows.append((i, "image", bytearray(encode_ppm(img)), meta))
+        else:
+            sr, n_samp = 8000, 512 + 16 * i
+            t = np.arange(n_samp, dtype=np.float64)
+            wave = 0.5 * np.sin(2 * np.pi * (110.0 + 10 * i) * t / sr)
+            meta = (None, None, sr, int(1000 * n_samp / sr), "pcm")
+            rows.append((i, "audio", bytearray(encode_wav(wave, sr)), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+MEDIA_FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, mean_intensity double, "
+    "intensity_std double, sample_rate int, n_samples long, rms double, peak double"
+)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """One feature row per media item, image and audio unioned into a
+    single wide schema (absent modality columns null) — the serving
+    shape a curation filter joins against. Two Arrow-batched map
+    stages, zero shuffles; the kind filters prune payload reads per
+    branch."""
+    img = extract_image_features(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "width",
+        "height",
+        "mean_intensity",
+        "intensity_std",
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("n_samples"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("double").alias("peak"),
+    )
+    aud = extract_audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_intensity"),
+        F.lit(None).cast("double").alias("intensity_std"),
+        "sample_rate",
+        "n_samples",
+        "rms",
+        "peak",
+    )
+    return img.unionByName(aud)
 
 
 def synth_media(spark, n: int = 12, seed: int = 7):

@@ -1024,6 +1024,20 @@ def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_md5(load_table(spark, sf_dir, "documents"))
 
 
+@register("multimodal_features")  # binary decode has no SQL analog: rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+audio feature extraction over binary media columns — the
+    multimodal family's registry/bench face. The testdata ships no
+    media table, so the input is a deterministic in-plan fixture with
+    REAL encoded payloads (netpbm P5/P6 + PCM RIFF/WAVE built by the
+    module's own encoders); the decode path exercised here is the
+    production one, not the fake decoder. Exact per-row feature values
+    are pinned by pytest (tests/test_multimodal.py)."""
+    from ..operators.llm import multimodal as _mm
+
+    return _mm.media_features(_mm.demo_media(spark)).orderBy("media_id")
+
+
 @register("fingerprint_documents", _text.fingerprint_sql("documents"))
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprint(load_table(spark, sf_dir, "documents"))
@@ -1747,6 +1761,8 @@ _ROTATED_IN_R4 = [
     # dedup additions
     "dup_spans_documents",
     "simhash_documents",  # xxhash64: rows-only by design
+    # multimodal (new this round): binary decode, rows-only by design
+    "multimodal_features",
     # text analysis additions
     "fingerprint_documents",
     "chunk_documents",
@@ -1791,7 +1807,6 @@ _PROVEN_FLAGSHIPS = [
     "bm25_search_documents",
     "topk_bruteforce_embeddings",
     "curation_filter_documents",
-    "lineage_closure",
 ]
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

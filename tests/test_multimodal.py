@@ -161,3 +161,38 @@ def test_frame_fanout_no_shuffle(media):
     # plumbing claim: the fan-out plan has no exchange
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_registered_multimodal_features_values(spark):
+    """The registry's multimodal_features entry is rows-only at the
+    driver gate (binary decode has no SQL analog), so this test IS its
+    value check: exact per-row features recomputed independently in
+    numpy from the same deterministic fixture definition."""
+    from data_observability_installer_spark.plans import registry
+
+    rows = {r.media_id: r for r in registry.QUERIES["multimodal_features"](spark, "unused").collect()}
+    assert len(rows) == 48 and set(rows) == set(range(48))
+
+    # image row 0: P5 grayscale, pixels (x*3 + y*5 + 0) % 256 on 8x8
+    yy, xx = np.mgrid[0:8, 0:8]
+    img0 = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    r0 = rows[0]
+    assert (r0.kind, r0.width, r0.height) == ("image", 8, 8)
+    assert r0.mean_intensity == round(float(img0.mean()), 4)
+    assert r0.intensity_std == round(float(img0.std()), 4)
+    assert r0.rms is None and r0.sample_rate is None
+
+    # audio row 1: 528-sample 120 Hz half-amplitude sine at 8 kHz,
+    # 16-bit PCM round trip
+    t = np.arange(512 + 16, dtype=np.float64)
+    wave = 0.5 * np.sin(2 * np.pi * 120.0 * t / 8000)
+    pcm = (np.clip(wave, -1, 1) * 32767.0).astype("<i2").astype(np.float32) / 32768.0
+    r1 = rows[1]
+    assert (r1.kind, r1.sample_rate, r1.n_samples) == ("audio", 8000, 528)
+    assert r1.rms == round(float(np.sqrt(np.mean(pcm.astype("float64") ** 2))), 6)
+    assert r1.peak == round(float(np.abs(pcm).max()), 6)
+    assert r1.width is None and r1.mean_intensity is None
+
+    # every image row decodes to its declared dimensions
+    for i in range(0, 48, 2):
+        assert rows[i].width == 8 + (i % 4) * 4 and rows[i].height == 8 + (i % 3) * 4

@@ -37,6 +37,7 @@ def test_gate_window_rotation():
         "profile_lineitem_approx",
         "simhash_documents",
         "topk_ivf_embeddings",
+        "multimodal_features",
     }
     assert names[: len(registry._ROTATED_IN_R4)] == registry._ROTATED_IN_R4
     assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
