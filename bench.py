@@ -64,6 +64,9 @@ HEADLINE = [
     "reconcile_orders_lineitem",
     "fk_orphans_customer_orders",
     "benford_orders",
+    "join_cardinality_orders_lineitem",
+    "ks_drift_lineitem",
+    "pii_redact_documents",
     "ngram_jaccard_documents",
     "dedup_exact_documents",
     "fingerprint_documents",

@@ -113,6 +113,67 @@ def fk_integrity_sql(
     """
 
 
+def join_cardinality_audit(
+    parent: DataFrame,
+    child: DataFrame,
+    pk_col: str,
+    fk_col: str,
+    fanout_warn: int = 10,
+) -> DataFrame:
+    """Relationship-shape audit for a declared 1:N join: per-parent
+    fan-out distribution plus both orphan directions, in one summary
+    row. An unexpected max-fanout (duplicate keys, a bad grain change)
+    is the classic silent row-explosion bug a reconciliation suite
+    should catch BEFORE a downstream join does.
+
+    Scale: child aggregates to one row per key (map-side combined)
+    before any join; the parent side is a distinct-key projection. The
+    joins move #distinct-keys rows, never raw child rows.
+    """
+    child_per_key = (
+        child.filter(F.col(fk_col).isNotNull())
+        .groupBy(F.col(fk_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("fanout"))
+    )
+    parent_keys = parent.select(F.col(pk_col).alias("k")).distinct()
+    joined = parent_keys.join(child_per_key, "k", "full_outer").select(
+        F.col("k"),
+        F.col("fanout"),
+        child_per_key["k"].isNotNull().alias("in_child"),
+        parent_keys["k"].isNotNull().alias("in_parent"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("key_ct"),
+        F.sum((~F.col("in_child")).cast("long")).alias("childless_parent_ct"),
+        F.sum((~F.col("in_parent")).cast("long")).alias("orphan_child_key_ct"),
+        F.max("fanout").alias("max_fanout"),
+        F.round(F.avg("fanout"), 4).alias("avg_fanout"),
+        F.sum((F.col("fanout") > fanout_warn).cast("long")).alias("over_warn_ct"),
+    )
+
+
+def join_cardinality_audit_sql(
+    parent_sql: str, child_sql: str, pk_col: str, fk_col: str, fanout_warn: int = 10
+) -> str:
+    return f"""
+    WITH cpk AS (
+      SELECT {fk_col} AS k, count(*) AS fanout FROM {child_sql}
+      WHERE {fk_col} IS NOT NULL GROUP BY {fk_col}),
+    pk AS (SELECT DISTINCT {pk_col} AS k FROM {parent_sql}),
+    j AS (
+      SELECT coalesce(pk.k, cpk.k) AS k, cpk.fanout,
+             cpk.k IS NOT NULL AS in_child, pk.k IS NOT NULL AS in_parent
+      FROM pk FULL OUTER JOIN cpk ON pk.k = cpk.k)
+    SELECT CAST(count(*) AS BIGINT) AS key_ct,
+           CAST(sum(CASE WHEN NOT in_child THEN 1 ELSE 0 END) AS BIGINT) AS childless_parent_ct,
+           CAST(sum(CASE WHEN NOT in_parent THEN 1 ELSE 0 END) AS BIGINT) AS orphan_child_key_ct,
+           max(fanout) AS max_fanout,
+           round(avg(fanout), 4) AS avg_fanout,
+           CAST(sum(CASE WHEN fanout > {fanout_warn} THEN 1 ELSE 0 END) AS BIGINT) AS over_warn_ct
+    FROM j
+    """
+
+
 def reconcile_sql(
     left_sql: str,
     right_sql: str,

@@ -219,3 +219,105 @@ def benford_screen_sql(table: str, col: str) -> str:
            round(sum(pow(obs_share - exp_share, 2) / exp_share) OVER (), 6) AS chi_square
     FROM shares ORDER BY digit
     """
+
+
+def ks_drift(
+    df: DataFrame,
+    col: str,
+    side_expr: Column,
+    bins: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov screen between two slices of one
+    table (``side_expr`` boolean: True -> sample A, False -> B): the
+    max gap between the slices' binned empirical CDFs. Complements the
+    fixed-baseline PSI with a baseline-free split comparison (old vs
+    new partition, region A vs B), read on the usual scale: D < 0.05
+    stable for large samples, bigger = distribution shift.
+
+    Plan shape (100 TB story): pass 1 computes the global min/max (one
+    agg, broadcast back as scalars); pass 2 bins every row and
+    aggregates to ``bins`` rows with map-side partials. The cumulative
+    CDF fold then runs as an ``aggregate`` over one collected
+    bins-sized array — a single row on the driver-side plan, no
+    unpartitioned window, nothing proportional to table size. Binning
+    quantizes D by at most 1/bins, the standard streaming/distributed
+    KS approximation.
+    """
+    x = F.col(col).cast("double")
+    vals = df.select(
+        x.alias("v"), side_expr.alias("is_a")
+    ).filter(F.col("v").isNotNull())
+    mm = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    bin_ix = F.when(
+        span > 0,
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / span * bins).cast("int"),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    binned = (
+        vals.join(F.broadcast(mm))
+        .groupBy(bin_ix.alias("bin"))
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("ct_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("ct_b"),
+        )
+    )
+    hist = binned.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "ct_a", "ct_b"))).alias("h"),
+        F.sum("ct_a").alias("tot_a"),
+        F.sum("ct_b").alias("tot_b"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("ca"),
+        F.lit(0).cast("long").alias("cb"),
+        F.lit(0.0).alias("d"),
+    )
+
+    def step(acc, e):
+        ca = acc["ca"] + e["ct_a"]
+        cb = acc["cb"] + e["ct_b"]
+        gap = F.abs(
+            ca / F.col("tot_a") - cb / F.col("tot_b")
+        )
+        return F.struct(
+            ca.alias("ca"), cb.alias("cb"), F.greatest(acc["d"], gap).alias("d")
+        )
+
+    ks = F.aggregate(F.col("h"), acc0, step, lambda acc: acc["d"])
+    return hist.select(
+        F.lit(col).alias("column_name"),
+        F.col("tot_a").alias("n_a"),
+        F.col("tot_b").alias("n_b"),
+        F.round(ks, 6).alias("ks_d"),
+    )
+
+
+def ks_drift_sql(table: str, col: str, side_sql: str, bins: int = 256) -> str:
+    """DuckDB twin: same two-pass binning, cumulative CDFs via an
+    ordered window over the tiny bin table."""
+    return f"""
+    WITH vals AS (
+      SELECT CAST({col} AS DOUBLE) AS v, ({side_sql}) AS is_a
+      FROM {table} WHERE {col} IS NOT NULL),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+    binned AS (
+      SELECT CASE WHEN hi > lo
+                  THEN least(CAST(floor((v - lo) / (hi - lo) * {bins}) AS INT), {bins - 1})
+                  ELSE 0 END AS bin,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ct_a,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS ct_b
+      FROM vals, mm GROUP BY 1),
+    cdf AS (
+      SELECT sum(ct_a) OVER (ORDER BY bin) AS ca,
+             sum(ct_b) OVER (ORDER BY bin) AS cb,
+             sum(ct_a) OVER () AS tot_a, sum(ct_b) OVER () AS tot_b
+      FROM binned)
+    SELECT '{col}' AS column_name,
+           CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+           round(max(abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b)), 6) AS ks_d
+    FROM cdf
+    """

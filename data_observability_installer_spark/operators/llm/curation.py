@@ -115,6 +115,35 @@ def pii_screen_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub PII in place: every :data:`PII_PATTERNS` hit is replaced
+    with a ``<CATEGORY>`` token, applied in the dict's fixed order so
+    overlapping patterns (ssn vs phone) resolve identically everywhere.
+    The write-side partner of :func:`pii_screen` — one map stage of
+    JVM ``regexp_replace`` chains, no Python, no shuffle."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.select(
+        id_col,
+        out.alias("redacted_text"),
+        (F.col(text_col) != out).alias("was_redacted"),
+    )
+
+
+def pii_redact_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    # DuckDB regexp_replace is first-match unless the 'g' flag is given;
+    # Spark's replaces every match — 'g' keeps the twins identical.
+    out = text_col
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{esc}', '<{name.upper()}>', 'g')"
+    return (
+        f"SELECT {id_col}, {out} AS redacted_text, "
+        f"{text_col} != {out} AS was_redacted FROM {table}"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

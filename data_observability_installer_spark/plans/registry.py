@@ -918,6 +918,47 @@ def drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dq.reconcile import (  # noqa: E402
+    join_cardinality_audit,
+    join_cardinality_audit_sql,
+)
+
+
+@register(
+    "join_cardinality_orders_lineitem",
+    join_cardinality_audit_sql("orders", "lineitem", "o_orderkey", "l_orderkey"),
+)
+def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-shape audit of the orders->lineitem 1:N join:
+    fan-out distribution + both orphan directions in one summary row —
+    the grain-change / row-explosion guard a reconciliation suite runs
+    before trusting any fact join."""
+    return join_cardinality_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        pk_col="o_orderkey",
+        fk_col="l_orderkey",
+    )
+
+
+from ..operators.drift import ks_drift, ks_drift_sql  # noqa: E402
+
+
+@register(
+    "ks_drift_lineitem",
+    ks_drift_sql("lineitem", "l_extendedprice", "l_orderkey % 2 = 0"),
+)
+def ks_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov screen between the even-
+    and odd-orderkey halves of lineitem on extended price — the
+    baseline-free member of the drift family (PSI needs a frozen
+    baseline, Benford needs naturally-occurring magnitudes; KS compares
+    any two slices). Two aggregate passes, CDF fold over the 256-bin
+    array, no unpartitioned window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return ks_drift(li, "l_extendedprice", F.col("l_orderkey") % 2 == 0)
+
+
 from ..operators.drift import benford_screen, benford_screen_sql  # noqa: E402
 
 
@@ -1323,6 +1364,14 @@ def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("pii_documents", _cur.pii_screen_sql("documents"))
 def pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cur.pii_screen(load_table(spark, sf_dir, "documents"))
+
+
+@register("pii_redact_documents", _cur.pii_redact_sql("documents"))
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side partner of the PII screen: category-token scrubbing
+    applied in a fixed pattern order so both engines resolve
+    overlapping matches identically."""
+    return _cur.pii_redact(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1758,6 +1807,10 @@ _ROTATED_IN_R4 = [
     # reconciliation / drift additions
     "fk_orphans_customer_orders",
     "benford_orders",
+    # round-4 additions: newest code gets the hardest evidence first
+    "join_cardinality_orders_lineitem",
+    "ks_drift_lineitem",
+    "pii_redact_documents",
     # dedup additions
     "dup_spans_documents",
     "simhash_documents",  # xxhash64: rows-only by design
@@ -1802,10 +1855,7 @@ _PROVEN_FLAGSHIPS = [
     "minhash_pairs_documents",
     "ngram_jaccard_documents",
     "dedup_groups_documents",
-    "decontam_documents",
-    "pack_chunks_documents",
     "bm25_search_documents",
-    "topk_bruteforce_embeddings",
     "curation_filter_documents",
 ]
 

@@ -100,3 +100,21 @@ def test_fk_integrity_orphans_and_null_exclusion(spark):
     # 99 is orphaned twice; NULL FKs reference nothing (excluded);
     # valid keys and childless parents (30) don't appear
     assert got == {99: 2}
+
+
+def test_join_cardinality_audit_shape(spark):
+    from data_observability_installer_spark.operators.dq.reconcile import (
+        join_cardinality_audit,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(1,)] * 12 + [(2,)] * 2 + [(9,)] * 3 + [(None,)], "fk bigint"
+    )
+    row = join_cardinality_audit(parent, child, "pk", "fk", fanout_warn=10).collect()[0]
+    assert row.key_ct == 5            # 4 parents + orphan key 9
+    assert row.childless_parent_ct == 2   # 3 and 4
+    assert row.orphan_child_key_ct == 1   # 9
+    assert row.max_fanout == 12
+    assert row.over_warn_ct == 1          # only key 1 exceeds 10
+    assert row.avg_fanout == round((12 + 2 + 3) / 3, 4)  # nulls excluded

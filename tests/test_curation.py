@@ -102,3 +102,21 @@ def test_curation_filter_single_stage_plan(spark):
     docs = load_table(spark, SF, "documents")
     plan = curation_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure per-row map
+
+
+def test_pii_redact_masks_in_fixed_order(spark):
+    from data_observability_installer_spark.operators.llm.curation import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or call 555-123-4567, ssn 123-45-6789, ip 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert got[1].was_redacted and not got[2].was_redacted
+    assert got[2].redacted_text == "nothing sensitive here"
+    red = got[1].redacted_text
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red and "<IPV4>" in red
+    assert "a@b.co" not in red and "6789" not in red and "10.0.0.1" not in red

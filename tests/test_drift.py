@@ -68,3 +68,41 @@ def test_benford_subunit_values(spark):
     rows = benford_screen(df, "v").collect()
     # every value's first significant digit is 7; zeros/nulls excluded
     assert [(r.digit, r.obs_ct) for r in rows] == [(7, 4)]
+
+
+def test_ks_drift_identical_halves_is_zero(spark):
+    from data_observability_installer_spark.operators.drift import ks_drift
+    from pyspark.sql import functions as F
+
+    # alternating blocks give both sides ten copies of every value in
+    # 0..99 -> identical empirical CDFs, D = 0
+    df = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        ((F.col("id") / 100).cast("int") % 2 == 0).alias("side"),
+    )
+    row = ks_drift(df, "v", F.col("side")).collect()[0]
+    assert row.ks_d == 0.0 and row.n_a == 1000 and row.n_b == 1000
+
+
+def test_ks_drift_disjoint_is_one(spark):
+    from data_observability_installer_spark.operators.drift import ks_drift
+    from pyspark.sql import functions as F
+
+    # side A in [0, 100), side B in [1000, 1100): CDFs never overlap
+    df = spark.range(2000).select(
+        ((F.col("id") % 1000) + F.when(F.col("id") < 1000, 0).otherwise(1000))
+        .cast("double")
+        .alias("v"),
+        (F.col("id") < 1000).alias("side"),
+    )
+    row = ks_drift(df, "v", F.col("side")).collect()[0]
+    assert row.ks_d == 1.0
+
+
+def test_ks_drift_constant_column_single_bin(spark):
+    from data_observability_installer_spark.operators.drift import ks_drift
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.lit(5.0).alias("v"), (F.col("id") % 2 == 0).alias("side"))
+    row = ks_drift(df, "v", F.col("side")).collect()[0]
+    assert row.ks_d == 0.0  # degenerate span collapses to one bin
