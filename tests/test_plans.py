@@ -186,3 +186,37 @@ def test_funnel_single_scan_single_shuffle(spark, sf_smoke):
     ]
     assert len(key_exchanges) == 1
     assert "Join" not in final  # reach-time fold is array expressions
+
+
+def test_ks_drift_two_passes_no_window_no_python(spark, sf_smoke):
+    """KS = min/max pass + binned-agg pass; the CDF fold is an array
+    expression, so no WindowExec and nothing Python-side."""
+    df = registry.QUERIES["ks_drift_lineitem"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 2
+    assert "Window" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_join_cardinality_aggregates_before_join(spark, sf_smoke):
+    """The fan-out audit must join key-level aggregates, never raw
+    child rows: the partial count happens below the exchange."""
+    df = registry.QUERIES["join_cardinality_orders_lineitem"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final  # map-side combine before the shuffle
+    assert final.count("Exchange hashpartitioning") <= 2  # key-level only
+
+
+def test_pii_redact_is_single_stage(spark, sf_smoke):
+    """Redaction is a pure map: one scan, zero exchanges, no Python."""
+    df = registry.QUERIES["pii_redact_documents"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
