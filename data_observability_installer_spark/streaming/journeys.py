@@ -1,0 +1,126 @@
+"""Streaming journey instances with EXPLICIT START/END boundaries (A2).
+
+The batch operator (operators/obs/journeys.py:26) windows runs into
+instances from the journey's declared instance conditions
+``{action: START|END, batch_pipeline}`` (reference
+demo/demo/demo_helper.py:279-287, :662-677). The session-window variant
+in rollups.py approximates instances by inactivity gap; this module is
+the faithful streaming port of the condition semantics, as a per-journey
+state machine in ``applyInPandasWithState``:
+
+- a run-level RUNNING on a START pipeline opens an instance (closing
+  any open one — batch's "next START" bound);
+- a run-level COMPLETED/FAILED on an END pipeline closes the open
+  instance (batch's "first END after open" bound);
+- an instance left open past the event-time timeout is emitted with a
+  NULL end (the batch operator's still-open row), and its state drops.
+
+Event-time correctness: rows are processed sorted by timestamp within
+each micro-batch, and the watermark bounds how late a boundary may
+arrive; per-journey state is two scalars, so state size is
+O(active journeys) regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "journey_id string, instance_id int, instance_start timestamp, "
+    "instance_end timestamp"
+)
+STATE_SCHEMA = "instance_ct int, open_start_s long"
+
+
+def _instances(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    ct, open_s = state.get if state.exists else (0, None)
+
+    if state.hasTimedOut:
+        state.remove()
+        if open_s is not None:
+            yield pd.DataFrame(
+                [
+                    {
+                        "journey_id": key[0],
+                        "instance_id": ct,
+                        "instance_start": pd.Timestamp(open_s, unit="s"),
+                        "instance_end": pd.NaT,
+                    }
+                ]
+            )
+        return
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, kind in zip(
+            (pdf["ts"].astype("int64") // 1_000_000_000).tolist(), pdf["kind"].tolist()
+        ):
+            if kind == "START":
+                if open_s is not None:
+                    out.append((ct, open_s, ts))
+                ct += 1
+                open_s = ts
+            elif open_s is not None:  # END closes only an open instance
+                out.append((ct, open_s, ts))
+                open_s = None
+    if out:
+        yield pd.DataFrame(
+            [
+                {
+                    "journey_id": key[0],
+                    "instance_id": i,
+                    "instance_start": pd.Timestamp(s, unit="s"),
+                    "instance_end": pd.Timestamp(e, unit="s"),
+                }
+                for i, s, e in out
+            ]
+        )
+    state.update((ct, open_s))
+    if open_s is not None:
+        # flush a dangling open instance 24 h (event time) after it opened
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(open_s * 1000 + 24 * 3600 * 1000, wm + 1))
+
+
+def journey_instance_stream(
+    events: DataFrame, conditions: list[dict], watermark: str = "2 hours"
+) -> DataFrame:
+    """RUN_STATUS stream + instance conditions -> instance rows.
+
+    ``conditions``: metadata-sized dicts ``{journey_id, action,
+    batch_pipeline}`` — compiled driver-side into a literal CASE chain,
+    so the stream filter/tagging stays JVM-side and only boundary rows
+    reach the Python state function.
+    """
+    start_of = {c["batch_pipeline"]: c["journey_id"] for c in conditions if c["action"] == "START"}
+    end_of = {c["batch_pipeline"]: c["journey_id"] for c in conditions if c["action"] == "END"}
+
+    def lookup(mapping: dict) -> F.Column:
+        expr = F.lit(None).cast("string")
+        for pipe, journey in mapping.items():
+            expr = F.when(F.col("pipeline_key") == pipe, F.lit(journey)).otherwise(expr)
+        return expr
+
+    run_level = F.col("task_key").isNull()
+    opens = (F.col("status") == "RUNNING") & run_level
+    closes = F.col("status").isin("COMPLETED", "FAILED") & run_level
+    tagged = (
+        events.filter(F.col("event_type") == "RUN_STATUS")
+        .withColumn(
+            "journey_id",
+            F.when(opens, lookup(start_of)).when(closes, lookup(end_of)),
+        )
+        .withColumn("kind", F.when(opens, F.lit("START")).otherwise(F.lit("END")))
+        .filter(F.col("journey_id").isNotNull())
+        .select("journey_id", "kind", F.col("event_timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+    )
+    return tagged.groupBy("journey_id").applyInPandasWithState(
+        _instances, OUTPUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -484,3 +484,47 @@ def test_alert_sink_bounds_pathological_rule(spark, event_stream_path):
     q.awaitTermination(120)
     assert seen and all(n <= 10 for n, _ in seen)
     assert any(ovf for _, ovf in seen)  # fixture has >10 events per batch
+
+
+def test_parity_journey_instances_vs_batch(spark, event_stream_path):
+    """A2 with EXPLICIT START/END conditions: the streaming state
+    machine's closed instances must be row-identical to the batch
+    condition-window operator on the same events (the still-open latest
+    instance is NULL-ended in batch and unflushed in an availableNow
+    stream, so the comparison is on closed windows both paths define)."""
+    from data_observability_installer_spark.operators.obs.journeys import (
+        journey_instances,
+    )
+    from data_observability_installer_spark.streaming.journeys import (
+        journey_instance_stream,
+    )
+
+    conds = [
+        {"journey_id": "j_nightly", "action": "START", "batch_pipeline": "pipe_main"},
+        {"journey_id": "j_diamond", "action": "START", "batch_pipeline": "dia_a"},
+        {"journey_id": "j_diamond", "action": "END", "batch_pipeline": "dia_d"},
+    ]
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark, journey_instance_stream(stream, conds), "append", "journey_parity"
+    )
+    got = {
+        (r.journey_id, r.instance_id, r.instance_start, r.instance_end)
+        for r in out.collect()
+        if r.instance_end is not None
+    }
+
+    cond_df = spark.createDataFrame(
+        [(c["journey_id"], c["action"], c["batch_pipeline"]) for c in conds],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    batch = journey_instances(
+        run_state_rollup(spark.read.schema(OBS_EVENT).json(event_stream_path)), cond_df
+    )
+    want = {
+        (r.journey_id, r.instance_id, r.instance_start, r.instance_end)
+        for r in batch.collect()
+        if r.instance_end is not None
+    }
+    assert got == want
+    assert {j for j, *_ in got} == {"j_nightly", "j_diamond"}
