@@ -312,34 +312,58 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _demo_media_row(i: int) -> dict:
+    """One deterministic media row: pixel/sample values are pure
+    functions of the media id, so payloads (and features) are
+    byte-identical on every build."""
+    if i % 2 == 0:
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 4 == 0:  # alternate grayscale P5 / RGB P6
+            img = ((xx * 3 + yy * 5 + i * 7) % 256).astype(np.uint8)
+        else:
+            img = np.stack(
+                [((xx * c + yy * (c + 2) + i) % 256) for c in (1, 2, 3)], axis=-1
+            ).astype(np.uint8)
+        return {
+            "media_id": i,
+            "kind": "image",
+            "payload": encode_ppm(img),
+            "meta": {"width": w, "height": h, "sample_rate": None,
+                     "duration_ms": None, "codec": "ppm"},
+        }
+    sr, n_samp = 8000, 512 + 16 * i
+    t = np.arange(n_samp, dtype=np.float64)
+    wave = 0.5 * np.sin(2 * np.pi * (110.0 + 10 * i) * t / sr)
+    return {
+        "media_id": i,
+        "kind": "audio",
+        "payload": encode_wav(wave, sr),
+        "meta": {"width": None, "height": None, "sample_rate": sr,
+                 "duration_ms": int(1000 * n_samp / sr), "codec": "pcm"},
+    }
+
+
 def demo_media(spark, n: int = 48):
     """Deterministic media table with REAL encoded payloads — netpbm
     P5/P6 rasters and PCM RIFF/WAVE clips built by :func:`encode_ppm` /
     :func:`encode_wav` — so the full decode path (not the fake decoder)
     runs wherever a query needs a media input and the testdata ships
-    none. Pixel/sample values are pure functions of the media id:
-    byte-identical payloads (and therefore features) on every build.
-    """
-    rows = []
-    for i in range(n):
-        if i % 2 == 0:
-            w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
-            yy, xx = np.mgrid[0:h, 0:w]
-            if i % 4 == 0:  # alternate grayscale P5 / RGB P6
-                img = ((xx * 3 + yy * 5 + i * 7) % 256).astype(np.uint8)
-            else:
-                img = np.stack(
-                    [((xx * c + yy * (c + 2) + i) % 256) for c in (1, 2, 3)], axis=-1
-                ).astype(np.uint8)
-            meta = (w, h, None, None, "ppm")
-            rows.append((i, "image", bytearray(encode_ppm(img)), meta))
-        else:
-            sr, n_samp = 8000, 512 + 16 * i
-            t = np.arange(n_samp, dtype=np.float64)
-            wave = 0.5 * np.sin(2 * np.pi * (110.0 + 10 * i) * t / sr)
-            meta = (None, None, sr, int(1000 * n_samp / sr), "pcm")
-            rows.append((i, "audio", bytearray(encode_wav(wave, sr)), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    none. Synthesis happens EXECUTOR-side (``range`` -> ``mapInPandas``):
+    the driver ships only ids, which is both the scale story for a real
+    payload generator and ~2 s cheaper than ``createDataFrame`` of
+    binary rows through py4j."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_demo_media_row(int(i)) for i in pdf["id"]],
+                columns=["media_id", "kind", "payload", "meta"],
+            )
+
+    # a handful of KB does not need defaultParallelism partitions — one
+    # Python worker per occupied partition is the whole cost here
+    return spark.range(n).coalesce(4).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 MEDIA_FEATURE_SCHEMA = (
@@ -348,37 +372,52 @@ MEDIA_FEATURE_SCHEMA = (
 )
 
 
-def media_features(media: DataFrame) -> DataFrame:
-    """One feature row per media item, image and audio unioned into a
-    single wide schema (absent modality columns null) — the serving
-    shape a curation filter joins against. Two Arrow-batched map
-    stages, zero shuffles; the kind filters prune payload reads per
-    branch."""
-    img = extract_image_features(media).select(
-        "media_id",
-        F.lit("image").alias("kind"),
-        "width",
-        "height",
-        "mean_intensity",
-        "intensity_std",
-        F.lit(None).cast("int").alias("sample_rate"),
-        F.lit(None).cast("long").alias("n_samples"),
-        F.lit(None).cast("double").alias("rms"),
-        F.lit(None).cast("double").alias("peak"),
-    )
-    aud = extract_audio_features(media).select(
-        "media_id",
-        F.lit("audio").alias("kind"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("double").alias("mean_intensity"),
-        F.lit(None).cast("double").alias("intensity_std"),
-        "sample_rate",
-        "n_samples",
-        "rms",
-        "peak",
-    )
-    return img.unionByName(aud)
+def media_features(
+    media: DataFrame,
+    image_decoder: Decoder | None = None,
+    audio_decoder: Decoder | None = None,
+) -> DataFrame:
+    """One feature row per media item, image and audio in a single wide
+    schema (absent modality columns null) — the serving shape a
+    curation filter joins against. ONE Arrow-batched map stage for both
+    modalities, zero shuffles: a union of two per-kind mapInPandas
+    branches would spin up (and pay fixed startup for) two Python
+    worker stages to produce the same rows."""
+    img_dec = image_decoder or real_decoder("image")
+    aud_dec = audio_decoder or real_decoder("audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "kind", "width", "height", "mean_intensity",
+            "intensity_std", "sample_rate", "n_samples", "rms", "peak",
+        ]
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                m = _meta_dict(meta)
+                row = dict.fromkeys(cols)
+                row["media_id"], row["kind"] = mid, kind
+                if kind == "image":
+                    img = img_dec(bytes(payload), m)
+                    row["width"], row["height"] = img.shape[1], img.shape[0]
+                    row["mean_intensity"] = round(float(img.mean()), 4)
+                    row["intensity_std"] = round(float(img.std()), 4)
+                elif kind == "audio":
+                    wave = aud_dec(bytes(payload), m)
+                    row["sample_rate"] = int(m.get("sample_rate") or 0)
+                    row["n_samples"] = len(wave)
+                    row["rms"] = round(float(np.sqrt(np.mean(wave.astype("float64") ** 2))), 6)
+                    row["peak"] = round(float(np.abs(wave).max()), 6)
+                else:
+                    continue  # video: frame sampling is its own operator
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.filter(media.kind.isin("image", "audio")).select(
+        "media_id", "kind", "payload", "meta"
+    ).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
 
 
 def synth_media(spark, n: int = 12, seed: int = 7):
