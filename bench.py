@@ -36,6 +36,13 @@ HEADLINE = [
     "top_customers_by_revenue",
     "shipping_priority",
     "local_supplier_volume",
+    "order_priority_counts",
+    "returned_item_report",
+    "promo_revenue",
+    "supplier_part_counts",
+    "orders_priority_rollup",
+    "gapfill_hourly_signups",
+    "top_events_per_type",
     "dq_suite_lineitem",
     "dq_suite_events",
     "profile_lineitem",

@@ -343,6 +343,289 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_priority_counts",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_ct
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join from orders into lineitem with a
+    per-row inequality (any line shipped after the order date). Instead
+    of a semi-join carrying the inequality into the shuffle, lineitem is
+    pre-aggregated to max(l_shipdate) per orderkey — a map-side-combined
+    partial agg that shrinks the shuffled side from |lineitem| rows to
+    |orders| rows — then a plain equi-join + filter replaces EXISTS
+    (max(ship) > orderdate  <=>  EXISTS ship > orderdate). The quarter
+    filter on orders pushes into the parquet scan.
+    Reference analog: pipeline-validation checks counting qualifying
+    runs, demo/input_data/demo_pipeline_tests.csv."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    return (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_ct"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "returned_item_report",
+    """
+    SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           any_value(n.n_name) AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in a
+    half-year window. The returnflag and date predicates push into both
+    fact scans, the orderkey join is the only big shuffle, and customer
+    + nation broadcast onto the aggregated side. TakeOrdered(20) replaces
+    a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            F.col("c_name"),
+            F.round("rev", 2).alias("revenue"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional share of one month's revenue. The
+    month filter prunes the lineitem scan; part broadcasts (it is the
+    dimension); the two conditional sums fold into ONE whole-stage-
+    codegen'd agg pass — no second scan, no join re-read."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_ct
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND p.p_size IN (1, 9, 19, 23, 36, 45, 49, 3)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_ct DESC, p_brand, p_size LIMIT 20
+    """,
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    suppliers per (brand, size) for a filtered part family, excluding
+    suppliers flagged by a complaint predicate. The exclusion is a
+    broadcast LEFT ANTI join (the flagged-supplier set is tiny by
+    construction); brand/size predicates push into the part scan; the
+    one shuffle is the partkey join, and countDistinct rides the
+    grouped Expand."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 3)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_ct"))
+        .orderBy(F.desc("supplier_ct"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_priority_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS order_ct,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping-sets rollup (priority -> priority+status ->
+    grand total) in ONE pass: Spark's Expand emits the three grouping
+    sets from a single scan, so the subtotal ladder costs one shuffle,
+    not three scans. At 100 TB this is the serving-table shape for
+    drill-down dashboards.
+    Reference analog: run-status rollups surfaced at multiple grains in
+    the Observability UI (demo/demo/demo_helper.py:313-331)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_ct"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "order_ct",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@register(
+    "gapfill_hourly_signups",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS ct
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds)
+    SELECT strftime(cal.hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           coalesce(h.ct, 0) AS signup_ct
+    FROM cal LEFT JOIN h ON cal.hr = h.hr
+    ORDER BY hour_ts
+    """,
+)
+def gapfill_hourly_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: hourly signup counts with empty hours
+    materialized as zero rows (the shape every freshness/anomaly monitor
+    needs — a silent hour must be a 0, not a missing row). The hourly
+    rollup is one map-side-combined agg; the calendar spine is built
+    with sequence()+explode from the rollup's OWN min/max (a 1-row
+    broadcast scalar join, no driver round-trip, no second scan of
+    events); the spine-to-counts join broadcasts the metadata-sized
+    rollup. Same calendar-completion pattern as the Monthly_Rec_Ct /
+    Weekly_Rec_Ct test types (SURVEY 2.4, data_tests.csv:78,81)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    # two consumers (bounds + join probe) would each recompute the
+    # rollup from the source scan; checkpointing the metadata-sized
+    # frame (≤ hours-in-retention rows) pins it to ONE events scan
+    hourly = hourly.localCheckpoint(eager=False)
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    return (
+        spine.join(F.broadcast(hourly), "hr", "left")
+        .select(
+            F.date_format("hr", _TS_FMT_SPARK).alias("hour_ts"),
+            F.coalesce("ct", F.lit(0)).alias("signup_ct"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+@register(
+    "top_events_per_type",
+    """
+    SELECT event_type, event_id, round(value, 2) AS value, rn
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE value IS NOT NULL)
+    WHERE rn <= 3 ORDER BY event_type, rn
+    """,
+)
+def top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group over a LOW-cardinality group key (5 event types)
+    — the classic skew trap: a single window over event_type would drag
+    the whole table through 5 tasks. Instead, two-level salted top-k:
+    level 1 takes the top 3 per (type, salt-of-64) — 320 survivors —
+    and only level 2 runs the per-type window, on a metadata-sized
+    frame. Same pattern as functions/skew.py's salted join; ties broken
+    deterministically by event_id so the twin window SQL agrees."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(64)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Observability analytics over the generic events table (SURVEY §2.3).
 # The full event grammar (A2/A3/A4/A6/A8 with catalogs, cron, DAGs) is
@@ -1839,6 +2122,15 @@ _ROTATED_IN_R4 = [
     "corpus_funnel_documents",
     # lineage edges (closure proved r3; edges had only judge evidence)
     "lineage_dataset_edges",
+    # relational / calendar / top-k shapes added mid-round-4: newest
+    # code gets driver-green evidence immediately, not next round
+    "order_priority_counts",
+    "returned_item_report",
+    "promo_revenue",
+    "supplier_part_counts",
+    "orders_priority_rollup",
+    "gapfill_hourly_signups",
+    "top_events_per_type",
 ]
 
 # Proven green in CORRECTNESS_r02/r03; a flagship subset back-fills the
@@ -1847,16 +2139,9 @@ _ROTATED_IN_R4 = [
 _PROVEN_FLAGSHIPS = [
     "dq_suite_lineitem",
     "profile_lineitem",
-    "hygiene_lineitem",
     "pricing_summary",
     "a1_run_rollup_events",
-    "a2_user_sessions",
-    "a3_late_daily_starts",
     "minhash_pairs_documents",
-    "ngram_jaccard_documents",
-    "dedup_groups_documents",
-    "bm25_search_documents",
-    "curation_filter_documents",
 ]
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

@@ -220,3 +220,73 @@ def test_pii_redact_is_single_stage(spark, sf_smoke):
     assert final.count("FileScan parquet") == 1
     assert "Exchange hashpartitioning" not in final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_q4_semi_rewrite_preaggregates_lineitem(spark, sf_smoke):
+    """order_priority_counts replaces EXISTS with max(shipdate)-per-order:
+    the shuffled side must be the pre-aggregated frame (partial_max below
+    the exchange), and the quarter filter must reach the orders scan."""
+    df = registry.QUERIES["order_priority_counts"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_max" in final  # map-side combine shrank |lineitem| -> |orders|
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan
+    assert "Cartesian" not in final
+
+
+def test_q10_filters_push_and_dims_broadcast(spark, sf_smoke):
+    plan = _executed(spark, "returned_item_report", sf_smoke)
+    assert "BroadcastHashJoin" in plan  # customer + nation build sides
+    # returnflag filter reaches the lineitem parquet scan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:300] or \
+        "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q14_single_lineitem_scan_broadcast_part(spark, sf_smoke):
+    df = registry.QUERIES["promo_revenue"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 2  # lineitem once, part once
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_smoke):
+    plan = _executed(spark, "supplier_part_counts", sf_smoke)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "p_size" in plan  # part predicates reach the scan
+
+
+def test_rollup_is_one_scan_with_expand(spark, sf_smoke):
+    """Grouping-sets ladder: ONE orders scan feeding an Expand, not one
+    scan per grain."""
+    df = registry.QUERIES["orders_priority_rollup"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "Expand" in final
+
+
+def test_gapfill_single_events_scan(spark, sf_smoke):
+    """The calendar spine and the join probe both consume the
+    checkpointed hourly rollup — events must be scanned ONCE."""
+    df = registry.QUERIES["gapfill_hourly_signups"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") <= 1
+
+
+def test_top_per_type_salted_no_global_window_over_raw(spark, sf_smoke):
+    """The level-1 window must partition by (type, salt) so no task sees
+    a whole event_type of raw rows; the unsalted window runs only on the
+    metadata-sized survivor frame."""
+    df = registry.QUERIES["top_events_per_type"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "salt" in final  # level-1 partitioning carries the salt
+    assert final.count("Window") >= 2  # two-level top-k
