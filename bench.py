@@ -43,6 +43,8 @@ HEADLINE = [
     "orders_priority_rollup",
     "gapfill_hourly_signups",
     "top_events_per_type",
+    "snapshot_diff_lineitem",
+    "scd2_order_status",
     "dq_suite_lineitem",
     "dq_suite_events",
     "profile_lineitem",

@@ -1224,6 +1224,86 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+from ..operators.dq.snapshot import (  # noqa: E402
+    scd2_history,
+    scd2_history_sql,
+    snapshot_diff,
+    snapshot_diff_sql,
+)
+
+_SNAP_OLD_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
+    "FROM lineitem WHERE l_orderkey % 4 <> 0"
+)
+_SNAP_NEW_SQL = (
+    "SELECT l_orderkey, l_linenumber, "
+    "CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 1 ELSE l_quantity END "
+    "AS l_quantity, l_returnflag FROM lineitem WHERE l_orderkey % 7 <> 0"
+)
+
+
+@register(
+    "snapshot_diff_lineitem",
+    snapshot_diff_sql(
+        _SNAP_OLD_SQL,
+        _SNAP_NEW_SQL,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_returnflag"],
+    ),
+)
+def snapshot_diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level refresh diff (TestGen task 4's question asked at row
+    grain): two simulated loads of lineitem — the 'previous' load
+    missing every 4th order, the 'new' load missing every 7th and with
+    a quantity correction on every 10th — full-outer joined on the
+    (orderkey, linenumber) business key into ADDED/REMOVED/CHANGED/
+    UNCHANGED counts. One key shuffle per side; at 100 TB both
+    snapshots are bucketed by the key so the join is co-located."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    old = li.filter(F.col("l_orderkey") % 4 != 0)
+    new = li.filter(F.col("l_orderkey") % 7 != 0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    return snapshot_diff(
+        old, new, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_returnflag"]
+    )
+
+
+@register(
+    "scd2_order_status",
+    f"""
+    WITH hist AS ({scd2_history_sql("orders", "o_custkey", "o_orderstatus",
+                                    "o_orderdate", "o_orderkey")})
+    SELECT o_custkey, o_orderstatus,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           is_current
+    FROM hist ORDER BY o_custkey, valid_from
+    """,
+)
+def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) maintenance: each
+    customer's order-status history collapsed to change intervals with
+    valid_from/valid_to/is_current — the serving shape for 'what was
+    true at time T' catalog queries (the temporal generalization of
+    catalog_upsert_components). One window shuffle on the business key;
+    consecutive same-value rows merge via lag() change-point detection."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(o, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from")
+
+
 from ..operators.drift import ks_drift, ks_drift_sql  # noqa: E402
 
 
@@ -2131,6 +2211,8 @@ _ROTATED_IN_R4 = [
     "orders_priority_rollup",
     "gapfill_hourly_signups",
     "top_events_per_type",
+    "snapshot_diff_lineitem",
+    "scd2_order_status",
 ]
 
 # Proven green in CORRECTNESS_r02/r03; a flagship subset back-fills the
@@ -2140,8 +2222,6 @@ _PROVEN_FLAGSHIPS = [
     "dq_suite_lineitem",
     "profile_lineitem",
     "pricing_summary",
-    "a1_run_rollup_events",
-    "minhash_pairs_documents",
 ]
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

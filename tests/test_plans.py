@@ -290,3 +290,28 @@ def test_top_per_type_salted_no_global_window_over_raw(spark, sf_smoke):
     final = plan.split("== Initial Plan ==")[0]
     assert "salt" in final  # level-1 partitioning carries the salt
     assert final.count("Window") >= 2  # two-level top-k
+
+
+def test_snapshot_diff_joins_on_key_no_python(spark, sf_smoke):
+    """The refresh diff is one full-outer key join + null-safe column
+    compares — JVM expressions only, no Cartesian, no Python."""
+    df = registry.QUERIES["snapshot_diff_lineitem"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in final
+    assert "Cartesian" not in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_scd2_single_key_shuffle(spark, sf_smoke):
+    """Both window passes (change-point lag, interval lead) partition
+    by the same business key: ONE hashpartitioning exchange total."""
+    df = registry.QUERIES["scd2_order_status"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    key_exchanges = [
+        ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(key_exchanges) <= 1

@@ -1,0 +1,109 @@
+"""Snapshot-comparison operators: row-level diff, SCD2 history,
+batch schema drift — micro-DataFrame boundary cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.dq.snapshot import (
+    scd2_history,
+    schema_drift_batch,
+    snapshot_diff,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_snapshot_diff_all_statuses(spark):
+    old = _df(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        "k int, v string",
+    )
+    new = _df(
+        spark,
+        [(1, "a"), (2, "CHANGED"), (4, "d")],
+        "k int, v string",
+    )
+    out = {
+        r["status"]: (r["row_ct"], r["sample_key"])
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert out == {
+        "ADDED": (1, "4"),
+        "REMOVED": (1, "3"),
+        "CHANGED": (1, "2"),
+        "UNCHANGED": (1, "1"),
+    }
+
+
+def test_snapshot_diff_null_value_is_null_safe(spark):
+    old = _df(spark, [(1, None), (2, None)], "k int, v string")
+    new = _df(spark, [(1, None), (2, "now-set")], "k int, v string")
+    out = {r["status"]: r["row_ct"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # NULL == NULL must count as UNCHANGED; NULL -> value as CHANGED
+    assert out == {"UNCHANGED": 1, "CHANGED": 1}
+
+
+def test_snapshot_diff_composite_key(spark):
+    old = _df(spark, [(1, 1, "x"), (1, 2, "y")], "k1 int, k2 int, v string")
+    new = _df(spark, [(1, 1, "x"), (2, 1, "z")], "k1 int, k2 int, v string")
+    out = {r["status"]: r["sample_key"] for r in snapshot_diff(
+        old, new, ["k1", "k2"], ["v"]).collect()}
+    assert out["ADDED"] == "2:1"
+    assert out["REMOVED"] == "1:2"
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    rows = [
+        (1, "P", "2024-01-01", 10),
+        (1, "P", "2024-01-02", 11),  # same value: merges into first interval
+        (1, "F", "2024-01-03", 12),
+        (1, "P", "2024-01-05", 13),  # value returns: NEW interval, not merged
+        (2, "O", "2024-01-01", 14),
+    ]
+    df = _df(spark, rows, "k int, status string, d string, ord int").withColumn(
+        "d", F.to_timestamp("d")
+    )
+    hist = scd2_history(df, "k", "status", "d", "ord").orderBy("k", "valid_from")
+    got = [
+        (r["k"], r["status"], str(r["valid_from"])[:10],
+         str(r["valid_to"])[:10] if r["valid_to"] else None, r["is_current"])
+        for r in hist.collect()
+    ]
+    assert got == [
+        (1, "P", "2024-01-01", "2024-01-03", False),
+        (1, "F", "2024-01-03", "2024-01-05", False),
+        (1, "P", "2024-01-05", None, True),
+        (2, "O", "2024-01-01", None, True),
+    ]
+
+
+def test_scd2_same_timestamp_tiebreak_is_deterministic(spark):
+    # two status changes on the SAME day: the tiebreak column decides
+    # the chain order, so the later orderkey wins the open interval
+    rows = [(1, "P", "2024-01-01", 1), (1, "F", "2024-01-01", 2)]
+    df = _df(spark, rows, "k int, status string, d string, ord int").withColumn(
+        "d", F.to_timestamp("d")
+    )
+    hist = scd2_history(df, "k", "status", "d", "ord").collect()
+    current = [r["status"] for r in hist if r["is_current"]]
+    assert current == ["F"]
+
+
+def test_schema_drift_batch_detects_all_three(spark):
+    df = _df(spark, [(1, "x", 2.0)], "a int, b string, c double")
+    expected = [("a", "int"), ("b", "int"), ("d", "string")]
+    out = {(r["drift"], r["column"]) for r in schema_drift_batch(expected, df).collect()}
+    assert out == {
+        ("ADDED_COLUMN", "c"),
+        ("TYPE_CHANGED", "b"),
+        ("DROPPED_COLUMN", "d"),
+    }
+
+
+def test_schema_drift_batch_empty_when_identical(spark):
+    df = _df(spark, [(1, "x")], "a int, b string")
+    assert schema_drift_batch([("a", "int"), ("b", "string")], df).count() == 0
