@@ -115,6 +115,7 @@ HEADLINE = [
     "topk_lsh_embeddings",
     "embedding_near_dups",
     "embedding_near_dups_lsh",
+    "embedding_dup_groups",
 ]
 
 

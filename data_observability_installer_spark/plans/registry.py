@@ -1526,6 +1526,27 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@register(
+    "embedding_dup_groups",
+    _dedup.dedup_groups_sql(
+        "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+        + _sim.embedding_near_dups_lsh_sql("embeddings", threshold=0.35)
+        + ")"
+    ),
+)
+def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the embedding dedup pipeline: banded-LSH near-dup pairs
+    -> connected components -> (id, group_id) with the group survivor
+    as min id — the same min-label propagation the text family uses
+    (one join+agg per round, label table checkpointed every 3rd round),
+    so pairwise near-dups collapse into dedupable clusters instead of
+    being handled pair-by-pair."""
+    pairs = _sim.embedding_near_dups_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return _dedup.dedup_groups(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Relational engine operators Spark lacks as built-ins: as-of join,
 # hierarchical time-bucket rollup, rolling anomaly detection
@@ -2213,6 +2234,7 @@ _ROTATED_IN_R4 = [
     "top_events_per_type",
     "snapshot_diff_lineitem",
     "scd2_order_status",
+    "embedding_dup_groups",
 ]
 
 # Proven green in CORRECTNESS_r02/r03; a flagship subset back-fills the
@@ -2221,7 +2243,6 @@ _ROTATED_IN_R4 = [
 _PROVEN_FLAGSHIPS = [
     "dq_suite_lineitem",
     "profile_lineitem",
-    "pricing_summary",
 ]
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
