@@ -130,6 +130,13 @@ def main() -> None:
 
     from data_observability_installer_spark.plans import registry
 
+    # Untimed JVM warm-up: pay interpreter/codegen/classloader boot and
+    # the first parquet-footer read ONCE, outside any query's timing —
+    # otherwise the first timed query absorbs ~5 s of session boot that
+    # has nothing to do with its plan.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     queries = registry.queries()
     timings: dict[str, float | None] = {}
     total = 0.0

@@ -1295,13 +1295,16 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive same-value rows merge via lag() change-point detection."""
     o = load_table(spark, sf_dir, "orders")
     hist = scd2_history(o, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    # no output sort: the result is table-sized (one row per change),
+    # a global range-exchange would only serve presentation, and the
+    # correctness compare is order-insensitive
     return hist.select(
         "o_custkey",
         "o_orderstatus",
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
-    ).orderBy("o_custkey", "valid_from")
+    )
 
 
 from ..operators.drift import ks_drift, ks_drift_sql  # noqa: E402
