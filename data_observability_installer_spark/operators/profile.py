@@ -242,12 +242,21 @@ def profile(
     per distinct-expression group — and exact percentiles buffer the
     whole column per pass; measured at sf0.1 this is an 8× cliff
     (225s → 29s once chunked). HLL/approx mode (``exact=False``) has no
-    Expand, so at warehouse scale one wide pass (~250 exprs, one scan)
-    is optimal and is the 100 TB configuration; on the tiny local bench
-    files the one-time codegen cost of the wide pass exceeds the scan
-    cost, so pass ``max_exprs_per_pass=60`` there to taste."""
+    Expand but still caps at 80 exprs/pass: past ~100 aggregate
+    expressions the generated code exceeds codegen method limits and
+    the stage runs interpreted — a ~3× per-row penalty that no amount
+    of cluster amortizes, while an extra pass only costs a re-read.
+    Deployments where the SCAN dominates (very wide cold tables) can
+    raise ``max_exprs_per_pass`` to trade CPU for I/O."""
     if max_exprs_per_pass is None:
-        max_exprs_per_pass = 60 if exact else 250
+        # 80-expr passes beat one wide pass in BOTH modes: beyond ~100
+        # aggregate expressions the generated class exceeds codegen
+        # method limits and the whole stage falls back to interpreted
+        # row processing — a ~3x PER-ROW cost (measured at sf0.1: the
+        # 270-expr approx pass runs 25 s vs 8 s as family-sized passes),
+        # which a bigger cluster does NOT amortize. Extra passes cost
+        # one cached-input re-read each, which does.
+        max_exprs_per_pass = 60 if exact else 80
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
     plan: list[tuple[str, Metric]] = []
