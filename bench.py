@@ -45,6 +45,9 @@ HEADLINE = [
     "top_events_per_type",
     "snapshot_diff_lineitem",
     "scd2_order_status",
+    "histogram_lineitem_price",
+    "correlations_lineitem",
+    "fuzzy_name_pairs_customer",
     "dq_suite_lineitem",
     "dq_suite_events",
     "profile_lineitem",

@@ -650,3 +650,97 @@ def finalize_profile_sql(table: str, schema: list[tuple[str, str]], as_of: str) 
         f"SELECT * FROM ({union}) WHERE value IS NOT NULL OR value_str IS NOT NULL "
         f"OR metric IN ('record_ct', 'value_ct', 'null_ct')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution extras: equi-width histogram + pairwise correlations.
+# Profiling's "51 characteristics" summarize each column alone; these
+# two answer the next questions a reviewer asks — what does the
+# distribution LOOK like, and which columns move together.
+# ---------------------------------------------------------------------------
+
+
+def histogram(df: DataFrame, col: str, bins: int = 32) -> DataFrame:
+    """Equi-width histogram: (bucket, lo_edge, ct), empty buckets
+    omitted. Two aggregate passes (bounds, then bucketed counts — the
+    same shape as the KS screen); the bounds row rides a broadcast
+    scalar join, so no driver round-trip and no unpartitioned window.
+    Bucket edges use one shared IEEE formula so the DuckDB twin lands
+    on identical doubles."""
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    )
+    with_b = df.filter(F.col(col).isNotNull()).crossJoin(F.broadcast(bounds))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(col).cast("double") - F.col("lo")) / width).cast("int"),
+        )
+    )
+    return (
+        with_b.select(
+            bucket.alias("bucket"),
+            F.round(F.col("lo") + bucket.cast("double") * width, 4).alias("lo_edge"),
+        )
+        .groupBy("bucket", "lo_edge")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_sql(table: str, col: str, bins: int = 32) -> str:
+    """DuckDB twin of :func:`histogram` (same edge formula, same
+    clamping)."""
+    return f"""
+    WITH bounds AS (
+      SELECT min(CAST({col} AS DOUBLE)) AS lo, max(CAST({col} AS DOUBLE)) AS hi
+      FROM {table}),
+    b AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least({bins - 1},
+                             CAST(floor((CAST({col} AS DOUBLE) - lo)
+                                        / ((hi - lo) / {bins}.0)) AS INT))
+             END AS bucket,
+             lo, hi
+      FROM {table} CROSS JOIN bounds
+      WHERE {col} IS NOT NULL)
+    SELECT bucket,
+           round(lo + CAST(bucket AS DOUBLE) * ((hi - lo) / {bins}.0), 4) AS lo_edge,
+           count(*) AS ct
+    FROM b GROUP BY bucket, lo, hi ORDER BY bucket
+    """
+
+
+def correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations for ``cols`` in ONE aggregate pass
+    (all C(n,2) ``corr`` states accumulate map-side in the same
+    partial), unpivoted to (col_a, col_b, corr) rows. The multi-column
+    follow-up to the per-column profile: which measures move together."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    row = df.agg(
+        *[
+            F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 4).alias(
+                f"c{i}"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    entries = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {entries}) AS (col_a, col_b, corr)"
+    ).orderBy("col_a", "col_b")
+
+
+def correlations_sql(table: str, cols: list[str]) -> str:
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 4) AS corr "
+        f"FROM {table}"
+        for a, b in pairs
+    ]
+    return " UNION ALL ".join(selects) + " ORDER BY col_a, col_b"

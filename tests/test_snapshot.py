@@ -107,3 +107,51 @@ def test_schema_drift_batch_detects_all_three(spark):
 def test_schema_drift_batch_empty_when_identical(spark):
     df = _df(spark, [(1, "x")], "a int, b string")
     assert schema_drift_batch([("a", "int"), ("b", "string")], df).count() == 0
+
+
+# -- distribution extras + fuzzy matching ---------------------------------
+
+from data_observability_installer_spark.operators.llm.dedup import fuzzy_pairs
+from data_observability_installer_spark.operators.profile import (
+    correlations,
+    histogram,
+)
+
+
+def test_histogram_constant_column_single_bucket(spark):
+    df = spark.createDataFrame([(5.0,)] * 7 + [(None,)], "x double")
+    rows = histogram(df, "x", bins=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == 0 and rows[0]["ct"] == 7  # nulls excluded
+
+
+def test_histogram_counts_cover_all_non_null_rows(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    rows = histogram(df, "x", bins=4).collect()
+    assert sum(r["ct"] for r in rows) == 100
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert rows[-1]["ct"] == 25  # max value clamps into the last bucket
+
+
+def test_correlations_perfect_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i, -3.0 * i) for i in range(50)], "a double, b double, c double"
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"] for r in correlations(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_fuzzy_pairs_finds_typo_within_block_only(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha-store-001"),
+            (2, "alpha-store-002"),   # dist 1 from id 1, same block
+            (3, "alpha-store-x02"),   # dist 2 from id 2
+            (4, "beta-store-0001"),   # other block, never compared
+        ],
+        "id int, name string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(df, "id", "name", block_prefix=11).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1}  # x02 vs 002 is dist 1; 001 vs x02 is 2
