@@ -143,7 +143,12 @@ def topk_lsh(
     withb = embeddings.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
     q_row = withb.filter(F.col(id_col) == query_id).select("bucket").head()
     if q_row is None:
-        raise ValueError(f"query id {query_id} not found")
+        # missing query id (e.g. an empty refresh): empty result, same
+        # as the SQL twin's empty `q` CTE — a monitor must not crash on
+        # a table that has no rows yet
+        return embeddings.select(
+            F.col(id_col), F.lit(None).cast("double").alias("score")
+        ).limit(0)
     q_bucket = q_row["bucket"]
     ball = [
         b for b in range(1 << n_planes) if bin(b ^ q_bucket).count("1") <= max_hamming
@@ -214,10 +219,15 @@ def topk_ivf(
     driver-side (metadata: n_clusters rows), scan only the ``nprobe``
     nearest buckets, re-rank exactly. Recall grows with nprobe;
     nprobe = n_clusters degrades to brute force."""
-    assigned, centers = ivf_index(embeddings, n_clusters, id_col=id_col)
+    # resolve the query BEFORE training the index: on a missing id
+    # (e.g. an empty refresh) return an empty result rather than
+    # raising — and never k-means-fit a table that has no rows
     q_row = embeddings.filter(F.col(id_col) == query_id).select("embedding").head()
     if q_row is None:
-        raise ValueError(f"query id {query_id} not found")
+        return embeddings.select(
+            F.col(id_col), F.lit(None).cast("double").alias("score")
+        ).limit(0)
+    assigned, centers = ivf_index(embeddings, n_clusters, id_col=id_col)
     q = [float(x) for x in q_row["embedding"]]
     qn = sum(x * x for x in q) ** 0.5
 
