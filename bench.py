@@ -96,6 +96,7 @@ HEADLINE = [
     "sample_documents_stratified",
     "curation_filter_documents",
     "decontam_documents",
+    "decontam_fuzzy_documents",
     "repetition_documents",
     "pack_chunks_documents",
     "bm25_search_documents",

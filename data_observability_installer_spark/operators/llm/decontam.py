@@ -81,3 +81,151 @@ def decontaminate_sql(
            coalesce(h.hit_shingles, 0) >= {min_hits} AS contaminated
     FROM {docs_sql} t LEFT JOIN hits h ON h.doc = t.{id_col}
     """
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate decontamination: training docs whose shingle
+    Jaccard against ANY benchmark doc clears ``threshold`` — catches
+    lightly-edited eval leakage that exact n-gram overlap misses.
+
+    MinHash signatures on both sides, banded candidate generation with
+    the BENCHMARK bands broadcast (the corpus side stays map-local for
+    candidate generation; the only corpus shuffles are the signature
+    groupBy and the candidate-scoped exact verify), then exact Jaccard
+    verification where the benchmark shingle set is again broadcast.
+    Returns (doc, bench_doc, jaccard) pairs over the threshold.
+    """
+    from .dedup import exploded_shingles, minhash_signatures
+
+    rows_per_band = num_hashes // bands
+
+    def band_keys(sig: DataFrame, label: str) -> DataFrame:
+        return sig.select(
+            F.col("doc").alias(label),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[
+                                    F.col(f"sig_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(label, "bk.band", "bk.key")
+
+    t_bands = band_keys(
+        minhash_signatures(docs, text_col, id_col, n, num_hashes), "doc"
+    )
+    b_bands = band_keys(
+        minhash_signatures(bench, text_col, id_col, n, num_hashes), "bench_doc"
+    )
+    cand = (
+        t_bands.join(F.broadcast(b_bands), ["band", "key"])
+        .select("doc", "bench_doc")
+        .distinct()
+    )
+
+    t_sh = exploded_shingles(docs, text_col, id_col, n)
+    b_sh = exploded_shingles(bench, text_col, id_col, n).withColumnRenamed(
+        "doc", "bench_doc"
+    )
+    cdocs = cand.select("doc").distinct()
+    t_shc = t_sh.join(cdocs, "doc", "semi")
+    t_sizes = t_shc.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_t"))
+    b_sizes = b_sh.groupBy("bench_doc").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        t_shc.join(F.broadcast(b_sh), "sh")
+        .groupBy("doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["doc", "bench_doc"], "semi")
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sz_t") + F.col("sz_b") - F.col("inter")), 4
+    )
+    return (
+        inter.join(t_sizes, "doc")
+        .join(F.broadcast(b_sizes), "bench_doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "bench_doc",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_fuzzy_sql(
+    train_sql: str,
+    bench_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_fuzzy` (same md5-derived
+    signatures, same banding, same exact verify)."""
+    rows_per_band = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(substr(md5('{i}:' || sh), 1, 8)) AS sig_{i}" for i in range(num_hashes)
+    )
+
+    def band_union(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {b} AS band, "
+            + " || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f" AS key FROM {src}"
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH t_sh AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh
+      FROM {train_sql}),
+    b_sh AS MATERIALIZED (
+      SELECT {id_col} AS bench_doc, unnest({_shingles_sql(text_col, n)}) AS sh
+      FROM {bench_sql}),
+    t_sig AS MATERIALIZED (SELECT doc, {sig_cols} FROM t_sh GROUP BY doc),
+    b_sig AS MATERIALIZED (
+      SELECT bench_doc AS doc, {sig_cols} FROM b_sh GROUP BY bench_doc),
+    t_bk AS MATERIALIZED ({band_union("t_sig")}),
+    b_bk AS MATERIALIZED ({band_union("b_sig")}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT t.doc, b.doc AS bench_doc
+      FROM t_bk t JOIN b_bk b ON t.band = b.band AND t.key = b.key),
+    t_sizes AS (
+      SELECT doc, count(*) AS sz_t FROM t_sh
+      WHERE doc IN (SELECT doc FROM cand) GROUP BY doc),
+    b_sizes AS (SELECT bench_doc, count(*) AS sz_b FROM b_sh GROUP BY bench_doc),
+    inter AS (
+      SELECT t.doc, b.bench_doc, count(*) AS inter
+      FROM t_sh t JOIN b_sh b ON t.sh = b.sh
+      WHERE t.doc IN (SELECT doc FROM cand)
+      GROUP BY t.doc, b.bench_doc),
+    verified AS (
+      SELECT i.doc, i.bench_doc,
+             round(i.inter * 1.0 / (ts.sz_t + bs.sz_b - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN cand c ON c.doc = i.doc AND c.bench_doc = i.bench_doc
+      JOIN t_sizes ts ON ts.doc = i.doc
+      JOIN b_sizes bs ON bs.bench_doc = i.bench_doc)
+    SELECT doc AS {id_col}, bench_doc, jaccard
+    FROM verified WHERE jaccard >= {threshold}
+    """

@@ -1978,6 +1978,27 @@ def decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontam.decontaminate(train, bench, n=5, min_hits=2)
 
 
+@register(
+    "decontam_fuzzy_documents",
+    _decontam.decontaminate_fuzzy_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_BENCH_PRED}))",
+        f"(SELECT * FROM documents WHERE {_BENCH_PRED})",
+        n=3,
+        threshold=0.3,
+    ),
+)
+def decontam_fuzzy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination: training docs within 0.3 shingle
+    Jaccard of ANY eval doc — catches lightly-edited eval leakage that
+    exact n-gram overlap misses. Benchmark bands AND benchmark shingles
+    broadcast; corpus shuffles only for signatures + the candidate-
+    scoped verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return _decontam.decontaminate_fuzzy(train, bench, n=3, threshold=0.3)
+
+
 @register("repetition_documents", _text.repetition_screen_sql("documents", n=2))
 def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition: top-bigram and duplicate-

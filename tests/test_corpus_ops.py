@@ -359,3 +359,23 @@ def test_pipeline_health_blend(spark):
     assert out["good"]["success_rate"] == 1.0 and out["bad"]["success_rate"] == 0.5
     # perfect pipeline: 100*(0.5 + 0.3*(1-600/86400) + 0.2) ≈ 99.79
     assert out["good"]["health"] == pytest.approx(99.79, abs=0.01)
+
+
+def test_decontam_fuzzy_flags_edited_copy_only(spark):
+    from data_observability_installer_spark.operators.llm.decontam import (
+        decontaminate_fuzzy,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    edited = bench_text.replace("today", "tonight")  # light edit: high Jaccard
+    clean = "completely unrelated text about spark physical plans and shuffle exchanges here"
+    train = spark.createDataFrame(
+        [(1, edited), (2, clean)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["bench_doc"]): r["jaccard"]
+        for r in decontaminate_fuzzy(train, bench, n=3, threshold=0.3).collect()
+    }
+    assert set(got) == {(1, 100)}  # the edited copy, and only it
+    assert got[(1, 100)] > 0.5
