@@ -78,6 +78,7 @@ HEADLINE = [
     "benford_orders",
     "join_cardinality_orders_lineitem",
     "ks_drift_lineitem",
+    "psi_trend_lineitem",
     "pii_redact_documents",
     "ngram_jaccard_documents",
     "dedup_exact_documents",

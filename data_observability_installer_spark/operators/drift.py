@@ -321,3 +321,73 @@ def ks_drift_sql(table: str, col: str, side_sql: str, bins: int = 256) -> str:
            round(max(abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b)), 6) AS ks_d
     FROM cdf
     """
+
+
+def psi_trend(
+    df: DataFrame,
+    col: str,
+    edges: list[float],
+    baseline_counts: list[float],
+    period_col: str,
+) -> DataFrame:
+    """PSI as a TIME SERIES: one PSI row per period bucket instead of
+    one for the whole table — "when did the distribution move", the
+    question a one-number screen can't answer. Identical bin/EPS/term
+    math as :func:`psi_numeric`, evaluated per group in a single
+    aggregate pass (periods × bins states, map-side combined).
+    ``period_col`` must already be a column on ``df`` (e.g. a
+    date_format of the event time), so the period derivation stays in
+    the same scan."""
+    if len(baseline_counts) != len(edges) + 1:
+        raise ValueError("need len(edges) + 1 baseline counts")
+    base = _psi_terms(baseline_counts)
+    b = _bucket_expr(col, edges)
+    n = F.count(col).cast("double")
+    terms = []
+    for i, p1 in enumerate(base):
+        cur = F.sum(((b == i) & F.col(col).isNotNull()).cast("int")) / F.nullif(
+            n, F.lit(0.0)
+        )
+        p2 = F.greatest(cur, F.lit(EPS))
+        terms.append((p2 - F.lit(p1)) * F.log(p2 / F.lit(p1)))
+    psi = F.round(sum(terms[1:], terms[0]), 6)
+    return (
+        df.groupBy(period_col)
+        .agg(
+            psi.alias("psi"),
+            F.when(psi > 0.25, "MAJOR")
+            .when(psi > 0.1, "MODERATE")
+            .otherwise("STABLE")
+            .alias("drift"),
+        )
+        .orderBy(period_col)
+    )
+
+
+def psi_trend_sql(
+    table: str,
+    col: str,
+    edges: list[float],
+    baseline_counts: list[float],
+    period_sql: str,
+    period_name: str = "period",
+) -> str:
+    """DuckDB twin of :func:`psi_trend`."""
+    base = _psi_terms(baseline_counts)
+    b = _bucket_sql(col, edges)
+    n = f"CAST(count({col}) AS DOUBLE)"
+    terms = []
+    for i, p1 in enumerate(base):
+        cur = (
+            f"sum(CASE WHEN {b} = {i} AND {col} IS NOT NULL THEN 1 ELSE 0 END)"
+            f" / nullif({n}, 0)"
+        )
+        p2 = f"greatest({cur}, {EPS!r})"
+        terms.append(f"(({p2}) - {p1!r}) * ln(({p2}) / {p1!r})")
+    psi = f"round({' + '.join(terms)}, 6)"
+    return (
+        f"SELECT {period_sql} AS {period_name}, {psi} AS psi, "
+        f"CASE WHEN {psi} > 0.25 THEN 'MAJOR' WHEN {psi} > 0.1 THEN 'MODERATE' "
+        f"ELSE 'STABLE' END AS drift FROM {table} "
+        f"GROUP BY {period_sql} ORDER BY {period_name}"
+    )

@@ -1367,6 +1367,30 @@ def ks_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(li, "l_extendedprice", F.col("l_orderkey") % 2 == 0)
 
 
+from ..operators.drift import psi_trend, psi_trend_sql  # noqa: E402
+
+
+@register(
+    "psi_trend_lineitem",
+    psi_trend_sql(
+        "lineitem",
+        "l_quantity",
+        _QTY_EDGES,
+        _QTY_BASE,
+        "strftime(l_shipdate, '%Y')",
+        period_name="ship_year",
+    ),
+)
+def psi_trend_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift as a time series: one quantity-distribution PSI per
+    ship year against the frozen baseline — 'when did it move', not
+    just 'did it move'. Single aggregate pass; years × bins states."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.date_format("l_shipdate", "yyyy")
+    )
+    return psi_trend(li, "l_quantity", _QTY_EDGES, _QTY_BASE, "ship_year")
+
+
 from ..operators.drift import benford_screen, benford_screen_sql  # noqa: E402
 
 

@@ -106,3 +106,19 @@ def test_ks_drift_constant_column_single_bin(spark):
     df = spark.range(100).select(F.lit(5.0).alias("v"), (F.col("id") % 2 == 0).alias("side"))
     row = ks_drift(df, "v", F.col("side")).collect()[0]
     assert row.ks_d == 0.0  # degenerate span collapses to one bin
+
+
+def test_psi_trend_flags_only_the_shifted_period(spark):
+    from data_observability_installer_spark.operators.drift import psi_trend
+
+    # period A matches the baseline proportions; period B is all-in-one-bin
+    rows = [("A", float(v)) for v in [5, 15, 25, 35, 45] * 20]
+    rows += [("B", 5.0)] * 100
+    df = spark.createDataFrame(rows, "period string, x double")
+    out = {
+        r["period"]: r["drift"]
+        for r in psi_trend(
+            df, "x", [10.0, 20.0, 30.0, 40.0], [20.0, 20.0, 20.0, 20.0, 20.0], "period"
+        ).collect()
+    }
+    assert out == {"A": "STABLE", "B": "MAJOR"}
