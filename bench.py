@@ -40,6 +40,8 @@ HEADLINE = [
     "returned_item_report",
     "promo_revenue",
     "supplier_part_counts",
+    "market_share",
+    "disjunctive_revenue",
     "orders_priority_rollup",
     "gapfill_hourly_signups",
     "top_events_per_type",

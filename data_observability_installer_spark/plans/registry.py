@@ -538,6 +538,116 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "market_share",
+    """
+    SELECT strftime(o.o_orderdate, '%Y') AS order_year,
+           round(sum(CASE WHEN n2.n_name = 'JAPAN'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    GROUP BY order_year ORDER BY order_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional revenue
+    per year. Seven-way star join where every dimension (customer-
+    nation-region chain, supplier-nation, filtered part) broadcasts;
+    the only row-scale shuffle is lineitem-orders on orderkey; the
+    share is a conditional-sum ratio inside one agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cust_dim = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_dim = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "JAPAN", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-clause predicate across the
+    fact and the dimension. Catalyst extracts the common l_quantity
+    envelope (BETWEEN 1 AND 30) as a pushable conjunct for the lineitem
+    scan, broadcasts part, and evaluates the full OR post-join — the
+    pattern that proves OR-predicates don't disable pushdown wholesale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "gapfill_hourly_signups",
     """
     WITH h AS (

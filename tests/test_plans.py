@@ -315,3 +315,22 @@ def test_scd2_single_key_shuffle(spark, sf_smoke):
         ln for ln in final.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(key_exchanges) <= 1
+
+
+def test_q8_single_row_shuffle_is_orderkey_join(spark, sf_smoke):
+    """Q8 shape: all six dimension joins must broadcast; only the
+    lineitem-orders join may shuffle rows."""
+    df = registry.QUERIES["market_share"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in final or "l_orderkey" in final
+
+
+def test_q19_or_predicate_still_prunes_and_broadcasts(spark, sf_smoke):
+    """Q19 shape: the disjunction must not disable pushdown wholesale —
+    the extracted l_quantity envelope reaches the lineitem scan."""
+    plan = _executed(spark, "disjunctive_revenue", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
