@@ -216,6 +216,16 @@ def transitive_edges(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def dag_cycles(edges: list[tuple[str, str]]) -> list[str]:
+    """Nodes on a cycle in a journey DAG definition (empty when the
+    graph is a real DAG). A cyclic definition makes topological order —
+    and therefore out-of-sequence detection (A6) — undefined, so
+    callers should validate edges at journey-assembly time and reject
+    the PUT rather than emit garbage alerts. A node reaches itself in
+    :func:`transitive_edges` iff it sits on a cycle."""
+    return sorted({a for a, b in transitive_edges(edges) if a == b})
+
+
 def out_of_sequence(assigned: DataFrame, closure: DataFrame) -> DataFrame:
     """A6: upstream run ends after downstream run starts, within one
     instance. ``closure`` columns: (journey_id, up_key, down_key)."""

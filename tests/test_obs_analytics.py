@@ -246,3 +246,14 @@ def test_retention_cohort_offsets(spark):
         ("2024-01-01", 2): 2,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_dag_cycles_detects_and_clears():
+    from data_observability_installer_spark.operators.obs.journeys import dag_cycles
+
+    # diamond (a real DAG): no cycles
+    assert dag_cycles([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]) == []
+    # b -> c -> d -> b cycle: exactly the cycle members flagged, not 'a'
+    assert dag_cycles([("a", "b"), ("b", "c"), ("c", "d"), ("d", "b")]) == ["b", "c", "d"]
+    # self-loop
+    assert dag_cycles([("x", "x")]) == ["x"]
