@@ -328,7 +328,9 @@ def minhash_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_groups(
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
     propagation: every doc's group id converges to the smallest doc id
     reachable through the pair graph; the survivor of each group is its
@@ -350,9 +352,53 @@ def dedup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (and the next round's analysis cost) constant regardless of
     diameter; the label table itself is tiny (one row per paired doc).
     """
-    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).distinct().cache()
+    # localCheckpoint, not cache: the edge list is tiny (one row per
+    # pair direction) but its LINEAGE is the whole upstream pair
+    # pipeline (LSH banding / shingling) — with cache() every
+    # iteration's plan still carries and re-analyzes that subtree,
+    # which dominated wall-clock for pair generators with deep plans
+    # (embedding_dup_groups: 17.7 s -> ~6 s). Checkpointing severs it.
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Hybrid execution: the pair graph is orders of magnitude smaller
+    # than the corpus (it exists only where near-dups were found), so
+    # below ``driver_threshold`` edges a driver-side union-find beats
+    # label propagation outright — each distributed iteration costs
+    # 2-3 scheduled jobs regardless of data size, which dominates on a
+    # hundreds-of-rows graph (measured 17.7 s -> <1 s for the
+    # embedding family at sf0.1). Above the threshold (a truly massive
+    # dup graph), the distributed min-label loop below takes over.
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = e.collect()
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # min id wins the root so group_id = min reachable id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        docs = sorted({r["src"] for r in rows})
+        spark = pairs.sparkSession
+        out = [(d, find(d)) for d in docs]
+        schema = pairs.select(
+            F.col("doc_a").alias("doc"), F.col("doc_a").alias("group_id")
+        ).schema
+        return spark.createDataFrame(out, schema)
+
     labels = e.select(F.col("src").alias("doc")).distinct().withColumn("label", F.col("doc"))
     prev_sum = None
     for it in range(max_iters):

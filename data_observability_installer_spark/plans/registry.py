@@ -1693,6 +1693,25 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+# the LSH pair list is result-tiny but compute-heavy (banding + cosine
+# verify over the embedding table); two registry consumers (the pair
+# query and the cluster query) share ONE materialization — the same
+# one-scan-many-consumers contract as the shingle index
+_EMB_PAIRS_CACHE = DFCache(capacity=2)
+
+
+def _shared_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        pairs = _sim.embedding_near_dups_lsh(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        )
+        return pairs.localCheckpoint(eager=True)
+
+    return _EMB_PAIRS_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @register(
     "embedding_near_dups_lsh",
     _sim.embedding_near_dups_lsh_sql("embeddings", threshold=0.35),
@@ -1702,7 +1721,7 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks Spark and DuckDB agree on exactly which collisions
     pass the cosine threshold (recall itself is asserted in
     tests/test_llm.py on planted near-identical vectors)."""
-    return _sim.embedding_near_dups_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return _shared_emb_pairs(spark, sf_dir)
 
 
 @register(
@@ -1716,13 +1735,14 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the embedding dedup pipeline: banded-LSH near-dup pairs
     -> connected components -> (id, group_id) with the group survivor
-    as min id — the same min-label propagation the text family uses
-    (one join+agg per round, label table checkpointed every 3rd round),
-    so pairwise near-dups collapse into dedupable clusters instead of
-    being handled pair-by-pair."""
-    pairs = _sim.embedding_near_dups_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    as min id. Pair graphs are result-tiny, so the components run
+    driver-side union-find under dedup_groups' size threshold; a
+    massive dup graph falls back to distributed min-label propagation.
+    The pair frame itself is shared with embedding_near_dups_lsh via
+    the registry cache — one banding pass feeds both queries."""
+    pairs = _shared_emb_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     return _dedup.dedup_groups(pairs)
 
 
@@ -2466,6 +2486,7 @@ def clear_caches() -> None:
     _PROFILE_CACHE.clear()
     _SHINGLE_CACHE.clear()
     _CLOSURE_CACHE.clear()
+    _EMB_PAIRS_CACHE.clear()
 
 
 def queries() -> dict[str, QueryFn]:
