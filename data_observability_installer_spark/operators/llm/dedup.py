@@ -331,10 +331,12 @@ def minhash_pairs_sql(
 def dedup_groups(
     pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:
-    """Connected components over near-dup pairs by iterative min-label
-    propagation: every doc's group id converges to the smallest doc id
-    reachable through the pair graph; the survivor of each group is its
-    group id.
+    """Connected components over near-dup pairs: every doc's group id
+    is the smallest doc id reachable through the pair graph; the
+    survivor of each group is its group id. Hybrid execution — driver
+    union-find below ``driver_threshold`` edges (pair graphs are
+    result-sized, not corpus-sized), distributed iterative min-label
+    propagation above it.
 
     Each round is one join + one groupBy (labels shuffled on doc id);
     rounds needed = graph diameter, and near-dup clusters are shallow
