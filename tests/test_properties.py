@@ -97,3 +97,65 @@ def test_asof_preserves_left_cardinality(spark, left_ts, right_ts):
         got = None if row.rv is None else int(row.rv)
         if set(right_ts):
             assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.dictionaries(
+        st.integers(0, 30), st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20
+    ),
+    st.dictionaries(
+        st.integers(0, 30), st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20
+    ),
+)
+def test_snapshot_diff_partitions_the_key_universe(spark, old_map, new_map):
+    """For ANY two key->value maps: ADDED+REMOVED+CHANGED+UNCHANGED
+    counts must exactly partition |old ∪ new| and match set algebra."""
+    from data_observability_installer_spark.operators.dq.snapshot import snapshot_diff
+
+    schema = "k int, v string"
+    old = spark.createDataFrame(list(old_map.items()), schema)
+    new = spark.createDataFrame(list(new_map.items()), schema)
+    out = {r["status"]: r["row_ct"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    ok, nk = set(old_map), set(new_map)
+    expect = {
+        "ADDED": len(nk - ok),
+        "REMOVED": len(ok - nk),
+        "CHANGED": sum(1 for k in ok & nk if old_map[k] != new_map[k]),
+        "UNCHANGED": sum(1 for k in ok & nk if old_map[k] == new_map[k]),
+    }
+    assert out == {k: v for k, v in expect.items() if v}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(["P", "F", "O"])),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_intervals_chain_and_replay_to_history(spark, seq):
+    """For ANY per-key status sequence: intervals must chain gaplessly
+    (valid_to == next valid_from), have exactly one open interval per
+    key, and replaying them reproduces the collapsed history."""
+    from data_observability_installer_spark.operators.dq.snapshot import scd2_history
+
+    rows = [(k, s, i) for i, (k, s) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k int, status string, ord int").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(days=F.col("ord"))
+    )
+    hist = scd2_history(df, "k", "status", "ts", "ord").collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(hist, key=lambda r: (r["k"], r["valid_from"])):
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless chain
+            assert a["status"] != b["status"]  # real change points only
+        # replay: collapse the raw sequence for this key and compare
+        raw = [s for kk, s, _ in rows if kk == k]
+        collapsed = [s for i, s in enumerate(raw) if i == 0 or s != raw[i - 1]]
+        assert [r["status"] for r in ivs] == collapsed
