@@ -81,3 +81,52 @@ def schema_drift_stream(stream: DataFrame, expected_cols: list[str]) -> DataFram
         stream.select(F.explode(present).alias("missing_column"))
         .withColumn("alert_type", F.lit("SCHEMA_DRIFT"))
     )
+
+
+def psi_drift_stream(
+    stream: DataFrame,
+    col: str,
+    edges: list[float],
+    baseline_counts: list[float],
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Distribution drift, live: one PSI row per sealed event-time
+    window against the frozen profiling baseline — the streaming face
+    of ``operators/drift.py:psi_trend`` (identical bin/EPS/term math,
+    so a replayed history matches the batch trend row-for-row; see the
+    parity test in tests/test_streaming.py).
+
+    Pure windowed aggregation: the PSI folds conditional bin sums
+    inside ONE agg, so state per (window) is just bins+1 counters and
+    rows append when the watermark seals the window — no custom state,
+    no second pass.
+    """
+    from ..operators.drift import EPS, _bucket_expr, _psi_terms
+
+    if len(baseline_counts) != len(edges) + 1:
+        raise ValueError("need len(edges) + 1 baseline counts")
+    base = _psi_terms(baseline_counts)
+    b = _bucket_expr(col, edges)
+    n = F.count(col).cast("double")
+    terms = []
+    for i, p1 in enumerate(base):
+        cur = F.sum(((b == i) & F.col(col).isNotNull()).cast("int")) / F.nullif(
+            n, F.lit(0.0)
+        )
+        p2 = F.greatest(cur, F.lit(EPS))
+        terms.append((p2 - F.lit(p1)) * F.log(p2 / F.lit(p1)))
+    psi = F.round(sum(terms[1:], terms[0]), 6)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            psi.alias("psi"),
+            F.when(psi > 0.25, "MAJOR")
+            .when(psi > 0.1, "MODERATE")
+            .otherwise("STABLE")
+            .alias("drift"),
+        )
+        .select(F.col("w.start").alias("window_start"), "psi", "drift")
+    )

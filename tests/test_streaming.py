@@ -528,3 +528,27 @@ def test_parity_journey_instances_vs_batch(spark, event_stream_path):
     }
     assert got == want
     assert {j for j, *_ in got} == {"j_nightly", "j_diamond"}
+
+
+def test_parity_psi_drift_vs_batch(spark, event_stream_path):
+    """Replayed history through the streaming PSI monitor must equal
+    the batch evaluation of the same windows — the drift family's
+    face of the reference's replay-equals-live premise."""
+    from data_observability_installer_spark.streaming.dq import psi_drift_stream
+
+    kw = dict(
+        col="metric_value",
+        edges=[10.0, 100.0, 1000.0, 10000.0],
+        baseline_counts=[10.0, 20.0, 40.0, 20.0, 10.0],
+        ts_col="event_timestamp",
+        window="1 day",
+        watermark="1 hour",  # fixture spans ~55 h; seal both full days
+    )
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, psi_drift_stream(stream, **kw), "append", "psi_parity")
+    batch = psi_drift_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path), **kw
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got <= want  # sealed windows agree exactly
