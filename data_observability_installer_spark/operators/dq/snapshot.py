@@ -134,10 +134,18 @@ def scd2_history(
     engines sort identically.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    prev = F.lag(attr_col).over(w)
+    # `lag IS NULL` cannot distinguish "first row of the key" from
+    # "previous value was NULL" — a NULL-attribute run would emit one
+    # spurious interval per row. Row number flags the true first row;
+    # everything else is a change only under null-safe inequality
+    # (NULL -> NULL merges, NULL -> value and value -> NULL are real
+    # changes).
     changes = (
-        df.withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(F.col(attr_col)))
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1) | ~F.col("__prev").eqNullSafe(F.col(attr_col))
+        )
         .select(
             key_col, attr_col, F.col(ts_col).alias("valid_from"), tiebreak_col
         )
@@ -162,12 +170,14 @@ def scd2_history_sql(
     WITH ordered AS (
       SELECT {key_col}, {attr_col}, {ts_col}, {tiebreak_col},
              lag({attr_col}) OVER (PARTITION BY {key_col}
-                                   ORDER BY {ts_col}, {tiebreak_col}) AS prev
+                                   ORDER BY {ts_col}, {tiebreak_col}) AS prev,
+             row_number() OVER (PARTITION BY {key_col}
+                                ORDER BY {ts_col}, {tiebreak_col}) AS rn
       FROM {table}),
     changes AS (
       SELECT {key_col}, {attr_col}, {ts_col} AS valid_from, {tiebreak_col}
       FROM ordered
-      WHERE prev IS NULL OR prev IS DISTINCT FROM {attr_col})
+      WHERE rn = 1 OR prev IS DISTINCT FROM {attr_col})
     SELECT {key_col}, {attr_col}, valid_from,
            lead(valid_from) OVER w AS valid_to,
            lead(valid_from) OVER w IS NULL AS is_current

@@ -288,11 +288,15 @@ def ks_drift(
         )
 
     ks = F.aggregate(F.col("h"), acc0, step, lambda acc: acc["d"])
+    # an empty side makes cb/tot_b NULL and greatest() would skip the
+    # NULL gaps, reporting D = 0.0 ("perfect agreement") for a vanished
+    # slice; KS against an empty sample is undefined, so emit NULL
+    both_sides = (F.col("tot_a") > 0) & (F.col("tot_b") > 0)
     return hist.select(
         F.lit(col).alias("column_name"),
         F.col("tot_a").alias("n_a"),
         F.col("tot_b").alias("n_b"),
-        F.round(ks, 6).alias("ks_d"),
+        F.when(both_sides, F.round(ks, 6)).alias("ks_d"),
     )
 
 
@@ -318,7 +322,9 @@ def ks_drift_sql(table: str, col: str, side_sql: str, bins: int = 256) -> str:
       FROM binned)
     SELECT '{col}' AS column_name,
            CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
-           round(max(abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b)), 6) AS ks_d
+           CASE WHEN max(tot_a) > 0 AND max(tot_b) > 0
+                THEN round(max(abs(ca * 1.0 / tot_a - cb * 1.0 / tot_b)), 6)
+           END AS ks_d
     FROM cdf
     """
 

@@ -127,7 +127,10 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(
         id_col,
         out.alias("redacted_text"),
-        (F.col(text_col) != out).alias("was_redacted"),
+        # coalesce: NULL text must read as "not redacted", not NULL —
+        # three-valued logic would silently drop these rows from any
+        # `NOT was_redacted` filter and skew redaction-rate metrics
+        F.coalesce(F.col(text_col) != out, F.lit(False)).alias("was_redacted"),
     )
 
 
@@ -140,7 +143,7 @@ def pii_redact_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -
         out = f"regexp_replace({out}, '{esc}', '<{name.upper()}>', 'g')"
     return (
         f"SELECT {id_col}, {out} AS redacted_text, "
-        f"{text_col} != {out} AS was_redacted FROM {table}"
+        f"coalesce({text_col} != {out}, false) AS was_redacted FROM {table}"
     )
 
 

@@ -89,8 +89,8 @@ def decontaminate_fuzzy(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate decontamination: training docs whose shingle
@@ -103,6 +103,14 @@ def decontaminate_fuzzy(
     groupBy and the candidate-scoped exact verify), then exact Jaccard
     verification where the benchmark shingle set is again broadcast.
     Returns (doc, bench_doc, jaccard) pairs over the threshold.
+
+    Recall is bounded by the banding s-curve P(candidate) =
+    1-(1-j^r)^bands with r = num_hashes/bands; a leak the bands never
+    collide on cannot be verified. The (32, 16) default (r=2) gives
+    ~0.78 at j=0.3, ~0.94 at 0.4, ~0.99 at 0.5 — for a contamination
+    SCREEN, size bands so the curve is steep BELOW your threshold, and
+    treat anything below ~0.25 as out of scope rather than silently
+    half-covered.
     """
     from .dedup import exploded_shingles, minhash_signatures
 
@@ -176,8 +184,8 @@ def decontaminate_fuzzy_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
+    num_hashes: int = 32,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> str:
     """DuckDB twin of :func:`decontaminate_fuzzy` (same md5-derived

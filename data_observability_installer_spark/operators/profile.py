@@ -248,6 +248,7 @@ def profile(
     of cluster amortizes, while an extra pass only costs a re-read.
     Deployments where the SCAN dominates (very wide cold tables) can
     raise ``max_exprs_per_pass`` to trade CPU for I/O."""
+    explicit_cap = max_exprs_per_pass is not None
     if max_exprs_per_pass is None:
         # 80-expr passes beat one wide pass in BOTH modes: beyond ~100
         # aggregate expressions the generated class exceeds codegen
@@ -282,12 +283,13 @@ def profile(
         # one-time compile; 3 passes of 80 total 5.4 s). On a real
         # cluster where the scan dominates, raise max_exprs_per_pass —
         # the compile cost amortizes and fewer passes win.
+        # widen the Expand-free half to 80 only when the caller took the
+        # DEFAULT — an explicit cap (set low to bound codegen size or
+        # executor memory) must be honored in both directions
+        wide_cap = max_exprs_per_pass if explicit_cap else max(max_exprs_per_pass, 80)
         halves = [
             ([p for p in plan if "DISTINCT" in p[1].spark.upper()], max_exprs_per_pass),
-            (
-                [p for p in plan if "DISTINCT" not in p[1].spark.upper()],
-                max(max_exprs_per_pass, 80),
-            ),
+            ([p for p in plan if "DISTINCT" not in p[1].spark.upper()], wide_cap),
         ]
     else:
         halves = [(plan, max_exprs_per_pass)]  # no Expand; one wide pass

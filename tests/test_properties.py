@@ -130,7 +130,7 @@ def test_snapshot_diff_partitions_the_key_universe(spark, old_map, new_map):
 @settings(**SETTINGS)
 @given(
     st.lists(
-        st.tuples(st.integers(1, 3), st.sampled_from(["P", "F", "O"])),
+        st.tuples(st.integers(1, 3), st.sampled_from(["P", "F", "O", None])),
         min_size=1,
         max_size=25,
     )
@@ -154,7 +154,7 @@ def test_scd2_intervals_chain_and_replay_to_history(spark, seq):
         assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]  # gapless chain
-            assert a["status"] != b["status"]  # real change points only
+            assert a["status"] != b["status"]  # real change points (incl. NULL runs merging)
         # replay: collapse the raw sequence for this key and compare
         raw = [s for kk, s, _ in rows if kk == k]
         collapsed = [s for i, s in enumerate(raw) if i == 0 or s != raw[i - 1]]

@@ -155,3 +155,24 @@ def test_fuzzy_pairs_finds_typo_within_block_only(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_pairs(df, "id", "name", block_prefix=11).collect()}
     assert got == {(1, 2): 1, (2, 3): 1}  # x02 vs 002 is dist 1; 001 vs x02 is 2
+
+
+def test_scd2_null_attribute_runs_merge(spark):
+    # NULL -> NULL must merge into ONE interval; NULL -> value and
+    # value -> NULL are real change points
+    rows = [
+        (1, None, "2024-01-01", 1),
+        (1, None, "2024-01-02", 2),   # same (NULL) value: merges
+        (1, "P", "2024-01-03", 3),
+        (1, None, "2024-01-04", 4),
+    ]
+    df = _df(spark, rows, "k int, status string, d string, ord int").withColumn(
+        "d", F.to_timestamp("d")
+    )
+    hist = scd2_history(df, "k", "status", "d", "ord").orderBy("valid_from").collect()
+    assert [(r["status"], str(r["valid_from"])[:10]) for r in hist] == [
+        (None, "2024-01-01"),
+        ("P", "2024-01-03"),
+        (None, "2024-01-04"),
+    ]
+    assert [r["is_current"] for r in hist] == [False, False, True]

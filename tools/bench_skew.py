@@ -1,6 +1,6 @@
 """Measured evidence for the salted-join skew path (functions/skew.py).
 
-Scenario: a fact table whose join key is badly skewed (60% of rows on
+Scenario: a fact table whose join key is badly skewed (80% of rows on
 one hot key) joined to a dimension too large to broadcast — the shape
 where one straggler task eats the hot key at 100 TB. Three runs:
 
@@ -45,7 +45,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_frames(spark, n_rows: int, n_dim: int):
-    # 60% of fact rows land on key 0; the rest spread uniformly.
+    # 80% of fact rows land on key 0; the rest spread uniformly.
     fact = spark.range(n_rows).select(
         F.col("id"),
         F.when(F.col("id") % 10 < 8, F.lit(0))
