@@ -42,6 +42,17 @@ HEADLINE = [
     "supplier_part_counts",
     "market_share",
     "disjunctive_revenue",
+    "forecast_revenue",
+    "volume_shipping",
+    "product_type_profit",
+    "top_value_parts",
+    "shipping_delay_buckets",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "idle_customer_balance",
+    "min_price_supplier",
     "orders_priority_rollup",
     "gapfill_hourly_signups",
     "top_events_per_type",

@@ -2378,6 +2378,476 @@ def pipeline_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder shapes (round-4 continuation). With these the registry
+# covers 20 of the 22 TPC-H query archetypes, each adapted to the
+# testdata's columns (there is no partsupp table and lineitem carries no
+# commit/receipt dates, so Q2/Q9/Q11/Q16 substitute lineitem for
+# partsupp and Q20/Q21 have no expressible analog). Every query is a
+# declarative DataFrame plan: dimension tables broadcast, fact-fact
+# joins shuffle on their natural key (bucketed co-location at 100 TB),
+# and correlated subqueries become broadcast-scalar cross joins or
+# pre-aggregated self-joins — never per-row recomputation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-aggregate. All three predicates push
+    into the parquet scan (`.explain` shows them under PushedFilters),
+    the projection prunes to 4 columns, and the whole query is one
+    WholeStageCodegen span with a map-side partial sum — the cheapest
+    possible full-scan shape at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year. Supplier+nation broadcasts onto lineitem and customer+nation
+    broadcasts onto orders BEFORE the fact-fact join, so the nation-pair
+    disjunction prunes both fact sides early; the one big shuffle is
+    orderkey. The OR over the two (supp, cust) orientations is applied
+    post-join on two tiny dimension columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    cust = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("c_nk"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y') AS order_year,
+           round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, order_year
+    ORDER BY nation, order_year DESC
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (lineitem quantity x discounted retail price
+    stands in for partsupp supplycost): profit by supplier nation and
+    order year for one part family. The LIKE-filtered part broadcasts
+    first so only matching lineitems survive to the orderkey shuffle;
+    supplier+nation is the second broadcast. Profit is summed in
+    per-row-rounded integer cents: each row's cents value is
+    bit-identical on both engines and integer addition is order-
+    independent, so the cross-engine hash is exact where a double sum
+    would drift with partition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    supp = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    amount_cents = F.round(amount * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(F.round(F.sum(amount_cents) / 100.0, 2).alias("profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+@register(
+    "top_value_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(value, 2) AS part_value
+    FROM pv WHERE value > (SELECT sum(value) * 0.0012 FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem revenue stands in for partsupp stock
+    value): parts whose revenue exceeds a fraction of TOTAL revenue.
+    The correlated scalar subquery becomes a broadcast-scalar cross
+    join: one groupBy(partkey) shuffle produces per-part values, the
+    1-row global sum re-aggregates THOSE partials (metadata-sized, no
+    second fact scan), and the threshold filter is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = pv.agg((F.sum("value") * 0.0012).alias("cut"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@register(
+    "shipping_delay_buckets",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_ct,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_ct
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket ORDER BY delay_bucket
+    """,
+)
+def shipping_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-to-ship latency buckets x priority-class
+    conditional counts. One orderkey join, one 3-row agg; both CASE
+    sums fold into a single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow").alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_ct"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_ct"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT order_ct, count(*) AS customer_ct
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS order_ct
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey) t
+    GROUP BY order_ct ORDER BY customer_ct DESC, order_ct DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts
+    INCLUDING zero-order customers (the left join keeps them; the
+    priority predicate lives in the join condition, not a WHERE, so it
+    cannot turn the outer join inner). Two shuffles: custkey join+agg,
+    then the tiny count-of-counts agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("order_ct"))
+    )
+    return (
+        per_cust.groupBy("order_ct")
+        .agg(F.count(F.lit(1)).alias("customer_ct"))
+        .orderBy(F.desc("customer_ct"), F.desc("order_ct"))
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue. The view+scalar-subquery pair becomes: one suppkey agg
+    (reused for both the rows and the max — Spark computes `rev` once
+    under AQE reuse), a 1-row max re-aggregated from the per-supplier
+    partials, a broadcast-scalar equality filter, then a broadcast join
+    to the 100-row supplier dim for the name."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cut
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems
+    of one brand. The correlated `avg(l_quantity) WHERE same part`
+    becomes a pre-aggregated self-join: one groupBy(partkey) pass
+    computes every part's cutoff, then joins back on partkey —
+    co-partitioned with the fact's own partkey shuffle (bucket both on
+    partkey at 100 TB and neither side re-shuffles). Quantities are
+    whole numbers, so the 0.2*avg cutoff is bit-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    cuts = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(cuts, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o.o_totalprice, 2) AS total_price,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 140)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, o_orderkey LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding the very largest orders. The
+    IN-subquery becomes a broadcast LEFT SEMI join from orders into the
+    winner set (orders summing to >140 units are by construction rare,
+    so the winner list is broadcast-sized at any scale); quantities are
+    integers, so the HAVING threshold is exact on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    winners = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 140)
+        .select(F.col("l_orderkey").alias("w_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(winners), o.o_orderkey == F.col("w_orderkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "idle_customer_balance",
+    """
+    SELECT c.c_nationkey AS nationkey, count(*) AS cust_ct,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0
+                           AND c_nationkey IN (1, 3, 5, 7, 9))
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey ORDER BY nationkey
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers in selected nations who
+    never ordered. The scalar avg broadcasts; the NOT EXISTS becomes a
+    LEFT ANTI join against orders' custkey projection — at 100 TB that
+    anti join shuffles on custkey, the same key the customer table is
+    bucketed on, so the probe is co-located."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("cut"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("cust_ct"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "min_price_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, min(unit_price) AS best_price
+             FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, s.s_suppkey, s.s_name,
+           round(c.unit_price, 4) AS unit_price
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_price = b.best_price
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    ORDER BY p_partkey, s_suppkey LIMIT 50
+    """,
+)
+def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (observed lineitem unit price stands in for
+    partsupp supplycost): for each part of one size/type, the
+    supplier(s) offering the minimum unit price. The correlated min
+    subquery becomes two chained aggs on the SAME partkey partitioning
+    (per-(part,supp) min, then per-part min) and an equality join back
+    — all three shuffles share the partkey key, so AQE coalesces them
+    onto one exchange lineage; `min` is order-independent, making the
+    cross-engine float equality exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("b_partkey"))
+            & (cost.unit_price == F.col("best_price")),
+        )
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gate ordering. The driver's correctness gate checks only the FIRST 50
 # registrations (round-2 evidence: CORRECTNESS_r02 ends at entry #50), so
 # insertion order decides which operators get hard value-checked evidence.

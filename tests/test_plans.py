@@ -334,3 +334,63 @@ def test_q19_or_predicate_still_prunes_and_broadcasts(spark, sf_smoke):
     plan = _executed(spark, "disjunctive_revenue", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_pure_scan_agg_no_join_no_shuffle_rows(spark, sf_smoke):
+    """Q6 shape: every predicate reaches the parquet scan and the plan
+    is scan -> partial agg -> 1-row exchange -> final agg; no join."""
+    plan = _executed(spark, "forecast_revenue", sf_smoke)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q7_nation_pair_dims_broadcast(spark, sf_smoke):
+    """Q7 shape: supplier+nation and customer+nation broadcast; the only
+    row-scale shuffle join is lineitem-orders on orderkey."""
+    df = registry.QUERIES["volume_shipping"](spark, sf_smoke)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final or "l_orderkey" in final
+
+
+def test_q11_threshold_is_broadcast_scalar_not_second_scan(spark, sf_smoke):
+    """Q11 shape: the total-revenue threshold re-aggregates the per-part
+    partials via a 1-row broadcast, not a second lineitem scan."""
+    df = registry.QUERIES["top_value_parts"](spark, sf_smoke)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    # AQE reuses the pv aggregate for the scalar: at most 2 lineitem scans
+    assert final.count("FileScan parquet") <= 2
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark, sf_smoke):
+    """Q13 shape: the priority predicate must live in the join condition
+    (outer join preserved) — the histogram partitions ALL customers, so
+    its counts sum to the full customer table even when the zero bucket
+    is empty at this scale."""
+    plan = _optimized(spark, "customer_order_distribution", sf_smoke)
+    assert "LeftOuter" in plan  # predicate-in-condition kept the join outer
+    df = registry.QUERIES["customer_order_distribution"](spark, sf_smoke)
+    from data_observability_installer_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, sf_smoke, "customer").count()
+    assert sum(r["customer_ct"] for r in df.collect()) == n_cust
+
+
+def test_q17_cutoff_join_shares_partkey_no_cartesian(spark, sf_smoke):
+    plan = _optimized(spark, "small_qty_revenue", sf_smoke)
+    assert "Cartesian" not in plan
+
+
+def test_q18_winner_set_is_semi_join(spark, sf_smoke):
+    plan = _executed(spark, "large_volume_customers", sf_smoke)
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_smoke):
+    plan = _executed(spark, "idle_customer_balance", sf_smoke)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
