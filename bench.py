@@ -134,6 +134,8 @@ HEADLINE = [
     "embedding_near_dups",
     "embedding_near_dups_lsh",
     "embedding_dup_groups",
+    "span_scrub_documents",
+    "knn_graph_embeddings",
 ]
 
 

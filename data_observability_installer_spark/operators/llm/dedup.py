@@ -694,3 +694,116 @@ def fuzzy_pairs_sql(
     WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}
     ORDER BY id_a, id_b LIMIT {limit}
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (the scrubbing counterpart of dup_span_fraction)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate-span removal ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022): every word
+    ``n``-gram occurring in >= ``min_df`` distinct documents is treated
+    as cross-corpus boilerplate; every word position covered by such a
+    gram is cut from its document and the survivors are stitched back
+    in original order. Where ``dup_span_fraction`` only SCORES the
+    contamination, this operator produces the cleaned corpus.
+
+    Plan (all DataFrame, no Python):
+    1. one split pass makes the word array; ``ml.feature.NGram`` (a
+       compiled sliding window, no shuffle) positions every gram at its
+       start index via ``posexplode``;
+    2. gram document-frequency = one groupBy(gram) shuffle (map-side
+       combined); the >= min_df survivors join back onto gram
+       occurrences — AQE broadcasts the boilerplate set when small and
+       falls back to a hash join on the gram key when a 100 TB corpus
+       makes it large;
+    3. covered positions fan out in-plan (``sequence(start, start+n-1)``),
+       dedupe on the (doc, pos) key, and anti-flag the word relation
+       with a left join;
+    4. per-doc reassembly is one groupBy(doc): sort the (pos, word)
+       structs, drop flagged positions, ``array_join``. Documents are
+       individually bounded (training docs, not blobs), so the per-doc
+       collect_list is safe at any corpus width.
+
+    Docs shorter than ``n`` words yield no grams and pass through
+    unchanged. Output: (id_col, clean_text, kept_tokens,
+    removed_tokens) — one row per input document, even when everything
+    was removed (clean_text = '').
+    """
+    from pyspark.ml.feature import NGram
+
+    base = df.select(
+        F.col(id_col).alias("doc"), F.split(F.trim(F.col(text_col)), r"\s+").alias("ws")
+    )
+    words = base.select("doc", F.posexplode("ws").alias("pos", "word"))
+    grams = (
+        NGram(n=n, inputCol="ws", outputCol="ngrams")
+        .transform(base)
+        .select("doc", F.posexplode("ngrams").alias("start", "gram"))
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+        .select("gram")
+    )
+    bad = (
+        grams.join(boiler, "gram")
+        .select("doc", F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("pos"))
+        .distinct()
+        .withColumn("is_bad", F.lit(True))
+    )
+    flagged = words.join(bad, ["doc", "pos"], "left")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "word", "is_bad")))
+    kept = F.filter(F.col("arr"), lambda x: x["is_bad"].isNull())
+    return (
+        flagged.groupBy("doc")
+        .agg(arr.alias("arr"))
+        .select(
+            F.col("doc").alias(id_col),
+            F.array_join(F.transform(kept, lambda x: x["word"]), " ").alias("clean_text"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (F.size("arr") - F.size(kept)).cast("long").alias("removed_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans_sql(
+    table: str, n: int = 3, min_df: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT {id_col} AS doc, {words} AS ws FROM {table}),
+    words AS MATERIALIZED (
+      SELECT doc, unnest(range(len(ws))) AS pos, unnest(ws) AS word FROM w),
+    grams AS MATERIALIZED (
+      SELECT doc,
+             unnest(range(greatest(len(ws) - {n} + 1, 0))) AS start,
+             unnest([array_to_string(ws[i + 1 : i + {n}], ' ')
+                     FOR i IN range(0, greatest(len(ws) - {n} + 1, 0))]) AS gram
+      FROM w),
+    boiler AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc) >= {min_df}),
+    bad AS (
+      SELECT DISTINCT doc, pos FROM (
+        SELECT g.doc, g.start + unnest(range({n})) AS pos
+        FROM grams g JOIN boiler b USING (gram)) t),
+    flagged AS (
+      SELECT wo.doc, wo.pos, wo.word, (bad.pos IS NOT NULL) AS is_bad
+      FROM words wo LEFT JOIN bad ON wo.doc = bad.doc AND wo.pos = bad.pos)
+    SELECT doc AS {id_col},
+           coalesce(string_agg(CASE WHEN NOT is_bad THEN word END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           CAST(count(*) FILTER (WHERE NOT is_bad) AS BIGINT) AS kept_tokens,
+           CAST(count(*) FILTER (WHERE is_bad) AS BIGINT) AS removed_tokens
+    FROM flagged GROUP BY doc
+    """

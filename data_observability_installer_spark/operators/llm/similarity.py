@@ -655,3 +655,64 @@ def embedding_stats_sql(table: str, id_col: str = "vec_id") -> str:
            round(avg(norm), 4) AS norm_avg, round(stddev_samp(norm), 4) AS norm_sd
     FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# Blocked kNN graph (the all-nodes counterpart of the single-query top-k)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors for EVERY vector, within its coarse
+    block (``block_col`` — a class label here; at scale the IVF/k-means
+    cluster id plays this role, exactly as in a cluster-then-link ANN
+    graph build). The self-join keys on the block, so the pair space is
+    sum(block_size^2), never corpus^2; the per-source ranking windows
+    partition on (block-local) vec_id — no global window.
+
+    Scores are rounded to 4 decimals BEFORE ranking on both engines
+    (rank on the rounded score, tie-break on neighbor id): the
+    elementwise fold order is identical in Spark's `aggregate` and
+    DuckDB's list_inner_product, so the rounded scores are
+    cross-engine stable and the graph is value-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    a = embeddings.select(
+        F.col(id_col).alias("src"), F.col(block_col).alias("blk"), F.col("embedding").alias("a_emb")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("dst"), F.col(block_col).alias("b_blk"), F.col("embedding").alias("b_emb")
+    )
+    scored = (
+        a.join(b, (F.col("blk") == F.col("b_blk")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 4).alias("score"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "score", "rank")
+    )
+
+
+def knn_graph_sql(
+    table: str, k: int = 3, id_col: str = "vec_id", block_col: str = "label"
+) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH pairs AS (
+      SELECT a.{id_col} AS src, b.{id_col} AS dst, round({cos}, 4) AS score
+      FROM {table} a JOIN {table} b
+        ON a.{block_col} = b.{block_col} AND a.{id_col} <> b.{id_col}),
+    r AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rnk
+      FROM pairs)
+    SELECT src, dst, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {k}
+    """

@@ -1594,6 +1594,20 @@ def dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dup_span_fraction(_shared_shingles(spark, sf_dir))
 
 
+@register(
+    "span_scrub_documents",
+    _dedup.remove_duplicate_spans_sql("documents", n=3, min_df=4),
+)
+def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL: where dup_spans_documents scores the
+    exact-substring contamination, this emits the scrubbed corpus —
+    every 3-gram shared by >=4 docs cut, survivors re-stitched in
+    order."""
+    return _dedup.remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=3, min_df=4
+    )
+
+
 @register("simhash_documents")  # xxhash64 is Spark-native: rows-only check
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
@@ -1744,6 +1758,15 @@ def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return _dedup.dedup_groups(pairs)
+
+
+@register("knn_graph_embeddings", _sim.knn_graph_sql("embeddings", k=3))
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN graph: top-3 cosine neighbors for EVERY vector
+    within its coarse block — the all-nodes counterpart of the
+    single-query top-k family and the build step of a cluster-then-link
+    ANN graph."""
+    return _sim.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -2937,7 +2960,12 @@ _ROTATED_IN_R4 = [
 # Round-4 queries that ALSO did not fit and carry only check_oracle /
 # judge-side evidence this round — front-load these in round 5:
 # fuzzy_name_pairs_customer, decontam_fuzzy_documents,
-# psi_trend_lineitem, market_share, disjunctive_revenue.
+# psi_trend_lineitem, market_share, disjunctive_revenue, plus the
+# late-round-4 TPC-H remainder (forecast_revenue, volume_shipping,
+# product_type_profit, top_value_parts, shipping_delay_buckets,
+# customer_order_distribution, top_supplier_revenue, small_qty_revenue,
+# large_volume_customers, idle_customer_balance, min_price_supplier)
+# and LLM additions (span_scrub_documents, knn_graph_embeddings).
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

@@ -378,3 +378,70 @@ def test_dup_span_fraction_planted(spark):
     assert got[3] == 1.0 and got[4] == 1.0  # identical docs: all spans shared
     assert 0.0 < got[1] < 1.0 and 0.0 < got[2] < 1.0  # partial overlap
     assert got[1] == round(4 / 7, 4)  # 7 trigrams, 4 shared with doc 2
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from data_observability_installer_spark.operators.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # "click here to subscribe" appears in 4 docs -> its 3-grams are
+    # boilerplate at min_df=4; each doc's unique prefix must survive in
+    # order, the shared span must vanish everywhere.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta click here to subscribe"),
+            (2, "gamma delta click here to subscribe"),
+            (3, "epsilon zeta click here to subscribe"),
+            (4, "eta theta click here to subscribe"),
+            (5, "iota kappa lambda mu nu xi"),  # untouched
+            (6, "tiny doc"),  # shorter than n: passes through
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=3, min_df=4).collect()}
+    assert len(out) == 6
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[2]["clean_text"] == "gamma delta"
+    assert out[1]["removed_tokens"] == 4 and out[1]["kept_tokens"] == 2
+    assert out[5]["clean_text"] == "iota kappa lambda mu nu xi"
+    assert out[5]["removed_tokens"] == 0
+    assert out[6]["clean_text"] == "tiny doc"  # no 3-grams, unchanged
+
+
+def test_remove_duplicate_spans_total_removal_keeps_row(spark):
+    from data_observability_installer_spark.operators.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "spam spam spam") for i in range(4)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=3, min_df=4).collect()}
+    assert len(out) == 4  # fully-scrubbed docs still emit a row
+    assert all(r["clean_text"] == "" and r["kept_tokens"] == 0 for r in out.values())
+
+
+def test_knn_graph_blocks_and_ranks(spark):
+    from data_observability_installer_spark.operators.llm.similarity import knn_graph
+
+    # block 0: v1 aligned with v0, v2 orthogonal; block 1 isolated pair
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 0.0, 1.0], 0),
+        (10, [0.0, 1.0, 0.0], 1),
+        (11, [0.0, 0.9, 0.1], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = knn_graph(df, k=2)
+    got = {(r["src"], r["rank"]): r["dst"] for r in out.collect()}
+    assert got[(0, 1)] == 1  # nearest neighbor of v0 is v1, not v2
+    assert got[(10, 1)] == 11 and got[(11, 1)] == 10
+    # cross-block edges never appear
+    assert all(
+        (src < 10) == (dst < 10)
+        for (src, _), dst in got.items()
+    )
+    # k bound respected: block 1 has only 1 candidate per source
+    assert (10, 2) not in got
