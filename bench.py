@@ -54,6 +54,8 @@ HEADLINE = [
     "idle_customer_balance",
     "min_price_supplier",
     "orders_priority_rollup",
+    "pivot_daily_event_matrix",
+    "running_revenue_windows",
     "gapfill_hourly_signups",
     "top_events_per_type",
     "snapshot_diff_lineitem",

@@ -1880,6 +1880,91 @@ def rollup_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_daily_event_matrix",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_ct,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_ct,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_ct,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_ct,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_ct
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide serving matrix: days x event types via ``groupBy().pivot()``
+    WITH an explicit value list — the explicit list matters at scale
+    because it skips the extra distinct-values job AND keeps the output
+    schema static for downstream writers. One scan, one shuffle; the
+    pivot compiles to the same conditional-count aggregate the SQL twin
+    spells out."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_ct") for t in types]
+    )
+    return renamed.orderBy("day")
+
+
+@register(
+    "running_revenue_windows",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                  AS DOUBLE) AS day_rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY day)
+    SELECT day, day_rev,
+           round(sum(day_rev) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev,
+           round(avg(day_rev) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7_rev
+    FROM daily ORDER BY day
+    """,
+)
+def running_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + 7-day-moving-average revenue per day. The raw scan
+    aggregates FIRST (one shuffle to ~365 rows of per-row-rounded
+    integer cents — exact cross-engine); only the metadata-sized daily
+    frame flows into the unpartitioned window, so the single-partition
+    window executor that would be a scale-killer on raw rows is
+    running on one year of daily totals. The running sum re-derives
+    from exact day_rev values, keeping cum_rev cross-engine stable."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    daily = (
+        o.groupBy(F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+            .alias("raw_rev")
+        )
+        .select("day", F.round("raw_rev", 2).alias("day_rev"))
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            "day_rev",
+            F.round(F.sum("day_rev").over(cum), 2).alias("cum_rev"),
+            F.round(F.avg("day_rev").over(ma7), 2).alias("ma7_rev"),
+        )
+        .orderBy("day")
+    )
+
+
 from ..operators.obs.funnel import (  # noqa: E402
     funnel_stages,
     funnel_stages_sql,

@@ -394,3 +394,27 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_smoke):
     plan = _executed(spark, "idle_customer_balance", sf_smoke)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pivot_single_scan_static_schema(spark, sf_smoke):
+    """Explicit pivot values: no distinct-discovery job, one scan, and
+    the output schema is static regardless of data."""
+    df = registry.QUERIES["pivot_daily_event_matrix"](spark, sf_smoke)
+    assert [f.name for f in df.schema.fields] == [
+        "day", "view_ct", "click_ct", "purchase_ct", "signup_ct", "error_ct",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_running_windows_on_post_agg_frame(spark, sf_smoke):
+    """The unpartitioned running window must consume the daily
+    aggregate, not raw order rows: Window sits above HashAggregate."""
+    plan = registry.QUERIES["running_revenue_windows"](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    w_at = plan.find("Window")
+    agg_at = plan.find("HashAggregate")
+    assert agg_at != -1
+    # executed plans print top-down: the window node appears before
+    # (above) the aggregate that feeds it
+    assert w_at < plan.rfind("HashAggregate")
