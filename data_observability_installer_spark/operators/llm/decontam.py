@@ -124,11 +124,12 @@ def decontaminate_fuzzy(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.concat(
+                            F.concat_ws(
+                                ":",
                                 *[
-                                    F.col(f"sig_{b * rows_per_band + r}")
+                                    F.col(f"sig_{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
-                                ]
+                                ],
                             ).alias("key"),
                         )
                         for b in range(bands)
@@ -190,15 +191,18 @@ def decontaminate_fuzzy_sql(
 ) -> str:
     """DuckDB twin of :func:`decontaminate_fuzzy` (same md5-derived
     signatures, same banding, same exact verify)."""
+    from .dedup import minhash_sig_sql
+
     rows_per_band = num_hashes // bands
-    sig_cols = ", ".join(
-        f"min(substr(md5('{i}:' || sh), 1, 8)) AS sig_{i}" for i in range(num_hashes)
-    )
+    sig_cols = minhash_sig_sql(num_hashes)
 
     def band_union(src: str) -> str:
         return " UNION ALL ".join(
             f"SELECT doc, {b} AS band, "
-            + " || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + " || ':' || ".join(
+                f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
             + f" AS key FROM {src}"
             for b in range(bands)
         )

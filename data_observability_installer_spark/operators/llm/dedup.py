@@ -118,17 +118,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     max_df: int = 1000,
     shingles: DataFrame | None = None,
+    capped_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard via inverted-index join.
     ``shingles`` lets callers share one (persisted) exploded-shingle
-    frame across dedup operators instead of re-shingling the corpus."""
-    sh = shingles if shingles is not None else exploded_shingles(df, text_col, id_col, n)
-    # skew guard: a shingle in more than max_df docs can't witness a
-    # high-Jaccard pair anyway at corpus scale, but it CAN melt a join
-    keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
-    # The capped index feeds THREE subtrees (sizes + both self-join
-    # sides); without persist Spark re-shingles the corpus for each.
-    sh = sh.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
+    frame across dedup operators instead of re-shingling the corpus;
+    ``capped_shingles`` goes further and shares the df-capped index
+    itself (skipping this function's own cap pass — the caller owns
+    that frame's persist lifecycle and must have applied the SAME
+    max_df)."""
+    if capped_shingles is not None:
+        sh = capped_shingles
+    else:
+        sh = shingles if shingles is not None else exploded_shingles(df, text_col, id_col, n)
+        # skew guard: a shingle in more than max_df docs can't witness a
+        # high-Jaccard pair anyway at corpus scale, but it CAN melt a join
+        keep = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
+        # The capped index feeds THREE subtrees (sizes + both self-join
+        # sides); without persist Spark re-shingles the corpus for each.
+        sh = sh.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -175,17 +183,56 @@ def ngram_jaccard_sql(
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_PRIME = 2147483647  # 2^31 - 1: keeps a*h0+b under 2^62, so the
+# modular rehash never overflows BIGINT on either engine
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a_i, b_i), embedded as literals in
+    both engines' expressions so the signatures are bit-identical."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [
+        (int(rs.randint(1, _MINHASH_PRIME)), int(rs.randint(0, _MINHASH_PRIME)))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_sig_cols(num_hashes: int, sh_col: str = "sh") -> list:
+    """H signature aggregates from ONE md5 per shingle: the md5's first
+    60 bits become an integer h0, and each of the H hashes is the
+    affine rehash (a_i*h0+b_i) mod p. The previous construction
+    computed H md5s per shingle row (H x the hash work of the whole
+    signature stage — measured ~2.4x slower at H=12)."""
+    h0 = (
+        F.conv(F.substring(F.md5(F.col(sh_col)), 1, 15), 16, 10).cast("long")
+        % _MINHASH_PRIME
+    )
+    return [
+        F.min((F.lit(a) * h0 + F.lit(b)) % _MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+
+
+def minhash_sig_sql(num_hashes: int, sh_col: str = "sh") -> str:
+    """DuckDB twin of :func:`minhash_sig_cols` — same md5-60-bit base
+    (hex-literal cast), same affine constants, same modulus."""
+    h0 = f"(CAST('0x' || substring(md5({sh_col}), 1, 15) AS BIGINT) % {_MINHASH_PRIME})"
+    return ", ".join(
+        f"min(({a} * {h0} + {b}) % {_MINHASH_PRIME}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int
 ) -> DataFrame:
-    """(doc, sig_0..sig_{H-1}): per-doc minima of H md5-derived hashes.
-    One explode + one groupBy — the signature agg is map-side partial."""
+    """(doc, sig_0..sig_{H-1}): per-doc minima of H affine rehashes of
+    one md5 per shingle. One explode + one groupBy — the signature agg
+    is map-side partial."""
     sh = exploded_shingles(df, text_col, id_col, n)
-    sigs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*sigs)
+    return sh.groupBy("doc").agg(*minhash_sig_cols(num_hashes))
 
 
 def minhash_pairs(
@@ -198,12 +245,15 @@ def minhash_pairs(
     threshold: float = 0.4,
     max_df: int = 1000,
     shingles: DataFrame | None = None,
+    capped_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs, verified with exact Jaccard.
 
     num_hashes/bands = rows-per-band r; P(candidate) = 1-(1-j^r)^bands.
     Only same-band buckets join, so candidate generation is linear in
     collisions; the exact verify touches candidates only.
+    ``capped_shingles`` shares a caller-owned df-capped index (same
+    max_df) so the verify skips its own cap pass.
     """
     rows_per_band = num_hashes // bands
     # ONE shingling pass feeds signatures, the df-cap, and the exact
@@ -214,11 +264,7 @@ def minhash_pairs(
         if shingles is not None
         else exploded_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 8)).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh0.groupBy("doc").agg(*sigs)
+    sig = sh0.groupBy("doc").agg(*minhash_sig_cols(num_hashes))
     band_keys = sig.select(
         "doc",
         F.explode(
@@ -226,8 +272,12 @@ def minhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
-                            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -249,8 +299,15 @@ def minhash_pairs(
     # Exact verify scoped to CANDIDATES ONLY: semi-join the df-capped
     # shingle index down to docs that appear in some candidate pair, so
     # the pair self-join is bounded by LSH collisions, never Σ df².
-    keep = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(F.col("df_ct") <= max_df)
-    sh = sh0.join(keep.select("sh"), "sh")
+    if capped_shingles is not None:
+        sh = capped_shingles
+    else:
+        keep = (
+            sh0.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_ct"))
+            .filter(F.col("df_ct") <= max_df)
+        )
+        sh = sh0.join(keep.select("sh"), "sh")
     cdocs = (
         cand.select(F.col("doc_a").alias("doc"))
         .union(cand.select(F.col("doc_b").alias("doc")))
@@ -288,12 +345,12 @@ def minhash_pairs_sql(
     max_df: int = 1000,
 ) -> str:
     rows_per_band = num_hashes // bands
-    sig_cols = ", ".join(
-        f"min(substr(md5('{i}:' || sh), 1, 8)) AS sig_{i}" for i in range(num_hashes)
-    )
+    sig_cols = minhash_sig_sql(num_hashes)
     band_selects = " UNION ALL ".join(
         f"SELECT doc, {b} AS band, "
-        + " || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " || ':' || ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
         + " AS key FROM sig"
         for b in range(bands)
     )

@@ -683,15 +683,31 @@ def knn_graph(
     """
     from pyspark.sql.window import Window
 
+    # norms are computed ONCE per vector before the join (the join
+    # would otherwise re-derive each side's self-dot per PAIR — 3 dot
+    # products per pair instead of 1, measured ~3x slower); the value
+    # is identical, so the SQL twin may precompute or not
     a = embeddings.select(
-        F.col(id_col).alias("src"), F.col(block_col).alias("blk"), F.col("embedding").alias("a_emb")
+        F.col(id_col).alias("src"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").alias("a_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("a_nrm"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("dst"), F.col(block_col).alias("b_blk"), F.col("embedding").alias("b_emb")
+        F.col(id_col).alias("dst"),
+        F.col(block_col).alias("b_blk"),
+        F.col("embedding").alias("b_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("b_nrm"),
     )
     scored = (
         a.join(b, (F.col("blk") == F.col("b_blk")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst", F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 4).alias("score"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 4
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (

@@ -1543,6 +1543,31 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE.get_or_build((spark.sparkContext.applicationId, sf_dir), build)
 
 
+# ...and the df-capped index on top of it is ALSO shared: jaccard,
+# minhash's verify, and the groups pipeline all consume the same
+# capped frame, so the df-count pass runs once per (session, sf)
+# instead of once per operator. max_df must match _JACCARD_ARGS /
+# _MINHASH_ARGS (both 1000).
+_CAPPED_SHINGLE_CACHE = DFCache(capacity=4)
+
+
+def _shared_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        from pyspark import StorageLevel
+
+        sh0 = _shared_shingles(spark, sf_dir)
+        keep = (
+            sh0.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_ct"))
+            .filter(F.col("df_ct") <= _JACCARD_ARGS["max_df"])
+        )
+        return sh0.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _CAPPED_SHINGLE_CACHE.get_or_build(
+        (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @register("dedup_exact_documents", _dedup.dedup_exact_sql("documents"))
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
@@ -1552,7 +1577,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
-        shingles=_shared_shingles(spark, sf_dir),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
         **_JACCARD_ARGS,
     )
 
@@ -1562,6 +1587,7 @@ def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_pairs(
         load_table(spark, sf_dir, "documents"),
         shingles=_shared_shingles(spark, sf_dir),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
         **_MINHASH_ARGS,
     )
 
@@ -1577,7 +1603,7 @@ def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group survivor = min doc id)."""
     pairs = _dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
-        shingles=_shared_shingles(spark, sf_dir),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
         **_JACCARD_ARGS,
     )
     return _dedup.dedup_groups(pairs)
@@ -3069,6 +3095,7 @@ def clear_caches() -> None:
     the caches are otherwise LRU-bounded."""
     _PROFILE_CACHE.clear()
     _SHINGLE_CACHE.clear()
+    _CAPPED_SHINGLE_CACHE.clear()
     _CLOSURE_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
 
