@@ -60,6 +60,7 @@ HEADLINE = [
     "top_events_per_type",
     "snapshot_diff_lineitem",
     "scd2_order_status",
+    "pit_status_lineitems",
     "histogram_lineitem_price",
     "correlations_lineitem",
     "fuzzy_name_pairs_customer",

@@ -1417,6 +1417,52 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pit_status_lineitems",
+    f"""
+    WITH hist AS ({scd2_history_sql("orders", "o_custkey", "o_orderstatus",
+                                    "o_orderdate", "o_orderkey")}),
+    f AS (
+      SELECT o.o_custkey AS ck, l.l_shipdate AS ts
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01')
+    SELECT h.o_orderstatus AS status_at_ship, count(*) AS line_ct
+    FROM f JOIN hist h ON f.ck = h.o_custkey
+      AND f.ts >= h.valid_from AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    GROUP BY status_at_ship ORDER BY status_at_ship
+    """,
+)
+def pit_status_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal join against the SCD2 dimension: for each
+    shipment in the quarter, the customer's order-status STATE that was
+    valid at ship time (the 'what was true at time T' join every
+    versioned catalog serves). The interval predicate rides a plain
+    HASH join on the business key — the equi-key carries the shuffle,
+    the valid_from/valid_to range is a post-join filter, so there is no
+    nested-loop/theta explosion; at 100 TB the SCD2 history is
+    dimension-sized and broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(o, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    facts = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("ck"), F.col("l_shipdate").alias("ts")
+    )
+    return (
+        facts.join(
+            hist,
+            (F.col("ck") == hist.o_custkey)
+            & (F.col("ts") >= hist.valid_from)
+            & (hist.valid_to.isNull() | (F.col("ts") < hist.valid_to)),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status_at_ship"))
+        .agg(F.count(F.lit(1)).alias("line_ct"))
+        .orderBy("status_at_ship")
+    )
+
+
 from ..operators.profile import (  # noqa: E402
     correlations,
     correlations_sql,

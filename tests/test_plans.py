@@ -418,3 +418,12 @@ def test_running_windows_on_post_agg_frame(spark, sf_smoke):
     # executed plans print top-down: the window node appears before
     # (above) the aggregate that feeds it
     assert w_at < plan.rfind("HashAggregate")
+
+
+def test_pit_join_is_hash_on_business_key(spark, sf_smoke):
+    """The SCD2 point-in-time join must key on the equi business key
+    (custkey) with the interval predicate as a post-join filter — no
+    nested-loop/cartesian from the range condition."""
+    plan = _executed(spark, "pit_status_lineitems", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final and "Cartesian" not in final
