@@ -159,3 +159,50 @@ def test_scd2_intervals_chain_and_replay_to_history(spark, seq):
         raw = [s for kk, s, _ in rows if kk == k]
         collapsed = [s for i, s in enumerate(raw) if i == 0 or s != raw[i - 1]]
         assert [r["status"] for r in ivs] == collapsed
+
+
+texts_strat = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@settings(**SETTINGS)
+@given(texts_strat)
+def test_span_scrub_partitions_tokens_and_is_identity_below_min_df(spark, texts):
+    """kept + removed always equals the doc's token count, and with
+    min_df above the corpus size nothing can be boilerplate — the
+    scrub degenerates to whitespace normalization."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=2, min_df=len(texts) + 1).collect()}
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        # split('') on whitespace yields one empty token — the operator
+        # counts what the split produced, so that's the identity too
+        n_toks = len(toks) if toks else 1
+        assert out[i]["removed_tokens"] == 0
+        assert out[i]["kept_tokens"] == n_toks
+        assert out[i]["clean_text"] == " ".join(toks)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="xy z", min_size=1, max_size=30), min_size=2, max_size=6))
+def test_minhash_signature_range_and_determinism(spark, texts):
+    """Signatures are affine rehashes mod p: every sig lands in
+    [0, p) and recomputation is bit-identical (no per-run salt)."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        _MINHASH_PRIME,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    a = minhash_signatures(df, "text", "doc_id", n=2, num_hashes=4).collect()
+    b = minhash_signatures(df, "text", "doc_id", n=2, num_hashes=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for row in a:
+        for i in range(4):
+            assert 0 <= row[f"sig_{i}"] < _MINHASH_PRIME
