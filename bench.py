@@ -61,6 +61,7 @@ HEADLINE = [
     "snapshot_diff_lineitem",
     "scd2_order_status",
     "pit_status_lineitems",
+    "cdc_merge_orders",
     "histogram_lineitem_price",
     "correlations_lineitem",
     "fuzzy_name_pairs_customer",

@@ -208,3 +208,67 @@ def schema_drift_batch(
     return spark.createDataFrame(
         rows, "drift string, column string, expected string, actual string"
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE-INTO semantics over a change batch: collapse ``changes``
+    to the LATEST operation per key (highest ``seq``; (key, seq) must
+    be unique for cross-engine determinism), then
+
+    - ``D``      — the key is removed from the base,
+    - ``I``/``U`` — the key is upserted with the change's payload,
+    - untouched base keys pass through unchanged.
+
+    Plan: one key-partitioned window picks each key's last op, a LEFT
+    ANTI join drops every touched key from the base (a delete is just
+    "touched and not re-inserted"), and the upserts union back in.
+    Both shuffles ride the SAME key — bucket base and changelog on it
+    at 100 TB and the merge is fully co-located, which is exactly how
+    lakehouse MERGE implementations schedule it.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col).isin("I", "U")).select(*key_cols, *payload_cols)
+    touched = latest.select(*key_cols)
+    survivors = base.join(touched, key_cols, "left_anti").select(*key_cols, *payload_cols)
+    return survivors.unionByName(upserts)
+
+
+def apply_cdc_sql(
+    base_sql: str,
+    changes_sql: str,
+    key_cols: list[str],
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> str:
+    """DuckDB twin of :func:`apply_cdc` (same latest-op collapse, same
+    anti-join + union shape)."""
+    keys = ", ".join(key_cols)
+    cols = ", ".join([*key_cols, *payload_cols])
+    on = " AND ".join(f"b.{k} = t.{k}" for k in key_cols)
+    first_key = key_cols[0]
+    return f"""
+    WITH ch AS ({changes_sql}),
+    latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY {keys} ORDER BY {seq_col} DESC) AS __rn
+        FROM ch) t WHERE __rn = 1),
+    up AS (SELECT {cols} FROM latest WHERE {op_col} IN ('I', 'U')),
+    surv AS (
+      SELECT {', '.join('b.' + c for c in [*key_cols, *payload_cols])}
+      FROM ({base_sql}) b LEFT JOIN latest t ON {on}
+      WHERE t.{first_key} IS NULL)
+    SELECT {cols} FROM surv UNION ALL SELECT {cols} FROM up
+    """

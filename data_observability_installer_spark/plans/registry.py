@@ -1335,6 +1335,8 @@ def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 from ..operators.dq.snapshot import (  # noqa: E402
+    apply_cdc,
+    apply_cdc_sql,
     scd2_history,
     scd2_history_sql,
     snapshot_diff,
@@ -1414,6 +1416,71 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
+    )
+
+
+_CDC_BASE_SQL = (
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price FROM orders"
+)
+_CDC_CHANGES_SQL = """
+    WITH c AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderkey, 'U' AS op, 1 AS seq, o_orderstatus,
+           round((cents + cents // 10) / 100.0, 2) AS total_price
+    FROM c WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 'D' AS op, 2 AS seq, o_orderstatus,
+           round((cents + cents // 10) / 100.0, 2) AS total_price
+    FROM c WHERE o_orderkey % 6 = 0
+"""
+
+
+@register(
+    "cdc_merge_orders",
+    apply_cdc_sql(
+        _CDC_BASE_SQL,
+        _CDC_CHANGES_SQL,
+        ["o_orderkey"],
+        ["o_orderstatus", "total_price"],
+    ),
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO over a synthetic changelog: every third order gets a
+    repriced update (seq 1) and every sixth a later delete (seq 2), so
+    the latest-op collapse, the upsert path, and delete shadowing are
+    all exercised. Untouched orders pass through; the merged table is
+    the result."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total_price")
+    )
+    # +10% repricing in integer cents (cents + cents div 10): a double
+    # `price * 1.1` lands near half-cent boundaries where Spark's
+    # BigDecimal shortest-repr rounding and DuckDB's binary rounding
+    # disagree; integer arithmetic is bit-exact on both engines
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    repriced = F.round((cents + (cents / 10).cast("long")) / 100.0, 2)
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        "o_orderstatus",
+        repriced.alias("total_price"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+        "o_orderstatus",
+        repriced.alias("total_price"),
+    )
+    return apply_cdc(
+        base,
+        upd.unionByName(dels),
+        ["o_orderkey"],
+        ["o_orderstatus", "total_price"],
     )
 
 

@@ -176,3 +176,24 @@ def test_scd2_null_attribute_runs_merge(spark):
         (None, "2024-01-04"),
     ]
     assert [r["is_current"] for r in hist] == [False, False, True]
+
+
+def test_apply_cdc_latest_op_wins_and_untouched_pass_through(spark):
+    from data_observability_installer_spark.operators.dq.snapshot import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "b2"),   # update
+            (3, "U", 1, "c2"),   # update...
+            (3, "D", 2, "c2"),   # ...shadowed by a later delete
+            (4, "I", 1, "d"),    # brand-new key
+            (4, "D", 2, "d"),    # deleted before it ever lands
+            (4, "I", 3, "d3"),   # re-inserted with the final payload
+        ],
+        ["k", "op", "seq", "v"],
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], ["v"]).collect()}
+    assert out == {1: "a", 2: "b2", 4: "d3"}  # 3 deleted, 1 untouched
