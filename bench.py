@@ -128,6 +128,7 @@ HEADLINE = [
     "nll_tailcut_documents",
     "clf_score_documents",
     "run_concurrency_events",
+    "error_budget_burn",
     "alert_bursts_events",
     "pipeline_health_events",
     "embedding_stats",

@@ -1419,6 +1419,70 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "error_budget_burn",
+    """
+    WITH hourly AS (
+      SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pipeline,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_num,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS err_ct,
+             count(*) AS tot_ct
+      FROM events GROUP BY pipeline, hour_num),
+    burn AS (
+      SELECT pipeline, hour_num,
+             (err_ct * 1.0 / tot_ct) / 0.01 AS burn_1h,
+             (sum(err_ct) OVER w6 * 1.0 / sum(tot_ct) OVER w6) / 0.01 AS burn_6h
+      FROM hourly
+      WINDOW w6 AS (PARTITION BY pipeline ORDER BY hour_num
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT pipeline,
+           round(max(burn_1h), 4) AS max_burn_1h,
+           round(max(burn_6h), 4) AS max_burn_6h,
+           CAST(count(*) FILTER (WHERE burn_1h > 2.0) AS BIGINT) AS breach_hours
+    FROM burn GROUP BY pipeline ORDER BY pipeline
+    """,
+)
+def error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn rate per pipeline: hourly error fraction
+    against a 1% SLO, at two alerting windows (1 h spot, 6 h rolling) —
+    the multi-window burn-rate alert from the SRE workbook. The raw
+    stream aggregates to pipeline-hours FIRST (one shuffle); the 6-hour
+    window is a RANGE frame over the numeric hour index, partitioned by
+    pipeline, so calendar gaps widen the window correctly (a ROWS frame
+    would silently span them) and no unpartitioned window ever sees raw
+    events. Counts are integers — every ratio is bit-identical across
+    engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline"),
+            F.floor(epoch_seconds("ts") / 3600).cast("long").alias("hour_num"),
+        )
+        .agg(
+            F.sum((F.col("event_type") == "error").cast("long")).alias("err_ct"),
+            F.count(F.lit(1)).alias("tot_ct"),
+        )
+    )
+    w6 = Window.partitionBy("pipeline").orderBy("hour_num").rangeBetween(-5, 0)
+    burn = hourly.select(
+        "pipeline",
+        "hour_num",
+        ((F.col("err_ct") / F.col("tot_ct")) / 0.01).alias("burn_1h"),
+        ((F.sum("err_ct").over(w6) / F.sum("tot_ct").over(w6)) / 0.01).alias("burn_6h"),
+    )
+    return (
+        burn.groupBy("pipeline")
+        .agg(
+            F.round(F.max("burn_1h"), 4).alias("max_burn_1h"),
+            F.round(F.max("burn_6h"), 4).alias("max_burn_6h"),
+            F.sum((F.col("burn_1h") > 2.0).cast("long")).alias("breach_hours"),
+        )
+        .orderBy("pipeline")
+    )
+
+
 _CDC_BASE_SQL = (
     "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price FROM orders"
 )
@@ -3189,7 +3253,9 @@ _ROTATED_IN_R4 = [
 # product_type_profit, top_value_parts, shipping_delay_buckets,
 # customer_order_distribution, top_supplier_revenue, small_qty_revenue,
 # large_volume_customers, idle_customer_balance, min_price_supplier)
-# and LLM additions (span_scrub_documents, knn_graph_embeddings).
+# and LLM additions (span_scrub_documents, knn_graph_embeddings), plus
+# pivot_daily_event_matrix, running_revenue_windows,
+# pit_status_lineitems, cdc_merge_orders, error_budget_burn.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
