@@ -88,6 +88,7 @@ HEADLINE = [
     "range_join_error_runs",
     "rollup_event_volume",
     "anomaly_daily_volume",
+    "seasonal_volume_anomaly",
     "funnel_events",
     "retention_events",
     "reconcile_orders_lineitem",
@@ -119,6 +120,8 @@ HEADLINE = [
     "pack_chunks_documents",
     "bm25_search_documents",
     "mixture_weights_documents",
+    "importance_sample_documents",
+    "token_budget_mix_documents",
     "dedup_incremental_documents",
     "run_duration_sla_events",
     "event_gaps_events",

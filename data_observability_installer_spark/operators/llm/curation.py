@@ -469,3 +469,81 @@ def filter_by_quantile_sql(
     SELECT s.{id_col}, s.{per}, s.{score_col}, thr.threshold
     FROM s JOIN thr USING ({per}) WHERE s.{score_col} {op} thr.threshold
     """
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "isample-v1",
+) -> DataFrame:
+    """Deterministic Bernoulli thinning with a PER-ROW keep probability
+    (importance sampling — keep high-value documents with probability
+    proportional to a score such as classifier quality): keep a row iff
+    bucket(id) < clamp(weight, 0, 1) * BUCKETS. The stratum-rate
+    sampler generalized from per-source constants to a per-row column;
+    same guarantees — no shuffle, reproducible across runs/engines, and
+    monotone in the weight (raising a doc's score never drops it)."""
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(_bucket(key) < (w * BUCKETS).cast("int"))
+
+
+def importance_sample_sql(
+    table_sql: str, weight_sql: str, id_col: str = "doc_id", salt: str = "isample-v1"
+) -> str:
+    b = _bucket_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    w = f"least(greatest(CAST({weight_sql} AS DOUBLE), 0.0), 1.0)"
+    return f"SELECT * FROM ({table_sql}) t WHERE {b} < CAST({w} * {BUCKETS} AS INT)"
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget data mixing: within each source, admit documents in
+    priority order (longest first, doc id as tie-break) until the
+    source's cumulative whitespace-token count reaches ``budget`` —
+    how a training mixture is actually assembled once per-source
+    token budgets are fixed. One window per source key (the running
+    sum never crosses strata, so the shuffle is the strata key);
+    token counts are integers, making the cutoff bit-exact on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    cum = Window.partitionBy(strata_col).orderBy(F.desc("n_tokens"), id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.select(id_col, strata_col, toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(cum))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_mix_sql(
+    table: str,
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {strata_col}, CAST({toks} AS BIGINT) AS n_tokens FROM {table}),
+    c AS (
+      SELECT {id_col}, {strata_col}, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY {strata_col}
+                                      ORDER BY n_tokens DESC, {id_col}
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT {id_col}, {strata_col}, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+    """

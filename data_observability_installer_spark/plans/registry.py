@@ -2285,6 +2285,92 @@ def curation_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cur.curation_filter(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "importance_sample_documents",
+    _cur.importance_sample_sql(
+        "SELECT d.doc_id, d.source, q.quality FROM documents d JOIN ("
+        + _text.quality_score_sql("documents")
+        + ") q USING (doc_id)",
+        "quality",
+    ),
+)
+def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: each document's keep probability IS its
+    quality score — the per-row generalization of the stratified
+    sampler (high-quality docs survive, junk is thinned, all
+    deterministic and engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _text.quality_score(docs).select("doc_id", "quality")
+    return _cur.importance_sample(
+        docs.select("doc_id", "source").join(q, "doc_id"), "quality"
+    )
+
+
+@register(
+    "token_budget_mix_documents",
+    _cur.token_budget_mix_sql("documents", budget=2000),
+)
+def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly: each source admits its documents
+    longest-first until 2000 cumulative whitespace tokens — the
+    greedy per-source budget fill of a training-mixture build."""
+    return _cur.token_budget_mix(load_table(spark, sf_dir, "documents"), budget=2000)
+
+
+@register(
+    "seasonal_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS ct
+      FROM events GROUP BY event_type, day),
+    base AS (
+      SELECT event_type, day, ct,
+             avg(ct) OVER (PARTITION BY event_type, dayofweek(day)) AS dow_avg,
+             count(*) OVER (PARTITION BY event_type, dayofweek(day)) AS dow_n
+      FROM daily)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(ct AS BIGINT) AS ct, round(dow_avg, 4) AS dow_avg,
+           round(ct / dow_avg, 4) AS ratio
+    FROM base WHERE dow_n >= 4 AND ct > 1.5 * dow_avg
+    ORDER BY event_type, day
+    """,
+)
+def seasonal_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomaly: a day is anomalous when its
+    event count exceeds 1.5x the average for the SAME WEEKDAY of the
+    same event type (so Monday-peak traffic never false-alarms against
+    a weekend baseline, unlike the flat rolling z-score screen). Raw
+    events aggregate to (type, day) first; the weekday-baseline window
+    partitions on (type, dow) — both shuffles are metadata-sized after
+    the first. Weekday numbering is aligned cross-engine to DuckDB's
+    0=Sunday via dayofweek-1 on the Spark side."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    wdow = Window.partitionBy("event_type", F.dayofweek("day") - 1)
+    base = daily.select(
+        "event_type",
+        "day",
+        "ct",
+        F.avg("ct").over(wdow).alias("dow_avg"),
+        F.count(F.lit(1)).over(wdow).alias("dow_n"),
+    )
+    return (
+        base.filter((F.col("dow_n") >= 4) & (F.col("ct") > 1.5 * F.col("dow_avg")))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("ct").cast("bigint").alias("ct"),
+            F.round("dow_avg", 4).alias("dow_avg"),
+            F.round(F.col("ct") / F.col("dow_avg"), 4).alias("ratio"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lineage extraction from metadata (north-star surface; reference
 # lineage metadata = journey DAG edges demo_helper.py:252-276 + run-
@@ -3255,7 +3341,9 @@ _ROTATED_IN_R4 = [
 # large_volume_customers, idle_customer_balance, min_price_supplier)
 # and LLM additions (span_scrub_documents, knn_graph_embeddings), plus
 # pivot_daily_event_matrix, running_revenue_windows,
-# pit_status_lineitems, cdc_merge_orders, error_budget_burn.
+# pit_status_lineitems, cdc_merge_orders, error_budget_burn,
+# importance_sample_documents, token_budget_mix_documents,
+# seasonal_volume_anomaly.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

@@ -120,3 +120,40 @@ def test_pii_redact_masks_in_fixed_order(spark):
     red = got[1].redacted_text
     assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red and "<IPV4>" in red
     assert "a@b.co" not in red and "6789" not in red and "10.0.0.1" not in red
+
+
+def test_importance_sample_monotone_in_weight(spark):
+    """Raising a doc's weight can only ADD it to the sample (the
+    bucket threshold is monotone), and weights clamp to [0, 1]."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        importance_sample,
+    )
+
+    rows = [(i, 0.3) for i in range(200)]
+    df_lo = spark.createDataFrame(rows, ["doc_id", "w"])
+    df_hi = spark.createDataFrame([(i, 0.8) for i in range(200)], ["doc_id", "w"])
+    keep_lo = {r["doc_id"] for r in importance_sample(df_lo, "w").collect()}
+    keep_hi = {r["doc_id"] for r in importance_sample(df_hi, "w").collect()}
+    assert keep_lo <= keep_hi  # monotone
+    # clamp: weight >= 1 keeps everything, <= 0 keeps nothing
+    df_all = spark.createDataFrame([(i, 7.5) for i in range(50)], ["doc_id", "w"])
+    df_none = spark.createDataFrame([(i, -2.0) for i in range(50)], ["doc_id", "w"])
+    assert importance_sample(df_all, "w").count() == 50
+    assert importance_sample(df_none, "w").count() == 0
+
+
+def test_token_budget_mix_respects_budget_per_source(spark):
+    from data_observability_installer_spark.operators.llm.curation import (
+        token_budget_mix,
+    )
+
+    rows = [
+        (1, "a", "w " * 6),   # 6 tokens
+        (2, "a", "w " * 5),   # 5
+        (3, "a", "w " * 4),   # 4 -> cum 15 > 12, dropped
+        (4, "b", "w " * 3),   # separate budget
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in token_budget_mix(df, budget=12).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[2]["cum_tokens"] == 11 and out[4]["cum_tokens"] == 3
