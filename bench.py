@@ -107,6 +107,7 @@ HEADLINE = [
     "minhash_pairs_documents",
     "simhash_documents",
     "multimodal_features",
+    "multimodal_structure",
     "simhash_md5_documents",
     "dup_spans_documents",
     "split_documents",

@@ -1838,6 +1838,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features(_mm.demo_media(spark)).orderBy("media_id")
 
 
+@register(
+    "multimodal_structure",
+    """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS i),
+    p5dims AS (SELECT i, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+               FROM ids WHERE i % 4 = 0),
+    p5 AS (SELECT i, w, h, unnest(range(w * h)) AS k FROM p5dims),
+    p5m AS (
+      SELECT i, round(avg(((k % w) * 3 + (k // w) * 5 + i * 7) % 256), 4) AS mean_v
+      FROM p5 GROUP BY i),
+    p6dims AS (SELECT i, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+               FROM ids WHERE i % 4 = 2),
+    p6 AS (SELECT i, w, h, unnest(range(w * h * 3)) AS k FROM p6dims),
+    p6m AS (
+      SELECT i, round(avg((((k % (w * h)) % w) * (k // (w * h) + 1)
+                          + ((k % (w * h)) // w) * (k // (w * h) + 3) + i) % 256), 4)
+               AS mean_v
+      FROM p6 GROUP BY i),
+    means AS (SELECT * FROM p5m UNION ALL SELECT * FROM p6m)
+    SELECT ids.i AS media_id,
+           CASE WHEN ids.i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CASE WHEN ids.i % 2 = 0 THEN CAST(8 + (ids.i % 4) * 4 AS INT) END AS width,
+           CASE WHEN ids.i % 2 = 0 THEN CAST(8 + (ids.i % 3) * 4 AS INT) END AS height,
+           m.mean_v AS mean_intensity,
+           CASE WHEN ids.i % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+           CASE WHEN ids.i % 2 = 1 THEN CAST(512 + 16 * ids.i AS BIGINT) END AS n_samples
+    FROM ids LEFT JOIN means m ON m.i = ids.i
+    ORDER BY media_id
+    """,
+)
+def multimodal_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-CHECKED face of the multimodal family: the Spark side
+    generates real netpbm/WAV payloads executor-side, decodes them with
+    the production decoders, and reports structural features (decoded
+    dimensions, sample counts) plus the image mean intensity; the
+    DuckDB twin never touches bytes — it recomputes the expected values
+    from the generator's closed-form math (integer pixel sums are exact
+    in both engines, so the comparison is bit-stable). Any corruption
+    in encode, decode, or the Arrow batch plumbing breaks the hash.
+    Float audio stats (rms/peak) stay in the rows-only
+    ``multimodal_features`` sibling because int16 quantization near
+    rounding boundaries is sin-implementation-sensitive."""
+    from ..operators.llm import multimodal as _mm
+
+    feats = _mm.media_features(_mm.demo_media(spark))
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "mean_intensity",
+        "sample_rate",
+        "n_samples",
+    ).orderBy("media_id")
+
+
 @register("fingerprint_documents", _text.fingerprint_sql("documents"))
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprint(load_table(spark, sf_dir, "documents"))
@@ -3343,7 +3399,7 @@ _ROTATED_IN_R4 = [
 # pivot_daily_event_matrix, running_revenue_windows,
 # pit_status_lineitems, cdc_merge_orders, error_budget_burn,
 # importance_sample_documents, token_budget_mix_documents,
-# seasonal_volume_anomaly.
+# seasonal_volume_anomaly, multimodal_structure.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
