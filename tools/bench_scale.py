@@ -103,11 +103,68 @@ def salted_topk(spark, path: str) -> None:
     ).filter(F.col("rn") <= 3).collect()
 
 
+def scaled_documents(spark, k: int, out: str) -> str:
+    """Replicas get a per-rep suffix on EVERY word: within-replica
+    duplicate structure is preserved (the planted near-dups still
+    collide inside each copy) while replicas share zero shingles —
+    without this, k identical copies would create k-sized LSH buckets
+    and the pair count would grow quadratically BY CONSTRUCTION of the
+    input, not the operator."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (
+        d.crossJoin(F.broadcast(spark.range(k).withColumnRenamed("id", "rep")))
+        .withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("_"), F.col("rep").cast("string")),
+                ),
+                " ",
+            ),
+        )
+        .drop("rep")
+    )
+    big.repartition(16).write.mode("overwrite").parquet(out)
+    return out
+
+
+def scaled_embeddings(spark, k: int, out: str) -> str:
+    """Replicas land in disjoint label blocks (label + rep*10): block
+    SIZE stays constant while block COUNT scales, which is exactly the
+    kNN-graph contract (cost = sum of block^2, linear in blocks)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big = (
+        e.crossJoin(F.broadcast(spark.range(k).withColumnRenamed("id", "rep")))
+        .withColumn("vec_id", F.col("vec_id") * k + F.col("rep"))
+        .withColumn("label", F.col("label") + F.col("rep") * 10)
+        .drop("rep")
+    )
+    big.repartition(16).write.mode("overwrite").parquet(out)
+    return out
+
+
+def minhash_lsh(spark, path: str) -> None:
+    from data_observability_installer_spark.operators.llm.dedup import minhash_pairs
+
+    spark.catalog.clearCache()  # drop the previous factor's shingle persist
+    minhash_pairs(spark.read.parquet(path), threshold=0.3).count()
+
+
+def knn_blocks(spark, path: str) -> None:
+    from data_observability_installer_spark.operators.llm.similarity import knn_graph
+
+    knn_graph(spark.read.parquet(path), k=3).count()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
     "exact_dedup_lineitem": ("lineitem", exact_dedup_rows),
     "salted_topk_events": ("events", salted_topk),
+    "minhash_lsh_documents": ("documents", minhash_lsh),
+    "knn_graph_embeddings": ("embeddings", knn_blocks),
 }
 
 
@@ -123,6 +180,8 @@ def main() -> None:
         for k in FACTORS:
             paths[("lineitem", k)] = scaled_lineitem(spark, k, f"{tmp}/li_{k}")
             paths[("events", k)] = scaled_events(spark, k, f"{tmp}/ev_{k}")
+            paths[("documents", k)] = scaled_documents(spark, k, f"{tmp}/doc_{k}")
+            paths[("embeddings", k)] = scaled_embeddings(spark, k, f"{tmp}/emb_{k}")
 
         for name, (table, fn) in OPS.items():
             timings = {}
