@@ -206,3 +206,38 @@ def test_minhash_signature_range_and_determinism(spark, texts):
     for row in a:
         for i in range(4):
             assert 0 <= row[f"sig_{i}"] < _MINHASH_PRIME
+
+
+@settings(**SETTINGS)
+@given(
+    st.dictionaries(st.integers(0, 20), st.text(alphabet="xy", min_size=1, max_size=3), max_size=10),
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.sampled_from(["I", "U", "D"]),
+            st.text(alphabet="xy", min_size=1, max_size=3),
+        ),
+        max_size=15,
+    ),
+)
+def test_apply_cdc_equals_sequential_replay(spark, base_map, ops):
+    """The distributed merge must equal a driver-side sequential replay
+    of the changelog (ops applied in seq order per key)."""
+    from data_observability_installer_spark.operators.dq.snapshot import apply_cdc
+
+    base_rows = [(k, v) for k, v in base_map.items()]
+    change_rows = [(k, op, seq, v) for seq, (k, op, v) in enumerate(ops)]
+    expected = dict(base_map)
+    for k, op, v in ops:  # ops list order IS seq order
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    base = spark.createDataFrame(base_rows, "k int, v string") if base_rows else (
+        spark.createDataFrame([], "k int, v string")
+    )
+    changes = spark.createDataFrame(
+        change_rows, "k int, op string, seq int, v string"
+    ) if change_rows else spark.createDataFrame([], "k int, op string, seq int, v string")
+    got = {r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], ["v"]).collect()}
+    assert got == expected
