@@ -64,6 +64,7 @@ HEADLINE = [
     "cdc_merge_orders",
     "histogram_lineitem_price",
     "correlations_lineitem",
+    "independence_orders",
     "fuzzy_name_pairs_customer",
     "dq_suite_lineitem",
     "dq_suite_events",
@@ -89,6 +90,7 @@ HEADLINE = [
     "rollup_event_volume",
     "anomaly_daily_volume",
     "seasonal_volume_anomaly",
+    "rolling_wau_events",
     "funnel_events",
     "retention_events",
     "reconcile_orders_lineitem",

@@ -1420,6 +1420,108 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_wau_events",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    cov AS (
+      SELECT user_id, d + to_days(CAST(unnest(range(7)) AS INT)) AS wday FROM ud),
+    bound AS (SELECT max(d) AS mx FROM ud)
+    SELECT strftime(wday, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS wau
+    FROM cov, bound WHERE wday <= mx
+    GROUP BY wday ORDER BY day
+    """,
+)
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve). Windowed
+    COUNT(DISTINCT) doesn't exist as a frame aggregate in either
+    engine; the scalable formulation inverts it: dedupe to (user, day)
+    once, fan each activity day out to the <=7 window-days it covers
+    (in-plan explode, no shuffle), and run ONE distinct-count per day.
+    Cost is 7x the deduped activity relation — linear — where a
+    self-join day-spine formulation would re-scan per window day and a
+    collect_set window would buffer every user id per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    mx = ud.agg(F.max("d").alias("mx"))
+    cov = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select(
+        "user_id",
+        F.timestamp_seconds(
+            epoch_seconds("d") + F.col("k") * 86400
+        ).alias("wday"),
+    )
+    return (
+        cov.crossJoin(F.broadcast(mx))
+        .filter(F.col("wday") <= F.col("mx"))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "independence_orders",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             count(*) AS o_ct
+      FROM orders GROUP BY priority, status),
+    tot AS (
+      SELECT priority, status, o_ct,
+             sum(o_ct) OVER (PARTITION BY priority) AS row_tot,
+             sum(o_ct) OVER (PARTITION BY status) AS col_tot,
+             sum(o_ct) OVER () AS n
+      FROM obs)
+    SELECT priority, status, CAST(o_ct AS BIGINT) AS observed,
+           round(row_tot * col_tot * 1.0 / n, 4) AS expected,
+           round(pow(o_ct - row_tot * col_tot * 1.0 / n, 2)
+                 / (row_tot * col_tot * 1.0 / n), 4) AS chi2_contrib
+    FROM tot ORDER BY priority, status
+    """,
+)
+def independence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between two categorical columns
+    (order priority x status): observed vs expected-under-independence
+    counts and each cell's chi-square contribution — the profiling
+    cross-column dependency check. One groupBy to the contingency cells
+    (5x3 rows), then window margins over that metadata-sized frame.
+    Per-cell values derive from exact integer counts, so every number
+    is bit-identical cross-engine; the single chi-square total is left
+    to the consumer (summing 15 floats is order-sensitive in the last
+    ulp, and per-cell contributions are the actionable output anyway)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("o_ct"))
+    # grand total via broadcast scalar, not an unpartitioned window —
+    # same result, no single-partition WindowExec (and no warn spam)
+    n_tot = obs.agg(F.sum("o_ct").alias("n"))
+    tot = obs.select(
+        "priority",
+        "status",
+        "o_ct",
+        F.sum("o_ct").over(Window.partitionBy("priority")).alias("row_tot"),
+        F.sum("o_ct").over(Window.partitionBy("status")).alias("col_tot"),
+    ).crossJoin(F.broadcast(n_tot))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return tot.select(
+        "priority",
+        "status",
+        F.col("o_ct").cast("bigint").alias("observed"),
+        F.round(exp, 4).alias("expected"),
+        F.round(F.pow(F.col("o_ct") - exp, 2) / exp, 4).alias("chi2_contrib"),
+    ).orderBy("priority", "status")
+
+
+@register(
     "error_budget_burn",
     """
     WITH hourly AS (
@@ -3399,7 +3501,8 @@ _ROTATED_IN_R4 = [
 # pivot_daily_event_matrix, running_revenue_windows,
 # pit_status_lineitems, cdc_merge_orders, error_budget_burn,
 # importance_sample_documents, token_budget_mix_documents,
-# seasonal_volume_anomaly, multimodal_structure.
+# seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
+# independence_orders.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
