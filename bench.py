@@ -53,6 +53,8 @@ HEADLINE = [
     "large_volume_customers",
     "idle_customer_balance",
     "min_price_supplier",
+    "promo_supplier_candidates",
+    "waiting_supplier_faults",
     "orders_priority_rollup",
     "pivot_daily_event_matrix",
     "running_revenue_windows",

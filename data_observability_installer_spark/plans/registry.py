@@ -2934,15 +2934,114 @@ def pipeline_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-H remainder shapes (round-4 continuation). With these the registry
-# covers 20 of the 22 TPC-H query archetypes, each adapted to the
-# testdata's columns (there is no partsupp table and lineitem carries no
-# commit/receipt dates, so Q2/Q9/Q11/Q16 substitute lineitem for
-# partsupp and Q20/Q21 have no expressible analog). Every query is a
+# covers ALL 22 TPC-H query archetypes, each adapted to the testdata's
+# columns (there is no partsupp table and lineitem carries no
+# commit/receipt dates, so Q2/Q9/Q11/Q16/Q20 substitute lineitem for
+# partsupp and Q21 uses l_returnflag as the fault marker). Every query is a
 # declarative DataFrame plan: dimension tables broadcast, fact-fact
 # joins shuffle on their natural key (bucketed co-location at 100 TB),
 # and correlated subqueries become broadcast-scalar cross joins or
 # pre-aggregated self-joins — never per-row recomputation.
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "waiting_supplier_faults",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def waiting_supplier_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_returnflag='R' stands in for the missing
+    receipt-after-commit condition): on finalized multi-supplier
+    orders, the supplier whose line is the ONLY returned one. The twin
+    keeps the literal EXISTS + NOT EXISTS double correlation; the
+    Spark plan DECORRELATES both into one per-order aggregate —
+    (suppliers on order, suppliers with a fault) — and two filters:
+    n_supp >= 2 (the EXISTS) and n_fault_supp == 1 (since l1 itself is
+    faulty, no OTHER supplier is). One extra groupBy replaces two
+    correlated rescans of the fact table — the rewrite every optimizer
+    aspires to, made explicit."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("po_suppkey")
+    ).agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+    per_o = per_os.groupBy("po_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_fault_supp")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1)),
+            l1.l_orderkey == F.col("po_orderkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_supplier_candidates",
+    """
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50)
+    ORDER BY s_suppkey
+    """,
+)
+def promo_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity stands in for the missing
+    partsupp availability): suppliers who moved >50 units of any
+    SMALL-type part in the year — a nested IN chain. Both INs become
+    semi-joins: the filtered part key set broadcasts into the lineitem
+    scan, the (supplier, part) HAVING aggregate shuffles once on its
+    composite key, and the surviving supplier keys semi-join the
+    100-row dimension. Quantities are integers — the HAVING threshold
+    is exact cross-engine."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    winners = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
 
 
 @register(
@@ -3502,7 +3601,8 @@ _ROTATED_IN_R4 = [
 # pit_status_lineitems, cdc_merge_orders, error_budget_burn,
 # importance_sample_documents, token_budget_mix_documents,
 # seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
-# independence_orders.
+# independence_orders, waiting_supplier_faults,
+# promo_supplier_candidates.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

@@ -427,3 +427,19 @@ def test_pit_join_is_hash_on_business_key(spark, sf_smoke):
     plan = _executed(spark, "pit_status_lineitems", sf_smoke)
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" not in final and "Cartesian" not in final
+
+
+def test_q21_decorrelated_no_correlated_rescan(spark, sf_smoke):
+    """Q21 shape: the EXISTS + NOT EXISTS pair must decorrelate to one
+    per-order aggregate — the optimized plan has no nested-loop join
+    and at most 2 lineitem scans (l1 + the shared per-order agg)."""
+    df = registry.QUERIES["waiting_supplier_faults"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert plan.count("FileScan parquet") <= 4  # lineitem x2 + orders + supplier
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, sf_smoke):
+    plan = _executed(spark, "promo_supplier_candidates", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
