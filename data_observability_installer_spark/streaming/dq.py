@@ -14,7 +14,7 @@ O(active entities × windows in horizon), independent of stream length.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -129,4 +129,37 @@ def psi_drift_stream(
             .alias("drift"),
         )
         .select(F.col("w.start").alias("window_start"), "psi", "drift")
+    )
+
+
+def burn_rate_stream(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    error_pred: Column,
+    slo: float = 0.01,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming error-budget burn rate: per-(key, window) error
+    fraction against the SLO — the live face of the batch
+    ``error_budget_burn`` analytic (the 6 h rolling window stays a
+    batch/serving concern; streaming emits the 1 h spot rate and the
+    consumer rolls it up, exactly how multi-window burn alerts are
+    deployed). Windowed conditional counts only — state per key-window
+    is two longs, evicted at the watermark."""
+    w = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.sum(error_pred.cast("long")).alias("err_ct"),
+            F.count(F.lit(1)).alias("tot_ct"),
+        )
+    )
+    return w.select(
+        F.col("w.start").alias("window_start"),
+        F.col(key_col),
+        "err_ct",
+        "tot_ct",
+        F.round((F.col("err_ct") / F.col("tot_ct")) / F.lit(slo), 4).alias("burn_1h"),
     )

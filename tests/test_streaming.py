@@ -552,3 +552,24 @@ def test_parity_psi_drift_vs_batch(spark, event_stream_path):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got and got <= want  # sealed windows agree exactly
+
+
+def test_parity_burn_rate_vs_batch(spark, event_stream_path):
+    """Sealed 1h windows from the stream must equal the same windowed
+    aggregation run in batch over the identical events."""
+    from data_observability_installer_spark.streaming.dq import burn_rate_stream
+
+    kw = dict(
+        ts_col="event_timestamp",
+        key_col="pipeline_key",
+        error_pred=F.col("status") == "FAILED",
+        slo=0.01,
+    )
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, burn_rate_stream(stream, **kw), "append", "burn_parity")
+    batch = burn_rate_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path), **kw
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got <= want  # append emits only watermark-sealed windows
