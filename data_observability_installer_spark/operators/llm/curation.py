@@ -423,12 +423,19 @@ def filter_by_quantile(
     Plan: ONE pass computes the exact interpolated quantile (per group
     or 1-row global); the threshold table is tiny and broadcasts back —
     the corpus is scanned twice (score pass upstream, filter pass), no
-    corpus shuffle. Thresholds round like the scores so the boundary
-    comparison is reproducible across engines.
+    corpus shuffle. The threshold rounds via floor(x*10^d + 0.5) rather
+    than round(): Spark's round() rounds the shortest DECIMAL
+    representation of the double while DuckDB rounds the binary value,
+    and an interpolated quantile landing on a half-ulp boundary flips
+    the last digit between engines (seen at sf0.1); floor on the
+    identical double is bit-stable everywhere.
     """
     if keep not in ("below", "above"):
         raise ValueError("keep must be 'below' or 'above'")
-    thr_expr = F.round(F.percentile(score_col, q), round_to).alias("threshold")
+    scale = 10 ** round_to
+    thr_expr = (
+        F.floor(F.percentile(score_col, q) * scale + 0.5) / scale
+    ).alias("threshold")
     if per is None:
         thr = scored.agg(thr_expr)
         joined = scored.crossJoin(F.broadcast(thr))
@@ -454,17 +461,19 @@ def filter_by_quantile_sql(
     round_to: int = 4,
 ) -> str:
     op = "<=" if keep == "below" else ">="
+    scale = 10 ** round_to
+    thr = f"floor(quantile_cont({score_col}, {q}) * {scale} + 0.5) / {scale}"
     if per is None:
         return f"""
         WITH s AS MATERIALIZED ({scored_sql}),
-        thr AS (SELECT round(quantile_cont({score_col}, {q}), {round_to}) AS threshold FROM s)
+        thr AS (SELECT {thr} AS threshold FROM s)
         SELECT {id_col}, {score_col}, threshold
         FROM s CROSS JOIN thr WHERE {score_col} {op} threshold
         """
     return f"""
     WITH s AS MATERIALIZED ({scored_sql}),
     thr AS (
-      SELECT {per}, round(quantile_cont({score_col}, {q}), {round_to}) AS threshold
+      SELECT {per}, {thr} AS threshold
       FROM s GROUP BY {per})
     SELECT s.{id_col}, s.{per}, s.{score_col}, thr.threshold
     FROM s JOIN thr USING ({per}) WHERE s.{score_col} {op} thr.threshold

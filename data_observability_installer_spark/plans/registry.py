@@ -3453,7 +3453,7 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     best AS (SELECT l_partkey, min(unit_price) AS best_price
              FROM cost GROUP BY l_partkey)
     SELECT p.p_partkey, s.s_suppkey, s.s_name,
-           round(c.unit_price, 4) AS unit_price
+           floor(c.unit_price * 10000 + 0.5) / 10000.0 AS unit_price
     FROM part p
     JOIN cost c ON c.l_partkey = p.p_partkey
     JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_price = b.best_price
@@ -3494,7 +3494,12 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "s_suppkey",
             "s_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            # floor(x*1e4 + 0.5), not round(x, 4): Spark rounds the
+            # shortest DECIMAL repr of the double while DuckDB rounds
+            # the binary value, and a price landing on a half-ulp
+            # boundary (seen at sf0.1) flips the 4th decimal between
+            # engines; floor on the identical double is bit-stable
+            (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000.0).alias("unit_price"),
         )
         .orderBy("p_partkey", "s_suppkey")
         .limit(50)
