@@ -65,6 +65,7 @@ HEADLINE = [
     "pit_status_lineitems",
     "cdc_merge_orders",
     "histogram_lineitem_price",
+    "decile_report_orders",
     "correlations_lineitem",
     "independence_orders",
     "fuzzy_name_pairs_customer",
@@ -86,6 +87,7 @@ HEADLINE = [
     "messagelog_rollup_events",
     "lineage_dataset_edges",
     "lineage_closure",
+    "pagerank_lineage",
     "lineage_impact_failed",
     "asof_last_purchase",
     "range_join_error_runs",

@@ -193,3 +193,88 @@ def unified_edges(declared: DataFrame, observed: DataFrame) -> DataFrame:
             F.max((F.col("_src") == "observed").cast("int")).cast("boolean").alias("observed"),
         )
     )
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the lineage graph — "which
+    datasets does everything depend on" as a single centrality number
+    (Page et al. 1999; simplified form without dangling-mass
+    redistribution, adequate for ranking hub datasets).
+
+    Each iteration is one edges->ranks join on ``src`` plus one
+    groupBy(dst) — the standard message-passing shape, so an iteration
+    costs two key-partitioned shuffles regardless of graph size, and a
+    fixed iteration count keeps the plan finite (the same bounded-
+    depth discipline as ``transitive_closure``). The node count rides
+    a broadcast scalar (never a driver collect), and every float
+    constant is derived from the SAME Python double the SQL twin
+    embeds via repr(), so both engines iterate on bit-identical
+    values."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy(F.col("src").alias("od_src")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    base_num = 1.0 - damping  # embed THIS double in the twin via repr()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(pr, edges.src == pr.node)
+            .join(F.broadcast(outdeg), edges.src == F.col("od_src"))
+            .groupBy(F.col("dst").alias("c_node"))
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("s"))
+        )
+        pr = (
+            nodes.join(contribs, nodes.node == F.col("c_node"), "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(base_num) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        "node", (F.floor(F.col("pr") * 1e6 + 0.5) / 1e6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "node")
+
+
+def pagerank_sql(edges_cte: str, iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of :func:`pagerank`: the iterations are UNROLLED
+    CTEs (p0 -> p1 -> ... ), constants embedded as repr() of the exact
+    Python doubles the Spark side uses."""
+    base_num = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"""nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""p{i + 1} AS (
+      SELECT no.node,
+             {base_num} / (SELECT n FROM nn)
+               + {d} * coalesce(s.s, 0.0) AS pr
+      FROM nodes no LEFT JOIN (
+        SELECT e.dst AS node, sum(p{i}.pr / od.od) AS s
+        FROM e JOIN p{i} ON p{i}.node = e.src
+        JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst) s ON s.node = no.node)"""
+        )
+    return (
+        edges_cte
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, floor(pr * 1e6 + 0.5) / 1e6 AS pagerank
+    FROM p{iterations} ORDER BY pagerank DESC, node"""
+    )

@@ -1419,6 +1419,55 @@ def scd2_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "decile_report_orders",
+    """
+    WITH e AS (SELECT """
+    + ", ".join(f"quantile_cont(o_totalprice, {q}) AS e{i}" for i, q in enumerate(_DECILE_QS, 1))
+    + """ FROM orders)
+    SELECT CAST(1 """
+    + " ".join(f"+ (CASE WHEN o_totalprice > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10))
+    + """ AS INT) AS decile,
+           count(*) AS order_ct,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+    FROM orders, e GROUP BY decile ORDER BY decile
+    """,
+)
+def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing WITHOUT a global sort: ntile(10) would funnel
+    every row through one ordered window — the classic scale-killer —
+    so the decile edges come from ONE aggregate pass (interpolated
+    percentiles, identical doubles on both engines), broadcast back,
+    and each row's decile is 1 + count(edges strictly below it): a
+    map-side expression. Two passes total, shuffle only for the 10-row
+    final agg; the per-decile money total sums per-row-rounded integer
+    cents so it is order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.agg(
+        *[F.percentile("o_totalprice", q).alias(f"e{i}") for i, q in enumerate(_DECILE_QS, 1)]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("o_totalprice") > F.col(f"e{i}")).cast("int")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.crossJoin(F.broadcast(edges))
+        .groupBy(decile.cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("order_ct"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
 @register(
     "rolling_wau_events",
     """
@@ -2599,6 +2648,14 @@ def lineage_dataset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lin.dataset_edges(_lineage_io(spark, sf_dir))
 
 
+@register("pagerank_lineage", _lin.pagerank_sql(_LINEAGE_EDGES_SQL, iterations=3))
+def pagerank_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset centrality over the observed lineage graph: 3 fixed
+    PageRank iterations (message-passing joins, unrolled-CTE twin) —
+    ranks the hub datasets everything depends on."""
+    return _lin.pagerank(_lin.dataset_edges(_lineage_io(spark, sf_dir)), iterations=3)
+
+
 @register("lineage_closure", _LINEAGE_CLOSURE_SQL + "\n    SELECT src, dst, depth FROM cl")
 def lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure with min hop count — semi-naive frontier BFS
@@ -3607,7 +3664,7 @@ _ROTATED_IN_R4 = [
 # importance_sample_documents, token_budget_mix_documents,
 # seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
 # independence_orders, waiting_supplier_faults,
-# promo_supplier_candidates.
+# promo_supplier_candidates, decile_report_orders, pagerank_lineage.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

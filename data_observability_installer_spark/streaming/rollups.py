@@ -198,3 +198,39 @@ def liveness_stream(heartbeats: DataFrame, watermark: str = "10 minutes") -> Dat
         F.max("latest_event_timestamp").alias("last_heartbeat"),
         F.count(F.lit(1)).alias("heartbeat_ct"),
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "pipeline_key",
+    tolerance_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with every
+    right event for the same key within ±``tolerance_s`` of event time
+    (failure <-> alert correlation). Both sides carry watermarks and the
+    join condition time-bounds BOTH event times, so each side's state
+    buffer is evicted once the other side's watermark passes the
+    tolerance horizon — the canonical bounded-state stream-stream join.
+    Inner-join matches emit as soon as both sides arrive (the watermark
+    only gates state cleanup), so a replay produces exactly the batch
+    join's rows."""
+    l = left.withWatermark("event_timestamp", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_timestamp").alias("l_ts"),
+        F.col("status").alias("l_status"),
+    )
+    r = right.withWatermark("event_timestamp", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_timestamp").alias("r_ts"),
+        F.col("log_level").alias("r_level"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {tolerance_s} SECONDS")),
+    ).select(
+        F.col("l_key").alias(key), "l_ts", "l_status", "r_ts", "r_level"
+    )

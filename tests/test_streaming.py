@@ -573,3 +573,22 @@ def test_parity_burn_rate_vs_batch(spark, event_stream_path):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got and got <= want  # append emits only watermark-sealed windows
+
+
+def test_parity_stream_stream_interval_join_vs_batch(spark, event_stream_path):
+    """Inner stream-stream matches emit when both sides arrive, so the
+    replay equals the batch interval join row-for-row."""
+    from data_observability_installer_spark.streaming.rollups import correlate_streams
+
+    def split(df):
+        runs = df.filter(F.col("status") == "FAILED")
+        alerts = df.filter(F.col("log_level") == "ERROR")
+        return runs, alerts
+
+    s = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(spark, correlate_streams(*split(s)), "append", "sjoin_parity")
+    b = spark.read.schema(OBS_EVENT).json(event_stream_path)
+    batch = correlate_streams(*split(b))
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got and got == want
