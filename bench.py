@@ -141,6 +141,7 @@ HEADLINE = [
     "error_budget_burn",
     "alert_bursts_events",
     "pipeline_health_events",
+    "flaky_pipelines",
     "embedding_stats",
     "topk_ivf_fixed_embeddings",
     "topk_bruteforce_embeddings",

@@ -2942,6 +2942,57 @@ def run_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_concurrency(runs)
 
 
+@register(
+    "flaky_pipelines",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    seq AS (
+      SELECT pipeline_key, final_status,
+             lag(final_status) OVER (PARTITION BY pipeline_key
+                                     ORDER BY start_ts, run_key) AS prev
+      FROM runs)
+    SELECT pipeline_key,
+           count(*) AS run_ct,
+           CAST(count(*) FILTER (WHERE prev IS NOT NULL AND final_status <> prev)
+                AS BIGINT) AS flip_ct,
+           round(count(*) FILTER (WHERE prev IS NOT NULL AND final_status <> prev)
+                 * 1.0 / greatest(count(*) - 1, 1), 4) AS flip_rate
+    FROM seq GROUP BY pipeline_key
+    HAVING count(*) >= 5
+    ORDER BY flip_rate DESC, pipeline_key
+    """,
+)
+def flaky_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flakiness screen: pipelines whose run outcomes ALTERNATE —
+    flip_rate = outcome transitions / (runs - 1), so a pipeline that
+    fails solidly scores 0 (broken, not flaky) and one oscillating
+    PASS/FAIL scores near 1 (the retry-masking pattern CI teams chase).
+    One run-rollup pass, one per-pipeline lag window (key-partitioned,
+    metadata-sized input), integer counts throughout."""
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pipeline_key").orderBy("start_ts", "run_key")
+    seq = runs.select(
+        "pipeline_key", "final_status", F.lag("final_status").over(w).alias("prev")
+    )
+    flip = (
+        F.col("prev").isNotNull() & (F.col("final_status") != F.col("prev"))
+    ).cast("long")
+    return (
+        seq.groupBy("pipeline_key")
+        .agg(
+            F.count(F.lit(1)).alias("run_ct"),
+            F.sum(flip).alias("flip_ct"),
+            F.round(
+                F.sum(flip) / F.greatest(F.count(F.lit(1)) - 1, F.lit(1)), 4
+            ).alias("flip_rate"),
+        )
+        .filter(F.col("run_ct") >= 5)
+        .orderBy(F.desc("flip_rate"), "pipeline_key")
+    )
+
+
 _ALERTS_SQL = """
     SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS subject_key,
            'error' AS alert_type, ts AS event_ts
@@ -3664,7 +3715,8 @@ _ROTATED_IN_R4 = [
 # importance_sample_documents, token_budget_mix_documents,
 # seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
 # independence_orders, waiting_supplier_faults,
-# promo_supplier_candidates, decile_report_orders, pagerank_lineage.
+# promo_supplier_candidates, decile_report_orders, pagerank_lineage,
+# flaky_pipelines.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
