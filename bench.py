@@ -120,6 +120,7 @@ HEADLINE = [
     "chunk_documents",
     "pii_documents",
     "sample_documents_stratified",
+    "sample_exact_n_documents",
     "curation_filter_documents",
     "decontam_documents",
     "decontam_fuzzy_documents",
@@ -130,6 +131,7 @@ HEADLINE = [
     "importance_sample_documents",
     "token_budget_mix_documents",
     "dedup_incremental_documents",
+    "minhash_incremental_documents",
     "run_duration_sla_events",
     "event_gaps_events",
     "vocab_topk_documents",

@@ -556,3 +556,49 @@ def token_budget_mix_sql(
     SELECT {id_col}, {strata_col}, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= {budget}
     """
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "exact-n-v1",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (or all rows for
+    strata smaller than N), chosen by ranking on a salted md5 of the id
+    — a deterministic reservoir: reproducible across runs and engines,
+    uniform within the stratum, and stable in the sense that a doc's
+    rank never changes as OTHER strata grow. Where the rate-based
+    samplers bound the EXPECTED count, this bounds the exact count —
+    the eval-set / human-review construction. One window per stratum
+    key; the shuffle is the strata column."""
+    from pyspark.sql.window import Window
+
+    rk = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, strata_col, rk.alias("rank_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_stratum)
+        .select(id_col, strata_col, F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def sample_exact_n_sql(
+    table: str,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "exact-n-v1",
+) -> str:
+    rk = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+    WITH r AS (
+      SELECT {id_col}, {strata_col},
+             row_number() OVER (PARTITION BY {strata_col}
+                                ORDER BY {rk}, {id_col}) AS rn
+      FROM {table})
+    SELECT {id_col}, {strata_col}, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= {n_per_stratum}
+    """

@@ -864,3 +864,141 @@ def remove_duplicate_spans_sql(
            CAST(count(*) FILTER (WHERE is_bad) AS BIGINT) AS removed_tokens
     FROM flagged GROUP BY doc
     """
+
+
+def minhash_incremental(
+    df: DataFrame,
+    new_min_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental NEAR-dup screen: which docs of the NEW batch
+    (``id >= new_min_id``) near-duplicate something already ingested.
+    ``dedup_incremental`` is this operator's exact-fingerprint sibling;
+    the MinHash variant catches reworded boilerplate an md5 can't.
+
+    The LSH banding makes incrementality cheap: the corpus side's band
+    keys are append-only state (at 100 TB they persist as a bucketed
+    table keyed on (band, key) that each ingest appends to), so a new
+    batch only shingles ITSELF, probes the bucket table, and exact-
+    verifies the collisions — cost scales with the batch + collisions,
+    never with the corpus. Here both sides derive from one table split
+    by id for the oracle's sake; the join is new-vs-corpus only (no
+    corpus self-pairs), candidate-scoped Jaccard verify as in
+    ``minhash_pairs``.
+
+    Returns (new_id, dup_of, jaccard): the new doc, an existing doc it
+    collides with at >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sh0 = exploded_shingles(df, text_col, id_col, n)
+    sig = sh0.groupBy("doc").agg(*minhash_sig_cols(num_hashes))
+    band_keys = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    new_b = band_keys.filter(F.col("doc") >= new_min_id).alias("nb")
+    old_b = band_keys.filter(F.col("doc") < new_min_id).alias("ob")
+    cand = (
+        new_b.join(
+            old_b,
+            (F.col("nb.band") == F.col("ob.band")) & (F.col("nb.key") == F.col("ob.key")),
+        )
+        .select(F.col("nb.doc").alias("new_id"), F.col("ob.doc").alias("dup_of"))
+        .distinct()
+    )
+    cdocs = (
+        cand.select(F.col("new_id").alias("doc"))
+        .union(cand.select(F.col("dup_of").alias("doc")))
+        .distinct()
+    )
+    shc = sh0.join(cdocs, "doc", "semi")
+    sizes = shc.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = shc.alias("x"), shc.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc") >= new_min_id)
+            & (F.col("y.doc") < new_min_id),
+        )
+        .groupBy(F.col("x.doc").alias("new_id"), F.col("y.doc").alias("dup_of"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["new_id", "dup_of"], "semi")
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "new_id").withColumnRenamed("sz", "sz_n"), "new_id")
+        .join(sizes.withColumnRenamed("doc", "dup_of").withColumnRenamed("sz", "sz_o"), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_n") + F.col("sz_o") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "dup_of", "jaccard")
+    )
+
+
+def minhash_incremental_sql(
+    table: str,
+    new_min_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_cols = minhash_sig_sql(num_hashes)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH shx AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    sig AS MATERIALIZED (SELECT doc, {sig_cols} FROM shx GROUP BY doc),
+    bk AS MATERIALIZED ({band_selects}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT nb.doc AS new_id, ob.doc AS dup_of
+      FROM bk nb JOIN bk ob ON nb.band = ob.band AND nb.key = ob.key
+      WHERE nb.doc >= {new_min_id} AND ob.doc < {new_min_id}),
+    cdocs AS (SELECT new_id AS doc FROM cand UNION SELECT dup_of FROM cand),
+    shc AS MATERIALIZED (SELECT shx.* FROM shx JOIN cdocs USING (doc)),
+    sizes AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
+    inter AS (
+      SELECT x.doc AS new_id, y.doc AS dup_of, count(*) AS inter
+      FROM shc x JOIN shc y ON x.sh = y.sh
+      WHERE x.doc >= {new_min_id} AND y.doc < {new_min_id}
+      GROUP BY x.doc, y.doc)
+    SELECT i.new_id, i.dup_of,
+           round(i.inter * 1.0 / (sn.sz + so.sz - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.new_id = i.new_id AND c.dup_of = i.dup_of
+    JOIN sizes sn ON sn.doc = i.new_id JOIN sizes so ON so.doc = i.dup_of
+    WHERE round(i.inter * 1.0 / (sn.sz + so.sz - i.inter), 4) >= {threshold}
+    """

@@ -1962,6 +1962,20 @@ def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_incremental_documents",
+    _dedup.minhash_incremental_sql("documents", new_min_id=250, threshold=0.3),
+)
+def minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screen: docs with id >= 250 play the
+    arriving batch, the rest the ingested corpus — only new-vs-corpus
+    band collisions verify (no corpus self-pairs), the shape whose cost
+    scales with the batch, not the archive."""
+    return _dedup.minhash_incremental(
+        load_table(spark, sf_dir, "documents"), new_min_id=250, threshold=0.3
+    )
+
+
 @register("simhash_documents")  # xxhash64 is Spark-native: rows-only check
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
@@ -2490,6 +2504,17 @@ def curation_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop chain: length -> quality -> language -> PII; one scan,
     one codegen stage."""
     return _cur.curation_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_exact_n_documents",
+    _cur.sample_exact_n_sql("documents", n_per_stratum=5),
+)
+def sample_exact_n_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, deterministic salted-md5 reservoir —
+    the eval-set construction (rate samplers bound the EXPECTED size;
+    this bounds the exact size)."""
+    return _cur.sample_exact_n(load_table(spark, sf_dir, "documents"), n_per_stratum=5)
 
 
 @register(
@@ -3716,7 +3741,8 @@ _ROTATED_IN_R4 = [
 # seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
 # independence_orders, waiting_supplier_faults,
 # promo_supplier_candidates, decile_report_orders, pagerank_lineage,
-# flaky_pipelines.
+# flaky_pipelines, minhash_incremental_documents,
+# sample_exact_n_documents.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
