@@ -77,6 +77,7 @@ HEADLINE = [
     "hygiene_lineitem",
     "a1_run_rollup_events",
     "a2_user_sessions",
+    "session_window_events",
     "a3_late_daily_starts",
     "a4_run_state_alerts",
     "a5_metric_threshold_alerts",

@@ -1469,6 +1469,56 @@ def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             -- STRICT >: measured on a planted exact-gap fixture,
+             -- Spark's session_window MERGES an event arriving exactly
+             -- gap seconds after its predecessor (close-inclusive
+             -- windows); only a strictly larger silence opens a session
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    g AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS event_ct
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator validated against first
+    principles: the DuckDB twin re-derives the same sessions with
+    lag-gap island detection (new session when >30 min silent), so the
+    built-in operator's semantics — window end = last event + gap —
+    are value-checked, not assumed. In batch, session_window compiles
+    to one key shuffle + in-partition merge; in streaming the SAME
+    expression runs under a watermark (streaming/rollups.py's
+    session_rollup_stream), which is why proving the batch semantics
+    here certifies the streaming path's math too."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "event_ct",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "rolling_wau_events",
     """
     WITH ud AS (
@@ -3742,7 +3792,7 @@ _ROTATED_IN_R4 = [
 # independence_orders, waiting_supplier_faults,
 # promo_supplier_candidates, decile_report_orders, pagerank_lineage,
 # flaky_pipelines, minhash_incremental_documents,
-# sample_exact_n_documents.
+# sample_exact_n_documents, session_window_events.
 _PROVEN_FLAGSHIPS: list[str] = []
 
 _GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS

@@ -257,3 +257,24 @@ def test_dag_cycles_detects_and_clears():
     assert dag_cycles([("a", "b"), ("b", "c"), ("c", "d"), ("d", "b")]) == ["b", "c", "d"]
     # self-loop
     assert dag_cycles([("x", "x")]) == ["x"]
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pins the measured boundary semantics the session_window oracle
+    twin encodes: an event arriving EXACTLY gap seconds after its
+    predecessor merges into the same session (close-inclusive); only a
+    strictly larger silence opens a new one."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    exact = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=1800))], "user_id int, ts timestamp"
+    )
+    over = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=1801))], "user_id int, ts timestamp"
+    )
+    n_exact = exact.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    n_over = over.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    assert n_exact == 1 and n_over == 2
