@@ -49,3 +49,30 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def idempotent_batch_sink(stream, out_dir: str, query_name: str = "idempotent_sink"):
+    """Exactly-once-style delivery for ``foreachBatch``: each
+    micro-batch writes to ``out_dir/batch_id=<id>`` with mode
+    ``overwrite``, so a replayed batch (restart after a sink failure,
+    before the checkpoint commit) OVERWRITES its own previous partial
+    output instead of appending duplicates — Structured Streaming's
+    at-least-once batch redelivery plus a (batch_id-keyed, overwrite)
+    sink is the standard exactly-once recipe for file targets. Readers
+    see one directory per batch; the batch_id column is the replay
+    audit trail."""
+    from pyspark.sql import functions as F
+
+    def _write(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
