@@ -495,7 +495,13 @@ def importance_sample(
     monotone in the weight (raising a doc's score never drops it)."""
     key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
-    return df.filter(_bucket(key) < (w * BUCKETS).cast("int"))
+    # Compare bucket < w*BUCKETS as DOUBLES on both engines. An int cast
+    # here is a cross-engine hazard: Spark truncates toward zero while
+    # DuckDB CAST rounds-to-nearest, so a weight whose product lands just
+    # below an integer keeps a doc on one engine and drops it on the
+    # other. IEEE double multiply is bit-identical everywhere, so the
+    # raw comparison is deterministic.
+    return df.filter(_bucket(key) < w * BUCKETS)
 
 
 def importance_sample_sql(
@@ -503,7 +509,9 @@ def importance_sample_sql(
 ) -> str:
     b = _bucket_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
     w = f"least(greatest(CAST({weight_sql} AS DOUBLE), 0.0), 1.0)"
-    return f"SELECT * FROM ({table_sql}) t WHERE {b} < CAST({w} * {BUCKETS} AS INT)"
+    # Double comparison, no int cast — see importance_sample: DuckDB's
+    # CAST rounds-to-nearest while Spark's truncates, a latent divergence.
+    return f"SELECT * FROM ({table_sql}) t WHERE {b} < {w} * {BUCKETS}"
 
 
 def token_budget_mix(

@@ -704,8 +704,19 @@ def knn_graph(
         .select(
             "src",
             "dst",
-            F.round(
-                _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 4
+            # floor(x*1e4+0.5)/1e4, NOT round(x,4): Spark's round works on
+            # the shortest-decimal repr while DuckDB rounds the binary
+            # value, so a boundary cosine could flip the last digit (and
+            # the rank order) between engines. floor of the identical
+            # IEEE product is bit-stable on both.
+            (
+                F.floor(
+                    _dot(F.col("a_emb"), F.col("b_emb"))
+                    / (F.col("a_nrm") * F.col("b_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("score"),
         )
     )
@@ -723,7 +734,8 @@ def knn_graph_sql(
     cos = _cosine_sql("a.embedding", "b.embedding")
     return f"""
     WITH pairs AS (
-      SELECT a.{id_col} AS src, b.{id_col} AS dst, round({cos}, 4) AS score
+      SELECT a.{id_col} AS src, b.{id_col} AS dst,
+             floor(({cos}) * 10000 + 0.5) / 10000 AS score
       FROM {table} a JOIN {table} b
         ON a.{block_col} = b.{block_col} AND a.{id_col} <> b.{id_col}),
     r AS (

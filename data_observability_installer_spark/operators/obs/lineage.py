@@ -228,7 +228,21 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
             edges.join(pr, edges.src == pr.node)
             .join(F.broadcast(outdeg), edges.src == F.col("od_src"))
             .groupBy(F.col("dst").alias("c_node"))
-            .agg(F.sum(F.col("pr") / F.col("od")).alias("s"))
+            # Accumulate integer NANO-UNITS, not raw doubles: a float
+            # sum's value depends on accumulation order (partition- and
+            # engine-dependent), and over iterations last-ulp drift can
+            # compound until the 1e-6 output floor flips on a boundary.
+            # floor(pr/od * 1e9 + .5) is bit-identical per term on both
+            # engines, and integer addition is exact and associative, so
+            # every iteration's pr vector is bit-identical by induction.
+            # 1e9 scale: terms <= 1e9, so even 1e6 in-edges per hub keep
+            # the sum < 2^53 (exact in the final double divide).
+            .agg(
+                (
+                    F.sum(F.floor(F.col("pr") / F.col("od") * 1e9 + F.lit(0.5)))
+                    / F.lit(1e9)
+                ).alias("s")
+            )
         )
         pr = (
             nodes.join(contribs, nodes.node == F.col("c_node"), "left")
@@ -265,7 +279,8 @@ def pagerank_sql(edges_cte: str, iterations: int = 3, damping: float = 0.85) -> 
              {base_num} / (SELECT n FROM nn)
                + {d} * coalesce(s.s, 0.0) AS pr
       FROM nodes no LEFT JOIN (
-        SELECT e.dst AS node, sum(p{i}.pr / od.od) AS s
+        SELECT e.dst AS node,
+               sum(CAST(floor(p{i}.pr / od.od * 1e9 + 0.5) AS BIGINT)) / 1e9 AS s
         FROM e JOIN p{i} ON p{i}.node = e.src
         JOIN outdeg od ON od.src = e.src
         GROUP BY e.dst) s ON s.node = no.node)"""

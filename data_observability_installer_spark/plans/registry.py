@@ -1472,7 +1472,7 @@ def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_events",
     """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              -- STRICT >: measured on a planted exact-gap fixture,
              -- Spark's session_window MERGES an event arriving exactly
              -- gap seconds after its predecessor (close-inclusive
@@ -1483,7 +1483,11 @@ def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     g AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             -- ORDER BY must include event_id to match the lag window
+             -- above: with duplicate (user_id, ts) rows a ts-only sum
+             -- could visit tied events in a different order than the
+             -- lag pass and split them across sessions nondeterministically
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM o)
     SELECT user_id,
@@ -3230,7 +3234,8 @@ def promo_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3252,7 +3257,17 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+                        "long"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -3261,7 +3276,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            strftime(l.l_shipdate, '%Y') AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3313,7 +3329,17 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.date_format("l_shipdate", "yyyy").alias("ship_year"),
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
 
@@ -3372,10 +3398,11 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_value_parts",
     """
     WITH pv AS (
-      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS value_cents
       FROM lineitem GROUP BY l_partkey)
-    SELECT l_partkey AS partkey, round(value, 2) AS part_value
-    FROM pv WHERE value > (SELECT sum(value) * 0.0012 FROM pv)
+    SELECT l_partkey AS partkey, round(value_cents / 100.0, 2) AS part_value
+    FROM pv WHERE value_cents > (SELECT sum(value_cents) * 0.0012 FROM pv)
     ORDER BY part_value DESC, partkey
     """,
 )
@@ -3387,15 +3414,27 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row global sum re-aggregates THOSE partials (metadata-sized, no
     second fact scan), and the threshold filter is map-side."""
     li = load_table(spark, sf_dir, "lineitem")
-    pv = (
-        li.groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    # Per-part revenue accumulated in integer CENTS: each row's cents
+    # value is bit-identical cross-engine and integer addition is
+    # order-independent, so both the per-part values and the global
+    # threshold (an exact integer times 0.0012) are hash-exact — a raw
+    # double sum compared against a double-sum threshold can flip rows
+    # near the cut at larger scale factors.
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "long"
+            )
+        ).alias("value_cents")
     )
-    total = pv.agg((F.sum("value") * 0.0012).alias("cut"))
+    total = pv.agg((F.sum("value_cents") * 0.0012).alias("cut"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("cut"))
-        .select(F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("part_value"))
+        .filter(F.col("value_cents") > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
         .orderBy(F.desc("part_value"), "partkey")
     )
 
@@ -3474,14 +3513,15 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_supplier_revenue",
     """
     WITH rev AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS rev_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, round(r.total_rev, 2) AS total_rev
+    SELECT s.s_suppkey, s.s_name, round(r.rev_cents / 100.0, 2) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
     ORDER BY s_suppkey
     """,
 )
@@ -3496,15 +3536,26 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier")
+    # Integer-cents accumulation makes the "equals the max" filter an
+    # INTEGER equality — a double-sum equality against a double max is
+    # the most fragile comparison shape there is cross-engine.
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "long"
+            )
+        ).alias("rev_cents")
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("mx"))
+        .filter(F.col("rev_cents") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_rev"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -3512,7 +3563,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "small_qty_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
@@ -3537,7 +3588,14 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(cuts, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
