@@ -3752,108 +3752,87 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations (round-2 evidence: CORRECTNESS_r02 ends at entry #50), so
 # insertion order decides which operators get hard value-checked evidence.
 # The window membership ROTATES per round so every query accumulates a
-# driver-green row: rounds 2-3 proved 50 names (all green in
-# CORRECTNESS_r02/r03). Round 4 fills ALL 50 slots with queries that
-# lacked a driver-green row — the 34 judge-side-only names from r3 plus
-# round-4 additions, newest first per the round-3 advisor. NOTE: that
-# leaves ZERO previously-proven queries inside this round's window; a
-# regression in e.g. pricing_summary would surface only via
-# tools/check_oracle.py, the registry smoke test, and the judge's own
-# re-run, not the driver gate. Five round-4 queries also did not fit
-# (see the note below _PROVEN_FLAGSHIPS). Rotation continues in r5.
+# driver-green row: rounds 2-3 proved 50 names, round 4 proved 50 more
+# (CORRECTNESS_r02-r04). Round 5 is the FINAL rotation: the 37 queries
+# that have never held a gate slot (all judge-green in the round-4
+# verdict) fill slots 1-37, and 13 proven flagships re-enter the window
+# as a regression tripwire — after this round every oracle-backed query
+# in the registry carries cumulative driver-green evidence.
 # ---------------------------------------------------------------------------
 
-_ROTATED_IN_R4 = [
-    # DQ suites: the two tables outside the r3 window
-    "dq_suite_customer",
-    "dq_suite_orders",
-    # profiling siblings + the documented 100 TB approx config (rows-only)
-    "profile_orders",
-    "profile_customer",
-    "profile_events",
-    "profile_documents",
-    "profile_lineitem_approx",
-    # hygiene siblings
-    "hygiene_customer",
-    "hygiene_events",
-    "hygiene_documents",
-    # TPC-H Q3/Q5-shaped joins (round-3 additions)
-    "shipping_priority",
-    "local_supplier_volume",
-    # reconciliation / drift additions
-    "fk_orphans_customer_orders",
-    "benford_orders",
-    # round-4 additions: newest code gets the hardest evidence first
-    "join_cardinality_orders_lineitem",
-    "ks_drift_lineitem",
-    "pii_redact_documents",
-    # dedup additions
-    "dup_spans_documents",
-    "simhash_documents",  # xxhash64: rows-only by design
-    # multimodal (new this round): binary decode, rows-only by design
-    "multimodal_features",
-    # text analysis additions
-    "fingerprint_documents",
-    "chunk_documents",
-    "repetition_documents",
-    # similarity search additions
-    "topk_lsh_embeddings",
-    "embedding_stats",
-    "topk_ivf_embeddings",  # learned k-means: rows-only by design
-    "topk_ivf_fixed_embeddings",
-    "embedding_near_dups",
-    # funnel / retention / concurrency (round-3 additions)
-    "funnel_events",
-    "retention_events",
-    "run_concurrency_events",
-    # curation additions
-    "split_documents",
-    "pii_documents",
-    "sample_documents_stratified",
-    "mixture_weights_documents",
-    "unigram_nll_documents",
-    "corpus_funnel_documents",
-    # lineage edges (closure proved r3; edges had only judge evidence)
-    "lineage_dataset_edges",
-    # relational / calendar / top-k shapes added mid-round-4: newest
-    # code gets driver-green evidence immediately, not next round
-    "order_priority_counts",
-    "returned_item_report",
-    "promo_revenue",
-    "supplier_part_counts",
-    "orders_priority_rollup",
-    "gapfill_hourly_signups",
-    "top_events_per_type",
-    "snapshot_diff_lineitem",
-    "scd2_order_status",
-    "embedding_dup_groups",
-    "histogram_lineitem_price",
-    "correlations_lineitem",
+_NEVER_DRIVER_CHECKED_R5 = [
+    # The 37 queries that have never appeared in any round's 50-slot
+    # driver gate (all judge-green in the round-4 verdict's re-run;
+    # this rotation closes the evidence story: after round 5 every
+    # oracle-backed query has a driver-green CORRECTNESS row).
+    # Queries hardened this round (per ADVICE.md) come first so the
+    # changed code gets the hardest evidence immediately.
+    "importance_sample_documents",
+    "session_window_events",
+    "knn_graph_embeddings",
+    "pagerank_lineage",
+    "forecast_revenue",
+    "volume_shipping",
+    "top_value_parts",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    # TPC-H-shaped remainder
+    "market_share",
+    "disjunctive_revenue",
+    "decile_report_orders",
+    "product_type_profit",
+    "shipping_delay_buckets",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "idle_customer_balance",
+    "min_price_supplier",
+    "waiting_supplier_faults",
+    "promo_supplier_candidates",
+    "pivot_daily_event_matrix",
+    "running_revenue_windows",
+    # obs / analytics
+    "rolling_wau_events",
+    "independence_orders",
+    "error_budget_burn",
+    "flaky_pipelines",
+    "seasonal_volume_anomaly",
+    "psi_trend_lineitem",
+    "cdc_merge_orders",
+    "pit_status_lineitems",
+    # LLM-pipeline
+    "fuzzy_name_pairs_customer",
+    "span_scrub_documents",
+    "minhash_incremental_documents",
+    "multimodal_structure",
+    "sample_exact_n_documents",
+    "token_budget_mix_documents",
+    "decontam_fuzzy_documents",
 ]
 
-# Empty this round: every slot of the 50-entry window carries a query
-# without prior driver-green evidence. The rounds-1-3-proven names sit
-# beyond the gate (their driver-green rows are already on record).
-# Round-4 queries that ALSO did not fit and carry only check_oracle /
-# judge-side evidence this round — front-load these in round 5:
-# fuzzy_name_pairs_customer, decontam_fuzzy_documents,
-# psi_trend_lineitem, market_share, disjunctive_revenue, plus the
-# late-round-4 TPC-H remainder (forecast_revenue, volume_shipping,
-# product_type_profit, top_value_parts, shipping_delay_buckets,
-# customer_order_distribution, top_supplier_revenue, small_qty_revenue,
-# large_volume_customers, idle_customer_balance, min_price_supplier)
-# and LLM additions (span_scrub_documents, knn_graph_embeddings), plus
-# pivot_daily_event_matrix, running_revenue_windows,
-# pit_status_lineitems, cdc_merge_orders, error_budget_burn,
-# importance_sample_documents, token_budget_mix_documents,
-# seasonal_volume_anomaly, multimodal_structure, rolling_wau_events,
-# independence_orders, waiting_supplier_faults,
-# promo_supplier_candidates, decile_report_orders, pagerank_lineage,
-# flaky_pipelines, minhash_incremental_documents,
-# sample_exact_n_documents, session_window_events.
-_PROVEN_FLAGSHIPS: list[str] = []
+# Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
+# the window so a regression in core paths (DQ suite, profiler,
+# hygiene, obs rollups, dedup, ANN, curation) surfaces in the DRIVER
+# gate again, not only in tools/check_oracle.py -- round 4 ran with
+# zero previously-proven names in-window, which the round-4 notes
+# flagged as a risk. New round-5 queries displace flagships from the
+# END of this list (keep 37 + new + flagships == 50).
+_PROVEN_FLAGSHIPS = [
+    "dq_suite_lineitem",
+    "profile_lineitem",
+    "hygiene_lineitem",
+    "a1_run_rollup_events",
+    "a3_late_daily_starts",
+    "a6_out_of_sequence",
+    "catalog_upsert_components",
+    "minhash_pairs_documents",
+    "ngram_jaccard_documents",
+    "dedup_groups_documents",
+    "topk_bruteforce_embeddings",
+    "curation_filter_documents",
+    "language_id_documents",
+]
 
-_GATE_ORDER = _ROTATED_IN_R4 + _PROVEN_FLAGSHIPS
+_GATE_ORDER = _NEVER_DRIVER_CHECKED_R5 + _PROVEN_FLAGSHIPS
 
 
 def _gate_sorted(d: dict) -> dict:

@@ -26,11 +26,11 @@ def test_gate_order_names_resolve():
 
 def test_gate_window_rotation():
     """The driver hard-checks only the first 50 registrations, so the
-    window ROTATES: round 4 front-loads every query that lacked a
-    driver-green row after rounds 2-3 (including the three documented
-    rows-only entries, which get the driver's weaker rows-check this
-    way), back-filled with already-proven flagships. Everything in the
-    window that claims an oracle twin must actually have one."""
+    window ROTATES: round 5 front-loads the 37 queries that never held
+    a gate slot in rounds 2-4, back-filled with proven flagships as a
+    regression tripwire. The window must stay exactly 50 wide (extra
+    names silently fall outside the driver's check), and everything in
+    it that claims an oracle twin must actually have one."""
     names = list(registry.queries())
     oracles = registry.oracle_sql()
     rows_only = {
@@ -39,7 +39,8 @@ def test_gate_window_rotation():
         "topk_ivf_embeddings",
         "multimodal_features",
     }
-    assert names[: len(registry._ROTATED_IN_R4)] == registry._ROTATED_IN_R4
+    assert names[: len(registry._GATE_ORDER)] == registry._GATE_ORDER
+    assert len(registry._GATE_ORDER) == 50
     assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
 
 
