@@ -41,6 +41,27 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _lit_arr_sql(values: list[float]) -> str:
+    """Spark-SQL text for a literal double array. repr() is Python's
+    shortest round-trip decimal and Catalyst's decimal->double cast is
+    nearest-double, so the parsed values are bit-identical to
+    ``F.array(*[F.lit(v) ...])`` — but ONE parser call instead of one
+    py4j round trip per element (64-d planes/centroids were costing
+    ~1-2 ms x hundreds of literals of pure driver time per query
+    build; this was the round-4 ANN bench regression)."""
+    return "array(" + ", ".join(f"CAST({repr(v)} AS DOUBLE)" for v in values) + ")"
+
+
+def _dot_lits_sql(emb_sql: str, values: list[float]) -> str:
+    """Spark-SQL text for dot(<emb col>, <literal array>) with the
+    exact fold `_dot` uses (sequential acc + x*y left-to-right)."""
+    return (
+        f"aggregate(zip_with({emb_sql}, {_lit_arr_sql(values)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -90,12 +111,15 @@ def topk_bruteforce_sql(table: str, k: int = 10, query_id: int = 0, id_col: str 
     """
 
 
-def _bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
-    """Integer hyperplane signature: bit i set iff dot(emb, plane_i) >= 0."""
+def _bucket_expr(emb_sql: str, planes: list[list[float]]) -> Column:
+    """Integer hyperplane signature: bit i set iff dot(emb, plane_i) >= 0.
+    Takes the embedding column's SQL name and builds ONE parsed
+    expression — see `_lit_arr_sql` for why not per-literal Columns."""
     bits = [
-        F.when(
-            _dot(emb, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+        F.expr(
+            f"CASE WHEN {_dot_lits_sql(emb_sql, plane)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
         for i, plane in enumerate(planes)
     ]
     out = bits[0]
@@ -134,14 +158,21 @@ def topk_lsh(
     The probe set is enumerated driver-side (metadata: ≤2^planes ids)
     and pushed as ``bucket IN (...)`` — at warehouse scale ``bucket``
     is the table's partition/cluster key, so the probe prunes files and
-    the scan touches only the ball's partitions. The query row's
-    signature comes from a one-row Spark job, never Python float math,
-    so engine arithmetic is identical.
+    the scan touches only the ball's partitions.
+
+    One Spark job total (plus the one-row query fetch, which rides the
+    ``id = query_id`` parquet pushdown). The query's signature and norm
+    are computed DRIVER-side from the fetched row with the exact
+    sequential fold the Spark/DuckDB expressions use (``acc + x*y``
+    left-to-right — ``F.aggregate``'s own order), so the arithmetic is
+    bit-identical to an in-engine computation; the earlier version ran
+    a second full-expression Spark job for the signature and a third
+    broadcast scan for the query vector, ~1.4 s of constant overhead
+    at any scale (the round-4 bench regression).
     """
     planes = lsh_planes()
     n_planes = len(planes)
-    withb = embeddings.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
-    q_row = withb.filter(F.col(id_col) == query_id).select("bucket").head()
+    q_row = embeddings.filter(F.col(id_col) == query_id).select("embedding").head()
     if q_row is None:
         # missing query id (e.g. an empty refresh): empty result, same
         # as the SQL twin's empty `q` CTE — a monitor must not crash on
@@ -149,17 +180,36 @@ def topk_lsh(
         return embeddings.select(
             F.col(id_col), F.lit(None).cast("double").alias("score")
         ).limit(0)
-    q_bucket = q_row["bucket"]
+    q = [float(x) for x in q_row["embedding"]]
+
+    def _fold_dot(xs: list[float], ys: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc = acc + x * y
+        return acc
+
+    q_bucket = sum(1 << i for i, p in enumerate(planes) if _fold_dot(q, p) >= 0)
+    q_nrm = _fold_dot(q, q) ** 0.5
     ball = [
         b for b in range(1 << n_planes) if bin(b ^ q_bucket).count("1") <= max_hamming
     ]
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col("embedding").alias("q_emb")
-    )
+    q_emb = F.expr(_lit_arr_sql(q))
+    withb = embeddings.withColumn("bucket", _bucket_expr("embedding", planes))
     return (
         withb.filter(F.col("bucket").isin(ball) & (F.col(id_col) != query_id))
-        .join(F.broadcast(q))
-        .select(id_col, F.round(_cosine(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
+        .select(
+            id_col,
+            # 2 dots per surviving row (query norm is a literal), same
+            # scheme as topk_bruteforce
+            F.round(
+                _dot(F.col("embedding"), q_emb)
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.lit(q_nrm)
+                ),
+                4,
+            ).alias("score"),
+        )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
@@ -258,17 +308,21 @@ def ivf_centroids(dim: int = _DIM, n_clusters: int = 16, seed: int = 99) -> list
     return [[round(float(x), 6) for x in row] for row in rs.uniform(-1, 1, (n_clusters, dim))]
 
 
-def _centroid_scores(emb: Column, nrm: Column, centroids: list[list[float]]) -> Column:
+def _centroid_scores(emb_sql: str, nrm_sql: str, centroids: list[list[float]]) -> Column:
     """array<struct<s,double nc,int>> of (rounded cosine-to-centroid,
     NEGATED centroid id) — sort_array desc then picks the highest
-    score with ties to the LOWEST centroid id."""
+    score with ties to the LOWEST centroid id. Built as ONE parsed
+    expression: the per-literal Column version cost ~1000 py4j round
+    trips per call (16 centroids x 64 dims), twice per query."""
     entries = []
     for i, ctr in enumerate(centroids):
-        c = F.array(*[F.lit(v) for v in ctr])
         cn = sum(v * v for v in ctr) ** 0.5
-        cos = F.round(_dot(emb, c) / (nrm * F.lit(cn)), 6)
-        entries.append(F.struct(cos.alias("s"), F.lit(-i).alias("nc")))
-    return F.sort_array(F.array(*entries), asc=False)
+        cos = (
+            f"round({_dot_lits_sql(emb_sql, ctr)} / "
+            f"({nrm_sql} * CAST({repr(cn)} AS DOUBLE)), 6)"
+        )
+        entries.append(f"named_struct('s', {cos}, 'nc', {-i})")
+    return F.expr(f"sort_array(array({', '.join(entries)}), false)")
 
 
 def topk_ivf_fixed(
@@ -295,14 +349,14 @@ def topk_ivf_fixed(
         F.col(id_col).alias("vid"),
         "embedding",
         "nrm",
-        (-_centroid_scores(F.col("embedding"), F.col("nrm"), centroids)[0]["nc"]).alias("bucket"),
+        (-_centroid_scores("embedding", "nrm", centroids)[0]["nc"]).alias("bucket"),
     )
     qrow = e.filter(F.col(id_col) == query_id).select(
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
         F.slice(
             F.transform(
-                _centroid_scores(F.col("embedding"), F.col("nrm"), centroids),
+                _centroid_scores("embedding", "nrm", centroids),
                 lambda st: -st["nc"],
             ),
             1,
@@ -427,7 +481,7 @@ def embedding_near_dups_lsh(
             F.struct(
                 F.lit(band).alias("band"),
                 _bucket_expr(
-                    F.col("embedding"),
+                    "embedding",
                     all_planes[band * planes_per_band : (band + 1) * planes_per_band],
                 ).alias("sig"),
             )

@@ -278,7 +278,7 @@ def test_topk_lsh_scan_fraction_bounded(spark):
     )
 
     df = _planted_corpus(spark)
-    withb = df.withColumn("bucket", _bucket_expr(F.col("embedding"), lsh_planes()))
+    withb = df.withColumn("bucket", _bucket_expr("embedding", lsh_planes()))
     q_bucket = withb.filter(F.col("vec_id") == 0).head()["bucket"]
     ball = [b for b in range(256) if bin(b ^ q_bucket).count("1") <= 2]
     scanned = withb.filter(F.col("bucket").isin(ball)).count()
