@@ -203,6 +203,29 @@ def main() -> None:
     # stdout line stays compact (<1 KB) because the driver captures only
     # a tail window — a 2 KB line got clipped mid-token two rounds in a
     # row (BENCH_r01/r02 "parsed: null").
+    # Delta tripwire: compare against the PREVIOUS snapshot before
+    # overwriting it, so a >1.5x per-query slip (round 4: topk_lsh
+    # 0.82 -> 2.23 s) is visible in this run's stderr, not next
+    # round's verdict. Speedups print too; only same-sf compares.
+    try:
+        with open("bench_queries.json") as fh:
+            prev_snap = json.load(fh)
+        if prev_snap.get("sf") == sf_val:
+            from tools.bench_delta import MIN_ABS_SEC, delta  # noqa: PLC0415
+
+            prev_q = {
+                k: v
+                for k, v in prev_snap.get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+            cur_q = {k: v for k, v in timings.items() if isinstance(v, (int, float))}
+            slower, faster = delta(prev_q, cur_q, 1.5)
+            for name, ot, nt, r in slower:
+                print(f"bench-delta REGRESSED {name}: {ot:.2f} -> {nt:.2f} s ({r:.2f}x)", file=sys.stderr)
+            for name, ot, nt, r in faster:
+                print(f"bench-delta improved {name}: {ot:.2f} -> {nt:.2f} s ({r:.2f}x)", file=sys.stderr)
+    except Exception:  # noqa: BLE001 — the report must never break the bench
+        pass
     with open("bench_queries.json", "w") as fh:
         json.dump({"sf": sf_val, "queries": timings}, fh)
     print(json.dumps({"detail": "bench_queries.json", "queries": timings}))
