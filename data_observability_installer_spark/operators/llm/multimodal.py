@@ -366,6 +366,38 @@ def demo_media(spark, n: int = 48):
     return spark.range(n).coalesce(4).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+MEDIA_FIXTURE_VERSION = "v1"
+
+
+def media_at_rest_path() -> str:
+    """Stable location for the generated media-at-rest parquet."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_media_{MEDIA_FIXTURE_VERSION}.parquet"
+    )
+
+
+def ensure_media_at_rest(spark, n: int = 48) -> str:
+    """Materialize the deterministic demo media corpus as a REAL
+    parquet file with BinaryType payload columns, once per machine.
+
+    This is the scan-boundary path a production media table hits that
+    the in-plan ``demo_media`` frame cannot exercise: payloads round
+    trip through parquet's binary encoding, and metadata-only readers
+    must prove column pruning (parquet never reading payload bytes —
+    see tests/test_multimodal.py's plan gate). Content is a pure
+    function of media_id, so the closed-form DuckDB oracle for the
+    in-plan variant applies unchanged to the at-rest one."""
+    import os
+
+    path = media_at_rest_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        demo_media(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
 MEDIA_FEATURE_SCHEMA = (
     "media_id long, kind string, width int, height int, mean_intensity double, "
     "intensity_std double, sample_rate int, n_samples long, rms double, peak double"

@@ -17,7 +17,7 @@ from ..functions.time import epoch_seconds
 from ..operators.dq.compiler import compile_suite, compile_suite_sql
 from .cache import DFCache
 from ..operators.hygiene import hygiene, hygiene_sql
-from ..operators.profile import column_metrics, profile, profile_sql
+from ..operators.profile import clear_scan_cache, column_metrics, profile, profile_sql
 from ..sources.tables import STATIC_SCHEMAS, load_table
 from .suites import AS_OF, DEMO_SUITES
 
@@ -2057,9 +2057,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_features(_mm.demo_media(spark)).orderBy("media_id")
 
 
-@register(
-    "multimodal_structure",
-    """
+# Closed-form oracle for the deterministic media corpus: DuckDB never
+# touches bytes — it recomputes decoded dims/means from the generator's
+# math, so the SAME SQL value-checks both the in-plan corpus
+# (multimodal_structure) and the parquet-at-rest one (multimodal_at_rest).
+_MULTIMODAL_STRUCTURE_SQL = """
     WITH ids AS (SELECT unnest(range(0, 48)) AS i),
     p5dims AS (SELECT i, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
                FROM ids WHERE i % 4 = 0),
@@ -2085,8 +2087,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN ids.i % 2 = 1 THEN CAST(512 + 16 * ids.i AS BIGINT) END AS n_samples
     FROM ids LEFT JOIN means m ON m.i = ids.i
     ORDER BY media_id
-    """,
-)
+    """
+
+
+@register("multimodal_structure", _MULTIMODAL_STRUCTURE_SQL)
 def multimodal_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VALUE-CHECKED face of the multimodal family: the Spark side
     generates real netpbm/WAV payloads executor-side, decodes them with
@@ -2111,6 +2115,36 @@ def multimodal_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_samples",
     ).orderBy("media_id")
+
+
+@register("multimodal_at_rest", _MULTIMODAL_STRUCTURE_SQL)
+def multimodal_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media AT REST: the same deterministic corpus written once to a
+    real parquet file (BinaryType payload column + typed meta struct)
+    and READ BACK through the scan boundary — the path a production
+    media table actually hits (reference analog: DATASET components
+    carrying media payloads). Decoded structural features must survive
+    the encode -> parquet binary encoding -> scan -> Arrow -> decode
+    round trip to match the closed-form oracle; the in-plan sibling
+    (multimodal_structure) can't catch a parquet/binary-codec bug.
+    Metadata-only projections over this table prune the payload column
+    at the parquet reader (plan-gated in tests/test_multimodal.py)."""
+    from ..operators.llm import multimodal as _mm
+
+    media = spark.read.parquet(_mm.ensure_media_at_rest(spark))
+    return (
+        _mm.media_features(media)
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "mean_intensity",
+            "sample_rate",
+            "n_samples",
+        )
+        .orderBy("media_id")
+    )
 
 
 @register("fingerprint_documents", _text.fingerprint_sql("documents"))
@@ -3807,6 +3841,9 @@ _NEVER_DRIVER_CHECKED_R5 = [
     "sample_exact_n_documents",
     "token_budget_mix_documents",
     "decontam_fuzzy_documents",
+    # new in round 5 (media-at-rest scan boundary): newest code gets
+    # driver-green evidence immediately
+    "multimodal_at_rest",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -3829,7 +3866,6 @@ _PROVEN_FLAGSHIPS = [
     "dedup_groups_documents",
     "topk_bruteforce_embeddings",
     "curation_filter_documents",
-    "language_id_documents",
 ]
 
 _GATE_ORDER = _NEVER_DRIVER_CHECKED_R5 + _PROVEN_FLAGSHIPS
@@ -3851,6 +3887,7 @@ def clear_caches() -> None:
     _CAPPED_SHINGLE_CACHE.clear()
     _CLOSURE_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
+    clear_scan_cache()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -196,3 +196,28 @@ def test_registered_multimodal_features_values(spark):
     # every image row decodes to its declared dimensions
     for i in range(0, 48, 2):
         assert rows[i].width == 8 + (i % 4) * 4 and rows[i].height == 8 + (i % 3) * 4
+
+
+def test_media_at_rest_roundtrip_and_column_pruning(spark):
+    """The parquet-at-rest path: payloads must survive the
+    encode -> parquet binary encoding -> scan -> Arrow -> decode round
+    trip (features identical to the in-plan corpus), and a
+    metadata-only projection must PRUNE the payload column at the
+    parquet reader — at 100 TB of media the payload bytes dominate the
+    table, so a catalog query that silently reads them is broken even
+    when its answer is right."""
+    from data_observability_installer_spark.operators.llm import multimodal as mm
+    from data_observability_installer_spark.plans import registry
+
+    at_rest = registry.QUERIES["multimodal_at_rest"](spark, "unused").collect()
+    in_plan = registry.QUERIES["multimodal_structure"](spark, "unused").collect()
+    assert [tuple(r) for r in at_rest] == [tuple(r) for r in in_plan]
+
+    media = spark.read.parquet(mm.media_at_rest_path())
+    meta_only = media.select("media_id", "kind", "meta")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "payload" not in read_schema, read_schema
+    # and the full reader does include it (the gate tests the right thing)
+    full_plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "payload" in full_plan.split("ReadSchema:", 1)[1].splitlines()[0]
