@@ -623,3 +623,53 @@ def test_idempotent_sink_replay_produces_no_duplicates(spark, tmp_path):
 
     assert [tuple(r) for r in first] == [tuple(r) for r in second]
     assert len(second) == 10  # no duplicates from redelivery
+
+
+def test_parity_freshness_vs_batch(spark, event_stream_path):
+    """freshness_stream's update-mode final state (last_seen + event_ct
+    per key) must equal the identical aggregation over the batch read
+    — withWatermark is a no-op on batch frames, so the function is its
+    own twin. Extends the smoke check to FULL row parity."""
+    from data_observability_installer_spark.streaming.dq import freshness_stream
+
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark,
+        freshness_stream(stream, "event_timestamp", "pipeline_key"),
+        "update",
+        "fresh_parity",
+    )
+    batch = freshness_stream(
+        spark.read.schema(OBS_EVENT).json(event_stream_path),
+        "event_timestamp",
+        "pipeline_key",
+    )
+    got = {r.pipeline_key: (r.last_seen, r.event_ct) for r in out.collect()}
+    want = {r.pipeline_key: (r.last_seen, r.event_ct) for r in batch.collect()}
+    assert got == want and len(want) >= 3
+
+
+def test_parity_schema_drift_vs_batch(spark, event_stream_path):
+    """schema_drift_stream is stateless, so its streamed append output
+    must be multiset-identical to the batch projection: one anomaly row
+    per null in a required-but-nullable column plus one per input row
+    for a column absent from the schema entirely."""
+    from data_observability_installer_spark.streaming.dq import schema_drift_stream
+
+    expected = ["metric_value", "never_was_a_column", "event_type"]
+    stream = spark.readStream.schema(OBS_EVENT).json(event_stream_path)
+    out = _run_stream(
+        spark, schema_drift_stream(stream, expected), "append", "schema_parity"
+    )
+    batch_in = spark.read.schema(OBS_EVENT).json(event_stream_path)
+    batch = schema_drift_stream(batch_in, expected)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # the absent column fires once per input row; the nullable one
+    # fires only where null — both kinds must actually appear
+    n_rows = batch_in.count()
+    missing_cts = {c: sum(1 for g in got if g[0] == c) for c in expected}
+    assert missing_cts["never_was_a_column"] == n_rows
+    assert 0 < missing_cts["metric_value"] < n_rows
+    assert missing_cts["event_type"] == 0
