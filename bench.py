@@ -155,6 +155,9 @@ HEADLINE = [
     "embedding_dup_groups",
     "span_scrub_documents",
     "knn_graph_embeddings",
+    # round-5 additions
+    "multimodal_at_rest",
+    "correlate_error_purchase_events",
 ]
 
 

@@ -2361,6 +2361,54 @@ def range_join_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlate_error_purchase_events",
+    """
+    SELECT l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+           l.props AS err_props,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS corr_ts,
+           r.event_type AS corr_type
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL '1800' SECOND
+     AND r.ts <= l.ts + INTERVAL '1800' SECOND
+    WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+    ORDER BY l.user_id, err_ts, corr_ts
+    """,
+)
+def correlate_error_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shaped twin of `streaming/rollups.py: correlate_streams`
+    (the bounded-state stream-stream interval join): pair every error
+    with same-user purchases within ±30 min of event time. The batch
+    call goes through the SAME function — watermarks are a no-op on
+    batch frames — so the oracle row here value-checks the exact join
+    expression the streaming path runs, and the bench tracks its cost.
+    Per-key fan-out is bounded by the tolerance horizon (matches per
+    error = that user's purchases inside a 1 h band), never all-pairs."""
+    from ..streaming.rollups import correlate_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("props").alias("status"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("event_type").alias("log_level"),
+    )
+    out = correlate_streams(left, right, key="user_id", tolerance_s=1800)
+    return out.select(
+        "user_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        F.col("l_status").alias("err_props"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("corr_ts"),
+        F.col("r_level").alias("corr_type"),
+    ).orderBy("user_id", "err_ts", "corr_ts")
+
+
+@register(
     "rollup_event_volume",
     """
     SELECT event_type,
@@ -3841,9 +3889,9 @@ _NEVER_DRIVER_CHECKED_R5 = [
     "sample_exact_n_documents",
     "token_budget_mix_documents",
     "decontam_fuzzy_documents",
-    # new in round 5 (media-at-rest scan boundary): newest code gets
-    # driver-green evidence immediately
+    # new in round 5: newest code gets driver-green evidence immediately
     "multimodal_at_rest",
+    "correlate_error_purchase_events",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -3864,7 +3912,6 @@ _PROVEN_FLAGSHIPS = [
     "minhash_pairs_documents",
     "ngram_jaccard_documents",
     "dedup_groups_documents",
-    "topk_bruteforce_embeddings",
     "curation_filter_documents",
 ]
 
