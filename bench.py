@@ -158,6 +158,7 @@ HEADLINE = [
     # round-5 additions
     "multimodal_at_rest",
     "correlate_error_purchase_events",
+    "zorder_locality_lineitem",
 ]
 
 

@@ -42,10 +42,42 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dq.testtypes import EMAIL_RE, US_STATES, _sql_quote
+
+# Pruned input projections persisted so a multi-chunk profile reads the
+# table ONCE (Spark's cache stores compressed columnar batches, so the
+# footprint is parquet-comparable; re-reading the local cache beats
+# re-scanning remote storage once per chunk — the SCALE_BENCH approx
+# knee was exactly the extra scans). Bounded; unpersisted FIFO.
+_SCAN_CACHE: list[DataFrame] = []
+_SCAN_CACHE_CAP = 4
+
+
+def _share_scan(df: DataFrame) -> DataFrame:
+    if df.storageLevel != StorageLevel.NONE:
+        return df  # caller already persisted; don't double-cache
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCAN_CACHE.append(src)
+    while len(_SCAN_CACHE) > _SCAN_CACHE_CAP:
+        old = _SCAN_CACHE.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return src
+
+
+def clear_scan_cache() -> None:
+    while _SCAN_CACHE:
+        old = _SCAN_CACHE.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
 
 NUMERIC_CLASSES = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
 DATE_CLASSES = {"timestamp", "date", "timestamp_ntz"}
@@ -299,13 +331,28 @@ def profile(
         for start in range(0, len(half), cap):
             chunks.append(half[start : start + cap])
 
+    # >1 chunk means >1 aggregation branch over the same input inside
+    # the one union job — without a persist each branch re-scans the
+    # source (SCALE_BENCH r4: the approx curve hit 4.77x at 8x data,
+    # the steepest in the suite, precisely because the fixed 4-scan
+    # cost stopped amortizing). Persist the PRUNED projection once and
+    # materialize it EAGERLY: left lazy, the union's branches race to
+    # build the same cache blocks and serialize on block locks
+    # (measured: up to 2x run-to-run variance at 8x); one count() fills
+    # the cache at full parallelism, then every branch reads it warm.
+    if len(chunks) > 1:
+        src = _share_scan(df.select(*cols))
+        src.count()
+    else:
+        src = df
+
     parts: list[DataFrame] = []
     for batch in chunks:
         aggs = []
         for i, (_, met) in enumerate(batch):
             cast_to = "DOUBLE" if met.kind == "d" else "STRING"
             aggs.append(F.expr(f"CAST(({met.spark}) AS {cast_to}) AS m{i}"))
-        row = df.agg(*aggs)
+        row = src.agg(*aggs)
         entries = []
         for i, (c, met) in enumerate(batch):
             v = f"m{i}" if met.kind == "d" else "CAST(NULL AS DOUBLE)"

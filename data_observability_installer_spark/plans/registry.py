@@ -2408,6 +2408,35 @@ def correlate_error_purchase_events(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("user_id", "err_ts", "corr_ts")
 
 
+# Fixed clustering bounds for the z-order demo: literal constants (not
+# data-derived) so both engines interleave identical integer ranks; a
+# deployment would take them from the table's own profile.
+_ZORDER_BOUNDS = {"l_extendedprice": (900.0, 105000.0), "l_quantity": (1.0, 50.0)}
+
+
+def _zorder_locality_oracle() -> str:
+    from ..operators.layout import zorder_locality_sql
+
+    return zorder_locality_sql("lineitem", _ZORDER_BOUNDS, bits=8, prefix_bits=6)
+
+
+@register("zorder_locality_lineitem", _zorder_locality_oracle())
+def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve clustering audit for (l_extendedprice, l_quantity):
+    bucket rows by the top 6 bits of their interleaved z-value (one
+    bucket ~ one `operators/layout.py: zorder_by` output file) and
+    report per-bucket row counts and per-dimension min/max spread —
+    narrow spreads are WHY a z-ordered table prunes parquet footer
+    stats in every clustered dimension at once. Exact integer
+    interleave + min/max, so the oracle value-checks the whole curve
+    math; the write path itself is property-tested in
+    tests/test_layout.py (per-file spread gate)."""
+    from ..operators.layout import zorder_locality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_locality(li, _ZORDER_BOUNDS, bits=8, prefix_bits=6)
+
+
 @register(
     "rollup_event_volume",
     """
@@ -3892,6 +3921,7 @@ _NEVER_DRIVER_CHECKED_R5 = [
     # new in round 5: newest code gets driver-green evidence immediately
     "multimodal_at_rest",
     "correlate_error_purchase_events",
+    "zorder_locality_lineitem",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -3911,7 +3941,6 @@ _PROVEN_FLAGSHIPS = [
     "catalog_upsert_components",
     "minhash_pairs_documents",
     "ngram_jaccard_documents",
-    "dedup_groups_documents",
     "curation_filter_documents",
 ]
 
