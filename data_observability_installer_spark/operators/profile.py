@@ -48,37 +48,6 @@ from pyspark.sql import functions as F
 
 from .dq.testtypes import EMAIL_RE, US_STATES, _sql_quote
 
-# Pruned input projections persisted so a multi-chunk profile reads the
-# table ONCE (Spark's cache stores compressed columnar batches, so the
-# footprint is parquet-comparable; re-reading the local cache beats
-# re-scanning remote storage once per chunk — the SCALE_BENCH approx
-# knee was exactly the extra scans). Bounded; unpersisted FIFO.
-_SCAN_CACHE: list[DataFrame] = []
-_SCAN_CACHE_CAP = 4
-
-
-def _share_scan(df: DataFrame) -> DataFrame:
-    if df.storageLevel != StorageLevel.NONE:
-        return df  # caller already persisted; don't double-cache
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _SCAN_CACHE.append(src)
-    while len(_SCAN_CACHE) > _SCAN_CACHE_CAP:
-        old = _SCAN_CACHE.pop(0)
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
-    return src
-
-
-def clear_scan_cache() -> None:
-    while _SCAN_CACHE:
-        old = _SCAN_CACHE.pop(0)
-        try:
-            old.unpersist()
-        except Exception:  # noqa: BLE001
-            pass
-
 NUMERIC_CLASSES = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
 DATE_CLASSES = {"timestamp", "date", "timestamp_ntz"}
 
@@ -265,8 +234,17 @@ def profile(
     columns: list[str] | None = None,
     exact: bool = True,
     max_exprs_per_pass: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Long-form profile: one row per (column, metric).
+
+    ``materialize=True`` (default) computes a multi-chunk profile
+    EAGERLY over a transient shared cache of the pruned input and
+    returns the checkpointed metric-sized result — one input scan
+    total, nothing cached afterwards. ``materialize=False`` returns
+    the fully lazy multi-branch plan (each chunk re-scans the source);
+    use it to inspect/compose plans or when the caller manages its own
+    persistence.
 
     Chunking: with ``exact=True`` each pass is capped at ~60 aggregate
     expressions (≈2 columns). Multiple exact-DISTINCT aggregates in one
@@ -332,16 +310,23 @@ def profile(
             chunks.append(half[start : start + cap])
 
     # >1 chunk means >1 aggregation branch over the same input inside
-    # the one union job — without a persist each branch re-scans the
+    # the one union job -- without a persist each branch re-scans the
     # source (SCALE_BENCH r4: the approx curve hit 4.77x at 8x data,
     # the steepest in the suite, precisely because the fixed 4-scan
-    # cost stopped amortizing). Persist the PRUNED projection once and
-    # materialize it EAGERLY: left lazy, the union's branches race to
-    # build the same cache blocks and serialize on block locks
-    # (measured: up to 2x run-to-run variance at 8x); one count() fills
-    # the cache at full parallelism, then every branch reads it warm.
-    if len(chunks) > 1:
-        src = _share_scan(df.select(*cols))
+    # cost stopped amortizing). The persist is TRANSIENT: fill the
+    # cache eagerly at full parallelism (left lazy, the union's
+    # branches race on cache-block locks -- measured up to 2x
+    # run-to-run variance at 8x), run the chunks against it,
+    # checkpoint the metric-sized result, and unpersist before
+    # returning. A LINGERING whole-table cache entry would be worse
+    # than the re-scans it saves: Spark's cache manager substitutes it
+    # into every later plan over the same source, silently replacing
+    # parquet pushdown/pruning for unrelated queries (caught by
+    # test_plans.py when an earlier version let the entry outlive the
+    # call).
+    transient_src = materialize and len(chunks) > 1
+    if transient_src:
+        src = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
         src.count()
     else:
         src = df
@@ -373,6 +358,13 @@ def profile(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if transient_src:
+        # materialize the metric-sized result (<= ~300 rows/table) and
+        # cut its lineage so the input cache can be released NOW — the
+        # caller gets a self-contained frame, and no whole-table cache
+        # entry survives to hijack later plans over the same source
+        out = out.localCheckpoint(eager=True)
+        src.unpersist()
     return out
 
 

@@ -17,7 +17,7 @@ from ..functions.time import epoch_seconds
 from ..operators.dq.compiler import compile_suite, compile_suite_sql
 from .cache import DFCache
 from ..operators.hygiene import hygiene, hygiene_sql
-from ..operators.profile import clear_scan_cache, column_metrics, profile, profile_sql
+from ..operators.profile import column_metrics, profile, profile_sql
 from ..sources.tables import STATIC_SCHEMAS, load_table
 from .suites import AS_OF, DEMO_SUITES
 
@@ -3963,7 +3963,6 @@ def clear_caches() -> None:
     _CAPPED_SHINGLE_CACHE.clear()
     _CLOSURE_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
-    clear_scan_cache()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -4,6 +4,8 @@ joins on small sides, no Python in the DQ hot path."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_observability_installer_spark.plans import registry
 
 
@@ -40,9 +42,38 @@ def test_dq_suite_is_single_scan_no_python(spark, sf_smoke):
 
 
 def test_profile_has_no_python_and_partial_aggs(spark, sf_smoke):
-    plan = _executed(spark, "profile_lineitem", sf_smoke)
+    """Inspect the LAZY profile plan (materialize=False): the default
+    eager path computes the same branches but hands back a checkpointed
+    metric-sized frame whose plan is just the RDD scan."""
+    from data_observability_installer_spark.operators.profile import profile
+    from data_observability_installer_spark.sources.tables import load_table
+
+    df = profile(
+        load_table(spark, sf_smoke, "lineitem"), "lineitem", "2024-06-01",
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan.lower()  # map-side combine before the merge
+
+
+def test_profile_materialized_leaves_no_table_cache(spark, sf_smoke):
+    """The default eager profile must not leave the source pinned in
+    the cache manager: a later unrelated query over the same table has
+    to plan against parquet (pushdown/pruning intact), not a hijacked
+    InMemoryRelation. Regression test for the transient-persist
+    design."""
+    from data_observability_installer_spark.operators.profile import profile
+    from data_observability_installer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    profile(li, "lineitem", "2024-06-01").collect()
+    probe = load_table(spark, sf_smoke, "lineitem").filter(
+        F.col("l_quantity") > 49
+    ).select("l_orderkey")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    assert "FileScan parquet" in plan
 
 
 def test_a5_filter_pushdown(spark, sf_smoke):
