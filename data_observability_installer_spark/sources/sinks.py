@@ -76,3 +76,54 @@ def idempotent_batch_sink(stream, out_dir: str, query_name: str = "idempotent_si
         .trigger(availableNow=True)
         .start()
     )
+
+
+class ContractViolation(RuntimeError):
+    """Raised by :func:`guarded_write` when the outgoing data fails its
+    contract suite; carries the failing outcome rows."""
+
+    def __init__(self, failures: list):
+        self.failures = failures
+        lines = ", ".join(
+            f"{r['column_name']}.{r['test_type']}={r['measure']}" for r in failures[:5]
+        )
+        super().__init__(
+            f"contract gate: {len(failures)} test(s) failed ({lines}); nothing written"
+        )
+
+
+def guarded_write(
+    df: DataFrame,
+    path: str,
+    specs: list,
+    as_of: str,
+    mode: str = "overwrite",
+    fail_on_warning: bool = False,
+) -> list:
+    """Contract-gated sink: run a DQ test suite against the OUTGOING
+    frame and only commit the write when nothing fails — the write-side
+    twin of the read-side suites (a data contract enforced in the
+    pipeline, which is the reference's whole premise applied at the
+    producer boundary instead of after the fact).
+
+    The suite compiles to one aggregate pass over ``df``
+    (`operators/dq/compiler.py: compile_suite`) and collects only the
+    outcome rows (metadata-sized: one row per test). On any FAILED row
+    (or WARNING with ``fail_on_warning``) raises
+    :class:`ContractViolation` BEFORE any output exists — the gate is
+    atomic because nothing is staged until the suite passes. At scale
+    this costs one extra scan of the output; for expensive frames,
+    persist upstream or point the suite at a sample.
+
+    Returns the outcome rows on success so callers can log/export them
+    (e.g. through ``export_outcomes_json``) as evidence the contract
+    held for this publish."""
+    from ..operators.dq.compiler import compile_suite
+
+    outcomes = compile_suite(df, specs, as_of).collect()
+    bad_states = {"FAILED"} | ({"WARNING"} if fail_on_warning else set())
+    failures = [r.asDict() for r in outcomes if r["result"] in bad_states]
+    if failures:
+        raise ContractViolation(failures)
+    df.write.mode(mode).parquet(path)
+    return [r.asDict() for r in outcomes]

@@ -50,3 +50,74 @@ def test_bucketed_join_skips_exchange(spark, sf_smoke, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_guarded_write_commits_on_pass(spark, tmp_path):
+    import os
+
+    from data_observability_installer_spark.operators.dq.testtypes import (
+        TABLE_LEVEL,
+        TestSpec,
+    )
+    from data_observability_installer_spark.sources.sinks import guarded_write
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("k"))
+    path = str(tmp_path / "published")
+    specs = [
+        TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "100"}, severity="FAILED"),
+        TestSpec("t", "k", "Min_Val", {"Baseline_Value": "0", "Threshold_Value": "0"},
+                 severity="FAILED"),
+    ]
+    outcomes = guarded_write(df, path, specs, "2024-06-01")
+    assert os.path.isdir(path)
+    assert spark.read.parquet(path).count() == 100
+    assert all(r["result"] == "PASSED" for r in outcomes)
+
+
+def test_guarded_write_blocks_on_fail(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from data_observability_installer_spark.operators.dq.testtypes import (
+        TABLE_LEVEL,
+        TestSpec,
+    )
+    from data_observability_installer_spark.sources.sinks import (
+        ContractViolation,
+        guarded_write,
+    )
+
+    df = spark.range(7)  # violates the 100-row contract below
+    path = str(tmp_path / "never_published")
+    specs = [
+        TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "100"}, severity="FAILED")
+    ]
+    with pytest.raises(ContractViolation, match="1 test"):
+        guarded_write(df, path, specs, "2024-06-01")
+    assert not os.path.exists(path)  # the gate is atomic: nothing staged
+
+
+def test_guarded_write_warning_policy(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from data_observability_installer_spark.operators.dq.testtypes import (
+        TABLE_LEVEL,
+        TestSpec,
+    )
+    from data_observability_installer_spark.sources.sinks import (
+        ContractViolation,
+        guarded_write,
+    )
+
+    df = spark.range(7)
+    specs = [TestSpec("t", TABLE_LEVEL, "Row_Ct", {"Baseline_Ct": "100"})]  # WARNING
+    ok = str(tmp_path / "published_with_warning")
+    outcomes = guarded_write(df, ok, specs, "2024-06-01")
+    assert os.path.isdir(ok) and any(r["result"] == "WARNING" for r in outcomes)
+    strict = str(tmp_path / "strict_blocked")
+    with pytest.raises(ContractViolation):
+        guarded_write(df, strict, specs, "2024-06-01", fail_on_warning=True)
+    assert not os.path.exists(strict)
