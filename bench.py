@@ -159,6 +159,7 @@ HEADLINE = [
     "multimodal_at_rest",
     "correlate_error_purchase_events",
     "zorder_locality_lineitem",
+    "temperature_sample_documents",
 ]
 
 

@@ -313,6 +313,87 @@ def mixture_weights_sql(
     """
 
 
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tsample-v1",
+) -> DataFrame:
+    """SELECT a temperature-balanced subsample: where
+    :func:`mixture_weights` only reports the alpha=0.5 domain weights,
+    this actually draws ~``budget`` documents with per-domain keep
+    rates ``min(1, budget * w_d / docs_d)``, ``w_d = sqrt(tokens_d) /
+    Σ sqrt(tokens_t)`` — the standard multilingual/multi-source
+    upsample-the-tail mix, materialized.
+
+    Determinism across engines, exactly:
+    - sqrt is IEEE-correctly-rounded on both engines (unlike pow);
+    - per-domain sqrt values are quantized to integer micro-units
+      (floor(sqrt(t)*1e6+0.5)) so the normalizer is an ORDER-INDEPENDENT
+      integer sum — a raw double Σ sqrt(t_d) varies with aggregation
+      order;
+    - the keep test compares bucket < rate * BUCKETS as doubles
+      (same idiom as importance_sample; no int cast).
+    One corpus groupBy + a broadcast of the domain-sized rate table —
+    the membership filter is map-side."""
+    per = df.groupBy(F.col(strata_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tokens"),
+    )
+    per = per.select(
+        "domain",
+        "docs",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("s_mu"),
+    )
+    tot = per.agg(F.sum("s_mu").alias("z"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.least(
+            F.lit(1.0),
+            (F.lit(budget).cast("long") * F.col("s_mu")).cast("double")
+            / F.col("z").cast("double")
+            / F.col("docs").cast("double"),
+        ).alias("keep_rate"),
+    )
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates.domain)
+        .filter(_bucket(key) < F.col("keep_rate") * BUCKETS)
+        .select(df[id_col], df[strata_col])
+    )
+
+
+def temperature_sample_sql(
+    table: str,
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tsample-v1",
+) -> str:
+    toks = f"len(regexp_split_to_array(trim({text_col}), '\\s+'))"
+    b = _bucket_sql(f"'{salt}:' || CAST(d.{id_col} AS VARCHAR)")
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT {strata_col} AS domain, count(*) AS docs,
+             CAST(floor(sqrt(CAST(sum({toks}) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS s_mu
+      FROM {table} GROUP BY {strata_col}),
+    tot AS (SELECT CAST(sum(s_mu) AS BIGINT) AS z FROM per),
+    rates AS (
+      SELECT domain,
+             least(1.0, CAST({budget} * s_mu AS DOUBLE)
+                        / CAST(z AS DOUBLE) / CAST(docs AS DOUBLE)) AS keep_rate
+      FROM per CROSS JOIN tot)
+    SELECT d.{id_col}, d.{strata_col}
+    FROM {table} d JOIN rates r ON d.{strata_col} = r.domain
+    WHERE {b} < r.keep_rate * {BUCKETS}
+    """
+
+
 def corpus_funnel(
     docs: DataFrame,
     bench: DataFrame,

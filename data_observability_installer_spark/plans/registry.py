@@ -2715,6 +2715,20 @@ def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_sample_documents",
+    _cur.temperature_sample_sql("documents", budget=300),
+)
+def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (alpha=0.5) corpus subsample: ~300 docs
+    drawn with per-source rates proportional to sqrt(source tokens) —
+    mixture_weights SELECTING instead of just reporting. sqrt (IEEE
+    correctly-rounded, unlike pow) plus an integer-quantized
+    normalizer keep the per-row membership test bit-identical on both
+    engines."""
+    return _cur.temperature_sample(load_table(spark, sf_dir, "documents"), budget=300)
+
+
+@register(
     "seasonal_volume_anomaly",
     """
     WITH daily AS (
@@ -3922,6 +3936,7 @@ _NEVER_DRIVER_CHECKED_R5 = [
     "multimodal_at_rest",
     "correlate_error_purchase_events",
     "zorder_locality_lineitem",
+    "temperature_sample_documents",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -3940,7 +3955,6 @@ _PROVEN_FLAGSHIPS = [
     "a6_out_of_sequence",
     "catalog_upsert_components",
     "minhash_pairs_documents",
-    "ngram_jaccard_documents",
     "curation_filter_documents",
 ]
 

@@ -157,3 +157,35 @@ def test_token_budget_mix_respects_budget_per_source(spark):
     out = {r["doc_id"]: r for r in token_budget_mix(df, budget=12).collect()}
     assert set(out) == {1, 2, 4}
     assert out[2]["cum_tokens"] == 11 and out[4]["cum_tokens"] == 3
+
+
+def test_temperature_sample_upsamples_small_domains(spark):
+    """alpha=0.5 semantics: keep RATE per domain decreases with domain
+    size (sqrt scaling), so the small domain keeps a larger fraction
+    of itself than the big one; a generous budget keeps everything;
+    and the draw is deterministic (same rows both calls)."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big", "w " * 20) for i in range(900)] + [
+        (1000 + i, "small", "w " * 20) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    kept = temperature_sample(df, budget=300).groupBy("source").count()
+    counts = {r.source: r["count"] for r in kept.collect()}
+    frac_big = counts.get("big", 0) / 900
+    frac_small = counts.get("small", 0) / 100
+    assert frac_small > frac_big  # the tail is upsampled
+    # rough budget adherence (hash thinning is Bernoulli-deterministic):
+    total = sum(counts.values())
+    assert 200 <= total <= 420
+
+    again = temperature_sample(df, budget=300)
+    a = {r.doc_id for r in temperature_sample(df, budget=300).collect()}
+    b = {r.doc_id for r in again.collect()}
+    assert a == b
+
+    everything = temperature_sample(df, budget=10_000)
+    assert everything.count() == 1000  # rates clamp at 1.0

@@ -474,3 +474,31 @@ def test_q20_nested_in_becomes_semi_joins(spark, sf_smoke):
     plan = _executed(spark, "promo_supplier_candidates", sf_smoke)
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlate_interval_join_is_hash_on_key(spark, sf_smoke):
+    """The stream-stream-join twin must compile to a HASH join keyed on
+    user_id with the +/-30 min band as join condition — a nested-loop
+    over the time theta would explode at scale."""
+    plan = _executed(spark, "correlate_error_purchase_events", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in final and "Cartesian" not in final
+    assert "HashJoin" in final
+
+
+def test_zorder_locality_single_scan_no_python(spark, sf_smoke):
+    """The Morton audit is one aggregate pass: a single parquet scan,
+    no Python eval (the interleave is pure JVM integer codegen)."""
+    plan = _executed(spark, "zorder_locality_lineitem", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_temperature_sample_broadcasts_rate_table(spark, sf_smoke):
+    """Membership must be a map-side filter against the broadcast
+    domain-rate table — no shuffle of the corpus on the strata key."""
+    plan = _executed(spark, "temperature_sample_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final

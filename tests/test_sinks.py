@@ -121,3 +121,23 @@ def test_guarded_write_warning_policy(spark, tmp_path):
     with pytest.raises(ContractViolation):
         guarded_write(df, strict, specs, "2024-06-01", fail_on_warning=True)
     assert not os.path.exists(strict)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar warehouse format Spark ships a native
+    vectorized reader for; the engine's frames must round-trip through
+    it (schema + values) like parquet."""
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    )
+    path = str(tmp_path / "orc_table")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    # compare names+types; ORC (like parquet) reads everything nullable
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).head()[0] == df.agg(F.sum("id")).head()[0]

@@ -190,9 +190,17 @@ def main() -> None:
             # absorbs the one-time compile and the curve reads sublinear
             fn(spark, paths[(table, FACTORS[0])])
             for k in FACTORS:
-                t0 = time.monotonic()
-                fn(spark, paths[(table, k)])
-                timings[f"x{k}"] = round(time.monotonic() - t0, 2)
+                # min of 2 trials: these are 1-20 s measurements on a
+                # shared machine — a single GC pause or co-tenant burst
+                # can inflate one point 5x and invert the whole curve
+                # (observed: x1 > x8). The minimum is the contention-
+                # free estimate the curve claims to measure.
+                trials = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    fn(spark, paths[(table, k)])
+                    trials.append(time.monotonic() - t0)
+                timings[f"x{k}"] = round(min(trials), 2)
             timings["ratio_x8_vs_x1"] = round(timings["x8"] / timings["x1"], 2)
             results[name] = timings
             print(name, timings)
