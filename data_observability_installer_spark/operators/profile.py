@@ -181,18 +181,22 @@ def column_metrics(c: str, dtype: str, as_of: str, exact: bool = True) -> list[M
         # both engines (Spark's skewness()/kurtosis() and DuckDB's builtins
         # use different sample corrections, so we spell it out).
         x = f"CAST({c} AS DOUBLE)"
+        # the trailing `+ 0.0` normalizes IEEE negative zero: a tiny
+        # negative third moment rounds to -0.0 in DuckDB but 0.0 in
+        # Spark (seen on near-symmetric key columns at sf0.1), and the
+        # hash gate stringifies them differently
         d("skewness_pop",
           f"round((avg({x}*{x}*{x}) - 3*avg({x})*avg({x}*{x}) + 2*power(avg({x}), 3))"
-          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 1.5), 0), 4)",
+          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 1.5), 0), 4) + 0.0",
           f"round((avg({x}*{x}*{x}) - 3*avg({x})*avg({x}*{x}) + 2*avg({x})^3)"
-          f" / nullif((avg({x}*{x}) - avg({x})^2)^1.5, 0), 4)")
+          f" / nullif((avg({x}*{x}) - avg({x})^2)^1.5, 0), 4) + 0.0")
         d("kurtosis_pop",
           f"round((avg({x}*{x}*{x}*{x}) - 4*avg({x})*avg({x}*{x}*{x})"
           f" + 6*power(avg({x}), 2)*avg({x}*{x}) - 3*power(avg({x}), 4))"
-          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 2), 0) - 3.0, 4)",
+          f" / nullif(power(avg({x}*{x}) - power(avg({x}), 2), 2), 0) - 3.0, 4) + 0.0",
           f"round((avg({x}*{x}*{x}*{x}) - 4*avg({x})*avg({x}*{x}*{x})"
           f" + 6*avg({x})^2*avg({x}*{x}) - 3*avg({x})^4)"
-          f" / nullif((avg({x}*{x}) - avg({x})^2)^2, 0) - 3.0, 4)")
+          f" / nullif((avg({x}*{x}) - avg({x})^2)^2, 0) - 3.0, 4) + 0.0")
 
     elif cls == "date":
         dq = f"CAST({c} AS DATE)"
@@ -566,8 +570,9 @@ def finalize_profile(partial: DataFrame, as_of: str) -> DataFrame:
         ("zero_ct", col_d("s_zero"), None),
         ("neg_ct", col_d("s_neg"), None),
         ("int_ct", col_d("s_int"), None),
-        ("skewness_pop", F.round(skew, 4), None),
-        ("kurtosis_pop", F.round(kurt, 4), None),
+        # + 0.0 normalizes -0.0 (see column_metrics)
+        ("skewness_pop", F.round(skew, 4) + F.lit(0.0), None),
+        ("kurtosis_pop", F.round(kurt, 4) + F.lit(0.0), None),
         ("min_len", col_d("mn_minlen"), None),
         ("max_len", col_d("mx_maxlen"), None),
         ("avg_len", F.round(col_d("s_sumlen") / F.when(nv != 0, nv), 4), None),
@@ -661,8 +666,8 @@ def finalize_profile_sql(table: str, schema: list[tuple[str, str]], as_of: str) 
                 ("zero_ct", f"CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
                 ("neg_ct", f"CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
                 ("int_ct", f"CAST(sum(CASE WHEN {x} = floor({x}) THEN 1 ELSE 0 END) AS DOUBLE)", "NULL"),
-                ("skewness_pop", f"round({skew}, 4)", "NULL"),
-                ("kurtosis_pop", f"round({kurt}, 4)", "NULL"),
+                ("skewness_pop", f"round({skew}, 4) + 0.0", "NULL"),
+                ("kurtosis_pop", f"round({kurt}, 4) + 0.0", "NULL"),
             ]
         elif cls == "string":
             rows += [
