@@ -48,6 +48,23 @@ from pyspark.sql import functions as F
 
 from .dq.testtypes import EMAIL_RE, US_STATES, _sql_quote
 
+# Share one persisted scan across profile chunks only when the input is
+# big enough that re-scans dominate. Catalyst's sizeInBytes for file
+# sources is summed COMPRESSED file bytes (metadata, no job), so the
+# threshold is in parquet-file terms: measured crossover sits between
+# ~11 MB (sf0.1 lineitem — persist costs ~1 s more than 3 lazy
+# re-scans) and ~43 MB (4x replica — persist wins 22.5 s -> 10.6 s).
+SHARE_SCAN_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _est_bytes(df: DataFrame) -> int:
+    try:
+        # py4j maps scala.math.BigInt straight to a Python int
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimation must never break profiling
+        return 1 << 62  # unknown size: assume big (persist is the safe default)
+
+
 NUMERIC_CLASSES = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
 DATE_CLASSES = {"timestamp", "date", "timestamp_ntz"}
 
@@ -328,7 +345,9 @@ def profile(
     # parquet pushdown/pruning for unrelated queries (caught by
     # test_plans.py when an earlier version let the entry outlive the
     # call).
-    transient_src = materialize and len(chunks) > 1
+    transient_src = (
+        materialize and len(chunks) > 1 and _est_bytes(df) >= SHARE_SCAN_MIN_BYTES
+    )
     if transient_src:
         src = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
         src.count()

@@ -63,11 +63,20 @@ def test_profile_materialized_leaves_no_table_cache(spark, sf_smoke):
     to plan against parquet (pushdown/pruning intact), not a hijacked
     InMemoryRelation. Regression test for the transient-persist
     design."""
+    from data_observability_installer_spark.operators import profile as prof_mod
     from data_observability_installer_spark.operators.profile import profile
     from data_observability_installer_spark.sources.tables import load_table
 
     li = load_table(spark, sf_smoke, "lineitem")
-    profile(li, "lineitem", "2024-06-01").collect()
+    # force the shared-scan path even on the tiny smoke table: the
+    # size threshold would otherwise skip the persist and make this
+    # regression test vacuous
+    old = prof_mod.SHARE_SCAN_MIN_BYTES
+    prof_mod.SHARE_SCAN_MIN_BYTES = 0
+    try:
+        profile(li, "lineitem", "2024-06-01").collect()
+    finally:
+        prof_mod.SHARE_SCAN_MIN_BYTES = old
     probe = load_table(spark, sf_smoke, "lineitem").filter(
         F.col("l_quantity") > 49
     ).select("l_orderkey")
