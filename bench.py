@@ -160,6 +160,7 @@ HEADLINE = [
     "correlate_error_purchase_events",
     "zorder_locality_lineitem",
     "temperature_sample_documents",
+    "lateness_stats_events",
 ]
 
 

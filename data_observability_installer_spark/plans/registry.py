@@ -2438,6 +2438,49 @@ def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lateness_stats_events",
+    """
+    WITH src AS (
+      SELECT ts, CAST(event_id % 7200 AS DOUBLE) AS late_s FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS event_ct,
+           round(max(late_s), 3) AS max_late_s,
+           round(sum(CAST(round(late_s * 1000, 0) AS BIGINT)) / count(*) / 1000.0, 3)
+             AS avg_late_s,
+           CAST(sum(CASE WHEN late_s > 3600.0 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h_ct,
+           CAST(sum(CASE WHEN late_s > 7200.0 THEN 1 ELSE 0 END) AS BIGINT) AS late_2h_ct
+    FROM src GROUP BY window_start ORDER BY window_start
+    """,
+)
+def lateness_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-calibration stats (streaming/dq.py:
+    lateness_stats_stream run on a batch frame — watermark is a no-op,
+    so the oracle value-checks the exact streaming expression): per
+    event-time hour, max/avg arrival lateness and counts beyond the
+    1 h / 2 h candidate horizons. The events table ships no ingest
+    timestamp, so a deterministic synthetic delay (event_id % 7200 s)
+    stands in — what matters is the aggregation math, which is the
+    part a wrong watermark silently corrupts."""
+    from ..streaming.dq import lateness_stats_stream
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arrival_ts",
+        F.timestamp_seconds(
+            F.col("ts").cast("double") + (F.col("event_id") % 7200).cast("double")
+        ),
+    )
+    out = lateness_stats_stream(ev, "ts", "arrival_ts")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_ct",
+        "max_late_s",
+        "avg_late_s",
+        "late_1h_ct",
+        "late_2h_ct",
+    ).orderBy("window_start")
+
+
+@register(
     "rollup_event_volume",
     """
     SELECT event_type,
@@ -3937,6 +3980,7 @@ _NEVER_DRIVER_CHECKED_R5 = [
     "correlate_error_purchase_events",
     "zorder_locality_lineitem",
     "temperature_sample_documents",
+    "lateness_stats_events",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -3954,7 +3998,6 @@ _PROVEN_FLAGSHIPS = [
     "a3_late_daily_starts",
     "a6_out_of_sequence",
     "catalog_upsert_components",
-    "minhash_pairs_documents",
     "curation_filter_documents",
 ]
 

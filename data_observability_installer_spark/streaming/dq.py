@@ -163,3 +163,51 @@ def burn_rate_stream(
         "tot_ct",
         F.round((F.col("err_ct") / F.col("tot_ct")) / F.lit(slo), 4).alias("burn_1h"),
     )
+
+
+def lateness_stats_stream(
+    stream: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermark calibration: per event-time window, how late rows
+    actually arrive — max/avg lateness (arrival - event time, seconds)
+    and the count arriving later than common candidate horizons. This
+    is the metric that says whether the configured watermark drops
+    data: if p_late beyond your horizon is nonzero, sealed windows
+    undercount and the horizon must widen (or the producer's clock is
+    skewed).
+
+    ``arrival_col`` is an ingest-time column stamped by the source
+    (e.g. a Kafka/ingest timestamp) — NOT processing time, so the same
+    expression is deterministic in batch replays and the DuckDB twin
+    can value-check it. Epoch math uses ``cast("double")`` (keeps
+    microseconds; ``unix_timestamp`` truncates to seconds and would
+    diverge from DuckDB's ``epoch()`` at boundaries).
+
+    One windowed aggregation; state per window is five numbers."""
+    late_s = F.col(arrival_col).cast("double") - F.col(ts_col).cast("double")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("event_ct"),
+            F.round(F.max(late_s), 3).alias("max_late_s"),
+            F.round(
+                F.sum(F.round(late_s * 1000, 0).cast("long")) / F.count(F.lit(1)) / 1000.0,
+                3,
+            ).alias("avg_late_s"),
+            F.sum((late_s > 3600.0).cast("long")).alias("late_1h_ct"),
+            F.sum((late_s > 7200.0).cast("long")).alias("late_2h_ct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_ct",
+            "max_late_s",
+            "avg_late_s",
+            "late_1h_ct",
+            "late_2h_ct",
+        )
+    )

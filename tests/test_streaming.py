@@ -673,3 +673,39 @@ def test_parity_schema_drift_vs_batch(spark, event_stream_path):
     assert missing_cts["never_was_a_column"] == n_rows
     assert 0 < missing_cts["metric_value"] < n_rows
     assert missing_cts["event_type"] == 0
+
+
+def test_parity_lateness_stats_vs_batch(spark, event_stream_path):
+    """lateness_stats_stream sealed-window output must match the batch
+    run of the same expression over the same events (synthetic
+    deterministic arrival delays)."""
+    from data_observability_installer_spark.streaming.dq import lateness_stats_stream
+
+    def with_arrival(df):
+        return df.withColumn(
+            "arrival_ts",
+            F.timestamp_seconds(
+                F.col("event_timestamp").cast("double")
+                + (F.abs(F.hash("run_key")) % 5400).cast("double")
+            ),
+        )
+
+    stream = with_arrival(spark.readStream.schema(OBS_EVENT).json(event_stream_path))
+    out = _run_stream(
+        spark,
+        lateness_stats_stream(stream, "event_timestamp", "arrival_ts"),
+        "append",
+        "late_stats_parity",
+    )
+    batch = lateness_stats_stream(
+        with_arrival(spark.read.schema(OBS_EVENT).json(event_stream_path)),
+        "event_timestamp",
+        "arrival_ts",
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    # append mode emits only watermark-sealed windows: subset, non-empty
+    assert got and got <= want
+    # the synthetic delays exceed 1 h sometimes -> the calibration
+    # signal actually fires
+    assert any(r.late_1h_ct > 0 for r in batch.collect())
