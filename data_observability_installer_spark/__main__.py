@@ -137,6 +137,41 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction (see operators/layout.py): rewrite a
+    fragmented parquet directory as target-sized files, optionally
+    re-sorting during the rewrite."""
+    from .operators.layout import compact
+
+    spark = _spark(args)
+    plan = compact(
+        spark,
+        args.src,
+        args.dst,
+        target_mb=args.target_mb,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(
+        f"compacted {plan['files']} files ({plan['bytes']} bytes) "
+        f"-> {plan['target_files']} files at {args.dst}"
+    )
+    return 0
+
+
+def cmd_zorder(args) -> int:
+    """Morton/Z-order re-clustering of a table onto ``--by`` columns
+    so parquet footer stats prune in every clustered dimension."""
+    from .operators.layout import zorder_by
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    df = load_table(spark, args.sf_dir, args.table)
+    cols = args.by.split(",")
+    zorder_by(df, cols, n_files=args.files).write.mode("overwrite").parquet(args.dst)
+    print(f"z-ordered {args.table} on {cols} -> {args.dst}")
+    return 0
+
+
 def cmd_export(args) -> int:
     """TEST_OUTCOMES event export (``export-observability`` analog):
     run every demo suite, chunk outcomes into events, write JSONL."""
@@ -205,6 +240,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--explain", action="store_true")
     p = sub.add_parser("export")
     p.add_argument("--out", required=True)
+    p = sub.add_parser("compact")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--sort-by", default=None,
+                   help="comma-separated columns to re-sort by during the rewrite")
+    p = sub.add_parser("zorder")
+    p.add_argument("table")
+    p.add_argument("dst")
+    p.add_argument("--by", required=True,
+                   help="comma-separated numeric columns to cluster on")
+    p.add_argument("--files", type=int, default=None)
 
     args = ap.parse_args(argv)
     if args.sf_dir is None:
@@ -219,6 +266,8 @@ def main(argv: list[str] | None = None) -> int:
         "generate": cmd_generate,
         "query": cmd_query,
         "export": cmd_export,
+        "compact": cmd_compact,
+        "zorder": cmd_zorder,
     }[args.verb](args)
 
 

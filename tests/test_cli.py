@@ -37,3 +37,24 @@ def test_cli_test_suite_indb(sf_smoke, capsys):
     assert main(["--sf-dir", sf_smoke, "test", "dq_suite_orders", "--indb"]) == 0
     out = capsys.readouterr().out
     assert "Row_Ct" in out and "result" in out
+
+
+def test_cli_compact_and_zorder(spark, sf_smoke, tmp_path, capsys):
+    import glob
+
+    src = str(tmp_path / "frag")
+    spark.range(2000).repartition(16).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    assert main(["--sf-dir", sf_smoke, "compact", src, dst]) == 0
+    assert "-> 1 files" in capsys.readouterr().out
+    assert len(glob.glob(dst + "/*.parquet")) == 1
+
+    zdst = str(tmp_path / "zordered")
+    assert main(
+        ["--sf-dir", sf_smoke, "zorder", "lineitem", zdst,
+         "--by", "l_extendedprice,l_quantity", "--files", "4"]
+    ) == 0
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet(zdst)
+    assert back.count() == spark.read.parquet(sf_smoke + "/lineitem.parquet").count()
