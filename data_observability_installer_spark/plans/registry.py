@@ -176,8 +176,8 @@ for _table in ["lineitem", "customer", "events", "documents"]:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -197,9 +197,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are whole numbers (exact in a double sum); the
+            # MONEY sums accumulate per-row integer cents so the result
+            # is independent of partition/aggregation order on both
+            # engines (same idiom as product_type_profit)
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -213,7 +227,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     """
     SELECT c.c_custkey, any_value(c.c_name) AS c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue,
            count(DISTINCT o.o_orderkey) AS order_ct
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -232,8 +247,17 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # per-row integer cents, summed through BOTH aggregation levels:
+    # integer addition is associative, so pre-aggregating per order and
+    # re-summing per customer is bit-identical to the twin's flat sum —
+    # a double sum would make the ranking (ORDER BY revenue LIMIT 10)
+    # order-dependent
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "long"
+            )
+        ).alias("order_rev_cents")
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
@@ -241,7 +265,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.any_value(F.col("c_name")).alias("c_name"),
-            F.round(F.sum("order_rev"), 2).alias("revenue"),
+            F.round(F.sum("order_rev_cents") / 100.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("order_ct"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -253,7 +277,8 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
            any_value(o.o_orderpriority) AS order_priority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -278,8 +303,18 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
+        # integer-cents sum: the top-10 ranks on revenue, so the value
+        # must be aggregation-order independent on both engines
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
             F.any_value("o_orderpriority").alias("order_priority"),
         )
         .select(
@@ -297,7 +332,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -338,7 +374,17 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == F.col("s_suppkey")) & (c.c_nationkey == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -385,7 +431,8 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_report",
     """
     SELECT c.c_custkey, any_value(c.c_name) AS c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue,
            any_value(n.n_name) AS nation
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -413,13 +460,21 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        # integer cents: the report ranks on revenue (top-20), so the
+        # sum must be aggregation-order independent on both engines
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("rev_cents")
+        )
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "c_custkey",
             F.col("c_name"),
-            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
             F.col("n_name").alias("nation"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -506,7 +561,7 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
            count(*) AS order_ct,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total_price
     FROM orders
     GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
     ORDER BY priority, status
@@ -525,7 +580,9 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("order_ct"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -542,9 +599,9 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o.o_orderdate, '%Y') AS order_year,
            round(sum(CASE WHEN n2.n_name = 'JAPAN'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
                           ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS share
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)), 4) AS share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -580,7 +637,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
         s.s_nationkey == F.col("s_nk"),
     ).select("s_suppkey", "supp_nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # the share ratio is integer-cents / integer-cents: both sums are
+    # order-independent, so the rounded ratio is bit-stable cross-engine
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
     return (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
@@ -589,8 +650,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "JAPAN", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                F.sum(
+                    F.when(F.col("supp_nation") == "JAPAN", rev_cents).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                / F.sum(rev_cents),
                 4,
             ).alias("share")
         )
@@ -601,7 +666,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_revenue",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -641,7 +707,13 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(clause)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
     )
@@ -1236,8 +1308,23 @@ def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.countDistinct("l_orderkey"), "=="),
         ReconcileCheck("orders_not_fewer_than_10x_lines", F.count(F.lit(1)) * 10,
                        F.count(F.lit(1)), ">="),
-        ReconcileCheck("total_price_covers_discounted_lines", F.round(F.sum("o_totalprice"), 2),
-                       F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2), ">="),
+        # integer-cents sums (order-independent) so the measures hash
+        # identically cross-engine — the raw double sums differed by
+        # ~4e-9 relative at sf0.01, enough to flip the value hash
+        ReconcileCheck(
+            "total_price_covers_discounted_lines",
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 2),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ),
+            ">=",
+        ),
     ]
     return reconcile(o, li, checks)
 
@@ -1252,8 +1339,10 @@ ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
          "CAST(count(DISTINCT l_orderkey) AS DOUBLE)", "==", "FAILED"),
         ("orders_not_fewer_than_10x_lines", "CAST(count(*) * 10 AS DOUBLE)",
          "CAST(count(*) AS DOUBLE)", ">=", "FAILED"),
-        ("total_price_covers_discounted_lines", "round(CAST(sum(o_totalprice) AS DOUBLE), 2)",
-         "round(sum(l_extendedprice * (1 - l_discount)), 2)", ">=", "FAILED"),
+        ("total_price_covers_discounted_lines",
+         "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)",
+         "round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2)",
+         ">=", "FAILED"),
     ],
 )
 
@@ -2485,7 +2574,8 @@ def lateness_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-           count(*) AS event_ct, round(sum(value), 2) AS value_sum,
+           count(*) AS event_ct,
+           round(sum(CAST(round(value * 1e6, 0) AS BIGINT)) / 1e6, 2) AS value_sum,
            CAST(GROUPING_ID(event_type, date_trunc('day', ts)) AS BIGINT) AS grouping_level
     FROM events
     GROUP BY ROLLUP (event_type, date_trunc('day', ts))
@@ -2500,7 +2590,15 @@ def rollup_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "ts",
         ["event_type"],
-        [F.count(F.lit(1)).alias("event_ct"), F.round(F.sum("value"), 2).alias("value_sum")],
+        [
+            F.count(F.lit(1)).alias("event_ct"),
+            # value carries full double precision, so micro-units (1e6)
+            # instead of cents: per-row quantization is identical on
+            # both engines and integer addition is order-independent
+            F.round(
+                F.sum(F.round(F.col("value") * 1e6, 0).cast("long")) / 1e6, 2
+            ).alias("value_sum"),
+        ],
         bucket="day",
     )
     return out.select(
@@ -3821,10 +3919,13 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idle_customer_balance",
     """
     SELECT c.c_nationkey AS nationkey, count(*) AS cust_ct,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           round(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS total_bal
     FROM customer c
     WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
-      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      -- threshold avg built from integer cents in a fixed op order so
+      -- rows sitting ON the average cannot flip between engines
+      AND c.c_acctbal > (SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                                / 100.0 / count(*) FROM customer
                          WHERE c_acctbal > 0.0
                            AND c_nationkey IN (1, 3, 5, 7, 9))
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -3839,7 +3940,17 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed on, so the probe is co-located."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("cut"))
+    # the filter threshold is an exact-integer-cents average computed
+    # with the identical op order as the SQL twin (sum/100.0/count) —
+    # a plain avg() of doubles is accumulation-order dependent and a
+    # customer sitting on the boundary could flip between engines
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("cut")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("cut"))
@@ -3847,7 +3958,9 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("cust_ct"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("total_bal"),
         )
         .orderBy("nationkey")
     )
