@@ -37,6 +37,12 @@ def run_oracle(sf: str) -> tuple[list[str], list[str], list[str]]:
             ok.append(m.group(1))
         elif m := re.match(r"FAIL\s+(\S+)", line):
             fail.append(m.group(1))
+        elif m := re.match(r"warn\s+(\S+)", line):
+            # close-but-not-exact: passes the 1e-6 tolerance but would
+            # flip an exact value hash — the driver's gate IS exact, so
+            # count it as a failure here, never silently as a pass
+            # (round 5: a reconcile measure hid this way for a round)
+            fail.append(m.group(1) + " (close-but-not-exact)")
         elif m := re.match(r"SKIP\s+(\S+)", line):
             skip.append(m.group(1))
     return ok, fail, skip
