@@ -161,6 +161,7 @@ HEADLINE = [
     "zorder_locality_lineitem",
     "temperature_sample_documents",
     "lateness_stats_events",
+    "mad_outliers_lineitem",
 ]
 
 

@@ -397,3 +397,68 @@ def psi_trend_sql(
         f"ELSE 'STABLE' END AS drift FROM {table} "
         f"GROUP BY {period_sql} ORDER BY {period_name}"
     )
+
+
+def mad_outliers(df: DataFrame, col: str, k: float = 3.5) -> DataFrame:
+    """Robust outlier screen: flag values beyond median ± k·1.4826·MAD
+    (the MAD-consistency rescaling makes k comparable to a z-score
+    cutoff; Iglewicz & Hoaglin's recommended k=3.5 is the default).
+    Unlike mean/stddev screens, a few extreme rows cannot drag the
+    fence — the breakdown point is 50%.
+
+    Two aggregate passes (median, then median absolute deviation
+    around it — both metadata-sized broadcast scalars), then the flag
+    is a map-side expression and the report one small groupBy. The
+    interpolated percentile is exact and identical on both engines
+    (same guarantee the decile report relies on), and the fences are
+    built with one fixed operation order, so the report value-checks
+    bit-exactly cross-engine."""
+    c = F.col(col).cast("double")
+    med = df.agg(F.percentile(c, 0.5).alias("med"))
+    d = (
+        df.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(c - F.col("med")), 0.5).alias("mad"),
+            F.any_value("med").alias("med"),
+        )
+    )
+    lo = F.col("med") - k * 1.4826 * F.col("mad")
+    hi = F.col("med") + k * 1.4826 * F.col("mad")
+    flag = (
+        F.when(c < lo, "LOW").when(c > hi, "HIGH").otherwise("INLIER")
+    )
+    return (
+        df.crossJoin(F.broadcast(d))
+        .groupBy(flag.alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.round(F.min(c), 2).alias("min_val"),
+            F.round(F.max(c), 2).alias("max_val"),
+            # floor(x*1e4+0.5), not round(x,4): the fences are arbitrary
+            # computed doubles, where Spark rounds the decimal repr and
+            # DuckDB the binary value — floor of the identical double
+            # is bit-stable (the documented single-value idiom)
+            (F.floor(F.any_value(lo) * 10000 + F.lit(0.5)) / 10000).alias("fence_lo"),
+            (F.floor(F.any_value(hi) * 10000 + F.lit(0.5)) / 10000).alias("fence_hi"),
+        )
+        .orderBy("flag")
+    )
+
+
+def mad_outliers_sql(table: str, col: str, k: float = 3.5) -> str:
+    return f"""
+    WITH m AS (SELECT quantile_cont(CAST({col} AS DOUBLE), 0.5) AS med FROM {table}),
+    d AS (
+      SELECT quantile_cont(abs(CAST(t.{col} AS DOUBLE) - m.med), 0.5) AS mad,
+             any_value(m.med) AS med
+      FROM {table} t, m)
+    SELECT CASE WHEN CAST(t.{col} AS DOUBLE) < d.med - {k} * 1.4826 * d.mad THEN 'LOW'
+                WHEN CAST(t.{col} AS DOUBLE) > d.med + {k} * 1.4826 * d.mad THEN 'HIGH'
+                ELSE 'INLIER' END AS flag,
+           count(*) AS row_ct,
+           round(min(CAST(t.{col} AS DOUBLE)), 2) AS min_val,
+           round(max(CAST(t.{col} AS DOUBLE)), 2) AS max_val,
+           floor(any_value(d.med - {k} * 1.4826 * d.mad) * 10000 + 0.5) / 10000 AS fence_lo,
+           floor(any_value(d.med + {k} * 1.4826 * d.mad) * 10000 + 0.5) / 10000 AS fence_hi
+    FROM {table} t, d GROUP BY flag ORDER BY flag
+    """

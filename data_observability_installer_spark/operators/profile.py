@@ -747,7 +747,13 @@ def histogram(df: DataFrame, col: str, bins: int = 32) -> DataFrame:
     return (
         with_b.select(
             bucket.alias("bucket"),
-            F.round(F.col("lo") + bucket.cast("double") * width, 4).alias("lo_edge"),
+            # floor(x*1e4+0.5), not round(x,4): the edge is a computed
+            # double, and round() differs cross-engine at half-ulp
+            # boundaries (seen at sf0.001: 98492.9463 vs .9462)
+            (
+                F.floor((F.col("lo") + bucket.cast("double") * width) * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("lo_edge"),
         )
         .groupBy("bucket", "lo_edge")
         .agg(F.count(F.lit(1)).alias("ct"))
@@ -772,7 +778,8 @@ def histogram_sql(table: str, col: str, bins: int = 32) -> str:
       FROM {table} CROSS JOIN bounds
       WHERE {col} IS NOT NULL)
     SELECT bucket,
-           round(lo + CAST(bucket AS DOUBLE) * ((hi - lo) / {bins}.0), 4) AS lo_edge,
+           floor((lo + CAST(bucket AS DOUBLE) * ((hi - lo) / {bins}.0)) * 10000 + 0.5)
+             / 10000 AS lo_edge,
            count(*) AS ct
     FROM b GROUP BY bucket, lo, hi ORDER BY bucket
     """

@@ -2526,6 +2526,19 @@ def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_locality(li, _ZORDER_BOUNDS, bits=8, prefix_bits=6)
 
 
+from ..operators.drift import mad_outliers, mad_outliers_sql  # noqa: E402
+
+
+@register("mad_outliers_lineitem", mad_outliers_sql("lineitem", "l_extendedprice"))
+def mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen on l_extendedprice — the
+    fence a few extreme rows cannot drag, unlike the mean/stddev
+    screens in the hygiene family. Two broadcast-scalar passes + one
+    map-side flag; fences floor-rounded for cross-engine bit
+    stability."""
+    return mad_outliers(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 @register(
     "lateness_stats_events",
     """
@@ -4094,6 +4107,7 @@ _NEVER_DRIVER_CHECKED_R5 = [
     "zorder_locality_lineitem",
     "temperature_sample_documents",
     "lateness_stats_events",
+    "mad_outliers_lineitem",
 ]
 
 # Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
@@ -4110,7 +4124,6 @@ _PROVEN_FLAGSHIPS = [
     "a1_run_rollup_events",
     "a3_late_daily_starts",
     "a6_out_of_sequence",
-    "catalog_upsert_components",
     "curation_filter_documents",
 ]
 

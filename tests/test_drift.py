@@ -122,3 +122,27 @@ def test_psi_trend_flags_only_the_shifted_period(spark):
         ).collect()
     }
     assert out == {"A": "STABLE", "B": "MAJOR"}
+
+
+def test_mad_outliers_resists_extreme_contamination(spark):
+    """The MAD fence must flag planted extremes without the extremes
+    dragging the fence (the failure mode of mean/stddev screens: one
+    1e9 row inflates sigma until nothing is an outlier)."""
+    from data_observability_installer_spark.operators.drift import mad_outliers
+
+    base = [(float(100 + (i % 21) - 10),) for i in range(400)]  # 90..110
+    wild = [(1e9,), (1e9,), (-1e9,)]
+    df = spark.createDataFrame(base + wild, "x double")
+    rep = {r.flag: r for r in mad_outliers(df, "x").collect()}
+    assert rep["HIGH"].row_ct == 2 and rep["LOW"].row_ct == 1
+    assert rep["INLIER"].row_ct == 400
+    # the fence stayed near the bulk, not dragged toward 1e9
+    assert 50 < rep["INLIER"].fence_hi < 200
+
+
+def test_mad_outliers_all_inliers_on_tight_data(spark):
+    from data_observability_installer_spark.operators.drift import mad_outliers
+
+    df = spark.createDataFrame([(float(50 + i % 3),) for i in range(60)], "x double")
+    rep = {r.flag: r.row_ct for r in mad_outliers(df, "x").collect()}
+    assert rep == {"INLIER": 60}
