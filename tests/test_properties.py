@@ -241,3 +241,37 @@ def test_apply_cdc_equals_sequential_replay(spark, base_map, ops):
     ) if change_rows else spark.createDataFrame([], "k int, op string, seq int, v string")
     got = {r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], ["v"]).collect()}
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zvalue_matches_reference_morton(spark, pairs):
+    """Property: the JVM-side interleave equals a reference Python
+    Morton implementation for arbitrary 8-bit rank pairs (bounds 0..255
+    with bits=8 make rank == the raw value)."""
+    from data_observability_installer_spark.operators.layout import zvalue_expr
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(8):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pairs], "a double, b double"
+    )
+    got = [
+        r.z
+        for r in df.withColumn(
+            "z", zvalue_expr({"a": (0.0, 255.0), "b": (0.0, 255.0)}, bits=8)
+        ).collect()
+    ]
+    want = [morton(a, b) for a, b in pairs]
+    assert got == want
