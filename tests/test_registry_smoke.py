@@ -49,3 +49,26 @@ def test_registry_query_executes_on_parquet(spark, sf_smoke, name):
     df = registry.queries()[name](spark, sf_smoke)
     assert df.columns  # plan analyzed
     df.limit(1).collect()  # physical execution against the real files
+
+
+def test_round5_rotation_covers_all_never_gated_queries():
+    """The round-5 gate window MUST contain every query that has never
+    appeared in a driver correctness gate (rounds 2-4 checked 100 of
+    the then-137; the remaining 37 plus all round-5 additions need
+    their driver-green row THIS round). Protects the rotation from
+    accidental reordering before the driver runs."""
+    import json
+    import os
+
+    names = list(registry.queries())
+    window = set(names[:50])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for r in (1, 2, 3, 4):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+    never = [n for n in names if n not in seen]
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-driver-checked queries outside the gate window: {missing}"
