@@ -177,7 +177,7 @@ for _table in ["lineitem", "customer", "events", "documents"]:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -198,9 +198,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             # quantities are whole numbers (exact in a double sum); the
-            # MONEY sums accumulate per-row integer cents so the result
+            # MONEY sums accumulate per-row integer units so the result
             # is independent of partition/aggregation order on both
-            # engines (same idiom as product_type_profit)
+            # engines. The unit is chosen per expression's decimal
+            # width: raw prices carry 2 decimals (cents are exact),
+            # while price*(1-discount) carries 4 (discount has 2), so
+            # discounted revenue is quantized at 1e-4 sub-cent units —
+            # the quantization error is zero, not merely small, because
+            # every product is an exact multiple of the unit
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(
                 F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2
@@ -208,10 +213,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -227,8 +232,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     """
     SELECT c.c_custkey, any_value(c.c_name) AS c_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
            count(DISTINCT o.o_orderkey) AS order_ct
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -254,7 +259,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-dependent
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
                 "long"
             )
         ).alias("order_rev_cents")
@@ -265,7 +270,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.any_value(F.col("c_name")).alias("c_name"),
-            F.round(F.sum("order_rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("order_rev_cents") / 10000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("order_ct"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -277,8 +282,8 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
            any_value(o.o_orderpriority) AS order_priority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -309,10 +314,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("revenue"),
             F.any_value("o_orderpriority").alias("order_priority"),
@@ -332,8 +337,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -378,10 +383,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -431,8 +436,8 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_report",
     """
     SELECT c.c_custkey, any_value(c.c_name) AS c_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
            any_value(n.n_name) AS nation
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -465,7 +470,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                 ).cast("long")
             ).alias("rev_cents")
         )
@@ -474,7 +479,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             F.col("c_name"),
-            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("rev_cents") / 10000.0, 2).alias("revenue"),
             F.col("n_name").alias("nation"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -599,9 +604,9 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(o.o_orderdate, '%Y') AS order_year,
            round(sum(CASE WHEN n2.n_name = 'JAPAN'
-                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)
                           ELSE 0 END)
-                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)), 4) AS share
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)), 4) AS share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -640,7 +645,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the share ratio is integer-cents / integer-cents: both sums are
     # order-independent, so the rounded ratio is bit-stable cross-engine
     rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
     ).cast("long")
     return (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
@@ -666,8 +671,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_revenue",
     """
-    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -709,10 +714,10 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -1317,10 +1322,10 @@ def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ),
             ">=",
@@ -1341,7 +1346,7 @@ ORACLES["reconcile_orders_lineitem"] = _reconcile_sql(
          "CAST(count(*) AS DOUBLE)", ">=", "FAILED"),
         ("total_price_covers_discounted_lines",
          "round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)",
-         "round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2)",
+         "round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 2)",
          ">=", "FAILED"),
     ],
 )
@@ -3513,8 +3518,8 @@ def promo_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue",
     """
-    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3539,11 +3544,11 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast(
                         "long"
                     )
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -3555,8 +3560,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            strftime(l.l_shipdate, '%Y') AS ship_year,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3612,10 +3617,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
                 )
-                / 100.0,
+                / 10000.0,
                 2,
             ).alias("revenue")
         )
@@ -3628,8 +3633,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y') AS order_year,
            round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity) * 100, 0) AS BIGINT))
-                 / 100.0, 2) AS profit
+                     - 0.6 * p.p_retailprice * l.l_quantity) * 10000, 0) AS BIGINT))
+                 / 10000.0, 2) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -3662,13 +3667,13 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
-    amount_cents = F.round(amount * 100, 0).cast("long")
+    amount_cents = F.round(amount * 10000, 0).cast("long")
     return (
         li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.date_format("o_orderdate", "yyyy").alias("order_year"))
-        .agg(F.round(F.sum(amount_cents) / 100.0, 2).alias("profit"))
+        .agg(F.round(F.sum(amount_cents) / 10000.0, 2).alias("profit"))
         .orderBy("nation", F.desc("order_year"))
     )
 
@@ -3678,9 +3683,9 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
       SELECT l_partkey,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS value_cents
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS value_cents
       FROM lineitem GROUP BY l_partkey)
-    SELECT l_partkey AS partkey, round(value_cents / 100.0, 2) AS part_value
+    SELECT l_partkey AS partkey, round(value_cents / 10000.0, 2) AS part_value
     FROM pv WHERE value_cents > (SELECT sum(value_cents) * 0.0012 FROM pv)
     ORDER BY part_value DESC, partkey
     """,
@@ -3701,7 +3706,7 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near the cut at larger scale factors.
     pv = li.groupBy("l_partkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
                 "long"
             )
         ).alias("value_cents")
@@ -3712,7 +3717,7 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_cents") > F.col("cut"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+            F.round(F.col("value_cents") / 10000.0, 2).alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "partkey")
     )
@@ -3793,12 +3798,12 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS rev_cents
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, round(r.rev_cents / 100.0, 2) AS total_rev
+    SELECT s.s_suppkey, s.s_name, round(r.rev_cents / 10000.0, 2) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
     ORDER BY s_suppkey
@@ -3820,7 +3825,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the most fragile comparison shape there is cross-engine.
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
                 "long"
             )
         ).alias("rev_cents")
@@ -3833,7 +3838,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_cents") / 100.0, 2).alias("total_rev"),
+            F.round(F.col("rev_cents") / 10000.0, 2).alias("total_rev"),
         )
         .orderBy("s_suppkey")
     )
