@@ -30,7 +30,6 @@ bucket statistics cross-engine.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,14 +157,26 @@ def zorder_locality_sql(
 def compact_plan(spark: SparkSession, path: str, target_mb: int = 128) -> dict:
     """Inspect a parquet directory and size the compaction: returns
     {files, bytes, target_files}. Listing is driver-side metadata (file
-    statuses only — at warehouse scale this is the table manifest)."""
+    statuses only — at warehouse scale this is the table manifest).
+
+    Listing goes through the Hadoop FileSystem API resolved from the
+    path's own scheme, so ``hdfs://`` / ``s3a://`` tables are sized the
+    same way local ones are — a driver-side ``os.walk`` would silently
+    report 0 files for any remote store and the compaction would then
+    rewrite the whole table into a single file."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
     total = 0
     files = 0
-    for root, _dirs, names in os.walk(path):
-        for n in names:
-            if n.endswith(".parquet"):
-                files += 1
-                total += os.path.getsize(os.path.join(root, n))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            files += 1
+            total += st.getLen()
     target = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     return {"files": files, "bytes": total, "target_files": target}
 

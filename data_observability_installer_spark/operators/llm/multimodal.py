@@ -369,19 +369,27 @@ def demo_media(spark, n: int = 48):
 MEDIA_FIXTURE_VERSION = "v1"
 
 
-def media_at_rest_path() -> str:
-    """Stable location for the generated media-at-rest parquet."""
+def media_at_rest_path(n: int = 48) -> str:
+    """Stable location for the generated media-at-rest parquet: a
+    per-user (uid-suffixed, 0700) cache dir under the temp root, with
+    the corpus size in the file name. The uid suffix + permission bits
+    keep another user on a shared host from pre-planting content at a
+    predictable path; ``n`` in the name keeps a stale 48-row fixture
+    from being served to a caller that asked for a different size."""
     import os
     import tempfile
 
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_cache_{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
     return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_media_{MEDIA_FIXTURE_VERSION}.parquet"
+        base, f"media_{MEDIA_FIXTURE_VERSION}_n{n}.parquet"
     )
 
 
 def ensure_media_at_rest(spark, n: int = 48) -> str:
     """Materialize the deterministic demo media corpus as a REAL
-    parquet file with BinaryType payload columns, once per machine.
+    parquet file with BinaryType payload columns, once per user+size.
 
     This is the scan-boundary path a production media table hits that
     the in-plan ``demo_media`` frame cannot exercise: payloads round
@@ -389,11 +397,21 @@ def ensure_media_at_rest(spark, n: int = 48) -> str:
     must prove column pruning (parquet never reading payload bytes —
     see tests/test_multimodal.py's plan gate). Content is a pure
     function of media_id, so the closed-form DuckDB oracle for the
-    in-plan variant applies unchanged to the at-rest one."""
+    in-plan variant applies unchanged to the at-rest one.
+
+    Reuse requires the _SUCCESS marker AND that the directory is owned
+    by the current user — if another uid somehow owns the path (shared
+    temp dir abuse), the fixture is rewritten rather than trusted."""
     import os
 
-    path = media_at_rest_path()
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = media_at_rest_path(n)
+    marker = os.path.join(path, "_SUCCESS")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    reusable = (
+        os.path.exists(marker)
+        and os.stat(path).st_uid == uid
+    )
+    if not reusable:
         demo_media(spark, n).write.mode("overwrite").parquet(path)
     return path
 

@@ -21,6 +21,8 @@ DuckDB oracle (``::DOUBLE[]`` + list_inner_product) matches to 1e-4.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -189,7 +191,10 @@ def topk_lsh(
         return acc
 
     q_bucket = sum(1 << i for i, p in enumerate(planes) if _fold_dot(q, p) >= 0)
-    q_nrm = _fold_dot(q, q) ** 0.5
+    # math.sqrt is IEEE-754 correctly rounded (what Spark's F.sqrt and
+    # DuckDB's sqrt() compute); `** 0.5` goes through libm pow, which
+    # is NOT guaranteed correctly rounded and can differ by an ulp
+    q_nrm = math.sqrt(_fold_dot(q, q))
     ball = [
         b for b in range(1 << n_planes) if bin(b ^ q_bucket).count("1") <= max_hamming
     ]
@@ -199,15 +204,22 @@ def topk_lsh(
         withb.filter(F.col("bucket").isin(ball) & (F.col(id_col) != query_id))
         .select(
             id_col,
-            # 2 dots per surviving row (query norm is a literal), same
-            # scheme as topk_bruteforce
-            F.round(
-                _dot(F.col("embedding"), q_emb)
-                / (
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                    * F.lit(q_nrm)
-                ),
-                4,
+            # 2 dots per surviving row (query norm is a literal); the
+            # floor(x*1e4+0.5)/1e4 idiom (same as knn_graph) because
+            # the cosine is an arbitrary computed double — round(x,4)
+            # rounds the decimal repr on Spark but the binary value on
+            # DuckDB and can flip the last digit at a half-ulp boundary
+            (
+                F.floor(
+                    _dot(F.col("embedding"), q_emb)
+                    / (
+                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                        * F.lit(q_nrm)
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("score"),
         )
         .orderBy(F.desc("score"), id_col)
@@ -228,7 +240,7 @@ def topk_lsh_sql(
     return f"""
     WITH b AS MATERIALIZED (SELECT {id_col}, embedding, {bucket} AS bucket FROM {table}),
     q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE {id_col} = {query_id})
-    SELECT e.{id_col}, round({cos}, 4) AS score
+    SELECT e.{id_col}, floor(({cos}) * 10000 + 0.5) / 10000 AS score
     FROM b e, q
     WHERE e.{id_col} <> {query_id}
       AND bit_count(xor(e.bucket, q.q_bucket)) <= {max_hamming}

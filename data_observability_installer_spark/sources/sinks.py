@@ -117,13 +117,29 @@ def guarded_write(
 
     Returns the outcome rows on success so callers can log/export them
     (e.g. through ``export_outcomes_json``) as evidence the contract
-    held for this publish."""
+    held for this publish.
+
+    The frame is pinned (MEMORY_AND_DISK persist) before the suite runs
+    and released after the write, so the ROWS THE SUITE VALIDATED are
+    the rows that get committed: without the pin, a nondeterministic
+    frame (sampling, current_timestamp, source files changing between
+    the two jobs) could pass the gate on one computation and write a
+    different, contract-violating one. MEMORY_AND_DISK spills rather
+    than evicts, so partitions are not recomputed between the two
+    actions on a healthy cluster (executor loss still recomputes — for
+    a hard guarantee on nondeterministic frames, checkpoint upstream)."""
+    from pyspark import StorageLevel
+
     from ..operators.dq.compiler import compile_suite
 
-    outcomes = compile_suite(df, specs, as_of).collect()
-    bad_states = {"FAILED"} | ({"WARNING"} if fail_on_warning else set())
-    failures = [r.asDict() for r in outcomes if r["result"] in bad_states]
-    if failures:
-        raise ContractViolation(failures)
-    df.write.mode(mode).parquet(path)
-    return [r.asDict() for r in outcomes]
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        outcomes = compile_suite(df, specs, as_of).collect()
+        bad_states = {"FAILED"} | ({"WARNING"} if fail_on_warning else set())
+        failures = [r.asDict() for r in outcomes if r["result"] in bad_states]
+        if failures:
+            raise ContractViolation(failures)
+        df.write.mode(mode).parquet(path)
+        return [r.asDict() for r in outcomes]
+    finally:
+        df.unpersist()
