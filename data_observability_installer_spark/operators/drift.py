@@ -399,7 +399,13 @@ def psi_trend_sql(
     )
 
 
-def mad_outliers(df: DataFrame, col: str, k: float = 3.5) -> DataFrame:
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Robust outlier screen: flag values beyond median ± k·1.4826·MAD
     (the MAD-consistency rescaling makes k comparable to a z-score
     cutoff; Iglewicz & Hoaglin's recommended k=3.5 is the default).
@@ -408,17 +414,33 @@ def mad_outliers(df: DataFrame, col: str, k: float = 3.5) -> DataFrame:
 
     Two aggregate passes (median, then median absolute deviation
     around it — both metadata-sized broadcast scalars), then the flag
-    is a map-side expression and the report one small groupBy. The
-    interpolated percentile is exact and identical on both engines
-    (same guarantee the decile report relies on), and the fences are
-    built with one fixed operation order, so the report value-checks
-    bit-exactly cross-engine."""
+    is a map-side expression and the report one small groupBy.
+
+    **Memory bound / the 100 TB switch.** Exact ``percentile`` is an
+    ImperativeAggregate whose state is EVERY value of the group — and
+    here the group is the whole table, so the exact mode's executor
+    memory is O(rows) and it OOMs long before 100 TB. ``approx=True``
+    is the production mode: ``percentile_approx`` keeps a mergeable
+    GK-sketch of O(accuracy) state per partition (rank error ≤
+    1/accuracy, so fences are within (hi-lo)/accuracy of exact — a
+    bounded-error pytest pins this), and the plan shape is unchanged.
+    The exact default exists because the DuckDB oracle twin
+    (``quantile_cont``) is exact; same split as ``profile(exact=)``.
+
+    In exact mode the interpolated percentile is identical on both
+    engines and the fences are built with one fixed operation order,
+    so the report value-checks bit-exactly cross-engine."""
     c = F.col(col).cast("double")
-    med = df.agg(F.percentile(c, 0.5).alias("med"))
+    pct = (
+        (lambda x, q: F.percentile_approx(x, q, accuracy))
+        if approx
+        else (lambda x, q: F.percentile(x, q))
+    )
+    med = df.agg(pct(c, 0.5).alias("med"))
     d = (
         df.crossJoin(F.broadcast(med))
         .agg(
-            F.percentile(F.abs(c - F.col("med")), 0.5).alias("mad"),
+            pct(F.abs(c - F.col("med")), 0.5).alias("mad"),
             F.any_value("med").alias("med"),
         )
     )

@@ -492,10 +492,20 @@ def filter_by_quantile(
     per: str | None = None,
     id_col: str = "doc_id",
     round_to: int = 4,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Quantile tail-cut: keep docs whose ``score_col`` is below (or
     above) the ``q``-quantile — the CCNet-style "drop the worst tail by
     LM perplexity" step, generalized to any score.
+
+    ``approx=True`` is the corpus-scale mode: the global (``per=None``)
+    exact quantile buffers EVERY score in one aggregate group, which is
+    O(corpus) executor memory at 100 TB; ``percentile_approx`` keeps a
+    mergeable O(accuracy) GK-sketch instead (rank error ≤ 1/accuracy —
+    for a tail-cut threshold that moves the cut by at most a
+    1/accuracy fraction of documents, which is noise next to choosing
+    q itself). Exact stays the default for the DuckDB oracle twin.
 
     ``per`` makes the threshold group-relative (e.g. per source/
     language): small domains aren't wiped out by a global cut that one
@@ -514,9 +524,12 @@ def filter_by_quantile(
     if keep not in ("below", "above"):
         raise ValueError("keep must be 'below' or 'above'")
     scale = 10 ** round_to
-    thr_expr = (
-        F.floor(F.percentile(score_col, q) * scale + 0.5) / scale
-    ).alias("threshold")
+    pct = (
+        F.percentile_approx(score_col, q, accuracy)
+        if approx
+        else F.percentile(score_col, q)
+    )
+    thr_expr = (F.floor(pct * scale + 0.5) / scale).alias("threshold")
     if per is None:
         thr = scored.agg(thr_expr)
         joined = scored.crossJoin(F.broadcast(thr))

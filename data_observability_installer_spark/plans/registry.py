@@ -1532,7 +1532,9 @@ _DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
     FROM orders, e GROUP BY decile ORDER BY decile
     """,
 )
-def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decile_report_orders(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Quantile bucketing WITHOUT a global sort: ntile(10) would funnel
     every row through one ordered window — the classic scale-killer —
     so the decile edges come from ONE aggregate pass (interpolated
@@ -1540,10 +1542,20 @@ def decile_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each row's decile is 1 + count(edges strictly below it): a
     map-side expression. Two passes total, shuffle only for the 10-row
     final agg; the per-decile money total sums per-row-rounded integer
-    cents so it is order-independent."""
+    cents so it is order-independent.
+
+    The exact edge pass buffers the whole column in ONE aggregate
+    group (all 9 quantiles share the buffer, but the buffer is still
+    O(rows)) — ``exact=False`` is the 100 TB mode: percentile_approx's
+    mergeable GK-sketch, identical plan shape, edges within a 1e-4
+    rank fraction. Exact stays the registered default because the
+    quantile_cont oracle twin is exact (same split as mad_outliers)."""
     o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile if exact else (
+        lambda c, q: F.percentile_approx(c, q, 10000)
+    )
     edges = o.agg(
-        *[F.percentile("o_totalprice", q).alias(f"e{i}") for i, q in enumerate(_DECILE_QS, 1)]
+        *[pct("o_totalprice", q).alias(f"e{i}") for i, q in enumerate(_DECILE_QS, 1)]
     )
     decile = F.lit(1)
     for i in range(1, 10):

@@ -379,3 +379,27 @@ def test_decontam_fuzzy_flags_edited_copy_only(spark):
     }
     assert set(got) == {(1, 100)}  # the edited copy, and only it
     assert got[(1, 100)] > 0.5
+
+def test_filter_by_quantile_approx_mode_tracks_exact(spark):
+    """approx=True (GK-sketch threshold, the corpus-scale mode) must
+    keep a document set within the sketch's rank-error bound of the
+    exact cut: at accuracy=10000 on 2k docs the sketch is effectively
+    exact, so the kept sets must be identical."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        filter_by_quantile,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, float((i * 7919) % 2000) / 10.0) for i in range(2000)],
+        "doc_id long, score double",
+    )
+    exact = {
+        r["doc_id"] for r in filter_by_quantile(scored, "score", q=0.9).collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in filter_by_quantile(
+            scored, "score", q=0.9, approx=True, accuracy=10000
+        ).collect()
+    }
+    assert approx == exact

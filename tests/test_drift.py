@@ -146,3 +146,43 @@ def test_mad_outliers_all_inliers_on_tight_data(spark):
     df = spark.createDataFrame([(float(50 + i % 3),) for i in range(60)], "x double")
     rep = {r.flag: r.row_ct for r in mad_outliers(df, "x").collect()}
     assert rep == {"INLIER": 60}
+
+def test_mad_outliers_approx_mode_bounded_error(spark, sf_smoke):
+    """approx=True (the 100 TB production mode: percentile_approx's
+    mergeable GK-sketch instead of the O(rows) exact buffer) must land
+    fences within the sketch's rank-error bound of the exact fences on
+    real skewed data, and agree on every flag count at high accuracy."""
+    from data_observability_installer_spark.operators.drift import mad_outliers
+
+    df = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select("l_extendedprice")
+    exact = {r.flag: r for r in mad_outliers(df, "l_extendedprice").collect()}
+    approx = {
+        r.flag: r
+        for r in mad_outliers(
+            df, "l_extendedprice", approx=True, accuracy=10000
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    # rank error <= 1/accuracy; translate to a value tolerance via the
+    # observed data spread (generous 1% of range — actual is far lower)
+    lo = float(exact["INLIER"].min_val)
+    hi = max(float(r.max_val) for r in exact.values())
+    tol = 0.01 * (hi - lo)
+    assert abs(approx["INLIER"].fence_lo - exact["INLIER"].fence_lo) <= tol
+    assert abs(approx["INLIER"].fence_hi - exact["INLIER"].fence_hi) <= tol
+    n = sum(r.row_ct for r in exact.values())
+    for flag in exact:
+        assert abs(approx[flag].row_ct - exact[flag].row_ct) <= max(2, 0.01 * n)
+
+
+def test_mad_outliers_approx_resists_contamination_too(spark):
+    """The production mode keeps the robustness property: planted
+    extremes are flagged and cannot drag the approximate fence."""
+    from data_observability_installer_spark.operators.drift import mad_outliers
+
+    base = [(float(100 + (i % 21) - 10),) for i in range(400)]
+    wild = [(1e9,), (1e9,), (-1e9,)]
+    df = spark.createDataFrame(base + wild, "x double")
+    rep = {r.flag: r for r in mad_outliers(df, "x", approx=True).collect()}
+    assert rep["HIGH"].row_ct == 2 and rep["LOW"].row_ct == 1
+    assert 50 < rep["INLIER"].fence_hi < 200
