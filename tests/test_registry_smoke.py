@@ -20,28 +20,38 @@ _NAMES = list(registry.queries())
 
 
 def test_gate_order_names_resolve():
-    # queries() asserts _GATE_ORDER only names real registrations
     assert len(registry.queries()) == len(registry.QUERIES)
 
 
-def test_gate_window_rotation():
-    """The driver hard-checks only the first 50 registrations, so the
-    window ROTATES: round 5 front-loads the 37 queries that never held
-    a gate slot in rounds 2-4, back-filled with proven flagships as a
-    regression tripwire. The window must stay exactly 50 wide (extra
-    names silently fall outside the driver's check), and everything in
-    it that claims an oracle twin must actually have one."""
+def test_gate_window_is_stalest_first():
+    """Round-6 policy: the 50-slot driver window holds the queries
+    whose most recent driver CORRECTNESS evidence is OLDEST (never-
+    checked == maximally stale), computed from the committed
+    CORRECTNESS_r*.json artifacts — no hand-maintained list. This test
+    re-derives the expected window independently and pins both the
+    membership and the width."""
     names = list(registry.queries())
-    oracles = registry.oracle_sql()
-    rows_only = {
-        "profile_lineitem_approx",
-        "simhash_documents",
-        "topk_ivf_embeddings",
-        "multimodal_features",
-    }
-    assert names[: len(registry._GATE_ORDER)] == registry._GATE_ORDER
-    assert len(registry._GATE_ORDER) == 50
-    assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
+    last = registry._driver_evidence_rounds()
+    reg_rank = {n: i for i, n in enumerate(registry.QUERIES)}
+    expected = sorted(
+        registry.QUERIES, key=lambda n: (last.get(n, 0), reg_rank[n])
+    )[:50]
+    assert names[:50] == expected
+    # window must be exactly as stale as possible: every query outside
+    # the window has evidence at least as fresh as the stalest inside
+    max_in = max(last.get(n, 0) for n in names[:50])
+    min_out = min(last.get(n, 0) for n in names[50:]) if names[50:] else 99
+    assert max_in <= min_out
+
+
+def test_gate_window_new_queries_enter_immediately():
+    """A query with no driver row yet (anything registered this round)
+    must hold a window slot — staleness 0 sorts first."""
+    names = list(registry.queries())
+    last = registry._driver_evidence_rounds()
+    never = [n for n in registry.QUERIES if n not in last]
+    outside = [n for n in never if n not in set(names[:50])]
+    assert not outside, f"never-driver-checked queries outside window: {outside}"
 
 
 @pytest.mark.parametrize("name", _NAMES)
@@ -51,24 +61,15 @@ def test_registry_query_executes_on_parquet(spark, sf_smoke, name):
     df.limit(1).collect()  # physical execution against the real files
 
 
-def test_round5_rotation_covers_all_never_gated_queries():
-    """The round-5 gate window MUST contain every query that has never
-    appeared in a driver correctness gate (rounds 2-4 checked 100 of
-    the then-137; the remaining 37 plus all round-5 additions need
-    their driver-green row THIS round). Protects the rotation from
-    accidental reordering before the driver runs."""
-    import json
-    import os
-
+def test_gate_window_all_oracle_backed_or_known_rows_only():
+    """Everything in the window that claims an oracle twin must have
+    one; rows-only entries must be on the documented list."""
     names = list(registry.queries())
-    window = set(names[:50])
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for r in (1, 2, 3, 4):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                seen |= set(json.load(fh))
-    never = [n for n in names if n not in seen]
-    missing = [n for n in never if n not in window]
-    assert not missing, f"never-driver-checked queries outside the gate window: {missing}"
+    oracles = registry.oracle_sql()
+    rows_only = {
+        "profile_lineitem_approx",
+        "simhash_documents",
+        "topk_ivf_embeddings",
+        "multimodal_features",
+    }
+    assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
