@@ -2307,16 +2307,21 @@ def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_stats(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("topk_ivf_embeddings")  # k-means buckets: rows-only check
+@register("topk_ivf_embeddings", _sim.topk_ivf_sql("embeddings", k=10, query_id=0))
 def topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-centroid IVF, now value-checked: training is the
+    deterministic integer-arithmetic Lloyd of train_ivf_kmeans (fixed
+    literal init + fixed iteration count), so the DuckDB twin unrolls
+    the same iterations and lands on bit-equal centroids — this left
+    the rows-only list in round 6."""
     return _sim.topk_ivf(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
 @register("topk_ivf_fixed_embeddings", _sim.topk_ivf_fixed_sql("embeddings", k=10, query_id=0))
 def topk_ivf_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat with literal (offline-trained-style) centroids — the
-    value-checkable member of the IVF family; the k-means variant above
-    stays rows-only because learned centroids aren't SQL-expressible."""
+    constant-shipped-index member of the IVF family (the learned
+    variant above trains in-engine instead)."""
     return _sim.topk_ivf_fixed(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 

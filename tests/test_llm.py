@@ -445,3 +445,28 @@ def test_knn_graph_blocks_and_ranks(spark):
     )
     # k bound respected: block 1 has only 1 candidate per source
     assert (10, 2) not in got
+
+def test_train_ivf_kmeans_deterministic_integer_centroids(spark):
+    """Two independent trainings must produce identical centroids (the
+    cross-engine determinism claim, checked within-engine), every
+    centroid must be pure integers in IVF_SCALE units, and every
+    corpus row must land in a surviving bucket."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        IVF_SCALE,
+        _argmin_bucket_sql,
+        _quant_sql,
+        train_ivf_kmeans,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_ivf_kmeans(emb, n_clusters=16, iters=3)
+    c2 = train_ivf_kmeans(emb, n_clusters=16, iters=3)
+    assert c1 == c2
+    assert all(isinstance(v, int) for cq in c1.values() for v in cq)
+    assert all(abs(v) <= 2 * IVF_SCALE for cq in c1.values() for v in cq)
+    assigned = emb.select(
+        F.expr(_argmin_bucket_sql(_quant_sql("embedding"), c1, 16)).alias("b")
+    )
+    buckets = {r.b for r in assigned.distinct().collect()}
+    assert buckets <= set(c1)  # every row assigned to a live centroid

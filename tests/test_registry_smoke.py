@@ -69,7 +69,6 @@ def test_gate_window_all_oracle_backed_or_known_rows_only():
     rows_only = {
         "profile_lineitem_approx",
         "simhash_documents",
-        "topk_ivf_embeddings",
         "multimodal_features",
     }
     assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
