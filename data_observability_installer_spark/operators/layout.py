@@ -204,3 +204,33 @@ def compact(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return plan
+
+
+def scan_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` and return the summed metrics of its LEAF scan
+    nodes: {"rows": numOutputRows, "files": numFiles, "bytes":
+    filesSize (bytes of files selected at planning)}. ``rows`` is what
+    the parquet reader actually PRODUCED — after footer-stat row-group
+    skipping — so rows << table-rows is the quantitative proof that a
+    layout (z-order clustering, payload-column pruning) made the
+    reader skip physical data, not just that the filter worked. Use
+    against a filtered read of a written table:
+
+        scan_metrics(spark.read.parquet(p).filter(...))
+
+    Driver-side metadata only; the one action it runs is the scan
+    itself."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    out = {"rows": 0, "files": 0, "bytes": 0}
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        for key, dst in (
+            ("numOutputRows", "rows"),
+            ("numFiles", "files"),
+            ("filesSize", "bytes"),
+        ):
+            if metrics.contains(key):
+                out[dst] += metrics.apply(key).value()
+    return out

@@ -132,3 +132,37 @@ def test_zorder_locality_report_shape(spark):
     assert sum(r.row_ct for r in rows) == 1024
     for r in rows:
         assert r.min_a <= r.max_a and r.min_b <= r.max_b
+
+
+def test_zorder_scan_reads_fewer_rows_than_lexicographic(spark, tmp_path):
+    """The user-visible half of the z-order claim: a 2-d box predicate
+    over a z-ordered copy must make the parquet reader PRODUCE strict
+    fewer rows (footer-stat row-group skipping) than the same predicate
+    over a lexicographically sorted copy — and far fewer than the table
+    size. Asserted on real executed-plan scan metrics, not layout
+    statistics."""
+    from data_observability_installer_spark.operators.layout import scan_metrics
+
+    n = 1 << 15
+    df = spark.range(n).select(
+        (F.col("id") % 1000).cast("double").alias("a"),
+        ((F.col("id") * 7919) % 1000).cast("double").alias("b"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    zorder_by(df, ["a", "b"], bits=10, n_files=16).write.parquet(zpath)
+    (
+        df.repartitionByRange(16, F.col("a"), F.col("b"))
+        .sortWithinPartitions("a", "b")
+        .write.parquet(lpath)
+    )
+    box = (F.col("a").between(100, 199)) & (F.col("b").between(100, 199))
+    z = scan_metrics(spark.read.parquet(zpath).filter(box))
+    lex = scan_metrics(spark.read.parquet(lpath).filter(box))
+    match_z = spark.read.parquet(zpath).filter(box).count()
+    match_l = spark.read.parquet(lpath).filter(box).count()
+    assert match_z == match_l  # same logical answer either way
+    # lexicographic: `a` prunes (~10% of row groups) but `b` cannot;
+    # z-order: both dimensions prune. Strictly fewer produced rows and
+    # a real skip vs the full table.
+    assert z["rows"] < lex["rows"], (z, lex)
+    assert z["rows"] <= n * 0.5, z
