@@ -144,15 +144,45 @@ def encode_wav(wave: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def _pil_image():
+    """Executor-side optional import, resolved once per Python worker."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def real_decoder(kind: str) -> Decoder:
     """The production decode path: sniff the payload magic and decode
-    the numpy-native formats in-process; raise (naming the missing
-    dependency) for codecs that need an external library."""
+    the numpy-native formats (netpbm, PCM WAV) in-process. For library
+    codecs (JPEG/PNG/FLAC/OGG/...) the seam is live: if PIL /
+    soundfile IS importable in the executor's Python, the payload
+    routes through it inside the same Arrow batch — the container this
+    repo is built in ships neither, so absent the import the decoder
+    raises a named NotImplementedError instead. No code change is
+    needed when the environment gains codecs; a skipif-marked test
+    activates with them."""
 
     def decode(payload: bytes, meta: dict) -> np.ndarray:
         if kind == "image":
             if payload[:2] in (b"P5", b"P6"):
                 return decode_ppm(payload)
+            pil = _pil_image()
+            if pil is not None:
+                import io  # noqa: PLC0415
+
+                return np.asarray(pil.open(io.BytesIO(payload)))
             raise NotImplementedError(
                 f"image codec {payload[:4]!r} requires PIL, absent from this "
                 "container; netpbm P5/P6 decode natively"
@@ -160,6 +190,14 @@ def real_decoder(kind: str) -> Decoder:
         if kind == "audio":
             if payload[:4] == b"RIFF":
                 return decode_wav(payload)
+            sf = _soundfile()
+            if sf is not None:
+                import io  # noqa: PLC0415
+
+                wave, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+                if getattr(wave, "ndim", 1) > 1:
+                    wave = wave.mean(axis=1)
+                return np.asarray(wave, dtype=np.float32)
             raise NotImplementedError(
                 f"audio codec {payload[:4]!r} requires soundfile/libav, absent "
                 "from this container; PCM RIFF/WAVE decodes natively"
