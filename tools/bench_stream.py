@@ -1,0 +1,203 @@
+"""Streaming throughput/latency bench: replay the events table through
+the file source in a fixed number of micro-batches and measure each
+stateful operator's per-batch rows/s and trigger latency from the
+query's own progress telemetry (StreamingQueryProgress — the same
+numbers a production monitor would scrape).
+
+Operators covered (the round-5 verdict's ask): the applyInPandasWithState
+run tracker, native session windows, and the bounded-state stream-stream
+interval join — plus the plain streaming rollup as the shuffle-only
+baseline. Each op also gets its batch-twin wall time on the identical
+frame, so a streaming-vs-batch cliff is visible in one artifact
+(streaming replays pay per-batch planning + state-store IO; a healthy
+ratio is single-digit x of batch, not orders of magnitude).
+
+The replay is derived deterministically from events.parquet (sf dir via
+$SPARK_GRAFT_SF_DIR): the user-event stream is projected onto the
+OBS_EVENT envelope (hash-derived pipeline/run keys, status and
+log-level mixes) so state cardinality (~200 pipelines x hourly runs)
+resembles the observability fixtures while the VOLUME is the full
+events table.
+
+Usage: python tools/bench_stream.py [--batches N]
+Writes one JSON line; the committed artifact lives at STREAM_BENCH.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_observability_installer_spark.session import get_spark  # noqa: E402
+from data_observability_installer_spark.schemas import OBS_EVENT  # noqa: E402
+from data_observability_installer_spark.streaming.rollups import (  # noqa: E402
+    correlate_streams,
+    run_state_rollup_stream,
+    session_rollup_stream,
+)
+from data_observability_installer_spark.streaming.run_tracker import (  # noqa: E402
+    track_runs_stream,
+)
+
+
+def obs_replay_frame(spark, sf_dir: str):
+    """events.parquet -> OBS_EVENT-shaped frame, deterministic."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pipe = F.concat(F.lit("pipe_"), F.pmod(F.col("user_id"), F.lit(200)))
+    return ev.select(
+        F.col("event_id"),
+        F.lit("RUN_STATUS").alias("event_type"),
+        F.col("ts").alias("event_timestamp"),
+        pipe.alias("pipeline_key"),
+        F.concat(pipe, F.lit(":"), F.date_format("ts", "yyyyMMddHH")).alias("run_key"),
+        F.lit(None).cast("string").alias("task_key"),
+        F.lit(None).cast("string").alias("task_name"),
+        F.lit(None).cast("string").alias("dataset_key"),
+        F.lit(None).cast("string").alias("server_key"),
+        F.lit(None).cast("string").alias("component_tool"),
+        F.when(F.pmod("event_id", F.lit(10)) == 0, "FAILED")
+        .when(F.pmod("event_id", F.lit(10)) < 5, "COMPLETED")
+        .otherwise("RUNNING")
+        .alias("status"),
+        F.when(F.pmod("event_id", F.lit(7)) == 0, "ERROR")
+        .otherwise("INFO")
+        .alias("log_level"),
+        F.lit(None).cast("string").alias("message"),
+        F.lit(None).cast("string").alias("metric_key"),
+        F.col("value").alias("metric_value"),
+        F.lit(None).cast("string").alias("external_url"),
+        F.lit(None).cast("array<string>").alias("payload_keys"),
+        F.expr("CAST(NULL AS array<struct<name:string,status:string,description:string>>)").alias(
+            "test_outcomes"
+        ),
+    )
+
+
+def write_replay_chunks(df, out_dir: str, n_chunks: int) -> None:
+    """Time-ordered chunk files with increasing mtimes so the file
+    source's maxFilesPerTrigger replays them as an ordered stream."""
+    chunks = df.repartitionByRange(n_chunks, "event_timestamp").sortWithinPartitions(
+        "event_timestamp"
+    )
+    chunks.write.mode("overwrite").json(out_dir)
+
+
+def run_streaming(spark, stream_df, mode: str, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    prog = [
+        p if isinstance(p, dict) else json.loads(p.json if hasattr(p, "json") else str(p))
+        for p in q.recentProgress
+    ]
+    batches = [
+        p
+        for p in prog
+        if p.get("numInputRows", 0) > 0 or p.get("durationMs", {}).get("triggerExecution")
+    ]
+    rows = sum(p.get("numInputRows", 0) for p in batches)
+    lat = sorted(
+        p["durationMs"]["triggerExecution"]
+        for p in batches
+        if "triggerExecution" in p.get("durationMs", {})
+    )
+    out_rows = spark.table(name).count()
+    return {
+        "input_rows": rows,
+        "output_rows": out_rows,
+        "micro_batches": len(lat),
+        "p50_batch_ms": lat[len(lat) // 2] if lat else None,
+        "max_batch_ms": lat[-1] if lat else None,
+        "total_trigger_s": round(sum(lat) / 1000.0, 3),
+        "rows_per_sec": round(rows / (sum(lat) / 1000.0), 1) if lat and sum(lat) else None,
+    }
+
+
+def timed_batch(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("bench-stream", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    import tempfile
+
+    replay_dir = os.path.join(tempfile.mkdtemp(prefix="stream_bench_"), "events_json")
+    obs = obs_replay_frame(spark, args.sf_dir)
+    write_replay_chunks(obs, replay_dir, args.batches)
+
+    def read_stream():
+        return (
+            spark.readStream.schema(OBS_EVENT)
+            .option("maxFilesPerTrigger", 1)
+            .json(replay_dir)
+        )
+
+    batch_df = spark.read.schema(OBS_EVENT).json(replay_dir)
+
+    def split(df):
+        return df.filter(F.col("status") == "FAILED"), df.filter(
+            F.col("log_level") == "ERROR"
+        )
+
+    ops = {}
+
+    ops["rollup"] = run_streaming(
+        spark, run_state_rollup_stream(read_stream()), "update", "sb_rollup"
+    )
+    ops["rollup"]["batch_twin_s"] = timed_batch(
+        lambda: run_state_rollup_stream(batch_df).count()
+    )
+
+    ops["run_tracker"] = run_streaming(
+        spark, track_runs_stream(read_stream()), "append", "sb_tracker"
+    )
+    # the tracker's batch twin is the set-fold rollup over the same rows
+    ops["run_tracker"]["batch_twin_s"] = ops["rollup"]["batch_twin_s"]
+
+    ops["session_windows"] = run_streaming(
+        spark, session_rollup_stream(read_stream()), "append", "sb_sessions"
+    )
+    ops["session_windows"]["batch_twin_s"] = timed_batch(
+        lambda: session_rollup_stream(batch_df).count()
+    )
+
+    ops["interval_join"] = run_streaming(
+        spark, correlate_streams(*split(read_stream())), "append", "sb_join"
+    )
+    ops["interval_join"]["batch_twin_s"] = timed_batch(
+        lambda: correlate_streams(*split(batch_df)).count()
+    )
+
+    result = {
+        "metric": "stream_bench",
+        "unit": "rows_per_sec",
+        "sf": args.sf_dir,
+        "micro_batch_files": args.batches,
+        "ops": ops,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
