@@ -484,3 +484,69 @@ def mad_outliers_sql(table: str, col: str, k: float = 3.5) -> str:
            floor(any_value(d.med + {k} * 1.4826 * d.mad) * 10000 + 0.5) / 10000 AS fence_hi
     FROM {table} t, d GROUP BY flag ORDER BY flag
     """
+
+
+def mad_outliers_grouped(
+    df: DataFrame,
+    col: str,
+    by: str,
+    k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group robust outlier screen: :func:`mad_outliers` fences
+    computed independently for every ``by`` group — the "is THIS
+    pipeline's metric wild for THIS pipeline" shape, where a global
+    fence would drown quiet groups in one loud one.
+
+    Plan: two grouped aggregate passes (median, then MAD around it),
+    each joined back on the group key (shuffle-on-key; the fence table
+    is one row per group), then a map-side flag and one final grouped
+    count. Exact mode's per-group percentile state is bounded by the
+    LARGEST group, not the table — still the scale hazard when one key
+    dominates, so ``approx=True`` swaps in percentile_approx's
+    O(accuracy) sketch per group (same split as the global screen)."""
+    c = F.col(col).cast("double")
+    pct = (
+        (lambda x, q: F.percentile_approx(x, q, accuracy))
+        if approx
+        else (lambda x, q: F.percentile(x, q))
+    )
+    med = df.groupBy(F.col(by).alias("_g")).agg(pct(c, 0.5).alias("med"))
+    with_med = df.join(med, F.col(by) == F.col("_g")).drop("_g")
+    d = with_med.groupBy(F.col(by).alias("_g")).agg(
+        pct(F.abs(c - F.col("med")), 0.5).alias("mad"),
+        F.any_value("med").alias("med"),
+    )
+    j = df.join(d, F.col(by) == F.col("_g")).drop("_g")
+    lo = F.col("med") - k * 1.4826 * F.col("mad")
+    hi = F.col("med") + k * 1.4826 * F.col("mad")
+    return (
+        j.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.sum((c < lo).cast("int")).alias("low_ct"),
+            F.sum((c > hi).cast("int")).alias("high_ct"),
+            (F.floor(F.any_value(lo) * 10000 + F.lit(0.5)) / 10000).alias("fence_lo"),
+            (F.floor(F.any_value(hi) * 10000 + F.lit(0.5)) / 10000).alias("fence_hi"),
+        )
+        .orderBy(by)
+    )
+
+
+def mad_outliers_grouped_sql(table: str, col: str, by: str, k: float = 3.5) -> str:
+    c = f"CAST({col} AS DOUBLE)"
+    return f"""
+    WITH m AS (SELECT {by} AS g, quantile_cont({c}, 0.5) AS med FROM {table} GROUP BY {by}),
+    d AS (
+      SELECT m.g, quantile_cont(abs(CAST(t.{col} AS DOUBLE) - m.med), 0.5) AS mad,
+             any_value(m.med) AS med
+      FROM {table} t JOIN m ON t.{by} = m.g GROUP BY m.g)
+    SELECT t.{by}, count(*) AS row_ct,
+           CAST(sum(CASE WHEN CAST(t.{col} AS DOUBLE) < d.med - {k} * 1.4826 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS low_ct,
+           CAST(sum(CASE WHEN CAST(t.{col} AS DOUBLE) > d.med + {k} * 1.4826 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS high_ct,
+           floor(any_value(d.med - {k} * 1.4826 * d.mad) * 10000 + 0.5) / 10000 AS fence_lo,
+           floor(any_value(d.med + {k} * 1.4826 * d.mad) * 10000 + 0.5) / 10000 AS fence_hi
+    FROM {table} t JOIN d ON t.{by} = d.g
+    GROUP BY t.{by} ORDER BY t.{by}
+    """

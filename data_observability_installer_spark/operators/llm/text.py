@@ -313,3 +313,52 @@ def chunk_documents_sql(
            md5(array_to_string(chunk, ' ')) AS chunk_md5
     FROM c
     """
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 20
+) -> DataFrame:
+    """The counting step of byte-pair-encoding tokenizer training:
+    corpus-wide frequencies of ADJACENT character pairs within
+    whitespace words, top-``top_n`` (ties broken by pair text). One
+    real BPE round would merge the winner and re-count; this exposes
+    the scan that dominates that loop as a standalone, oracle-checkable
+    operator.
+
+    Plan shape at 100 TB: lower+split+two nested array ops are all
+    map-side expressions (one WholeStageCodegen span over the scan);
+    the only shuffle is the pair groupBy, whose key space is bounded by
+    alphabet^2 (tiny), so partial aggregation collapses each partition
+    to at most |alphabet|^2 rows before the exchange. No UDFs, no
+    driver loops.
+
+    Reference analog: tokenizer-prep counting in LLM data pipelines
+    (Sennrich et al., BPE); not present in the reference installer —
+    part of the training-data-pipeline surface this engine adds."""
+    words = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    w = df.select(words).filter(F.length("w") >= 2)
+    pairs = F.explode(
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    ).alias("pair")
+    return (
+        w.select(pairs)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_ct"))
+        .orderBy(F.desc("pair_ct"), "pair")
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", top_n: int = 20
+) -> str:
+    return f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS w
+      FROM {table}),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair
+      FROM w WHERE length(w) >= 2)
+    SELECT pair, count(*) AS pair_ct FROM p
+    GROUP BY pair ORDER BY pair_ct DESC, pair LIMIT {top_n}
+    """

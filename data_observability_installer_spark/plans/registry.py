@@ -2280,6 +2280,15 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.chunk_documents(load_table(spark, sf_dir, "documents"), max_tokens=50, overlap=10)
 
 
+@register("bpe_pair_counts_documents", _text.bpe_pair_counts_sql("documents"))
+def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: top adjacent character-pair counts
+    within whitespace words — the scan that dominates one BPE merge
+    round, as a standalone operator. Map-side expressions end-to-end;
+    the only shuffle is a groupBy whose key space is alphabet^2."""
+    return _text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
@@ -2548,7 +2557,12 @@ def zorder_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_locality(li, _ZORDER_BOUNDS, bits=8, prefix_bits=6)
 
 
-from ..operators.drift import mad_outliers, mad_outliers_sql  # noqa: E402
+from ..operators.drift import (  # noqa: E402
+    mad_outliers,
+    mad_outliers_grouped,
+    mad_outliers_grouped_sql,
+    mad_outliers_sql,
+)
 
 
 @register("mad_outliers_lineitem", mad_outliers_sql("lineitem", "l_extendedprice"))
@@ -2557,8 +2571,24 @@ def mad_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     fence a few extreme rows cannot drag, unlike the mean/stddev
     screens in the hygiene family. Two broadcast-scalar passes + one
     map-side flag; fences floor-rounded for cross-engine bit
-    stability."""
+    stability. Production 100 TB mode: approx=True (percentile_approx
+    sketch instead of the O(rows) exact buffer)."""
     return mad_outliers(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "mad_outliers_by_priority",
+    mad_outliers_grouped_sql("orders", "o_totalprice", "o_orderpriority"),
+)
+def mad_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust screen: independent median/MAD fences for each
+    order priority — the per-pipeline form of the global screen (a
+    fence per key, so one loud group cannot widen another's). Two
+    grouped percentile passes + key joins; approx=True bounds
+    per-group state when one key dominates."""
+    return mad_outliers_grouped(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
 
 
 @register(

@@ -403,3 +403,16 @@ def test_filter_by_quantile_approx_mode_tracks_exact(spark):
         ).collect()
     }
     assert approx == exact
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """Counts verified against a hand-countable corpus; single-char
+    words contribute nothing; ties rank by pair text."""
+    from data_observability_installer_spark.operators.llm.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab cd a"), (2, "Bab  cd")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.pair_ct) for r in bpe_pair_counts(docs, top_n=10).collect()]
+    # words: abab, cd, a(dropped), bab, cd
+    # pairs: ab,ba,ab + cd + ba,ab -> ab:3 ba:2 cd:2
+    assert got == [("ab", 3), ("ba", 2), ("cd", 2)]

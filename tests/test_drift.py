@@ -186,3 +186,35 @@ def test_mad_outliers_approx_resists_contamination_too(spark):
     rep = {r.flag: r for r in mad_outliers(df, "x", approx=True).collect()}
     assert rep["HIGH"].row_ct == 2 and rep["LOW"].row_ct == 1
     assert 50 < rep["INLIER"].fence_hi < 200
+
+
+def test_mad_outliers_grouped_isolates_fences_per_group(spark):
+    """A wild group must not widen a quiet group's fence, and planted
+    extremes must be counted in their OWN group only."""
+    from data_observability_installer_spark.operators.drift import mad_outliers_grouped
+
+    quiet = [("q", float(100 + (i % 11) - 5)) for i in range(200)]
+    loud = [("l", float(1000 * (i % 7))) for i in range(200)]
+    planted = [("q", 1e6), ("q", -1e6)]
+    df = spark.createDataFrame(quiet + loud + planted, "g string, x double")
+    rep = {r.g: r for r in mad_outliers_grouped(df, "x", "g").collect()}
+    assert rep["q"].high_ct == 1 and rep["q"].low_ct == 1
+    assert rep["q"].fence_hi < 200  # quiet fence stayed near the quiet bulk
+    assert rep["l"].fence_hi > 1000  # loud group's own spread sets its fence
+    assert rep["l"].row_ct == 200 and rep["q"].row_ct == 202
+
+
+def test_mad_outliers_grouped_approx_tracks_exact(spark):
+    from data_observability_installer_spark.operators.drift import mad_outliers_grouped
+
+    rows = [(f"g{i % 5}", float((i * 7919) % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = {r.g: r for r in mad_outliers_grouped(df, "x", "g").collect()}
+    approx = {
+        r.g: r
+        for r in mad_outliers_grouped(df, "x", "g", approx=True, accuracy=10000).collect()
+    }
+    assert set(approx) == set(exact)
+    for g in exact:
+        assert abs(approx[g].fence_lo - exact[g].fence_lo) <= 10.0
+        assert abs(approx[g].fence_hi - exact[g].fence_hi) <= 10.0

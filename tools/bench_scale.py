@@ -169,6 +169,26 @@ OPS = {
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--factors", default=None, help="comma list, e.g. 1,4,8,16 (default 1,4,8)"
+    )
+    ap.add_argument(
+        "--ops", default=None, help="comma list of op names to run (default all)"
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update only the selected ops inside the existing SCALE_BENCH.json",
+    )
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")] if args.factors else FACTORS
+    ops = (
+        {n: OPS[n] for n in args.ops.split(",")} if args.ops else OPS
+    )
+
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
@@ -176,20 +196,25 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scale_bench_")
     results: dict[str, dict] = {}
     try:
+        tables = {t for t, _ in ops.values()}
         paths: dict[tuple[str, int], str] = {}
-        for k in FACTORS:
-            paths[("lineitem", k)] = scaled_lineitem(spark, k, f"{tmp}/li_{k}")
-            paths[("events", k)] = scaled_events(spark, k, f"{tmp}/ev_{k}")
-            paths[("documents", k)] = scaled_documents(spark, k, f"{tmp}/doc_{k}")
-            paths[("embeddings", k)] = scaled_embeddings(spark, k, f"{tmp}/emb_{k}")
+        for k in factors:
+            if "lineitem" in tables:
+                paths[("lineitem", k)] = scaled_lineitem(spark, k, f"{tmp}/li_{k}")
+            if "events" in tables:
+                paths[("events", k)] = scaled_events(spark, k, f"{tmp}/ev_{k}")
+            if "documents" in tables:
+                paths[("documents", k)] = scaled_documents(spark, k, f"{tmp}/doc_{k}")
+            if "embeddings" in tables:
+                paths[("embeddings", k)] = scaled_embeddings(spark, k, f"{tmp}/emb_{k}")
 
-        for name, (table, fn) in OPS.items():
+        for name, (table, fn) in ops.items():
             timings = {}
             # untimed warm-up on the smallest input: whole-stage codegen
             # compiles once per plan shape; without this the x1 timing
             # absorbs the one-time compile and the curve reads sublinear
-            fn(spark, paths[(table, FACTORS[0])])
-            for k in FACTORS:
+            fn(spark, paths[(table, factors[0])])
+            for k in factors:
                 # min of 2 trials: these are 1-20 s measurements on a
                 # shared machine — a single GC pause or co-tenant burst
                 # can inflate one point 5x and invert the whole curve
@@ -201,7 +226,10 @@ def main() -> None:
                     fn(spark, paths[(table, k)])
                     trials.append(time.monotonic() - t0)
                 timings[f"x{k}"] = round(min(trials), 2)
-            timings["ratio_x8_vs_x1"] = round(timings["x8"] / timings["x1"], 2)
+            top = factors[-1]
+            timings[f"ratio_x{top}_vs_x1"] = round(
+                timings[f"x{top}"] / timings["x1"], 2
+            )
             results[name] = timings
             print(name, timings)
     finally:
@@ -209,7 +237,13 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     out = Path(__file__).resolve().parent.parent / "SCALE_BENCH.json"
-    out.write_text(json.dumps({"base_sf": 0.1, "factors": FACTORS, "ops": results}, indent=2))
+    if args.merge and out.exists():
+        doc = json.loads(out.read_text())
+        doc["ops"].update(results)
+        doc["factors"] = sorted(set(doc["factors"]) | set(factors))
+    else:
+        doc = {"base_sf": 0.1, "factors": factors, "ops": results}
+    out.write_text(json.dumps(doc, indent=2))
     print("wrote", out)
 
 
