@@ -162,6 +162,10 @@ HEADLINE = [
     "temperature_sample_documents",
     "lateness_stats_events",
     "mad_outliers_lineitem",
+    # round-6 additions
+    "mad_outliers_by_priority",
+    "bpe_pair_counts_documents",
+    "topk_ivf_embeddings",
 ]
 
 

@@ -275,3 +275,32 @@ def test_zvalue_matches_reference_morton(spark, pairs):
     ]
     want = [morton(a, b) for a, b in pairs]
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_pair_counts_matches_python_reference(spark, texts):
+    """Corpus-wide pair counts equal a pure-Python recount for any
+    whitespace/word structure (empty words, runs of spaces, 1-char
+    words contributing nothing)."""
+    from collections import Counter
+
+    from data_observability_installer_spark.operators.llm.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.pair, r.pair_ct) for r in bpe_pair_counts(df, top_n=10_000).collect()}
+    ref = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    ref[w[i : i + 2]] += 1
+    assert got == {(p, c) for p, c in ref.items()}
