@@ -379,6 +379,7 @@ def topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     iters: int = 3,
+    cents: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """ANN top-k via LEARNED IVF: deterministic k-means
     (:func:`train_ivf_kmeans`), probe set = the ``nprobe`` centroids
@@ -389,7 +390,13 @@ def topk_ivf(
     At 100 TB the bucket id is the table's cluster/partition key, so
     the probe scan prunes to ~nprobe/n_clusters of the files.
     Value-checkable against :func:`topk_ivf_sql`'s unrolled-iteration
-    DuckDB twin."""
+    DuckDB twin.
+
+    ``cents`` is the train-once/probe-many seam: pass the dict a prior
+    :func:`train_ivf_kmeans` returned (pure integers — trivially
+    serializable next to the table, like any offline-trained index)
+    and the call runs ZERO training jobs; omitted, it trains
+    in-call."""
     # resolve the query BEFORE training the index: on a missing id
     # (e.g. an empty refresh) return an empty result rather than
     # raising — and never train on a table that has no rows
@@ -398,7 +405,8 @@ def topk_ivf(
         return embeddings.select(
             F.col(id_col), F.lit(None).cast("double").alias("score")
         ).limit(0)
-    cents = train_ivf_kmeans(embeddings, n_clusters, iters)
+    if cents is None:
+        cents = train_ivf_kmeans(embeddings, n_clusters, iters)
     # CAST(x AS DOUBLE)*scale then floor — same two IEEE ops the
     # in-engine quantizer performs, so q_eq is bit-identical to the
     # engine's quantization of the same row

@@ -470,3 +470,19 @@ def test_train_ivf_kmeans_deterministic_integer_centroids(spark):
     )
     buckets = {r.b for r in assigned.distinct().collect()}
     assert buckets <= set(c1)  # every row assigned to a live centroid
+
+
+def test_topk_ivf_precomputed_centroids_match_in_call_training(spark):
+    """The train-once/probe-many seam: passing a previously trained
+    centroid dict must give the identical result with zero training
+    jobs (the offline-index production shape)."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_ivf,
+        train_ivf_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_kmeans(emb, n_clusters=16, iters=3)
+    inline = [tuple(r) for r in topk_ivf(emb, k=10, query_id=0).collect()]
+    reused = [tuple(r) for r in topk_ivf(emb, k=10, query_id=0, cents=cents).collect()]
+    assert inline == reused
