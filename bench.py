@@ -166,6 +166,7 @@ HEADLINE = [
     "mad_outliers_by_priority",
     "bpe_pair_counts_documents",
     "topk_ivf_embeddings",
+    "calibrated_quality_documents",
 ]
 
 

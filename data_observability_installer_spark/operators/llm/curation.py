@@ -704,3 +704,57 @@ def sample_exact_n_sql(
     SELECT {id_col}, {strata_col}, CAST(rn AS INT) AS rn
     FROM r WHERE rn <= {n_per_stratum}
     """
+
+
+def calibrate_scores(
+    scored: DataFrame,
+    score_col: str,
+    per: str,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Within-group quantile normalization: each row's score becomes its
+    ``percent_rank`` inside its ``per`` group (0 = group-worst,
+    1 = group-best, ties share a rank). The curation problem it solves:
+    raw quality/perplexity scores are not comparable across domains —
+    one verbose domain's median beats another's best — so a single
+    global threshold silently skews the mix. Calibrated ranks make
+    "keep the top 30% OF EACH DOMAIN" a single filter.
+
+    Plan: ONE shuffle on the group key and a per-group sort — the
+    canonical window shape; groups partition the corpus, so no
+    single-partition window exists anywhere (a global variant would be
+    exactly that scale-killer, which is why ``per`` is required — for a
+    global calibration use filter_by_quantile's threshold instead).
+    percent_rank is (rank-1)/(n-1) on BOTH engines, an exact IEEE
+    division of identical small integers, so the twin hash-matches;
+    output rounds via the floor idiom."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(per).orderBy(F.col(score_col).asc())
+    scale = 10 ** round_to
+    return scored.select(
+        id_col,
+        per,
+        score_col,
+        (F.floor(F.percent_rank().over(w) * scale + 0.5) / scale).alias(
+            "calibrated"
+        ),
+    )
+
+
+def calibrate_scores_sql(
+    scored_sql: str,
+    score_col: str,
+    per: str,
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> str:
+    scale = 10 ** round_to
+    return f"""
+    WITH s AS MATERIALIZED ({scored_sql})
+    SELECT {id_col}, {per}, {score_col},
+           floor(percent_rank() OVER (PARTITION BY {per} ORDER BY {score_col} ASC)
+                 * {scale} + 0.5) / {scale} AS calibrated
+    FROM s
+    """

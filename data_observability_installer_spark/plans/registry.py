@@ -2006,6 +2006,7 @@ def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs, within-label cosine max 0.475).
 # ---------------------------------------------------------------------------
 
+from ..operators.llm import curation as _cur  # noqa: E402
 from ..operators.llm import dedup as _dedup  # noqa: E402
 from ..operators.llm import similarity as _sim  # noqa: E402
 from ..operators.llm import text as _text  # noqa: E402
@@ -2266,6 +2267,35 @@ def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("quality_documents", _text.quality_score_sql("documents"))
 def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "calibrated_quality_documents",
+    # the oracle composes score + source via a doc_id join; the Spark
+    # plan computes the score inline in the same scan (one pass, no
+    # join) — different plans, identical values
+    _cur.calibrate_scores_sql(
+        "SELECT q.doc_id, d.source, q.quality FROM documents d JOIN ("
+        + _text.quality_score_sql("documents")
+        + ") q ON q.doc_id = d.doc_id",
+        "quality",
+        "source",
+    ),
+)
+def calibrated_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain score calibration: quality -> percent_rank within its
+    source, so 'keep the top X% of each domain' is one filter even when
+    raw score distributions differ wildly across domains. Score is
+    computed inline in the scan (no join); the window is the canonical
+    one-shuffle-per-group shape."""
+    from ..operators.llm import curation as _cur_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = _text.quality_cols()
+    scored = docs.select("doc_id", "source", cols["quality"].alias("quality"))
+    return _cur_mod.calibrate_scores(scored, "quality", per="source").orderBy(
+        "source", "doc_id"
+    )
 
 
 @register("token_counts_documents", _text.token_counts_sql("documents"))
@@ -2835,7 +2865,6 @@ def anomaly_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alongside SURVEY §2).
 # ---------------------------------------------------------------------------
 
-from ..operators.llm import curation as _cur  # noqa: E402
 
 _SAMPLE_RATES = {f"src{i}": 0.1 + 0.05 * (i % 10) for i in range(20)}
 

@@ -189,3 +189,26 @@ def test_temperature_sample_upsamples_small_domains(spark):
 
     everything = temperature_sample(df, budget=10_000)
     assert everything.count() == 1000  # rates clamp at 1.0
+
+
+def test_calibrate_scores_group_isolated_percent_ranks(spark):
+    """Each group's ranks span [0,1] independently of other groups'
+    score ranges (the cross-domain comparability the operator exists
+    for); ties share a rank; 'top 50% of each domain' keeps half of
+    each group regardless of raw scales."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        calibrate_scores,
+    )
+
+    rows = [(i, "lo", float(i)) for i in range(10)]  # scores 0..9
+    rows += [(100 + i, "hi", float(1000 + i)) for i in range(10)]  # 1000..1009
+    rows += [(200, "tied", 5.0), (201, "tied", 5.0), (202, "tied", 7.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r.calibrated for r in calibrate_scores(df, "score", "source").collect()}
+    # every group's best is 1.0 and worst is 0.0, despite disjoint scales
+    assert out[0] == 0.0 and out[9] == 1.0
+    assert out[100] == 0.0 and out[109] == 1.0
+    assert out[200] == out[201] == 0.0 and out[202] == 1.0  # ties share
+    kept = {d for d, c in out.items() if c >= 0.5}
+    assert len([d for d in kept if d < 100]) == 5  # half of 'lo'
+    assert len([d for d in kept if 100 <= d < 200]) == 5  # half of 'hi'
