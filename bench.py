@@ -167,6 +167,7 @@ HEADLINE = [
     "bpe_pair_counts_documents",
     "topk_ivf_embeddings",
     "calibrated_quality_documents",
+    "canonical_docs_documents",
 ]
 
 

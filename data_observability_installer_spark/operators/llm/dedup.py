@@ -1002,3 +1002,61 @@ def minhash_incremental_sql(
     JOIN sizes sn ON sn.doc = i.new_id JOIN sizes so ON so.doc = i.dup_of
     WHERE round(i.inter * 1.0 / (sn.sz + so.sz - i.inter), 4) >= {threshold}
     """
+
+
+def select_canonical(
+    groups: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Survivor selection per near-dup cluster: keep the member with
+    the BEST score (ties to the lowest doc id) — the step that turns
+    cluster labels into a keep-list. Min-id survivorship (what
+    dedup_groups' group_id encodes) throws away quality information;
+    real pipelines keep the best-written copy of each duplicated
+    source, not the one that happened to get the smallest id.
+
+    One join of the (result-sized) label table against the score table
+    and one per-group window — both keyed on group/doc, no corpus
+    shuffle. Returns (group_id, canonical_doc, canonical_score,
+    member_ct); docs in no pair are their own canonical by definition
+    and are not emitted."""
+    from pyspark.sql.window import Window
+
+    j = groups.join(
+        scored.select(F.col(id_col).alias("doc"), F.col(score_col).alias("_s")),
+        "doc",
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("_s"), F.asc("doc"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .groupBy("group_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc"))).alias("canonical_doc"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_s"))).alias("canonical_score"),
+            F.count(F.lit(1)).alias("member_ct"),
+        )
+        .orderBy("group_id")
+    )
+
+
+def select_canonical_sql(
+    groups_sql: str, scored_sql: str, id_col: str = "doc_id", score_col: str = "quality"
+) -> str:
+    return f"""
+    WITH g AS MATERIALIZED ({groups_sql}),
+    s AS MATERIALIZED ({scored_sql}),
+    j AS (
+      SELECT g.doc, g.group_id, s.{score_col} AS _s
+      FROM g JOIN s ON g.doc = s.{id_col}),
+    r AS (
+      SELECT doc, group_id, _s,
+             row_number() OVER (PARTITION BY group_id ORDER BY _s DESC, doc) AS rn
+      FROM j)
+    SELECT group_id,
+           max(CASE WHEN rn = 1 THEN doc END) AS canonical_doc,
+           max(CASE WHEN rn = 1 THEN _s END) AS canonical_score,
+           count(*) AS member_ct
+    FROM r GROUP BY group_id ORDER BY group_id
+    """

@@ -2099,6 +2099,30 @@ def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "canonical_docs_documents",
+    _dedup.select_canonical_sql(
+        _dedup.dedup_groups_sql(_dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)),
+        _text.quality_score_sql("documents"),
+    ),
+)
+def canonical_docs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivor per near-dup cluster: cluster labels (jaccard
+    pairs -> connected components) joined to the quality score, best
+    member wins (ties to lowest id). The step that turns dup detection
+    into a concrete keep-list; min-id survivorship would discard the
+    best-written copy. Label table is result-sized — no corpus
+    shuffle beyond the pair generator's."""
+    pairs = _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
+        **_JACCARD_ARGS,
+    )
+    groups = _dedup.dedup_groups(pairs)
+    scored = _text.quality_score(load_table(spark, sf_dir, "documents"))
+    return _dedup.select_canonical(groups, scored)
+
+
+@register(
     "dup_spans_documents",
     _dedup.dup_span_fraction_sql("documents", "text", "doc_id", n=3),
 )

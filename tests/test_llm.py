@@ -486,3 +486,25 @@ def test_topk_ivf_precomputed_centroids_match_in_call_training(spark):
     inline = [tuple(r) for r in topk_ivf(emb, k=10, query_id=0).collect()]
     reused = [tuple(r) for r in topk_ivf(emb, k=10, query_id=0, cents=cents).collect()]
     assert inline == reused
+
+
+def test_select_canonical_keeps_best_scored_member(spark):
+    """The survivor is the best-scored member (ties -> lowest id), not
+    the min id; member counts cover the whole cluster."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        dedup_groups,
+        select_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        "doc_id long, quality double",
+    )
+    groups = dedup_groups(pairs)
+    out = {r.group_id: r for r in select_canonical(groups, scored).collect()}
+    assert out[1].canonical_doc == 2  # 0.9 beats min-id member 1's 0.2
+    assert out[1].member_ct == 3  # tie between 2 and 3 -> lowest id 2
+    assert out[10].canonical_doc == 10 and out[10].member_ct == 2
