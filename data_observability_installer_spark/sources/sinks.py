@@ -143,3 +143,24 @@ def guarded_write(
         return [r.asDict() for r in outcomes]
     finally:
         df.unpersist()
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partition-selective rewrite: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition of the table
+    untouched — the "re-run day X" maintenance primitive. At 100 TB a
+    whole-table overwrite to fix one day is both a 1000x write
+    amplification and an availability hole; dynamic partition overwrite
+    replaces exactly the affected directories, atomically per
+    partition.
+
+    Implemented with Spark's ``partitionOverwriteMode=dynamic`` (set
+    per-write via the DataFrameWriter option, so the session default is
+    not mutated). Idempotent: re-running the same backfill converges to
+    the same table state, so a failed driver can simply retry."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -141,3 +141,46 @@ def test_orc_roundtrip(spark, tmp_path):
     ]
     assert back.count() == 1000
     assert back.agg(F.sum("id")).head()[0] == df.agg(F.sum("id")).head()[0]
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Backfilling day 2 must replace day 2's rows, leave days 1 and 3
+    byte-for-byte untouched (same physical files), and never duplicate."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.sinks import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.range(300).select(
+        (F.col("id") % 3 + 1).alias("day"), F.col("id").alias("v")
+    )
+    write_partitioned(base, path, ["day"])
+    files_before = {
+        d: sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{path}/day={d}/*.parquet")
+        )
+        for d in (1, 2, 3)
+    }
+    fixed_day2 = spark.range(5).select(
+        F.lit(2).alias("day"), (F.col("id") + 10_000).alias("v")
+    )
+    backfill_partitions(fixed_day2, path, ["day"])
+    out = spark.read.parquet(path)
+    assert out.filter(F.col("day") == 2).count() == 5  # replaced, not appended
+    assert out.filter(F.col("day") != 2).count() == 200  # untouched rows
+    for d in (1, 3):  # same physical files, not rewritten
+        files_after = sorted(
+            (os.path.basename(f), os.path.getmtime(f))
+            for f in glob.glob(f"{path}/day={d}/*.parquet")
+        )
+        assert files_after == files_before[d]
+    # idempotence: retrying the same backfill converges
+    backfill_partitions(fixed_day2, path, ["day"])
+    assert spark.read.parquet(path).count() == 205

@@ -114,6 +114,14 @@ def run_streaming(spark, stream_df, mode: str, name: str):
         if "triggerExecution" in p.get("durationMs", {})
     )
     out_rows = spark.table(name).count()
+    # state-store telemetry from the LAST progress carrying it: peak
+    # keyed-state rows and memory — the empirical check on the "state
+    # is O(active keys), not O(stream length)" claim
+    state_rows = state_mem = None
+    for p in batches:
+        for s in p.get("stateOperators", []) or []:
+            state_rows = max(state_rows or 0, s.get("numRowsTotal", 0))
+            state_mem = max(state_mem or 0, s.get("memoryUsedBytes", 0))
     return {
         "input_rows": rows,
         "output_rows": out_rows,
@@ -122,6 +130,8 @@ def run_streaming(spark, stream_df, mode: str, name: str):
         "max_batch_ms": lat[-1] if lat else None,
         "total_trigger_s": round(sum(lat) / 1000.0, 3),
         "rows_per_sec": round(rows / (sum(lat) / 1000.0), 1) if lat and sum(lat) else None,
+        "peak_state_rows": state_rows,
+        "peak_state_bytes": state_mem,
     }
 
 
