@@ -511,3 +511,33 @@ def test_temperature_sample_broadcasts_rate_table(spark, sf_smoke):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_bpe_pair_counts_partial_agg_no_python(spark, sf_smoke):
+    """The pair groupBy must carry a map-side partial aggregate (the
+    alphabet^2 key space collapses each partition before the exchange)
+    and keep the whole pipeline JVM-side."""
+    plan = _executed(spark, "bpe_pair_counts_documents", sf_smoke)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    before_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in before_exchange  # partial agg below the shuffle
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_calibrated_quality_single_scan_keyed_window(spark, sf_smoke):
+    """Score computed inline (ONE scan, no self-join) and the window
+    partitioned on the group key — never an empty-partitionBy (global)
+    window, which would funnel the corpus through one task."""
+    plan = _executed(spark, "calibrated_quality_documents", sf_smoke)
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    # the window's partition spec names the group key
+    window_line = [l for l in plan.splitlines() if "Window" in l and "percent_rank" in l]
+    assert window_line and "source" in window_line[0]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_mad_grouped_no_cartesian_no_python(spark, sf_smoke):
+    plan = _executed(spark, "mad_outliers_by_priority", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
