@@ -92,10 +92,14 @@ def topk_bruteforce(
             id_col,
             # query norm comes from the broadcast row — each corpus row
             # pays 2 array-dots, not 3
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm")),
-                4,
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("score"),
         )
         .orderBy(F.desc("score"), id_col)
@@ -107,7 +111,7 @@ def topk_bruteforce_sql(table: str, k: int = 10, query_id: int = 0, id_col: str 
     cos = _cosine_sql("e.embedding", "q.q_emb")
     return f"""
     WITH q AS (SELECT embedding AS q_emb FROM {table} WHERE {id_col} = {query_id})
-    SELECT e.{id_col}, round({cos}, 4) AS score
+    SELECT e.{id_col}, floor(({cos}) * 10000 + 0.5) / 10000 AS score
     FROM {table} e, q WHERE e.{id_col} <> {query_id}
     ORDER BY score DESC, e.{id_col} LIMIT {k}
     """
@@ -431,10 +435,14 @@ def topk_ivf(
         .crossJoin(F.broadcast(q_df))
         .select(
             F.col("vid").alias(id_col),
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm")),
-                4,
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("score"),
         )
         .orderBy(F.desc("score"), id_col)
@@ -512,7 +520,7 @@ def topk_ivf_sql(
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
-    SELECT e.vid AS {id_col}, round({cos_q}, 4) AS score
+    SELECT e.vid AS {id_col}, floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
     FROM af e JOIN probes USING (bucket), q
     WHERE e.vid <> {query_id}
     ORDER BY score DESC, e.vid LIMIT {k}
@@ -539,8 +547,8 @@ def _centroid_scores(emb_sql: str, nrm_sql: str, centroids: list[list[float]]) -
     for i, ctr in enumerate(centroids):
         cn = sum(v * v for v in ctr) ** 0.5
         cos = (
-            f"round({_dot_lits_sql(emb_sql, ctr)} / "
-            f"({nrm_sql} * CAST({repr(cn)} AS DOUBLE)), 6)"
+            f"floor({_dot_lits_sql(emb_sql, ctr)} / "
+            f"({nrm_sql} * CAST({repr(cn)} AS DOUBLE)) * 1000000 + 0.5) / 1000000"
         )
         entries.append(f"named_struct('s', {cos}, 'nc', {-i})")
     return F.expr(f"sort_array(array({', '.join(entries)}), false)")
@@ -590,8 +598,14 @@ def topk_ivf_fixed(
     return (
         probed.select(
             F.col("vid").alias(id_col),
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 4
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("score"),
         )
         .orderBy(F.desc("score"), id_col)
@@ -620,7 +634,7 @@ def topk_ivf_fixed_sql(
              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM {table}),
     scored AS (
-      SELECT e.vid, e.embedding, e.nrm, c.cid, round({cos_c}, 6) AS cs
+      SELECT e.vid, e.embedding, e.nrm, c.cid, floor(({cos_c}) * 1000000 + 0.5) / 1000000 AS cs
       FROM e, c),
     assigned AS (
       SELECT vid, embedding, nrm, cid AS bucket
@@ -631,7 +645,7 @@ def topk_ivf_fixed_sql(
       ORDER BY cs DESC, cid LIMIT {nprobe}),
     q AS (
       SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vid = {query_id})
-    SELECT e.vid AS {id_col}, round({cos_q}, 4) AS score
+    SELECT e.vid AS {id_col}, floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
     FROM assigned e JOIN probes USING (bucket), q
     WHERE e.vid <> {query_id}
     ORDER BY score DESC, e.vid LIMIT {k}
@@ -663,10 +677,14 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                4,
+            (
+                F.floor(
+                    _dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -723,10 +741,14 @@ def embedding_near_dups_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                4,
+            (
+                F.floor(
+                    _dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -757,10 +779,10 @@ def embedding_near_dups_lsh_sql(
       SELECT *, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM {table}),
     keyed AS MATERIALIZED ({band_selects})
-    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 4) AS cosine
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b, floor(({cos}) * 10000 + 0.5) / 10000 AS cosine
     FROM keyed a JOIN keyed b
       ON a.band = b.band AND a.sig = b.sig AND a.{id_col} < b.{id_col}
-    WHERE round({cos}, 4) >= {threshold}
+    WHERE floor(({cos}) * 10000 + 0.5) / 10000 >= {threshold}
     """
 
 
@@ -779,9 +801,9 @@ def embedding_near_dups_sql(
     WITH e AS MATERIALIZED (
       SELECT *, sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM {table} {cap})
-    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 4) AS cosine
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, floor(({cos}) * 10000 + 0.5) / 10000 AS cosine
     FROM e a JOIN e b ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
-    WHERE round({cos}, 4) >= {threshold}
+    WHERE floor(({cos}) * 10000 + 0.5) / 10000 >= {threshold}
     """
 
 
@@ -832,8 +854,14 @@ def topk_batch(
             # rank on the ROUNDED score (ties then break on vid): raw
             # doubles can differ in the last ulp between engines'
             # summation orders and flip the k-th row
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 4
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("cos"),
         )
     )
@@ -871,7 +899,7 @@ def topk_batch_sql(
     WITH q AS (SELECT {id_col} AS query_id, embedding AS q_emb
                FROM {table} WHERE {id_col} IN ({ids})),
     scored AS (
-      SELECT q.query_id, e.{id_col}, round({cos}, 4) AS cos
+      SELECT q.query_id, e.{id_col}, floor(({cos}) * 10000 + 0.5) / 10000 AS cos
       FROM {table} e, q WHERE e.{id_col} <> q.query_id),
     ranked AS (
       SELECT query_id, {id_col}, cos,

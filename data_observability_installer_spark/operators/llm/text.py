@@ -316,7 +316,7 @@ def chunk_documents_sql(
 
 
 def bpe_pair_counts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_n: int = 20
+    df: DataFrame, text_col: str = "text", top_n: int = 20
 ) -> DataFrame:
     """The counting step of byte-pair-encoding tokenizer training:
     corpus-wide frequencies of ADJACENT character pairs within
@@ -350,7 +350,7 @@ def bpe_pair_counts(
 
 
 def bpe_pair_counts_sql(
-    table: str, text_col: str = "text", id_col: str = "doc_id", top_n: int = 20
+    table: str, text_col: str = "text", top_n: int = 20
 ) -> str:
     return f"""
     WITH w AS (
