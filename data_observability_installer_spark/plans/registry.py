@@ -214,7 +214,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -260,7 +260,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
-                "long"
+                "decimal(38,0)"
             )
         ).alias("order_rev_cents")
     )
@@ -315,7 +315,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -384,7 +384,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -471,7 +471,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.round(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                ).cast("long")
+                ).cast("decimal(38,0)")
             ).alias("rev_cents")
         )
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
@@ -646,7 +646,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent, so the rounded ratio is bit-stable cross-engine
     rev_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("long")
+    ).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
@@ -655,12 +655,17 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
         .agg(
             F.round(
+                # cast the exact integer totals to double BEFORE dividing:
+                # decimal/decimal would use Spark's decimal-quotient
+                # rounding while the oracle divides doubles — converting
+                # both exact totals to nearest-double first makes the
+                # division IEEE-identical on both engines
                 F.sum(
                     F.when(F.col("supp_nation") == "JAPAN", rev_cents).otherwise(
                         F.lit(0).cast("long")
                     )
-                )
-                / F.sum(rev_cents),
+                ).cast("double")
+                / F.sum(rev_cents).cast("double"),
                 4,
             ).alias("share")
         )
@@ -715,7 +720,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -1323,7 +1328,7 @@ def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -3645,7 +3650,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast(
-                        "long"
+                        "decimal(38,0)"
                     )
                 )
                 / 10000.0,
@@ -3718,7 +3723,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 )
                 / 10000.0,
                 2,
@@ -3767,7 +3772,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
-    amount_cents = F.round(amount * 10000, 0).cast("long")
+    amount_cents = F.round(amount * 10000, 0).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
@@ -3807,7 +3812,7 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
-                "long"
+                "decimal(38,0)"
             )
         ).alias("value_cents")
     )
@@ -3926,7 +3931,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
-                "long"
+                "decimal(38,0)"
             )
         ).alias("rev_cents")
     )
