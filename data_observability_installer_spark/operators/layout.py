@@ -218,19 +218,45 @@ def scan_metrics(df: DataFrame) -> dict:
 
         scan_metrics(spark.read.parquet(p).filter(...))
 
-    Driver-side metadata only; the one action it runs is the scan
-    itself."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    leaves = plan.collectLeaves()
+    Execution goes through ``queryExecution().toRdd().count()`` — the
+    SAME QueryExecution whose plan metrics are read, but a JVM-side
+    count, so driver memory stays O(1) however many rows survive the
+    filter (a ``collect()`` here would pull the whole result through
+    py4j just to discard it). Under AQE the top node is
+    AdaptiveSparkPlanExec — itself a leaf with no scan metrics — so
+    the final physical plan is unwrapped before collecting leaves."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
     out = {"rows": 0, "files": 0, "bytes": 0}
-    for i in range(leaves.size()):
-        metrics = leaves.apply(i).metrics()
-        for key, dst in (
-            ("numOutputRows", "rows"),
-            ("numFiles", "files"),
-            ("filesSize", "bytes"),
-        ):
-            if metrics.contains(key):
-                out[dst] += metrics.apply(key).value()
+    stack = [qe.executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        # AQE wraps the executed tree in leaf wrappers: the top-level
+        # AdaptiveSparkPlanExec and, inside it, *QueryStageExec nodes
+        # (shuffle/broadcast/result stages) — all LeafExecNodes whose
+        # real subtree hangs off executedPlan()/plan(). Unwrap them so
+        # the actual FileSourceScanExec leaves are reached; without
+        # this, any plan with an exchange reports all-zero metrics.
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if name.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        leaves = node.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            lname = leaf.getClass().getSimpleName()
+            if lname == "AdaptiveSparkPlanExec" or lname.endswith("QueryStageExec"):
+                stack.append(leaf)
+                continue
+            metrics = leaf.metrics()
+            for key, dst in (
+                ("numOutputRows", "rows"),
+                ("numFiles", "files"),
+                ("filesSize", "bytes"),
+            ):
+                if metrics.contains(key):
+                    out[dst] += metrics.apply(key).value()
     return out

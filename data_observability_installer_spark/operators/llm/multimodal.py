@@ -420,6 +420,13 @@ def media_at_rest_path(n: int = 48) -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_cache_{uid}")
     os.makedirs(base, mode=0o700, exist_ok=True)
+    # makedirs(exist_ok=True) succeeds even if another user pre-created
+    # the predictable path (shared-/tmp pre-plant): verify the existing
+    # dir is actually OURS and private before trusting it; otherwise
+    # fall back to a fresh unpredictable dir for this process
+    st = os.stat(base)
+    if hasattr(os, "getuid") and (st.st_uid != uid or (st.st_mode & 0o077)):
+        base = tempfile.mkdtemp(prefix="spark_graft_cache_")
     return os.path.join(
         base, f"media_{MEDIA_FIXTURE_VERSION}_n{n}.parquet"
     )

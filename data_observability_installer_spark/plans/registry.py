@@ -4170,11 +4170,34 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_WINDOW = 50
 
 
+def _evidence_row_green(v) -> bool:
+    """Is this CORRECTNESS row green? Oracle-backed rows need
+    rows/schema/hash all non-failing with no error; rows-only rows
+    (err == 'no_oracle', the driver's weaker check) count when the
+    query ran and reported a row count."""
+    if not isinstance(v, dict):
+        return False
+    if v.get("err") == "no_oracle":
+        return v.get("spark_rows") is not None
+    return bool(
+        v.get("rows_match")
+        and v.get("schema_match") is not False
+        and v.get("hash_match") is not False
+        and not v.get("err")
+    )
+
+
 def _driver_evidence_rounds() -> dict[str, int]:
-    """Most recent driver round in which each query had a CORRECTNESS
-    row (missing => never checked). Reads the repo-root artifacts; in a
-    deployment without them every query ties at never and registration
-    order rules (still deterministic)."""
+    """Most recent driver round in which each query had a GREEN
+    CORRECTNESS row (missing => never checked / never passed). Reads
+    the repo-root artifacts; in a deployment without them every query
+    ties at never and registration order rules (still deterministic).
+
+    Only green rows count as evidence: a FAILED or errored row must
+    leave the query maximally stale so the stalest-first window pulls
+    it back in for re-verification next round — counting mere presence
+    would rotate a known-broken query OUT of the window that would
+    re-check it."""
     import glob
     import json
     import os
@@ -4183,6 +4206,7 @@ def _driver_evidence_rounds() -> dict[str, int]:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    green = _evidence_row_green
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -4191,11 +4215,12 @@ def _driver_evidence_rounds() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as fh:
-                names = json.load(fh)
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for n in names:
-            last[n] = max(last.get(n, 0), rnd)
+        for n, v in rows.items():
+            if green(v):
+                last[n] = max(last.get(n, 0), rnd)
     return last
 
 

@@ -132,7 +132,14 @@ def guarded_write(
 
     from ..operators.dq.compiler import compile_suite
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # pin only if the caller hasn't: persist() on an already-cached
+    # frame is a no-op, but an unconditional unpersist() in finally
+    # would EVICT the caller's cache entry and silently force later
+    # caller actions to recompute (for a nondeterministic frame, onto
+    # different rows than were just validated)
+    pinned_here = df.storageLevel == StorageLevel.NONE
+    if pinned_here:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         outcomes = compile_suite(df, specs, as_of).collect()
         bad_states = {"FAILED"} | ({"WARNING"} if fail_on_warning else set())
@@ -142,7 +149,8 @@ def guarded_write(
         df.write.mode(mode).parquet(path)
         return [r.asDict() for r in outcomes]
     finally:
-        df.unpersist()
+        if pinned_here:
+            df.unpersist()
 
 
 def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -72,3 +72,18 @@ def test_gate_window_all_oracle_backed_or_known_rows_only():
         "multimodal_features",
     }
     assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
+
+
+def test_failed_correctness_rows_do_not_count_as_evidence():
+    """A FAILED or errored driver row must leave a query maximally
+    stale (back into the window for re-check); green oracle rows and
+    rows-only 'ran with a row count' rows do count."""
+    g = registry._evidence_row_green
+    assert g({"rows_match": True, "schema_match": True, "hash_match": True, "err": None})
+    assert g({"rows_match": True, "schema_match": True, "hash_match": None, "err": None})
+    assert g({"err": "no_oracle", "spark_rows": 270})
+    assert not g({"rows_match": True, "schema_match": True, "hash_match": False, "err": None})
+    assert not g({"rows_match": False, "schema_match": True, "hash_match": None, "err": None})
+    assert not g({"rows_match": None, "schema_match": None, "hash_match": None, "err": "AnalysisException: boom"})
+    assert not g({"err": "no_oracle", "spark_rows": None})
+    assert not g(None)

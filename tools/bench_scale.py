@@ -184,7 +184,7 @@ def main() -> None:
         help="update only the selected ops inside the existing SCALE_BENCH.json",
     )
     args = ap.parse_args()
-    factors = [int(x) for x in args.factors.split(",")] if args.factors else FACTORS
+    factors = sorted({int(x) for x in args.factors.split(",")}) if args.factors else FACTORS
     ops = (
         {n: OPS[n] for n in args.ops.split(",")} if args.ops else OPS
     )
@@ -226,10 +226,11 @@ def main() -> None:
                     fn(spark, paths[(table, k)])
                     trials.append(time.monotonic() - t0)
                 timings[f"x{k}"] = round(min(trials), 2)
-            top = factors[-1]
-            timings[f"ratio_x{top}_vs_x1"] = round(
-                timings[f"x{top}"] / timings["x1"], 2
-            )
+            base, top = factors[0], factors[-1]
+            if top != base:
+                timings[f"ratio_x{top}_vs_x{base}"] = round(
+                    timings[f"x{top}"] / timings[f"x{base}"], 2
+                )
             results[name] = timings
             print(name, timings)
     finally:

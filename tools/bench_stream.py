@@ -81,12 +81,29 @@ def obs_replay_frame(spark, sf_dir: str):
 
 
 def write_replay_chunks(df, out_dir: str, n_chunks: int) -> None:
-    """Time-ordered chunk files with increasing mtimes so the file
-    source's maxFilesPerTrigger replays them as an ordered stream."""
-    chunks = df.repartitionByRange(n_chunks, "event_timestamp").sortWithinPartitions(
-        "event_timestamp"
-    )
-    chunks.write.mode("overwrite").json(out_dir)
+    """Time-ordered chunk files with STRICTLY increasing mtimes so the
+    file source's maxFilesPerTrigger replays them as an ordered stream.
+    One write job per chunk: a single repartitionByRange write emits
+    all part files concurrently with tied mtimes, and the source's
+    tie-break would replay them in arbitrary order — silently changing
+    watermark advancement and state retention for the stateful
+    operators this bench measures."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    bucketed = df.withColumn(
+        "_b", F.ntile(n_chunks).over(Window.orderBy("event_timestamp"))
+    ).persist()
+    bucketed.count()
+    for i in range(1, n_chunks + 1):
+        (
+            bucketed.filter(F.col("_b") == i)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("append" if i > 1 else "overwrite")
+            .json(out_dir)
+        )
+        time.sleep(0.05)  # guarantee distinct mtimes at FS granularity
+    bucketed.unpersist()
 
 
 def run_streaming(spark, stream_df, mode: str, name: str):
