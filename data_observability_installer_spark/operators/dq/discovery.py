@@ -1,0 +1,157 @@
+"""Dependency discovery: functional dependencies and inclusion
+dependencies (FK candidates) over profiled tables.
+
+Reference parity: TestGen's profiling/test-generation loop captures
+per-column baselines and emits structural tests (reference
+`README.md:207-209`; FK-style reconciliation checks in
+`demo/input_data/demo_pipeline_tests.csv`). Discovery is the step
+before generation — *finding* the keys and foreign keys a new dataset
+actually satisfies, so the generator can emit Unique / referential
+tests with evidence instead of convention.
+
+Scale design:
+
+- :func:`fd_check` verifies N candidate FDs ``A -> B`` over one table
+  in a SINGLE input scan: ``GROUPING SETS ((A1), (A2), ...)`` fans the
+  scan out to one aggregation stream per determinant (Catalyst Expand,
+  map-side partial ``count(distinct)`` per group), then a
+  metadata-sized second aggregation folds each stream to one summary
+  row. Shuffled rows = sum of the determinants' cardinalities — never
+  the row count.
+- :func:`ind_check` reduces both sides of each candidate to DISTINCT
+  values first (shuffle bounded by cardinality, not rows), then counts
+  containment with one left join per pair; dimension-sized parents are
+  broadcast by AQE. The verdict columns are pure integer arithmetic,
+  bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Verify candidate functional dependencies ``det -> dep`` on
+    ``df``: per pair, the number of determinant keys, how many keys map
+    to more than one distinct dependent value, and the total number of
+    distinct (det, dep) assignments. ``holds`` iff no key violates.
+
+    Rows where the determinant is NULL are ignored (count-distinct
+    semantics); NULL dependents never count as an assignment.
+    """
+    dets = sorted({a for a, _ in pairs})
+    grouped = df.groupingSets(
+        [[F.col(a)] for a in dets], *[F.col(a) for a in dets]
+    ).agg(
+        *[F.grouping(a).alias(f"_g_{a}") for a in dets],
+        *[
+            F.countDistinct(F.col(b)).alias(f"_nb_{i}")
+            for i, (_, b) in enumerate(pairs)
+        ],
+    )
+    per_pair = []
+    for i, (a, b) in enumerate(pairs):
+        nb = F.col(f"_nb_{i}")
+        per_pair.append(
+            grouped.filter((F.col(f"_g_{a}") == 0) & F.col(a).isNotNull()).agg(
+                F.lit(a).alias("determinant"),
+                F.lit(b).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((nb > 1).cast("long")).cast("long").alias("n_violating_keys"),
+                F.sum(nb).cast("long").alias("n_keypairs"),
+            )
+        )
+    out = per_pair[0]
+    for p in per_pair[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("holds", F.col("n_violating_keys") == 0).orderBy(
+        "determinant", "dependent"
+    )
+
+
+def fd_check_sql(table: str, pairs: list[tuple[str, str]]) -> str:
+    parts = []
+    for a, b in pairs:
+        parts.append(
+            f"""
+    SELECT '{a}' AS determinant, '{b}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(sum(nb) AS BIGINT) AS n_keypairs,
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {a} AS k, count(DISTINCT {b}) AS nb
+          FROM {table} WHERE {a} IS NOT NULL GROUP BY {a})"""
+        )
+    union = "\n    UNION ALL".join(parts)
+    return f"{union}\n    ORDER BY determinant, dependent"
+
+
+def ind_check(
+    named_pairs: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Verify candidate inclusion dependencies. Each entry is
+    ``(child_name, child_df, child_col, parent_name, parent_df,
+    parent_col)``; the result has one row per candidate with the
+    distinct child-value count, how many are contained in the parent,
+    the containment in integer basis points (floor division — exact),
+    and ``holds`` iff fully contained (an FK candidate).
+    """
+    outs = []
+    for cname, child, cc, pname, parent, pc in named_pairs:
+        c = (
+            child.select(F.col(cc).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        p = (
+            parent.select(F.col(pc).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        outs.append(
+            c.join(p, "v", "left").agg(
+                F.lit(f"{cname}.{cc}").alias("child"),
+                F.lit(f"{pname}.{pc}").alias("parent"),
+                F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contained"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (
+        out.withColumn(
+            "containment_bp",
+            F.expr("CAST(n_contained * 10000L DIV n_child_distinct AS BIGINT)"),
+        )
+        .withColumn("holds", F.col("n_contained") == F.col("n_child_distinct"))
+        .orderBy("child", "parent")
+    )
+
+
+def ind_check_sql(named_pairs: list[tuple[str, str, str, str]]) -> str:
+    """Twin for :func:`ind_check`; entries are
+    ``(child_table, child_col, parent_table, parent_col)`` (table names
+    double as labels, as in the Spark path when called with loaded
+    tables)."""
+    parts = []
+    for ct, cc, pt, pc in named_pairs:
+        parts.append(
+            f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contained,
+           CAST((sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+                // count(*) AS BIGINT) AS containment_bp,
+           sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) = count(*) AS holds
+    FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}
+          WHERE {cc} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS v FROM {pt}
+               WHERE {pc} IS NOT NULL) p USING (v)"""
+        )
+    union = "\n    UNION ALL".join(parts)
+    return f"{union}\n    ORDER BY child, parent"

@@ -1377,6 +1377,53 @@ def fk_orphans_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dq.discovery import (  # noqa: E402
+    fd_check,
+    fd_check_sql,
+    ind_check,
+    ind_check_sql,
+)
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+@register("fd_discovery_orders", fd_check_sql("orders", _FD_PAIRS))
+def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery on orders: three candidates
+    (the true key FD plus two that real data violates) verified in ONE
+    input scan via GROUPING SETS — shuffle bounded by determinant
+    cardinality. Feeds the test generator's Unique/LOV emission with
+    evidence (reference README.md:207-209)."""
+    return fd_check(load_table(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+_IND_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "nation", "n_nationkey"),
+]
+
+
+@register("fk_discovery_tpch", ind_check_sql(_IND_PAIRS))
+def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK-candidate) discovery across the star
+    schema: distinct-reduce each side first (shuffle ~ cardinality, not
+    rows), then one containment join per candidate — three true FKs
+    plus one decoy the data rejects. The per-key member of the
+    fk_orphans audit family, aimed at schema inference on arrival."""
+    return ind_check(
+        [
+            (ct, load_table(spark, sf_dir, ct), cc, pt, load_table(spark, sf_dir, pt), pc)
+            for ct, cc, pt, pc in _IND_PAIRS
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data drift (README.md:208 "data drift checks"): PSI vs baselines
 # frozen at sf0.01 — identical data scores ~0, other sfs register real
@@ -2346,6 +2393,31 @@ def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, as a standalone operator. Map-side expressions end-to-end;
     the only shuffle is a groupBy whose key space is alphabet^2."""
     return _text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "heavy_hitters_documents",
+    None,  # oracle attached below (module import kept local)
+)
+def heavy_hitters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (Misra–Gries nominate + exact
+    verify): word bigrams of the corpus with frequency >= total/1000 —
+    the boilerplate-phrase detector. Pass 1 is map-only with a hard
+    per-partition state cap; pass 2 counts only the nominated
+    candidates behind a broadcast semi-join, so the shuffle carries
+    heavy keys, not the column's cardinality. The answer is provably
+    identical to the full groupBy (operators/sketch.py docstring), so
+    it hash-matches an exact-SQL oracle."""
+    from ..operators.sketch import heavy_hitters_bigrams
+
+    return heavy_hitters_bigrams(
+        load_table(spark, sf_dir, "documents"), phi_denom=1000
+    )
+
+
+from ..operators.sketch import heavy_hitters_bigrams_sql as _hh_sql  # noqa: E402
+
+ORACLES["heavy_hitters_documents"] = _hh_sql("documents", phi_denom=1000)
 
 
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))

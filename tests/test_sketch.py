@@ -1,0 +1,122 @@
+"""Heavy-hitters sketch: exactness vs the full groupBy, the
+Misra–Gries state bound, and the mergeable-summary undercount bound."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_observability_installer_spark.operators.sketch import (
+    heavy_hitters,
+    heavy_hitters_bigrams,
+    mg_summarize_partition,
+)
+
+
+def _zipf_items(n: int, n_distinct: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    weights = [1.0 / (i + 1) for i in range(n_distinct)]
+    return [f"item_{rng.choices(range(n_distinct), weights)[0]:05d}" for _ in range(n)]
+
+
+def _exact_hitters(spark, items: list[str], phi_denom: int):
+    df = spark.createDataFrame([(w,) for w in items], "w string")
+    total = len(items)
+    exact = (
+        df.groupBy("w")
+        .count()
+        .filter(F.col("count") * phi_denom >= total)
+        .orderBy(F.col("count").desc(), "w")
+        .collect()
+    )
+    return [(r["w"], r["count"]) for r in exact]
+
+
+@pytest.mark.parametrize("capacity", [None, 50])  # default (4x) and adversarial-tight
+def test_heavy_hitters_match_exact_groupby(spark, capacity):
+    """Sketch-nominated + exact-verified == full groupBy, on skewed
+    data whose cardinality (1000) exceeds a tight capacity (50) so the
+    trim path actually runs; phi_denom=50 keeps the guarantee bound."""
+    items = _zipf_items(20_000, 1000, seed=7)
+    df = spark.createDataFrame([(w,) for w in items], "w string").repartition(8)
+    got = heavy_hitters(df, "w", phi_denom=50, capacity=capacity).collect()
+    want = _exact_hitters(spark, items, 50)
+    assert [(r["term"], r["ct"]) for r in got] == want
+    # share_bp is exact integer basis points
+    for r in got:
+        assert r["share_bp"] == (r["ct"] * 10000) // len(items)
+
+
+def test_capacity_below_denominator_rejected(spark):
+    df = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError, match="voids the exactness"):
+        heavy_hitters(df, "w", phi_denom=100, capacity=50).collect()
+
+
+def test_mg_summary_state_bound_and_undercount():
+    """Drive the partition summarizer directly: state never exceeds
+    capacity and every surviving counter undercounts its true
+    frequency by at most n/(capacity+1)."""
+    cap = 32
+    rng = random.Random(3)
+    true = {}
+    summary = None
+    n = 0
+    for _ in range(40):  # 40 arrow-batch merges
+        batch = _zipf_items(500, 400, seed=rng.randrange(1 << 30))
+        n += len(batch)
+        for w in batch:
+            true[w] = true.get(w, 0) + 1
+        summary = mg_summarize_partition(summary, pd.Series(batch).value_counts(), cap)
+        assert len(summary) <= cap
+    max_err = n / (cap + 1)
+    for w, est in summary.items():
+        assert 0 < est <= true[w]
+        assert true[w] - est <= max_err
+    # survival guarantee: every item with f > n/(cap+1) is present
+    for w, f in true.items():
+        if f > max_err:
+            assert w in summary.index
+
+
+def test_nulls_and_empty_partitions(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "w string"
+    ).repartition(16)  # most partitions empty
+    got = heavy_hitters(df, "w", phi_denom=3).collect()
+    # total excludes the null row: a=2 of 3 (>=1/3), b=1 of 3 (>=1/3)
+    assert [(r["term"], r["ct"]) for r in got] == [("a", 2), ("b", 1)]
+
+
+def test_bigram_query_matches_exact(spark, sf_correct):
+    from data_observability_installer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    got = heavy_hitters_bigrams(docs, phi_denom=1000)
+    # exact twin computed with plain Spark groupBy over the same bigrams
+    from data_observability_installer_spark.operators.sketch import _bigrams
+
+    bg = _bigrams(docs, "text")
+    total = bg.filter(F.col("w").isNotNull()).count()
+    want = (
+        bg.filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .count()
+        .filter(F.col("count") * 1000 >= total)
+        .orderBy(F.col("count").desc(), "w")
+        .collect()
+    )
+    assert [(r["term"], r["ct"]) for r in got.collect()] == [
+        (r["w"], r["count"]) for r in want
+    ]
+
+
+def test_broadcast_verify_plan(spark):
+    """Plan gate: the exact verification pass joins the candidate list
+    via broadcast — no shuffle keyed on the full item column."""
+    df = spark.createDataFrame([(f"w{i%10}",) for i in range(100)], "w string")
+    plan = heavy_hitters(df, "w", phi_denom=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
