@@ -1047,3 +1047,174 @@ def knn_graph_sql(
       FROM pairs)
     SELECT src, dst, score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization: the compressed-scan ANN path. IVF prunes
+# WHICH rows a probe reads; quantization shrinks HOW MANY BYTES each
+# read costs — a float32 64-d embedding column at 100 TB becomes
+# ~25 TB as int8 at rest, and the candidate scan runs on the small
+# copy. Scale factors cancel in cosine, so candidate ranking needs no
+# dequantization; a final exact pass over the (tiny) candidate set
+# restores full-precision scores.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i /
+    max|x| * 127 + 0.5)`` as ``array<tinyint>`` (1 byte/component at
+    rest vs 4 for float32) plus the quantized L2 norm. The per-vector
+    scale drops out of cosine, so it is not even stored. Zero vectors
+    quantize to zeros (their cosine is undefined and they never rank).
+    All arithmetic is the documented cross-engine-exact idiom: int64
+    dot products, one IEEE sqrt."""
+    emb = F.col("embedding")
+    mx = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        mx > 0,
+        F.transform(
+            emb,
+            lambda x: F.floor(x.cast("double") / mx * 127 + F.lit(0.5)).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(emb, lambda x: F.lit(0).cast("tinyint")))
+    qd = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return embeddings.select(F.col(id_col).alias("vid"), q.alias("q")).withColumn(
+        "qn", F.sqrt(qd.cast("double"))
+    )
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_int8(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine via the compressed scan: rank ALL rows on the
+    int8-quantized cosine (int64 dot / quantized norms — the pass that
+    reads 1/4 the bytes at rest), keep ``rescore * k`` candidates, then
+    re-score only those against the full-precision vectors and return
+    the exact-cosine top-k. Candidate selection and final ranking both
+    order on the floor-rounded score with id tiebreak, so the result is
+    deterministic and the DuckDB twin replays both phases bit-for-bit.
+
+    The candidate cut is ``orderBy().limit()`` — Spark's TakeOrdered,
+    a map-side partial top-m per partition followed by a driver merge
+    of ``partitions x m`` rows; no global sort, no single-task window.
+    The rescore join broadcasts the candidate id list back onto the
+    full-precision table — at rest that is a point-lookup into the
+    float copy, touching ``rescore * k`` vectors, not the corpus."""
+    qz = quantize_int8(embeddings, id_col)
+    # zero vectors have no cosine: drop them from both sides up front
+    # (ANSI mode makes the 0-norm division an error, not a NULL)
+    qv = qz.filter((F.col("vid") == query_id) & (F.col("qn") > 0)).select(
+        F.col("q").alias("qq"), F.col("qn").alias("qqn")
+    )
+    approx = (
+        qz.filter(F.col("qn") > 0)
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vid") != query_id)
+        .select(
+            "vid",
+            (
+                F.floor(
+                    _dot_int(F.col("q"), F.col("qq"))
+                    / (F.col("qn") * F.col("qqn"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("ascore"),
+        )
+    )
+    cands = (
+        approx.orderBy(F.desc("ascore"), F.asc("vid"))
+        .limit(rescore * k)
+        .select("vid")
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qfull = full.filter((F.col("vid") == query_id) & (F.col("nrm") > 0)).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    exact = (
+        full.join(F.broadcast(cands), "vid")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vid",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+    )
+    return (
+        exact.orderBy(F.desc("score"), F.asc("vid"))
+        .limit(k)
+        .select(F.col("vid").alias(id_col), "score")
+    )
+
+
+def topk_int8_sql(
+    table: str, k: int = 10, query_id: int = 0, rescore: int = 4, id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`topk_int8`: identical quantization,
+    identical two-phase ranking (rounded scores, id tiebreaks)."""
+    quant = (
+        "CASE WHEN mx > 0 THEN list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127 + 0.5) AS TINYINT)) "
+        "ELSE list_transform(embedding, x -> CAST(0 AS TINYINT)) END"
+    )
+    dot_int = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) AS BIGINT)"
+    )
+    cos_full = _cosine_sql("f.embedding", "qf.embedding")
+    return f"""
+    WITH m AS (
+      SELECT {id_col} AS vid, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM {table}),
+    qz AS (
+      SELECT vid, {quant} AS q FROM m),
+    qn AS (
+      SELECT vid, q,
+             sqrt(CAST({dot_int.format(a="q", b="q")} AS DOUBLE)) AS qn
+      FROM qz),
+    qv AS (SELECT q AS qq, qn AS qqn FROM qn WHERE vid = {query_id} AND qn > 0),
+    approx AS (
+      SELECT e.vid,
+             floor({dot_int.format(a="e.q", b="qv.qq")} / (e.qn * qv.qqn)
+                   * 10000 + 0.5) / 10000 AS ascore
+      FROM qn e, qv WHERE e.vid <> {query_id} AND e.qn > 0),
+    cands AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY ascore DESC, vid) AS rnk
+        FROM approx) WHERE rnk <= {rescore * k}),
+    f AS (SELECT {id_col} AS vid, embedding FROM {table}),
+    qf AS (SELECT embedding FROM {table} WHERE {id_col} = {query_id})
+    SELECT f.vid AS {id_col},
+           floor(({cos_full}) * 10000 + 0.5) / 10000 AS score
+    FROM f JOIN cands USING (vid), qf
+    ORDER BY score DESC, f.vid LIMIT {k}
+    """

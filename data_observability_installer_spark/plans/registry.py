@@ -2425,6 +2425,15 @@ def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
+@register("topk_int8_embeddings", _sim.topk_int8_sql("embeddings", k=10, query_id=0))
+def topk_int8_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-scan ANN: int8-quantized candidate pass (1/4 the
+    bytes at rest; scale factors cancel in cosine so no dequantize),
+    then exact rescore of 4k candidates against the float vectors —
+    deterministic two-phase ranking the DuckDB twin replays."""
+    return _sim.topk_int8(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
 @register("topk_lsh_embeddings", _sim.topk_lsh_sql("embeddings", k=10, query_id=0))
 def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
