@@ -1424,6 +1424,37 @@ def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dq.rowscreen import (  # noqa: E402
+    violation_signatures,
+    violation_signatures_sql,
+)
+from ..operators.dq.testtypes import TestSpec as _TS  # noqa: E402
+
+_ROW_SCREEN_SPECS = [
+    _TS("lineitem", "l_quantity", "Required"),
+    _TS("lineitem", "l_returnflag", "LOV_Match", {"Baseline_Value": "('A','N')"}),
+    _TS("lineitem", "l_quantity", "Min_Val",
+        {"Baseline_Value": "2", "Threshold_Value": "0"}),
+    _TS("lineitem", "l_shipdate", "Future_Date"),
+]
+
+
+@register(
+    "row_screen_lineitem",
+    violation_signatures_sql("lineitem", _ROW_SCREEN_SPECS, AS_OF),
+)
+def row_screen_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DQ screen (the quarantine decision surface): tag each
+    lineitem row with the list of violated tests — same TestGen
+    vocabulary and baselines as the aggregate suite — and roll up rows
+    per violation signature. The tag is one codegen projection; the
+    rollup's key space is the handful of observed signatures, so the
+    shuffle is metadata-sized."""
+    return violation_signatures(
+        load_table(spark, sf_dir, "lineitem"), _ROW_SCREEN_SPECS, AS_OF
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data drift (README.md:208 "data drift checks"): PSI vs baselines
 # frozen at sf0.01 — identical data scores ~0, other sfs register real
