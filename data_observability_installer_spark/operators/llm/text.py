@@ -362,3 +362,157 @@ def bpe_pair_counts_sql(
     SELECT pair, count(*) AS pair_ct FROM p
     GROUP BY pair ORDER BY pair_ct DESC, pair LIMIT {top_n}
     """
+
+
+# ---------------------------------------------------------------------------
+# Full BPE merge-rule training (Sennrich et al.): N deterministic
+# merge rounds over the word-frequency table. bpe_pair_counts exposes
+# the scan of ONE round; this runs the whole loop. The iteration state
+# is the VOCABULARY (distinct words + counts + current tokenization),
+# not the corpus — one corpus-sized shuffle up front, then N rounds of
+# vocabulary-sized jobs, each collecting exactly one winning pair to
+# the driver (the same metadata-sized-iteration idiom as
+# similarity.train_ivf_kmeans). Everything is exact string/int64
+# arithmetic with (count DESC, left, right) tie-breaks, so a DuckDB
+# twin unrolling the same rounds reproduces the merge table
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# unit separator: cannot appear in whitespace-split tokens. Tokens are
+# DOUBLE-SEP delimited ("⟂⟂a⟂⟂b⟂⟂") and a merge of (l, r) replaces the
+# SINGLE-SEP-padded pattern "⟂l⟂⟂r⟂" with "⟂lr⟂": each match consumes
+# one separator from each boundary pair, so the double-SEP form is
+# restored around the merged token AND the scan position after a match
+# still sits on a valid left boundary — a run like [a,a,a,a] merges to
+# [aa,aa], exactly greedy leftmost BPE. (A single-SEP encoding eats the
+# shared boundary and skips every other overlapping occurrence.)
+_BPE_SEP = "\x1f"
+_BPE_D = _BPE_SEP * 2
+
+
+def _bpe_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, ct, toks): the word-frequency table with each word's
+    tokenization as a double-SEP-delimited string — initially one
+    character per token."""
+    words = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    return (
+        df.select(words)
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumn(
+            "toks",
+            F.concat(
+                F.lit(_BPE_D),
+                F.regexp_replace(F.col("word"), "(.)", "$1" + _BPE_D),
+            ),
+        )
+    )
+
+
+def _bpe_pair_counts_round(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies of the CURRENT tokenization, weighted
+    by word count. Vocabulary-sized input; map-side explode + one
+    bounded groupBy."""
+    arr = F.filter(F.split(F.col("toks"), _BPE_SEP), lambda x: x != "")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    zipped = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        vocab.select("ct", F.explode(zipped).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("ct").cast("long").alias("pct"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns
+    ``(merge_round, left_tok, right_tok, pair_ct)`` in training order.
+    Each round: count adjacent pairs in the current tokenization
+    (weighted by word frequency), pick the winner by (count DESC,
+    left, right), and apply it as a boundary-safe string replace —
+    Spark's ``replace`` and the twin's are both single left-to-right
+    non-overlapping passes, i.e. exactly BPE's leftmost-greedy merge.
+
+    Raises if the vocabulary runs out of pairs before ``n_merges``
+    (the fixed-round twin cannot represent a short loop)."""
+    spark = df.sparkSession
+    vocab = _bpe_word_freq(df, text_col).localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts_round(vocab)
+            .orderBy(F.desc("pct"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"vocabulary exhausted after {rnd - 1} merges; "
+                f"lower n_merges (= {n_merges})"
+            )
+        l, r, pct = top[0]["l"], top[0]["r"], top[0]["pct"]
+        merges.append((rnd, l, r, pct))
+        vocab = vocab.withColumn(
+            "toks",
+            F.replace(
+                F.col("toks"),
+                F.lit(_BPE_SEP + l + _BPE_D + r + _BPE_SEP),
+                F.lit(_BPE_SEP + l + r + _BPE_SEP),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_round int, left_tok string, right_tok string, pair_ct long"
+    )
+
+
+def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str:
+    """DuckDB twin: the same rounds unrolled as CTE triples (pair
+    counts p{i}, winner t{i}, re-tokenized vocabulary w{i}) from the
+    same character-level start — the IVF-Lloyd unrolling idiom."""
+    sep = "e'\\x1F'"
+    dsep = "e'\\x1F\\x1F'"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, count(*) AS ct,
+             {dsep} || regexp_replace(word, '(.)', '\\1' || {dsep}, 'g') AS toks
+      FROM (SELECT unnest(regexp_split_to_array(lower({text_col}), '\\s+')) AS word
+            FROM {table})
+      WHERE length(word) >= 1 GROUP BY word)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+      SELECT a[j] AS l, a[j + 1] AS r, CAST(sum(ct) AS BIGINT) AS pct
+      FROM (SELECT ct, list_filter(string_split(toks, {sep}), x -> x <> '') AS a
+            FROM {prev}),
+           unnest(range(1, len(a))) AS u(j)
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"t{i} AS (SELECT l, r, pct FROM p{i} ORDER BY pct DESC, l, r LIMIT 1)"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""w{i} AS MATERIALIZED (
+      SELECT word, ct,
+             replace(toks, (SELECT {sep} || l || {dsep} || r || {sep} FROM t{i}),
+                     (SELECT {sep} || l || r || {sep} FROM t{i})) AS toks
+      FROM {prev})"""
+            )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_round, l AS left_tok, r AS right_tok, pct AS pair_ct FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    {rows}
+    ORDER BY merge_round
+    """

@@ -2426,6 +2426,18 @@ def bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register("bpe_train_documents", _text.bpe_train_sql("documents", n_merges=12))
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, 12 merge rounds: the iteration
+    state is the word-frequency table (vocabulary-sized, one corpus
+    shuffle up front), each round is a bounded pair-count agg plus one
+    driver-collected winner — the metadata-sized-iteration idiom. The
+    boundary-safe double-separator merge makes Spark, DuckDB, and
+    reference token-wise greedy BPE agree bit-for-bit (property-tested
+    against a pure-Python trainer in tests/test_bpe.py)."""
+    return _text.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=12)
+
+
 @register(
     "heavy_hitters_documents",
     None,  # oracle attached below (module import kept local)
