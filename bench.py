@@ -168,6 +168,12 @@ HEADLINE = [
     "topk_ivf_embeddings",
     "calibrated_quality_documents",
     "canonical_docs_documents",
+    "heavy_hitters_documents",
+    "fd_discovery_orders",
+    "fk_discovery_tpch",
+    "topk_int8_embeddings",
+    "row_screen_lineitem",
+    "bpe_train_documents",
 ]
 
 

@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+def fd_check(
+    df: DataFrame, pairs: list[tuple[str, str]], exact: bool = True
+) -> DataFrame:
     """Verify candidate functional dependencies ``det -> dep`` on
     ``df``: per pair, the number of determinant keys, how many keys map
     to more than one distinct dependent value, and the total number of
@@ -39,16 +41,28 @@ def fd_check(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
 
     Rows where the determinant is NULL are ignored (count-distinct
     semantics); NULL dependents never count as an assignment.
+
+    ``exact=False`` is the 100 TB production mode: per-key distinct
+    counts come from ``approx_count_distinct`` (HyperLogLog++), so
+    per-group state is a fixed-size sketch instead of an exact hash
+    set of every dependent value — the memory bound a hot determinant
+    key needs at scale. HLL++ is EXACT below its sparse-mode
+    threshold (thousands of values), and the violation predicate only
+    asks "is nb > 1", so verdicts in practice match the exact mode
+    (pinned by a pytest); only ``n_keypairs`` on very wide keys can
+    drift within the rsd. The exact mode remains the oracle twin.
     """
     dets = sorted({a for a, _ in pairs})
+    nb_agg = (
+        (lambda c: F.countDistinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=0.02))
+    )
     grouped = df.groupingSets(
         [[F.col(a)] for a in dets], *[F.col(a) for a in dets]
     ).agg(
         *[F.grouping(a).alias(f"_g_{a}") for a in dets],
-        *[
-            F.countDistinct(F.col(b)).alias(f"_nb_{i}")
-            for i, (_, b) in enumerate(pairs)
-        ],
+        *[nb_agg(F.col(b)).alias(f"_nb_{i}") for i, (_, b) in enumerate(pairs)],
     )
     per_pair = []
     for i, (a, b) in enumerate(pairs):
@@ -125,9 +139,18 @@ def ind_check(
     return (
         out.withColumn(
             "containment_bp",
-            F.expr("CAST(n_contained * 10000L DIV n_child_distinct AS BIGINT)"),
+            # empty child side: containment is vacuous — report 0 bp
+            # and holds=false rather than an ANSI division-by-zero
+            F.expr(
+                "CAST(CASE WHEN n_child_distinct = 0 THEN 0 "
+                "ELSE n_contained * 10000L DIV n_child_distinct END AS BIGINT)"
+            ),
         )
-        .withColumn("holds", F.col("n_contained") == F.col("n_child_distinct"))
+        .withColumn(
+            "holds",
+            (F.col("n_child_distinct") > 0)
+            & (F.col("n_contained") == F.col("n_child_distinct")),
+        )
         .orderBy("child", "parent")
     )
 
@@ -143,11 +166,14 @@ def ind_check_sql(named_pairs: list[tuple[str, str, str, str]]) -> str:
             f"""
     SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
            CAST(count(*) AS BIGINT) AS n_child_distinct,
-           CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_contained,
-           CAST((sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) * 10000)
-                // count(*) AS BIGINT) AS containment_bp,
-           sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) = count(*) AS holds
+           CAST(coalesce(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_contained,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE (coalesce(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END), 0)
+                      * 10000) // count(*) END AS BIGINT) AS containment_bp,
+           count(*) > 0 AND
+             coalesce(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END), 0)
+               = count(*) AS holds
     FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS v FROM {ct}
           WHERE {cc} IS NOT NULL) c
     LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS v FROM {pt}

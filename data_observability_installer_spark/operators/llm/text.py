@@ -439,8 +439,11 @@ def bpe_train(
     Spark's ``replace`` and the twin's are both single left-to-right
     non-overlapping passes, i.e. exactly BPE's leftmost-greedy merge.
 
-    Raises if the vocabulary runs out of pairs before ``n_merges``
-    (the fixed-round twin cannot represent a short loop)."""
+    If the vocabulary runs out of pairs before ``n_merges`` (tiny or
+    empty corpus), training stops and the merges learned so far are
+    returned — the same truncation the fixed-round twin produces (an
+    empty winner CTE contributes no row and NULLs out later rounds),
+    so the two engines stay hash-equal on degenerate inputs too."""
     spark = df.sparkSession
     vocab = _bpe_word_freq(df, text_col).localCheckpoint(eager=True)
     merges = []
@@ -452,10 +455,7 @@ def bpe_train(
             .collect()
         )
         if not top:
-            raise ValueError(
-                f"vocabulary exhausted after {rnd - 1} merges; "
-                f"lower n_merges (= {n_merges})"
-            )
+            break
         l, r, pct = top[0]["l"], top[0]["r"], top[0]["pct"]
         merges.append((rnd, l, r, pct))
         vocab = vocab.withColumn(

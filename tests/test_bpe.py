@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -78,18 +77,21 @@ def test_bpe_property_parity(spark, texts):
     reference."""
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     n = 4
-    ref = _python_bpe(texts, n)
-    if len(ref) < n:
-        with pytest.raises(ValueError, match="vocabulary exhausted"):
-            bpe_train(df, n_merges=n)
-    else:
-        assert _rows(bpe_train(df, n_merges=n)) == ref
+    assert _rows(bpe_train(df, n_merges=n)) == _python_bpe(texts, n)
 
 
-def test_bpe_exhaustion_raises(spark):
+def test_bpe_exhaustion_truncates(spark):
+    # single-char vocabulary: no pairs at all -> empty merge table
     df = spark.createDataFrame([("a a a",)], "text string")
-    with pytest.raises(ValueError, match="vocabulary exhausted"):
-        bpe_train(df, n_merges=2)
+    assert _rows(bpe_train(df, n_merges=2)) == []
+    # one mergeable pair, then exhausted -> one row, no raise
+    df2 = spark.createDataFrame([("a a a bb",)], "text string")
+    assert _rows(bpe_train(df2, n_merges=3)) == [(1, "b", "b", 1)]
+
+
+def test_bpe_empty_corpus(spark):
+    df = spark.createDataFrame([], "text string")
+    assert _rows(bpe_train(df, n_merges=3)) == []
 
 
 def test_bpe_deterministic(spark):

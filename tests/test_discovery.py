@@ -97,3 +97,36 @@ def test_ind_distinct_reduces_before_join(spark):
     )
     # both sides deduplicate below the join: Aggregate appears under it
     assert plan.count("Aggregate") >= 3  # child distinct, parent distinct, final agg
+
+
+def test_fd_approx_mode_agrees_on_verdicts(spark, sf_correct):
+    """The HLL production mode (bounded per-key state) reaches the
+    same holds/violating verdicts as the exact mode on real data —
+    HLL++ is exact below its sparse threshold and the predicate only
+    asks nb > 1."""
+    from data_observability_installer_spark.sources.tables import load_table
+
+    pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+    ]
+    orders = load_table(spark, sf_correct, "orders")
+    exact = {
+        (r["determinant"], r["dependent"]): (r["holds"], r["n_violating_keys"])
+        for r in fd_check(orders, pairs, exact=True).collect()
+    }
+    approx = {
+        (r["determinant"], r["dependent"]): (r["holds"], r["n_violating_keys"])
+        for r in fd_check(orders, pairs, exact=False).collect()
+    }
+    assert exact == approx
+
+
+def test_ind_check_empty_child(spark):
+    child = spark.createDataFrame([], "v int")
+    parent = spark.createDataFrame([(1,)], "p int")
+    r = ind_check([("c", child, "v", "p", parent, "p")]).collect()[0]
+    # vacuous containment reports 0 bp and does NOT claim an FK
+    assert (r["n_child_distinct"], r["n_contained"]) == (0, 0)
+    assert (r["containment_bp"], r["holds"]) == (0, False)
