@@ -214,6 +214,36 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_quarantine(args) -> int:
+    """Row-level dead-letter split: run the row-expressible subset of
+    the table's demo suite, land clean rows and divert violators (with
+    their violated-test tags) — the load-time counterpart of ``test``."""
+    from .operators.dq.rowscreen import ROW_TYPES, quarantine_write
+    from .plans.suites import AS_OF, DEMO_SUITES
+    from .sources.tables import load_table
+
+    suite = f"dq_suite_{args.table}"
+    if suite not in DEMO_SUITES:
+        print(f"no suite for table {args.table!r}", file=sys.stderr)
+        return 2
+    table, specs, view_builder, _ = DEMO_SUITES[suite]
+    row_specs = [s for s in specs if s.test_type in ROW_TYPES]
+    if not row_specs:
+        print(f"suite {suite} has no row-expressible tests", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = load_table(spark, args.sf_dir, table)
+    if view_builder is not None:
+        df = view_builder(df)
+    stats = quarantine_write(df, row_specs, AS_OF, args.clean, args.bad)
+    print(
+        f"screened with {len(row_specs)} row tests: "
+        f"{stats['clean_rows']} clean -> {args.clean}, "
+        f"{stats['quarantined_rows']} quarantined -> {args.bad}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
     ap.add_argument("--sf-dir", default=None)
@@ -252,6 +282,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--by", required=True,
                    help="comma-separated numeric columns to cluster on")
     p.add_argument("--files", type=int, default=None)
+    p = sub.add_parser("quarantine")
+    p.add_argument("table")
+    p.add_argument("--clean", required=True, help="path for passing rows")
+    p.add_argument("--bad", required=True,
+                   help="path for violating rows (tagged with violated tests)")
 
     args = ap.parse_args(argv)
     if args.sf_dir is None:
@@ -268,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
         "export": cmd_export,
         "compact": cmd_compact,
         "zorder": cmd_zorder,
+        "quarantine": cmd_quarantine,
     }[args.verb](args)
 
 
