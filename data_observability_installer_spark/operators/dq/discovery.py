@@ -14,10 +14,13 @@ Scale design:
 - :func:`fd_check` verifies N candidate FDs ``A -> B`` over one table
   in a SINGLE input scan: ``GROUPING SETS ((A1), (A2), ...)`` fans the
   scan out to one aggregation stream per determinant (Catalyst Expand,
-  map-side partial ``count(distinct)`` per group), then a
-  metadata-sized second aggregation folds each stream to one summary
-  row. Shuffled rows = sum of the determinants' cardinalities — never
-  the row count.
+  map-side partial ``count(distinct)`` per group), then ONE global
+  aggregate folds every pair's summary into a single row (per-pair
+  conditional sums keyed on the grouping flags) which ``stack()``
+  unpivots to one row per candidate. The whole check is one job with
+  one FileScan — pinned by an executed-plan pytest — so adding
+  candidates adds columns to the aggregate, never scans. Shuffled rows
+  = sum of the determinants' cardinalities — never the row count.
 - :func:`ind_check` reduces both sides of each candidate to DISTINCT
   values first (shuffle bounded by cardinality, not rows), then counts
   containment with one left join per pair; dimension-sized parents are
@@ -64,21 +67,36 @@ def fd_check(
         *[F.grouping(a).alias(f"_g_{a}") for a in dets],
         *[nb_agg(F.col(b)).alias(f"_nb_{i}") for i, (_, b) in enumerate(pairs)],
     )
-    per_pair = []
-    for i, (a, b) in enumerate(pairs):
+    # Fold every pair into ONE global aggregate over the grouped frame
+    # (conditional sums gated on the pair's grouping flag), then unpivot
+    # with stack(): one job, one FileScan, regardless of len(pairs).
+    aggs = []
+    for i, (a, _) in enumerate(pairs):
+        on = (F.col(f"_g_{a}") == 0) & F.col(a).isNotNull()
         nb = F.col(f"_nb_{i}")
-        per_pair.append(
-            grouped.filter((F.col(f"_g_{a}") == 0) & F.col(a).isNotNull()).agg(
-                F.lit(a).alias("determinant"),
-                F.lit(b).alias("dependent"),
-                F.count(F.lit(1)).cast("long").alias("n_keys"),
-                F.sum((nb > 1).cast("long")).cast("long").alias("n_violating_keys"),
-                F.sum(nb).cast("long").alias("n_keypairs"),
-            )
+        aggs.extend(
+            [
+                # coalesce: empty input still reports 0 keys (COUNT
+                # semantics, matching the SQL twin's count(*) over an
+                # empty subquery); the sums stay NULL there, as in SQL.
+                F.coalesce(F.sum(F.when(on, 1)), F.lit(0))
+                .cast("long")
+                .alias(f"_nk_{i}"),
+                F.sum(F.when(on, (nb > 1).cast("long")))
+                .cast("long")
+                .alias(f"_nv_{i}"),
+                F.sum(F.when(on, nb)).cast("long").alias(f"_np_{i}"),
+            ]
         )
-    out = per_pair[0]
-    for p in per_pair[1:]:
-        out = out.unionByName(p)
+    summary = grouped.agg(*aggs)
+    cells = ", ".join(
+        f"'{a}', '{b}', _nk_{i}, _nv_{i}, _np_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    out = summary.selectExpr(
+        f"stack({len(pairs)}, {cells}) AS "
+        "(determinant, dependent, n_keys, n_violating_keys, n_keypairs)"
+    )
     return out.withColumn("holds", F.col("n_violating_keys") == 0).orderBy(
         "determinant", "dependent"
     )

@@ -42,22 +42,26 @@ def test_fd_check_shared_determinant(spark):
     assert rows == {("a", "b"): True, ("a", "c"): False, ("b", "c"): False}
 
 
-def test_fd_single_scan_plan(spark):
-    """The N-candidate check is one Expand over one scan — not one
-    aggregation job per candidate."""
-    df = _fd_fixture(spark)
+def test_fd_single_scan_plan(spark, sf_correct):
+    """The N-candidate check is ONE FileScan + ONE Expand — folding all
+    pairs into a single aggregate over the GROUPING SETS frame means
+    adding candidates never adds scans (executed-plan gate)."""
+    from data_observability_installer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_correct, "orders")
+    pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+    ]
     plan = (
-        fd_check(df, [("a", "b"), ("a", "c"), ("b", "c")])
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
+        fd_check(orders, pairs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in plan
-    # the fixture relation appears once per per-pair branch at most —
-    # the input itself is scanned under a single Expand per branch;
-    # the important property is no per-pair repeated full aggregation
-    # of the RAW table: each union branch aggregates the grouped frame
-    assert plan.count("Expand") <= 3
+    assert plan.count("Scan parquet") == 1, plan
+    # one Expand for the grouping sets + (at most) one more from
+    # Catalyst's multi-count-distinct rewrite — never one per pair
+    assert 1 <= plan.count("Expand") <= 2, plan
 
 
 def test_ind_check_partial_and_full(spark):
