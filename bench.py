@@ -26,11 +26,14 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
-# Headline set: relational, DQ suite, profile, hygiene (cached-profile
-# reuse), observability rollups, reconciliation, and the LLM-pipeline
-# operators. Order matters: profile_lineitem warms the cached profile
-# that hygiene_lineitem consumes (the library contract — one scan,
-# two consumers).
+# Headline set: relational, DQ suite, profile, hygiene, observability
+# rollups, reconciliation, and the LLM-pipeline operators. Every query
+# is timed COLD (registry.clear_caches() first) so the committed number
+# is order-independent and reproducible; the shared-cache consumers
+# (registry.CACHE_CONSUMERS) get a second, warm timing recorded under
+# "warm" — that pair is the honest measurement of the
+# one-scan-many-consumers contract, replacing numbers that silently
+# depended on which consumer happened to run first.
 HEADLINE = [
     "pricing_summary",
     "top_customers_by_revenue",
@@ -197,11 +200,14 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float | None] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
+        # cold: shared caches emptied so the number is order-independent
+        registry.clear_caches()
         t0 = time.monotonic()
         try:
             fn(spark, SF_DIR).collect()
@@ -211,6 +217,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = None
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
+        if name in registry.CACHE_CONSUMERS:
+            # warm: the cold run built the shared cache; the rerun
+            # measures the marginal cost every later consumer pays
+            t0 = time.monotonic()
+            try:
+                fn(spark, SF_DIR).collect()
+                warm[name] = round(time.monotonic() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: {name} warm FAILED: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -246,7 +262,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the report must never break the bench
         pass
     with open("bench_queries.json", "w") as fh:
-        json.dump({"sf": sf_val, "queries": timings}, fh)
+        json.dump({"sf": sf_val, "queries": timings, "warm": warm}, fh)
     print(json.dumps({"detail": "bench_queries.json", "queries": timings}))
     print(
         json.dumps(

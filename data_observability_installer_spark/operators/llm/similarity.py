@@ -365,9 +365,16 @@ def train_ivf_kmeans(
         )
         cents = {
             int(r["bucket"]): [
-                # int/int true division is correctly-rounded IEEE in
-                # Python, DuckDB and Java alike; floor(x+0.5) bit-stable
-                int(math.floor(r[f"s{d}"] / r["n"] + 0.5))
+                # mirror the twin's arithmetic EXACTLY: the DuckDB CTE
+                # computes CAST(sum AS DOUBLE) / count(*) — int->double
+                # conversion of the sum first, then a double division —
+                # so convert here too rather than using Python's
+                # one-rounding int/int true division (they differ by an
+                # ulp once |sum| > 2^53). Bit-parity therefore holds
+                # while every bucket's component sum stays within 2^53
+                # (|component| <= IVF_SCALE => safe below ~9e8 rows per
+                # bucket at IVF_SCALE=1e4); floor(x+0.5) is bit-stable
+                int(math.floor(float(r[f"s{d}"]) / r["n"] + 0.5))
                 for d in range(dim)
             ]
             for r in rows

@@ -22,11 +22,15 @@ exactly and applies the threshold with pure integer arithmetic. The
 sketch bounds MEMORY, never the answer.
 
 Plan shape at 100 TB: pass 1 is map-only (no shuffle — each partition
-emits <= capacity candidate rows plus one count row); pass 2 is a
-broadcast join (the candidate set is <= capacity x partitions rows,
-metadata-sized) followed by one map-side-combinable groupBy on the
-surviving rows only — the shuffle carries heavy-hitter keys, not the
-full cardinality.
+emits <= capacity candidate rows); pass 2 is ONE scan that produces
+both the exact candidate counts and the grand total: a broadcast LEFT
+join marks candidate rows and the groupBy folds every non-candidate
+into a single NULL group, so map-side combine bounds the shuffle at
+candidate-set size + one row per task and the threshold verdict never
+compares counts and totals taken from different snapshots of a
+recomputed source. (Candidate NOMINATION still assumes the two passes
+scan the same rows — the standard multi-pass precondition; pin a
+nondeterministic input with localCheckpoint before calling.)
 """
 
 from __future__ import annotations
@@ -35,12 +39,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-# one synthetic row per partition carries the partition's row count so
-# the total does not need a second scan; NULL never collides with a
-# real item because pass 1 drops null items up front
-_COUNT_MARKER = None
-
 
 def mg_summarize_partition(counts, batch_counts, capacity: int):
     """Merge exact per-batch counts into a Misra–Gries summary held as
@@ -84,32 +82,45 @@ def heavy_hitters(
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary = None
-        n_rows = 0
         for pdf in batches:
-            n_rows += len(pdf)
             if len(pdf):
                 summary = mg_summarize_partition(
                     summary, pdf["w"].value_counts(), cap
                 )
-        out = {"w": [_COUNT_MARKER], "est": [n_rows]}
-        if summary is not None:
-            out["w"] = list(summary.index) + [_COUNT_MARKER]
-            out["est"] = [int(v) for v in summary.to_numpy()] + [n_rows]
-        yield pd.DataFrame(out)
+        if summary is None:
+            yield pd.DataFrame({"w": [], "est": []})
+        else:
+            yield pd.DataFrame(
+                {
+                    "w": list(summary.index),
+                    "est": [int(v) for v in summary.to_numpy()],
+                }
+            )
 
-    # the sketch is metadata-sized (<= capacity x partitions rows) and
-    # feeds both the total row and the candidate list — checkpoint it
-    # eagerly so the map-only pass 1 runs exactly once and no cache
-    # entry outlives the query (same idiom as dedup's label frames)
+    # the sketch is metadata-sized (<= capacity x partitions rows) —
+    # checkpoint it eagerly so the map-only pass 1 runs exactly once and
+    # no cache entry outlives the query (dedup's label-frame idiom)
     sketch = src.mapInPandas(summarize, "w string, est long").localCheckpoint(eager=True)
-    total = sketch.filter(F.col("w").isNull()).agg(
-        F.sum("est").cast("long").alias("total")
-    )
     cands = sketch.filter(F.col("w").isNotNull()).select("w").distinct()
+    # Pass 2 derives BOTH the exact candidate counts AND the total from
+    # ONE scan: a broadcast LEFT join marks candidate rows, the groupBy
+    # folds every non-candidate into a single NULL group (map-side
+    # combine keeps the shuffle candidate-sized + one row per task), and
+    # the pinned result feeds the threshold and the total — so the
+    # verdict never mixes two snapshots of a recomputed source. The
+    # Misra–Gries NOMINATION still assumes pass 1 and pass 2 scan the
+    # same rows (the standard multi-pass Spark precondition — true for
+    # any deterministic frame; localCheckpoint a nondeterministic input
+    # before calling).
+    counts = (
+        src.join(F.broadcast(cands.withColumn("_hit", F.lit(1))), "w", "left")
+        .groupBy(F.when(F.col("_hit") == 1, F.col("w")).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("ct").cast("long").alias("total"))
     out = (
-        src.join(F.broadcast(cands), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        counts.filter(F.col("w").isNotNull())
         .crossJoin(F.broadcast(total))
         .filter(F.col("ct") * phi_denom >= F.col("total"))
         .select(

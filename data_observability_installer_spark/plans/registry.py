@@ -603,10 +603,11 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "market_share",
     """
     SELECT strftime(o.o_orderdate, '%Y') AS order_year,
-           round(sum(CASE WHEN n2.n_name = 'JAPAN'
+           floor(CAST(sum(CASE WHEN n2.n_name = 'JAPAN'
                           THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)
-                          ELSE 0 END)
-                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)), 4) AS share
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -654,19 +655,22 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust_dim), o.o_custkey == F.col("c_custkey"))
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
         .agg(
-            F.round(
-                # cast the exact integer totals to double BEFORE dividing:
-                # decimal/decimal would use Spark's decimal-quotient
-                # rounding while the oracle divides doubles — converting
-                # both exact totals to nearest-double first makes the
-                # division IEEE-identical on both engines
-                F.sum(
-                    F.when(F.col("supp_nation") == "JAPAN", rev_cents).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                ).cast("double")
-                / F.sum(rev_cents).cast("double"),
-                4,
+            # cast the exact integer totals to double BEFORE dividing
+            # (IEEE-identical division on both engines), then round with
+            # floor(x*1e4+0.5)/1e4 — pure IEEE ops, immune to the
+            # decimal-vs-binary half-ulp hazard of round(x, 4)
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "JAPAN", rev_cents).otherwise(
+                            F.lit(0).cast("long")
+                        )
+                    ).cast("double")
+                    / F.sum(rev_cents).cast("double")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("share")
         )
         .orderBy("order_year")
@@ -4373,6 +4377,29 @@ def clear_caches() -> None:
     _CAPPED_SHINGLE_CACHE.clear()
     _CLOSURE_CACHE.clear()
     _EMB_PAIRS_CACHE.clear()
+
+
+# Registered queries whose cost depends on shared-cache state (the
+# one-scan-many-consumers contract: profile, shingle index, LSH
+# embedding pairs, lineage closure). bench.py times these twice —
+# cold (after clear_caches) and warm — so committed numbers are
+# cache-state-reproducible instead of depending on which consumer
+# happened to run first. Membership is pinned by a registry pytest.
+CACHE_CONSUMERS: frozenset[str] = frozenset(
+    {
+        "profile_lineitem",
+        "hygiene_lineitem",
+        "ngram_jaccard_documents",
+        "minhash_pairs_documents",
+        "dedup_groups_documents",
+        "dup_spans_documents",
+        "canonical_docs_documents",
+        "embedding_near_dups_lsh",
+        "embedding_dup_groups",
+        "lineage_closure",
+        "lineage_impact_failed",
+    }
+)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -74,6 +74,13 @@ def test_gate_window_all_oracle_backed_or_known_rows_only():
     assert [n for n in names[:50] if n not in oracles and n not in rows_only] == []
 
 
+def test_cache_consumers_are_registered_queries():
+    """bench.py double-times (cold/warm) exactly the shared-cache
+    consumers; a renamed query must not silently fall out of the set."""
+    missing = registry.CACHE_CONSUMERS - set(registry.QUERIES)
+    assert not missing, f"CACHE_CONSUMERS not in registry: {sorted(missing)}"
+
+
 def test_failed_correctness_rows_do_not_count_as_evidence():
     """A FAILED or errored driver row must leave a query maximally
     stale (back into the window for re-check); green oracle rows and

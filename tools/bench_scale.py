@@ -185,9 +185,16 @@ def main() -> None:
     )
     args = ap.parse_args()
     factors = sorted({int(x) for x in args.factors.split(",")}) if args.factors else FACTORS
-    ops = (
-        {n: OPS[n] for n in args.ops.split(",")} if args.ops else OPS
-    )
+    if args.ops:
+        names = [n.strip() for n in args.ops.split(",") if n.strip()]
+        unknown = [n for n in names if n not in OPS]
+        if unknown:
+            ap.error(
+                f"unknown op(s) {', '.join(unknown)}; choose from: {', '.join(OPS)}"
+            )
+        ops = {n: OPS[n] for n in names}
+    else:
+        ops = OPS
 
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -231,6 +238,10 @@ def main() -> None:
                 timings[f"ratio_x{top}_vs_x{base}"] = round(
                     timings[f"x{top}"] / timings[f"x{base}"], 2
                 )
+            # per-op factor coverage: --merge unions the top-level
+            # factors list, so each op records which factors ITS
+            # numbers actually come from
+            timings["factors"] = factors
             results[name] = timings
             print(name, timings)
     finally:

@@ -167,6 +167,13 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("bench-stream", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    # recentProgress retains only spark.sql.streaming.numRecentProgressUpdates
+    # entries (default 100): raise it above the batch count so the
+    # telemetry below never silently undercounts rows/latency samples
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(200, args.batches * 2)),
+    )
     import tempfile
 
     replay_dir = os.path.join(tempfile.mkdtemp(prefix="stream_bench_"), "events_json")
