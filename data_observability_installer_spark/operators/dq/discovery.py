@@ -33,6 +33,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# key material for FK candidates: classes whose string cast is
+# bit-stable and identical across engines (floats/decimals/timestamps
+# are not key material and their repr can drift in the last digit)
+_FK_INT = {"int", "bigint", "smallint", "tinyint"}
+
+
+def _fk_class(dtype: str) -> str | None:
+    base = dtype.split("(")[0].lower()
+    if base in _FK_INT:
+        return "integer"
+    if base in ("string", "varchar"):
+        return "string"
+    if base == "date":
+        return "date"
+    return None
+
 
 def fd_check(
     df: DataFrame, pairs: list[tuple[str, str]], exact: bool = True
@@ -199,3 +215,292 @@ def ind_check_sql(named_pairs: list[tuple[str, str, str, str]]) -> str:
         )
     union = "\n    UNION ALL".join(parts)
     return f"{union}\n    ORDER BY child, parent"
+
+
+# --- candidate GENERATION from profile-grade evidence -----------------------
+#
+# The step the reference's profile->generate loop performs before test
+# generation (reference `README.md:207-209`: profiling feeds the
+# algorithmic test generator): PROPOSE the dependencies a table's
+# cardinality evidence makes plausible, then verify only those. Both
+# the candidate rule and the verification are pure integer arithmetic,
+# so the DuckDB twins reproduce the exact same candidate set and
+# verdicts from the same data.
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One aggregate pass over ``df`` -> one row per column:
+    ``(column, n_rows, value_ct, distinct_ct)``. The scan cost of
+    candidate generation — everything downstream is metadata-sized."""
+    cols = columns or df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"_v_{c}") for c in cols],
+        *[F.countDistinct(F.col(c)).alias(f"_d_{c}") for c in cols],
+    )
+    cells = ", ".join(f"'{c}', _n, _v_{c}, _d_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {cells}) AS (column, n_rows, value_ct, distinct_ct)"
+    )
+
+
+def fd_candidates(stats_rows, max_pairs: int = 32) -> list[tuple[str, str]]:
+    """Propose FD candidates from per-column cardinalities (the same
+    evidence the profile captures): determinants are low-cardinality
+    columns (``1 < d`` and ``d * 10 <= n`` — at most 10% of rows),
+    dependents any other column with ``1 < d_dep <= d_det`` (a
+    NECESSARY condition for ``det -> dep``). Ranked by
+    ``(d_det, d_dep, det, dep)`` and capped — integer-exact, so the
+    SQL twin derives the identical list from the same table."""
+    st = {r["column"]: (int(r["n_rows"]), int(r["distinct_ct"])) for r in stats_rows}
+    ranked = sorted(
+        (dd, db, det, dep)
+        for det, (n, dd) in st.items()
+        if dd > 1 and dd * 10 <= n
+        for dep, (_, db) in st.items()
+        if dep != det and 1 < db <= dd
+    )
+    return [(det, dep) for _, _, det, dep in ranked[:max_pairs]]
+
+
+def discover_fds(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_pairs: int = 32,
+    exact: bool = True,
+) -> DataFrame:
+    """End-to-end FD discovery: one stats scan proposes candidates
+    (:func:`fd_candidates` — the collected stats are one row per
+    column, metadata), one :func:`fd_check` scan verifies them all.
+    Two input scans total regardless of how many candidates fire."""
+    stats = column_stats(df, columns).collect()
+    pairs = fd_candidates(stats, max_pairs)
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "determinant string, dependent string, n_keys long, "
+            "n_violating_keys long, n_keypairs long, holds boolean",
+        )
+    return fd_check(df, pairs, exact=exact)
+
+
+def discover_fds_sql(table: str, columns: list[str], max_pairs: int = 32) -> str:
+    """DuckDB twin of :func:`discover_fds`: the same integer candidate
+    rule over per-column distinct counts, then dynamic verification by
+    unpivoting the table to ``(rid, col, val)`` and grouping per
+    (candidate, determinant value). Values compare as VARCHAR — an
+    injective cast for the profiled types, so distinct counts match
+    the native-type counts the Spark path computes."""
+    stats = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(DISTINCT {c}) AS d FROM {table}"
+        for c in columns
+    )
+    unp = "\n      UNION ALL ".join(
+        f"SELECT rid, '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM base"
+        for c in columns
+    )
+    return f"""
+    WITH tot AS (SELECT count(*) AS n FROM {table}),
+    stats AS ({stats}),
+    cand AS (
+      SELECT det, dep FROM (
+        SELECT a.col AS det, b.col AS dep,
+               row_number() OVER (ORDER BY a.d, b.d, a.col, b.col) AS rk
+        FROM stats a, stats b, tot t
+        WHERE a.d > 1 AND a.d * 10 <= t.n
+          AND b.d > 1 AND b.d <= a.d AND a.col <> b.col)
+      WHERE rk <= {max_pairs}),
+    base AS MATERIALIZED (SELECT row_number() OVER () AS rid, * FROM {table}),
+    unp AS MATERIALIZED ({unp}),
+    perkey AS (
+      SELECT c.det, c.dep, l.val AS kv, count(DISTINCT r.val) AS nb
+      FROM cand c
+      JOIN unp l ON l.col = c.det AND l.val IS NOT NULL
+      LEFT JOIN unp r ON r.col = c.dep AND r.rid = l.rid
+      GROUP BY c.det, c.dep, l.val)
+    SELECT det AS determinant, dep AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           CAST(sum(nb) AS BIGINT) AS n_keypairs,
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM perkey GROUP BY det, dep
+    ORDER BY determinant, dependent"""
+
+
+def fk_candidates(stats_rows, max_pairs: int = 16) -> list[tuple[str, str, str, str]]:
+    """Propose FK candidates across tables from per-column evidence:
+    the parent must be unique over its non-nulls (``d == v > 0`` — a
+    key), the child must share the parent's type class with
+    ``1 <= d_child <= d_parent`` (necessary for containment). Ranked
+    by integer containment plausibility ``(d_child * 1e6) div
+    d_parent`` descending (a child that uses the parent's full key
+    range ranks first — the real FKs), names breaking ties. Entries
+    are ``(table, column, cls, n, v, d)`` tuples/rows."""
+    rows = [tuple(r) for r in stats_rows]
+    parents = [r for r in rows if r[4] > 0 and r[5] == r[4]]
+    ranked = sorted(
+        (-((c[5] * 1_000_000) // p[5]), c[0], c[1], p[0], p[1])
+        for p in parents
+        for c in rows
+        if (c[0], c[1]) != (p[0], p[1]) and c[2] == p[2] and 1 <= c[5] <= p[5]
+    )
+    return [(ct, cc, pt, pc) for _, ct, cc, pt, pc in ranked[:max_pairs]]
+
+
+def discover_fks(
+    tables: dict[str, tuple[DataFrame, list[str]]],
+    max_pairs: int = 16,
+) -> DataFrame:
+    """End-to-end FK discovery over a set of tables. ONE scan per
+    table builds a per-column value-count frame (stack unpivot +
+    groupBy — cardinality-sized, pinned with localCheckpoint); stats
+    for the candidate rule AND the containment verification both read
+    that frame, so no table is scanned twice and the containment join
+    shuffles distinct values, never rows. Output shape matches
+    :func:`ind_check`."""
+    spark = None
+    frames = []
+    classes: dict[tuple[str, str], str] = {}
+    for t in sorted(tables):
+        df, cols = tables[t]
+        spark = df.sparkSession
+        dt = dict(df.dtypes)
+        usable = [(c, _fk_class(dt[c])) for c in cols]
+        usable = [(c, k) for c, k in usable if k is not None]
+        if not usable:
+            continue
+        for c, k in usable:
+            classes[(t, c)] = k
+        cells = ", ".join(f"'{c}', CAST({c} AS STRING)" for c, _ in usable)
+        frames.append(
+            df.selectExpr(f"stack({len(usable)}, {cells}) AS (col, val)")
+            .groupBy("col", "val")
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .select(F.lit(t).alias("tbl"), "col", "val", "ct")
+        )
+    empty_schema = (
+        "child string, parent string, n_child_distinct long, "
+        "n_contained long, containment_bp long, holds boolean"
+    )
+    if not frames:
+        raise ValueError("no FK-class columns among the given tables")
+    vc = frames[0]
+    for f in frames[1:]:
+        vc = vc.unionByName(f)
+    vc = vc.localCheckpoint(eager=True)  # Σ cardinalities, not Σ rows
+    stats = (
+        vc.groupBy("tbl", "col")
+        .agg(
+            F.sum("ct").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNotNull(), F.col("ct"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("v"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("d"),
+        )
+        .collect()
+    )
+    rows = [
+        (r["tbl"], r["col"], classes[(r["tbl"], r["col"])], int(r["n"]), int(r["v"]), int(r["d"]))
+        for r in stats
+    ]
+    pairs = fk_candidates(rows, max_pairs)
+    if not pairs:
+        return spark.createDataFrame([], empty_schema)
+    dv = vc.filter(F.col("val").isNotNull()).select("tbl", "col", "val")
+    cand = spark.createDataFrame(pairs, "ct string, cc string, pt string, pc string")
+    ch = dv.join(
+        F.broadcast(cand), (dv.tbl == cand.ct) & (dv.col == cand.cc)
+    ).select("ct", "cc", "pt", "pc", "val")
+    par = dv.select(
+        F.col("tbl").alias("xt"),
+        F.col("col").alias("xc"),
+        F.col("val").alias("xv"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        ch.join(
+            par,
+            (F.col("pt") == F.col("xt"))
+            & (F.col("pc") == F.col("xc"))
+            & (F.col("val") == F.col("xv")),
+            "left",
+        )
+        .groupBy("ct", "cc", "pt", "pc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contained"),
+        )
+        .select(
+            F.concat_ws(".", "ct", "cc").alias("child"),
+            F.concat_ws(".", "pt", "pc").alias("parent"),
+            "n_child_distinct",
+            "n_contained",
+        )
+        .withColumn(
+            "containment_bp",
+            F.expr(
+                "CAST(CASE WHEN n_child_distinct = 0 THEN 0 "
+                "ELSE n_contained * 10000L DIV n_child_distinct END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "holds",
+            (F.col("n_child_distinct") > 0)
+            & (F.col("n_contained") == F.col("n_child_distinct")),
+        )
+        .orderBy("child", "parent")
+    )
+
+
+def discover_fks_sql(
+    tables: dict[str, list[tuple[str, str]]], max_pairs: int = 16
+) -> str:
+    """DuckDB twin of :func:`discover_fks`. ``tables`` maps table name
+    to its ``(column, fk_class)`` list — classes come from the static
+    schema on both sides, so the candidate rule sees identical type
+    evidence."""
+    stats = "\n      UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col, '{k}' AS cls, "
+        f"count(*) AS n, count({c}) AS v, count(DISTINCT {c}) AS d FROM {t}"
+        for t, cols in sorted(tables.items())
+        for c, k in cols
+    )
+    dv = "\n      UNION ALL ".join(
+        f"SELECT DISTINCT '{t}' AS tbl, '{c}' AS col, "
+        f"CAST({c} AS VARCHAR) AS val FROM {t} WHERE {c} IS NOT NULL"
+        for t, cols in sorted(tables.items())
+        for c, _ in cols
+    )
+    return f"""
+    WITH stats AS ({stats}),
+    cand AS (
+      SELECT ct, cc, pt, pc FROM (
+        SELECT c.tbl AS ct, c.col AS cc, p.tbl AS pt, p.col AS pc,
+               row_number() OVER (ORDER BY (c.d * 1000000) // p.d DESC,
+                                  c.tbl, c.col, p.tbl, p.col) AS rk
+        FROM stats p, stats c
+        WHERE p.v > 0 AND p.d = p.v AND c.cls = p.cls
+          AND c.d >= 1 AND c.d <= p.d
+          AND NOT (c.tbl = p.tbl AND c.col = p.col))
+      WHERE rk <= {max_pairs}),
+    dv AS MATERIALIZED ({dv})
+    SELECT ct || '.' || cc AS child, pt || '.' || pc AS parent,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(coalesce(sum(CASE WHEN pv.val IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_contained,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE coalesce(sum(CASE WHEN pv.val IS NOT NULL THEN 1 ELSE 0 END), 0)
+                     * 10000 // count(*) END AS BIGINT) AS containment_bp,
+           count(*) > 0 AND
+             coalesce(sum(CASE WHEN pv.val IS NOT NULL THEN 1 ELSE 0 END), 0)
+               = count(*) AS holds
+    FROM cand
+    JOIN dv l ON l.tbl = cand.ct AND l.col = cand.cc
+    LEFT JOIN dv pv ON pv.tbl = cand.pt AND pv.col = cand.pc AND pv.val = l.val
+    GROUP BY ct, cc, pt, pc
+    ORDER BY child, parent"""

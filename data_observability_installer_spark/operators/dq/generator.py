@@ -201,3 +201,99 @@ def generate_suite(
     ]
     lov = collect_lov(df, lov_cols)
     return prof, generate_tests(rows, lov, as_of)
+
+
+def dependency_tests(table: str, fd_rows, ind_rows) -> list[TestSpec]:
+    """Confirmed discoveries -> generated structural tests, completing
+    the reference's profile->generate loop (README.md:207-209) for
+    dependencies: an FD the evidence confirmed becomes a
+    ``Functional_Dep`` test on its determinant (runs inside
+    compile_suite's single-table aggregate); a fully-contained
+    inclusion dependency becomes a ``Valid_FK`` test on the child
+    column (cross-table — executed by :func:`run_referential_tests`).
+
+    ``fd_rows`` are :func:`..discovery.discover_fds` result rows for
+    ``table``; ``ind_rows`` are :func:`..discovery.discover_fks` rows
+    (any table — the child table is parsed from the ``child`` label).
+    """
+    specs: list[TestSpec] = []
+    for r in fd_rows:
+        if r["holds"]:
+            specs.append(
+                TestSpec(
+                    table,
+                    r["determinant"],
+                    "Functional_Dep",
+                    {"Dependent_Column": r["dependent"], "Threshold_Value": "0"},
+                )
+            )
+    for r in ind_rows:
+        if r["holds"]:
+            ct, cc = r["child"].split(".", 1)
+            pt, pc = r["parent"].split(".", 1)
+            specs.append(
+                TestSpec(
+                    ct,
+                    cc,
+                    "Valid_FK",
+                    {
+                        "Parent_Table": pt,
+                        "Parent_Column": pc,
+                        "Threshold_Value": "0",
+                    },
+                )
+            )
+    return specs
+
+
+def run_referential_tests(
+    specs: list[TestSpec], tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Execute generated ``Valid_FK`` tests (the one test family a
+    single-table aggregate cannot express). Measure = orphaned distinct
+    child values (``n_child_distinct - n_contained`` from one
+    cardinality-bounded containment pass per pair); violated when the
+    orphan count exceeds Threshold_Value. Output schema matches
+    compile_suite's outcome rows."""
+    from .discovery import ind_check
+
+    fk = [s for s in specs if s.test_type == "Valid_FK"]
+    if not fk:
+        raise ValueError("no Valid_FK specs to run")
+    named = [
+        (
+            s.table,
+            tables[s.table],
+            s.column,
+            s.params["Parent_Table"],
+            tables[s.params["Parent_Table"]],
+            s.params["Parent_Column"],
+        )
+        for s in fk
+    ]
+    bounds = {
+        (f"{s.table}.{s.column}", f"{s.params['Parent_Table']}.{s.params['Parent_Column']}"):
+        (float(s.params.get("Threshold_Value", "0")), s.severity)
+        for s in fk
+    }
+    res = ind_check(named)
+    rows = []
+    for r in res.collect():  # one row per generated test — metadata
+        bound, severity = bounds[(r["child"], r["parent"])]
+        measure = float(r["n_child_distinct"] - r["n_contained"])
+        rows.append(
+            (
+                r["child"].split(".", 1)[0],
+                r["child"].split(".", 1)[1],
+                "Valid_FK",
+                measure,
+                bound,
+                severity if measure > bound else "PASSED",
+            )
+        )
+    spark = next(iter(tables.values())).sparkSession
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, test_type string, "
+        "measure double, threshold_value double, result string",
+    )

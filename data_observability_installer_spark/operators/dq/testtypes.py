@@ -220,6 +220,34 @@ def _ztest(p1: float, n1: float, p2_spark, p2_sql: str, n2_spark, n2_sql: str):
     return spark, sql
 
 
+@_register("Functional_Dep")
+def _functional_dep(col: str, p: dict, as_of: str) -> Lowered:
+    """Column functionally determines ``Dependent_Column`` (measure =
+    surplus distinct (det, dep) assignments over distinct determinants,
+    both non-null — 0 iff every determinant maps to one dependent).
+    Emitted by the discovery->generation loop for FDs the evidence
+    confirmed; distinct-of-struct keeps the measure a single aggregate
+    so it batches into compile_suite like any other test."""
+    dep = p["Dependent_Column"]
+    t = _f(p, "Threshold_Value", 0)
+    cond_sql = f"{col} IS NOT NULL AND {dep} IS NOT NULL"
+
+    def spark() -> Column:
+        cond = F.col(col).isNotNull() & F.col(dep).isNotNull()
+        return (
+            F.countDistinct(F.when(cond, F.struct(col, dep)))
+            - F.countDistinct(F.when(cond, F.col(col)))
+        ).cast("double")
+
+    return Lowered(
+        spark,
+        f"CAST(count(DISTINCT CASE WHEN {cond_sql} THEN row({col}, {dep}) END)"
+        f" - count(DISTINCT CASE WHEN {cond_sql} THEN {col} END) AS DOUBLE)",
+        ">",
+        t,
+    )
+
+
 @_register("Unique_Pct")
 def _unique_pct(col: str, p: dict, as_of: str) -> Lowered:
     """Shift in % distinct among non-null values vs baseline (|z| test)."""

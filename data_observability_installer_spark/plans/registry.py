@@ -1382,6 +1382,11 @@ def fk_orphans_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.dq.discovery import (  # noqa: E402
+    _fk_class,
+    discover_fds,
+    discover_fds_sql,
+    discover_fks,
+    discover_fks_sql,
     fd_check,
     fd_check_sql,
     ind_check,
@@ -1425,6 +1430,50 @@ def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ct, load_table(spark, sf_dir, ct), cc, pt, load_table(spark, sf_dir, pt), pc)
             for ct, cc, pt, pc in _IND_PAIRS
         ]
+    )
+
+
+# Candidate GENERATION from evidence (round 7): no hand-written pair
+# lists — the cardinality stats propose, the engine verifies.
+_FD_DISC_COLS = list(dict(STATIC_SCHEMAS["orders"]))
+
+
+@register("discovered_fds_orders", discover_fds_sql("orders", _FD_DISC_COLS))
+def discovered_fds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-evidence FD discovery on orders: one stats scan proposes
+    determinants (distinct <= 10% of rows) and compatible dependents,
+    one GROUPING-SETS scan verifies every candidate (reference
+    README.md:207-209 — profiling feeds generation). The candidate
+    rule is integer-exact, so the DuckDB twin derives the identical
+    pair list from the same table."""
+    return discover_fds(load_table(spark, sf_dir, "orders"), _FD_DISC_COLS)
+
+
+_FK_DISC_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
+_FK_DISC_SQL_TABLES = {
+    t: [(c, _fk_class(dict(STATIC_SCHEMAS[t])[c])) for c in cols]
+    for t, cols in _FK_DISC_TABLES.items()
+}
+
+
+@register("discovered_fks_tpch", discover_fks_sql(_FK_DISC_SQL_TABLES))
+def discovered_fks_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK discovery from evidence: one value-count scan per
+    table (pinned, cardinality-sized) yields both the key/containment
+    candidate rule inputs and the containment verification — the four
+    real star-schema FKs rank first by the integer plausibility ratio
+    and verify holds=true; plausible decoys verify false."""
+    return discover_fks(
+        {
+            t: (load_table(spark, sf_dir, t), cols)
+            for t, cols in _FK_DISC_TABLES.items()
+        }
     )
 
 

@@ -134,3 +134,105 @@ def test_ind_check_empty_child(spark):
     # vacuous containment reports 0 bp and does NOT claim an FK
     assert (r["n_child_distinct"], r["n_contained"]) == (0, 0)
     assert (r["containment_bp"], r["holds"]) == (0, False)
+
+
+# --- candidate generation + generator round-trip ---------------------------
+
+
+def _planted(spark):
+    """Micro-schema with planted dependencies (sized so the d*10 <= n
+    determinant rule fires): city -> country is a real FD; city -> zip
+    is violated (zips cross cities); dim.city is a key the fact's city
+    and alt columns reference (FKs); fact.country misses the dim."""
+    cities = [f"c{i}" for i in range(6)]
+    rows = []
+    for i in range(60):
+        city = cities[i % 6]
+        country = "fr" if (i % 6) < 3 else "de"  # determined by city
+        zipc = f"z{i % 4}"  # crosses cities -> FD violated
+        alt = cities[i % 5]  # subset of dim
+        rows.append((city, country, zipc, alt))
+    fact = spark.createDataFrame(
+        rows, "city string, country string, zip string, alt string"
+    )
+    dim = spark.createDataFrame(
+        [(c,) for c in cities] + [("nice",), ("oslo",)], "city string"
+    )
+    return fact, dim
+
+
+def test_discover_fds_finds_planted(spark):
+    from data_observability_installer_spark.operators.dq.discovery import discover_fds
+
+    fact, _ = _planted(spark)
+    got = {
+        (r["determinant"], r["dependent"]): r["holds"]
+        for r in discover_fds(fact).collect()
+    }
+    # city (3 distinct / 20 rows) is a determinant; country holds,
+    # zip is violated (paris maps to 3 zips)
+    assert got[("city", "country")] is True
+    assert got[("city", "zip")] is False
+
+
+def test_discover_fks_finds_planted(spark):
+    from data_observability_installer_spark.operators.dq.discovery import discover_fks
+
+    fact, dim = _planted(spark)
+    got = {
+        (r["child"], r["parent"]): r["holds"]
+        for r in discover_fks(
+            {"fact": (fact, ["city", "alt"]), "dim": (dim, ["city"])}
+        ).collect()
+    }
+    assert got[("fact.city", "dim.city")] is True
+    assert got[("fact.alt", "dim.city")] is True  # alt ⊆ dim too (planted)
+    # country is not among dim's values -> if proposed, it must not hold
+    for (c, p), h in got.items():
+        if c == "fact.country":
+            assert h is False
+
+
+def test_dependency_generator_round_trip(spark):
+    """Discovery -> dependency_tests -> execution on the same data ->
+    every generated test PASSED; a corrupted refresh flips them."""
+    from data_observability_installer_spark.operators.dq.compiler import compile_suite
+    from data_observability_installer_spark.operators.dq.discovery import (
+        discover_fds,
+        discover_fks,
+    )
+    from data_observability_installer_spark.operators.dq.generator import (
+        dependency_tests,
+        run_referential_tests,
+    )
+
+    fact, dim = _planted(spark)
+    fd_rows = discover_fds(fact).collect()
+    ind_rows = discover_fks(
+        {"fact": (fact, ["city"]), "dim": (dim, ["city"])}
+    ).collect()
+    specs = dependency_tests("fact", fd_rows, ind_rows)
+    fd_specs = [s for s in specs if s.test_type == "Functional_Dep"]
+    fk_specs = [s for s in specs if s.test_type == "Valid_FK"]
+    assert fd_specs and fk_specs
+
+    out = compile_suite(fact, fd_specs, "2025-06-01").collect()
+    assert all(r["result"] == "PASSED" for r in out)
+    ref = run_referential_tests(fk_specs, {"fact": fact, "dim": dim}).collect()
+    assert all(r["result"] == "PASSED" for r in ref)
+
+    # corrupt the refresh: a city with a second country (FD break) that
+    # the dim does not contain (FK break)
+    bad = fact.unionByName(
+        spark.createDataFrame(
+            [("tokyo", "jp", "100", "paris"), ("tokyo", "fr", "101", "lyon")],
+            fact.schema,
+        )
+    )
+    out2 = {
+        (r["column_name"], r["test_type"]): r["result"]
+        for r in compile_suite(bad, fd_specs, "2025-06-01").collect()
+    }
+    assert out2[("city", "Functional_Dep")] == "WARNING"
+    ref2 = run_referential_tests(fk_specs, {"fact": bad, "dim": dim}).collect()
+    assert any(r["result"] == "WARNING" for r in ref2 if r["column_name"] == "city")

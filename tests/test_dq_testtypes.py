@@ -26,8 +26,8 @@ def run_one(spark, rows, schema, spec):
     return out
 
 
-def test_all_35_types_registered():
-    assert len(TEST_TYPES) == 35  # 25 observed + 10 extension (README "32")
+def test_all_36_types_registered():
+    assert len(TEST_TYPES) == 36  # 25 observed + 11 extension (README "32"; round 7 adds Functional_Dep)
 
 
 def test_parse_params_with_quoted_tuple():

@@ -76,3 +76,24 @@ def test_indb_runs_on_sqlite_dialect_subset():
     ]
     rows = run_suite_indb(c, "t", specs, AS_OF)
     assert [r["result"] for r in rows] == ["PASSED", "PASSED"]
+
+
+def test_functional_dep_indb_parity(spark, con):
+    """The round-7 Functional_Dep test type runs in-database too: its
+    struct-distinct measure must agree with the Spark aggregate on a
+    real table (o_orderkey -> o_custkey holds; o_custkey ->
+    o_orderstatus is violated at scale)."""
+    from data_observability_installer_spark.operators.dq.testtypes import TestSpec
+
+    specs = [
+        TestSpec("orders", "o_orderkey", "Functional_Dep",
+                 {"Dependent_Column": "o_custkey", "Threshold_Value": "0"}),
+        TestSpec("orders", "o_custkey", "Functional_Dep",
+                 {"Dependent_Column": "o_orderstatus", "Threshold_Value": "0"}),
+    ]
+    df = load_table(spark, SF, "orders")
+    spark_rows = [row.asDict() for row in compile_suite(df, specs, AS_OF).collect()]
+    indb_rows = run_suite_indb(con, "orders", specs, AS_OF)
+    assert _norm(indb_rows) == _norm(spark_rows)
+    by = {r["column_name"]: r["result"] for r in spark_rows}
+    assert by["o_orderkey"] == "PASSED" and by["o_custkey"] == "WARNING"
