@@ -177,6 +177,11 @@ HEADLINE = [
     "topk_int8_embeddings",
     "row_screen_lineitem",
     "bpe_train_documents",
+    # round-7 additions
+    "discovered_fds_orders",
+    "discovered_fks_tpch",
+    "bpe_train_local_documents",
+    "bpe_encode_documents",
 ]
 
 

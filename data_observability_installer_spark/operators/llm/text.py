@@ -471,10 +471,12 @@ def bpe_train(
     )
 
 
-def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str:
-    """DuckDB twin: the same rounds unrolled as CTE triples (pair
-    counts p{i}, winner t{i}, re-tokenized vocabulary w{i}) from the
-    same character-level start — the IVF-Lloyd unrolling idiom."""
+def _bpe_train_ctes(
+    table: str, n_merges: int, text_col: str, keep_last_vocab: bool = False
+) -> list[str]:
+    """The unrolled training CTE triples shared by :func:`bpe_train_sql`
+    and :func:`bpe_encode_tokens_sql` (pair counts p{i}, winner t{i},
+    re-tokenized vocabulary w{i})."""
     sep = "e'\\x1F'"
     dsep = "e'\\x1F\\x1F'"
     ctes = [
@@ -498,7 +500,7 @@ def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str
         ctes.append(
             f"t{i} AS (SELECT l, r, pct FROM p{i} ORDER BY pct DESC, l, r LIMIT 1)"
         )
-        if i < n_merges:
+        if i < n_merges or keep_last_vocab:
             ctes.append(
                 f"""w{i} AS MATERIALIZED (
       SELECT word, ct,
@@ -506,6 +508,14 @@ def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str
                      (SELECT {sep} || l || r || {sep} FROM t{i})) AS toks
       FROM {prev})"""
             )
+    return ctes
+
+
+def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str:
+    """DuckDB twin: the same rounds unrolled as CTE triples (pair
+    counts p{i}, winner t{i}, re-tokenized vocabulary w{i}) from the
+    same character-level start — the IVF-Lloyd unrolling idiom."""
+    ctes = _bpe_train_ctes(table, n_merges, text_col)
     rows = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_round, l AS left_tok, r AS right_tok, pct AS pair_ct FROM t{i}"
         for i in range(1, n_merges + 1)
@@ -515,4 +525,180 @@ def bpe_train_sql(table: str, n_merges: int = 12, text_col: str = "text") -> str
     WITH {joined}
     {rows}
     ORDER BY merge_round
+    """
+
+
+def _bpe_merge_word(toks: tuple, l: str, r: str) -> tuple:
+    """One leftmost-greedy non-overlapping merge pass over a token
+    tuple — the same semantics as the engine's single left-to-right
+    string ``replace`` in :func:`bpe_train` ([a,a,a,a] -> [aa,aa])."""
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == l and toks[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_local(
+    df: DataFrame,
+    n_merges: int = 256,
+    text_col: str = "text",
+    vocab_cap: int = 1_000_000,
+) -> DataFrame:
+    """Vocabulary-local BPE training — the production-merge-count mode.
+
+    :func:`bpe_train` runs one Spark job per merge round, which is the
+    right shape to *verify* (each round is oracle-checkable) but
+    impractical at a real tokenizer's ~30k merges. This mode keeps the
+    ONE distributed pass that touches the corpus (the word-frequency
+    aggregation — the only row-scale work in BPE training) and runs
+    the merge loop driver-local over the collected vocabulary with the
+    classic incremental pair index (only words containing the winning
+    pair are retokenized per round), so 30k merges are 30k dict
+    updates, not 30k Spark jobs.
+
+    ``vocab_cap`` bounds driver memory: the vocabulary is collected in
+    (count DESC, word) order and truncated. With the cap above the
+    true vocabulary size the result is EXACTLY :func:`bpe_train` on
+    the same corpus for every shared round (pinned by a parity
+    pytest); a binding cap is the standard max-vocab truncation
+    tokenizer trainers apply, and drops only the rarest words.
+
+    Winner selection, tie-breaks (count DESC, left, right) and the
+    leftmost-greedy merge are identical to the distributed mode, so
+    the merge tables agree round for round.
+    """
+    from collections import Counter, defaultdict
+
+    spark = df.sparkSession
+    words_df = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), "word")
+        .limit(vocab_cap)
+    )
+    vocab: dict[str, tuple[int, tuple]] = {
+        r["word"]: (int(r["ct"]), tuple(r["word"])) for r in words_df.collect()
+    }
+    pair_ct: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for w, (ct, toks) in vocab.items():
+        for p in zip(toks, toks[1:]):
+            pair_ct[p] += ct
+            pair_words[p].add(w)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        if not pair_ct:
+            break
+        (l, r), ct = min(
+            pair_ct.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnd, l, r, ct))
+        for w in list(pair_words[(l, r)]):
+            wct, toks = vocab[w]
+            for p in zip(toks, toks[1:]):
+                pair_ct[p] -= wct
+                if pair_ct[p] <= 0:
+                    del pair_ct[p]
+                pair_words[p].discard(w)
+            toks = _bpe_merge_word(toks, l, r)
+            vocab[w] = (wct, toks)
+            for p in zip(toks, toks[1:]):
+                pair_ct[p] += wct
+                pair_words[p].add(w)
+    return spark.createDataFrame(
+        merges, "merge_round int, left_tok string, right_tok string, pair_ct long"
+    )
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    top_n: int = 30,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table and return
+    the top-``top_n`` token histogram — the CONSUMER side of BPE
+    training (the pass a tokenizer runs over 100 TB after training
+    once).
+
+    Application is map-only: the merge table is metadata (one
+    vocabulary-sized training job via :func:`bpe_train_local` when
+    ``merges`` is not supplied), applied in training order as
+    ``n_merges`` nested boundary-safe string replaces inside a single
+    whole-stage-codegen projection — no UDFs, no per-merge jobs, and
+    the only shuffle is the final histogram groupBy (key space =
+    learned vocabulary). Pass ``merges`` to reuse an offline-trained
+    table and skip training entirely (the train-once/apply-many seam,
+    like similarity.topk_ivf's ``cents``)."""
+    if merges is None:
+        merges = [
+            (r["left_tok"], r["right_tok"])
+            for r in bpe_train_local(df, n_merges, text_col).collect()
+        ]
+    col = F.array_join(
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda w: F.concat(
+                F.lit(_BPE_D), F.regexp_replace(w, "(.)", "$1" + _BPE_D)
+            ),
+        ),
+        " ",
+    )
+    for l, r in merges:
+        col = F.replace(
+            col,
+            F.lit(_BPE_SEP + l + _BPE_D + r + _BPE_SEP),
+            F.lit(_BPE_SEP + l + r + _BPE_SEP),
+        )
+    tok = F.explode(
+        F.filter(F.split(col, _BPE_SEP), lambda x: (x != "") & (x != " "))
+    )
+    return (
+        df.select(tok.alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("token_ct"))
+        .orderBy(F.desc("token_ct"), "token")
+        .limit(top_n)
+    )
+
+
+def bpe_encode_tokens_sql(
+    table: str, n_merges: int = 32, text_col: str = "text", top_n: int = 30
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_tokens` (train-in-call form):
+    the shared unrolled training CTEs learn the same merge table, then
+    the same nested-replace chain tokenizes the corpus. An exhausted
+    round's empty winner CTE degrades to a chr(1)-pattern no-op —
+    matching the Spark side's shorter merge list."""
+    sep = "e'\\x1F'"
+    dsep = "e'\\x1F\\x1F'"
+    ctes = _bpe_train_ctes(table, n_merges, text_col)
+    expr = (
+        f"array_to_string(list_transform(regexp_split_to_array(lower({text_col}),"
+        f" '\\s+'), w -> {dsep} || regexp_replace(w, '(.)', '\\1' || {dsep}, 'g')), ' ')"
+    )
+    for i in range(1, n_merges + 1):
+        pat = f"coalesce((SELECT {sep} || l || {dsep} || r || {sep} FROM t{i}), chr(1))"
+        rep = f"coalesce((SELECT {sep} || l || r || {sep} FROM t{i}), chr(1))"
+        expr = f"replace({expr},\n      {pat},\n      {rep})"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    applied AS (SELECT {expr} AS a FROM {table})
+    SELECT token, CAST(count(*) AS BIGINT) AS token_ct FROM (
+      SELECT unnest(list_filter(string_split(a, {sep}),
+                                x -> x <> '' AND x <> ' ')) AS token
+      FROM applied)
+    GROUP BY token ORDER BY token_ct DESC, token LIMIT {top_n}
     """

@@ -2492,6 +2492,37 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_local_documents", _text.bpe_train_sql("documents", n_merges=256)
+)
+def bpe_train_local_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at production merge counts (256 rounds — the mode
+    a ~30k-merge tokenizer uses): ONE distributed word-frequency pass
+    (the only corpus-scale work in BPE), then the merge loop runs
+    driver-local over the collected vocabulary with an incremental
+    pair index — 256 merges cost 256 dict updates, not 256 Spark jobs.
+    Bit-equal to the per-round distributed trainer (parity pytest) and
+    to the 256-round unrolled DuckDB twin."""
+    return _text.bpe_train_local(
+        load_table(spark, sf_dir, "documents"), n_merges=256
+    )
+
+
+@register(
+    "bpe_encode_documents", _text.bpe_encode_tokens_sql("documents", n_merges=32)
+)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tokenization with a trained BPE table — the pass a
+    tokenizer runs over 100 TB after training once. The 32-rule merge
+    table is metadata (one vocabulary-local training job); application
+    is 32 nested boundary-safe replaces in ONE codegen projection (no
+    UDFs, no per-merge jobs); the only shuffle is the vocabulary-keyed
+    token histogram."""
+    return _text.bpe_encode_tokens(
+        load_table(spark, sf_dir, "documents"), n_merges=32
+    )
+
+
+@register(
     "heavy_hitters_documents",
     None,  # oracle attached below (module import kept local)
 )

@@ -100,3 +100,76 @@ def test_bpe_deterministic(spark):
     a = _rows(bpe_train(df, n_merges=6))
     b = _rows(bpe_train(df.repartition(3), n_merges=6))
     assert a == b
+
+
+def test_bpe_local_equals_distributed(spark, sf_smoke):
+    """bpe_train(local_vocab path) reproduces the distributed trainer
+    round-for-round on real documents — same winners, same counts."""
+    from data_observability_installer_spark.operators.llm.text import bpe_train_local
+    from data_observability_installer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    dist = _rows(bpe_train(docs, n_merges=12))
+    local = _rows(bpe_train_local(docs, n_merges=12))
+    assert local == dist
+
+
+def test_bpe_local_prefix_property(spark):
+    """Running local mode DEEPER than the distributed mode agrees on
+    the shared prefix of rounds (training is prefix-stable)."""
+    from data_observability_installer_spark.operators.llm.text import bpe_train_local
+
+    texts = ["the cat sat on the mat", "the bat and the cat", "mat cat bat"] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    dist = _rows(bpe_train(df, n_merges=6))
+    local = _rows(bpe_train_local(df, n_merges=20))
+    assert local[: len(dist)] == dist
+    assert _python_bpe(texts, min(20, len(local))) == local[: min(20, len(local))]
+
+
+def test_bpe_local_exhaustion_and_empty(spark):
+    from data_observability_installer_spark.operators.llm.text import bpe_train_local
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    assert _rows(bpe_train_local(df, n_merges=5)) == []
+    empty = spark.createDataFrame([], "text string")
+    assert _rows(bpe_train_local(empty, n_merges=3)) == []
+
+
+def test_bpe_local_vocab_cap_keeps_frequent_words(spark):
+    """A binding cap trains on the most frequent words only — the
+    merge table from the capped vocabulary equals training on the
+    frequent subset."""
+    from data_observability_installer_spark.operators.llm.text import bpe_train_local
+
+    texts = ["zz zz zz zz yy yy qq"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    capped = _rows(bpe_train_local(df, n_merges=3, vocab_cap=2))
+    subset = _python_bpe(["zz zz zz zz yy yy"], 3)
+    assert capped == subset
+
+
+def test_bpe_encode_applies_merges(spark):
+    """Encoding with a trained table produces the merged tokens, and
+    an explicit merge table skips training (train-once/apply-many)."""
+    from data_observability_installer_spark.operators.llm.text import (
+        bpe_encode_tokens,
+    )
+
+    texts = ["aaab aaab aaab", "ab ab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # merges learned: (a,a) first (count 6: 2 per 'aaab' x3... weighted),
+    # encode with 2 merges and check tokens reflect greedy application
+    got = {r["token"]: r["token_ct"] for r in bpe_encode_tokens(df, n_merges=2).collect()}
+    # whatever the learned rules, total token mass must cover the corpus:
+    # every character belongs to exactly one token
+    assert sum(len(tok) * ct for tok, ct in got.items()) == sum(
+        len(w) for t in texts for w in t.split()
+    )
+    # explicit table: single known merge (a,b) -> 'ab' token appears
+    got2 = {
+        r["token"]: r["token_ct"]
+        for r in bpe_encode_tokens(df, merges=[("a", "b")]).collect()
+    }
+    assert got2["ab"] == 5  # 3x 'aaab' + 2x 'ab'
+    assert "b" not in got2  # every b was consumed by the merge

@@ -158,6 +158,61 @@ def knn_blocks(spark, path: str) -> None:
     knn_graph(spark.read.parquet(path), k=3).count()
 
 
+def heavy_hitters_op(spark, path: str) -> None:
+    """Round-6 state-cap claim: MG nomination state is fixed per
+    partition, so the curve must track the scan, not the cardinality
+    (replication multiplies distinct bigrams via the word suffixes)."""
+    from data_observability_installer_spark.operators.sketch import (
+        heavy_hitters_bigrams,
+    )
+
+    heavy_hitters_bigrams(spark.read.parquet(path), phi_denom=1000).count()
+
+
+def fd_check_op(spark, path: str) -> None:
+    """Round-7 one-scan claim: 4 candidate FDs cost one GROUPING SETS
+    pass regardless of candidate count."""
+    from data_observability_installer_spark.operators.dq.discovery import fd_check
+
+    fd_check(
+        spark.read.parquet(path),
+        [
+            ("l_returnflag", "l_linestatus"),
+            ("l_tax", "l_returnflag"),
+            ("l_orderkey", "l_suppkey"),
+            ("l_linestatus", "l_returnflag"),
+        ],
+    ).collect()
+
+
+def row_screen_op(spark, path: str) -> None:
+    """Round-6 shuffle-free claim: the violation projection is a
+    map-only codegen pass; the rollup is the only (signature-bounded)
+    shuffle."""
+    from data_observability_installer_spark.operators.dq.rowscreen import (
+        violation_signatures,
+    )
+    from data_observability_installer_spark.operators.dq.testtypes import TestSpec
+
+    specs = [
+        TestSpec("lineitem", "l_quantity", "Min_Val",
+                 {"Baseline_Value": "1", "Threshold_Value": "0"}),
+        TestSpec("lineitem", "l_discount", "Min_Val",
+                 {"Baseline_Value": "0", "Threshold_Value": "0"}),
+        TestSpec("lineitem", "l_returnflag", "Required", {"Threshold_Value": "0"}),
+    ]
+    violation_signatures(spark.read.parquet(path), specs, "2026-01-01").collect()
+
+
+def bpe_local_op(spark, path: str) -> None:
+    """Round-7 production-merge-count claim: one distributed word-freq
+    pass + a driver-local 256-merge loop — the curve must track the
+    corpus scan, with the local loop constant-ish (vocabulary-sized)."""
+    from data_observability_installer_spark.operators.llm.text import bpe_train_local
+
+    bpe_train_local(spark.read.parquet(path), n_merges=256).count()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -165,6 +220,10 @@ OPS = {
     "salted_topk_events": ("events", salted_topk),
     "minhash_lsh_documents": ("documents", minhash_lsh),
     "knn_graph_embeddings": ("embeddings", knn_blocks),
+    "heavy_hitters_documents": ("documents", heavy_hitters_op),
+    "fd_check_lineitem": ("lineitem", fd_check_op),
+    "row_screen_lineitem": ("lineitem", row_screen_op),
+    "bpe_local_documents": ("documents", bpe_local_op),
 }
 
 
