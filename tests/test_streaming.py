@@ -709,3 +709,61 @@ def test_parity_lateness_stats_vs_batch(spark, event_stream_path):
     # the synthetic delays exceed 1 h sometimes -> the calibration
     # signal actually fires
     assert any(r.late_1h_ct > 0 for r in batch.collect())
+
+
+def test_streaming_heavy_hitters_bounded_state_superset(spark, tmp_path):
+    """One-pass sharded Misra–Gries over a document stream: state never
+    exceeds shards x capacity, and the final candidate set contains
+    every exact phi-heavy hitter (lower-bound estimates <= truth)."""
+    from data_observability_installer_spark.operators.sketch import (
+        _bigrams,
+        heavy_hitters,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        heavy_hitters_stream,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "docs")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    docs.repartition(4).write.mode("overwrite").json(path)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(path)
+    items = stream.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    cap, shards = 500, 4
+    got = _run_stream(
+        spark,
+        heavy_hitters_stream(items, capacity=cap, n_shards=shards),
+        "update",
+        "hh_stream",
+    ).collect()
+    # final summary per shard = the emission at that shard's max shard_n
+    last_n = {}
+    for r in got:
+        last_n[r.shard] = max(last_n.get(r.shard, 0), r.shard_n)
+    final = {
+        r.w: r.est for r in got if r.shard_n == last_n[r.shard]
+    }
+    per_batch_rows = {}
+    for r in got:
+        per_batch_rows.setdefault((r.shard, r.shard_n), 0)
+        per_batch_rows[(r.shard, r.shard_n)] += 1
+    # hard state bound: every emitted summary respects the cap
+    assert max(per_batch_rows.values()) <= cap
+
+    batch_items = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 1)
+    exact = heavy_hitters(batch_items, "w", phi_denom=200, capacity=cap).collect()
+    true_ct = {r.term: r.ct for r in exact}
+    assert true_ct, "fixture must produce heavy hitters"
+    for term, ct in true_ct.items():
+        assert term in final, f"heavy hitter {term} missing from stream candidates"
+        assert final[term] <= ct  # Misra–Gries counters are lower bounds

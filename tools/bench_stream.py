@@ -223,6 +223,38 @@ def main() -> None:
         lambda: correlate_streams(*split(batch_df)).count()
     )
 
+    # round-7: one-pass sharded Misra–Gries heavy hitters — the
+    # hard-capped-state claim measured on a real stream (items =
+    # whitespace words of the MessageLog payload text)
+    from data_observability_installer_spark.streaming.sketch import (
+        heavy_hitters_stream,
+    )
+
+    def hh_items(df):
+        # 3 items per event with a realistic skew profile: status (3
+        # very heavy values), pipeline (200 heavy), token tail (5000)
+        return df.select(
+            F.explode(
+                F.array(
+                    F.col("status"),
+                    F.col("pipeline_key"),
+                    F.concat(F.lit("tok_"), F.pmod("event_id", F.lit(5000))),
+                )
+            ).alias("w")
+        )
+
+    ops["heavy_hitters"] = run_streaming(
+        spark,
+        heavy_hitters_stream(hh_items(read_stream()), capacity=2000, n_shards=8),
+        "update",
+        "sb_hh",
+    )
+    from data_observability_installer_spark.operators.sketch import heavy_hitters
+
+    ops["heavy_hitters"]["batch_twin_s"] = timed_batch(
+        lambda: heavy_hitters(hh_items(batch_df), "w", phi_denom=1000).count()
+    )
+
     result = {
         "metric": "stream_bench",
         "unit": "rows_per_sec",
