@@ -202,6 +202,14 @@ def main() -> None:
     # has nothing to do with its plan.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # ...including the MLlib classload the shingle pass uses (NGram):
+    # measured ~2.5-3 s one-time, previously mis-charged to whichever
+    # shingle consumer happened to run first in cold mode
+    from pyspark.ml.feature import NGram
+
+    NGram(n=2, inputCol="ws", outputCol="ng").transform(
+        spark.createDataFrame([(["a", "b", "c"],)], "ws array<string>")
+    ).collect()
 
     queries = registry.queries()
     timings: dict[str, float | None] = {}

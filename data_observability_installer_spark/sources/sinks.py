@@ -172,3 +172,55 @@ def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> 
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+# --- format-generic table IO ------------------------------------------------
+#
+# parquet is the house format; ORC is the interchange columnar format
+# warehouses hand over (same pushdown/pruning machinery in Spark), and
+# csv/jsonl cover export feeds. One seam so pipelines swap formats per
+# table without touching operator code.
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    **options,
+) -> None:
+    """Write ``df`` at ``path`` in any supported format. CSV defaults
+    to a header row (schema survives the round trip together with
+    ``read_table_fmt``'s schema argument)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    w.options(**options).format(fmt).save(path)
+
+
+def read_table_fmt(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+):
+    """Read a table written by :func:`write_table`. Columnar formats
+    (parquet/ORC) keep predicate pushdown and column pruning — pinned
+    by an executed-plan pytest on the ORC path; csv/json readers take
+    an explicit schema to avoid the inference scan."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return r.options(**options).format(fmt).load(path)

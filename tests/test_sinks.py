@@ -184,3 +184,49 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     # idempotence: retrying the same backfill converges
     backfill_partitions(fixed_day2, path, ["day"])
     assert spark.read.parquet(path).count() == 205
+
+
+def test_format_round_trips(spark, tmp_path):
+    """parquet / ORC / json / csv round-trip the same rows through
+    write_table + read_table_fmt (csv via explicit schema)."""
+    from data_observability_installer_spark.sources.sinks import (
+        read_table_fmt,
+        write_table,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_table(src, p, fmt=fmt)
+        got = read_table_fmt(spark, p, fmt=fmt, schema=src.schema)
+        assert sorted(tuple(r) for r in got.collect()) == want, fmt
+
+
+def test_orc_keeps_pushdown_and_pruning(spark, tmp_path):
+    """The ORC scan must receive the filter and the pruned column set,
+    like parquet — the property that makes the format seam safe to use
+    at scale."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.sinks import (
+        read_table_fmt,
+        write_table,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    p = str(tmp_path / "li_orc")
+    write_table(src, p, fmt="orc")
+    q = (
+        read_table_fmt(spark, p, fmt="orc")
+        .filter(F.col("l_orderkey") == 7)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:120]
+    rs = plan.split("ReadSchema")[1][:160]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
