@@ -182,6 +182,7 @@ HEADLINE = [
     "discovered_fks_tpch",
     "bpe_train_local_documents",
     "bpe_encode_documents",
+    "entity_match_customer",
 ]
 
 

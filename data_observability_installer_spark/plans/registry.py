@@ -2083,6 +2083,39 @@ def fuzzy_name_pairs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.linkage import entity_match, entity_match_sql  # noqa: E402
+
+_EM_ARGS = dict(
+    block_prefix=16,
+    cat_cols=["c_nationkey"],
+    num_cols=[("bal_cents", 10000)],
+    threshold_bp=9000,
+    limit=100,
+)
+
+
+@register(
+    "entity_match_customer",
+    entity_match_sql(
+        "(SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents"
+        " FROM customer)",
+        "c_custkey",
+        "c_name",
+        **_EM_ARGS,
+    ),
+)
+def entity_match_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-field record linkage on customers: name edit
+    similarity (prefix-blocked candidates), nationality agreement, and
+    account-balance proximity fold into one integer-bp score — the
+    multi-evidence upgrade of fuzzy_name_pairs. All arithmetic is
+    floor-division basis points, hash-equal across engines."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    )
+    return entity_match(c, "c_custkey", "c_name", **_EM_ARGS)
+
+
 from ..operators.drift import ks_drift, ks_drift_sql  # noqa: E402
 
 

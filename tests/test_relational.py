@@ -127,3 +127,34 @@ def test_interval_point_join_containment(spark):
     # p1 in both overlapping intervals; p2 before all; p3 at i1's
     # inclusive end and inside i2
     assert got == {("p1", "i1"), ("p1", "i2"), ("p3", "i1"), ("p3", "i2")}
+
+
+def test_entity_match_multi_field_scoring(spark):
+    """A planted near-duplicate (typo name, same category, close
+    balance) outscores a same-name different-evidence decoy; integer
+    bp arithmetic matches the hand computation."""
+    from data_observability_installer_spark.operators.linkage import entity_match
+
+    rows = [
+        (1, "acme corporation", 5, 100000),
+        (2, "acme corporatio", 5, 100050),   # the true dup: typo, close
+        (3, "acme corporatign", 9, 900000),  # name-close, rest disagrees
+        (4, "zenith labs", 5, 100000),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, cat int, cents long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["name_sim_bp"], r["score_bp"])
+        for r in entity_match(
+            df, "id", "name", block_prefix=8,
+            cat_cols=["cat"], num_cols=[("cents", 10000)],
+            threshold_bp=0, limit=50,
+        ).collect()
+    }
+    # (1,2): lev=1/len16 -> 10000-625=9375; cat 10000; num |50|*10000//10000=50 -> 9950
+    # score = (4*9375 + 2*10000 + 1*9950) DIV 7 = (37500+20000+9950)//7 = 9635
+    assert got[(1, 2)] == (9375, 9635)
+    # (1,3): lev=1 ('o'->'g') -> 9375; cat 0; num capped 0 -> 37500//7=5357
+    assert got[(1, 3)] == (9375, 5357)
+    assert got[(1, 2)][1] > got[(1, 3)][1]
+    # different block: (1,4) never compared
+    assert (1, 4) not in got
