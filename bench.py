@@ -183,6 +183,7 @@ HEADLINE = [
     "bpe_train_local_documents",
     "bpe_encode_documents",
     "entity_match_customer",
+    "skew_diagnosis_events",
 ]
 
 

@@ -187,3 +187,60 @@ def interval_point_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("_slot")
+
+
+def skew_diagnosis(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_per_key: int = 100_000,
+) -> DataFrame:
+    """Join/aggregation skew triage for a key column: the ``top_k``
+    heaviest keys with their row counts, corpus share in integer basis
+    points, and the salt factor that would level each key to
+    ``target_per_key`` rows per salted sub-key (``ceil(ct / target)``
+    as integer arithmetic — bit-stable cross-engine).
+
+    This is the measurement step before the salted-join pattern
+    (tests/test_skew.py, SKEW_BENCH.json): at 100 TB you salt the
+    MEASURED hot keys, not every key — the diagnosis is one map-side
+    combined groupBy (shuffle carries one row per distinct key) plus a
+    metadata-sized top-k, so it is cheap enough to run ahead of any
+    big join. NULL keys count too: a NULL-heavy foreign key is the
+    most common real-world skew (unmatched rows all hash together).
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    total = counts.agg(F.sum("ct").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "ct",
+            F.expr("CAST(ct * 10000L DIV n AS BIGINT)").alias("share_bp"),
+            F.expr(
+                f"CAST((ct + {int(target_per_key)}L - 1L)"
+                f" DIV {int(target_per_key)}L AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+        .orderBy(F.desc("ct"), "key")
+        .limit(top_k)
+    )
+
+
+def skew_diagnosis_sql(
+    table: str, key_col: str, top_k: int = 10, target_per_key: int = 100_000
+) -> str:
+    return f"""
+    WITH c AS (
+      SELECT CAST({key_col} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS ct
+      FROM {table} GROUP BY 1),
+    t AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM c)
+    SELECT key, ct,
+           CAST(ct * 10000 // n AS BIGINT) AS share_bp,
+           CAST((ct + {int(target_per_key)} - 1) // {int(target_per_key)} AS BIGINT)
+             AS suggested_salt
+    FROM c, t
+    ORDER BY ct DESC, key LIMIT {top_k}
+    """

@@ -2712,6 +2712,22 @@ from ..operators import relational as _rel  # noqa: E402
 
 
 @register(
+    "skew_diagnosis_events",
+    _rel.skew_diagnosis_sql("events", "event_type", top_k=10, target_per_key=10_000),
+)
+def skew_diagnosis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew triage before the big join: the heaviest event_type keys
+    with corpus share and the integer salt factor that levels each to
+    ~10k rows per salted sub-key — the measurement step the salted-join
+    pattern (SKEW_BENCH) consumes. One map-side-combined groupBy; the
+    top-k is metadata."""
+    return _rel.skew_diagnosis(
+        load_table(spark, sf_dir, "events"), "event_type", top_k=10,
+        target_per_key=10_000,
+    )
+
+
+@register(
     "asof_last_purchase",
     """
     WITH r AS (

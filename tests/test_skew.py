@@ -44,3 +44,20 @@ def test_hot_key_spreads_over_salt_buckets(spark):
     )
     buckets = s.filter(F.col("k") == "hot").select(SALT_COL).distinct().count()
     assert buckets >= 12  # ~900 hot rows hash across nearly all 16 salts
+
+
+def test_skew_diagnosis_counts_and_salt(spark):
+    """Hot keys surface with exact shares; the salt factor is
+    ceil(ct/target); NULL keys group together (the classic unmatched-FK
+    skew)."""
+    from data_observability_installer_spark.operators.relational import (
+        skew_diagnosis,
+    )
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r for r in skew_diagnosis(df, "k", top_k=5, target_per_key=25).collect()}
+    assert got["hot"]["ct"] == 70 and got["hot"]["share_bp"] == 7000
+    assert got["hot"]["suggested_salt"] == 3  # ceil(70/25)
+    assert got["warm"]["suggested_salt"] == 1
+    assert got[None]["ct"] == 10 and got[None]["share_bp"] == 1000
