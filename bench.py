@@ -184,6 +184,7 @@ HEADLINE = [
     "bpe_encode_documents",
     "entity_match_customer",
     "skew_diagnosis_events",
+    "dedup_impact_documents",
 ]
 
 

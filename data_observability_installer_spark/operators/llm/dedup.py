@@ -1060,3 +1060,105 @@ def select_canonical_sql(
            count(*) AS member_ct
     FROM r GROUP BY group_id ORDER BY group_id
     """
+
+
+def dedup_impact(
+    df: DataFrame,
+    near_groups: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup decision report: what each method would remove if
+    applied alone — docs and characters, exact counts and integer-bp
+    shares — one row per method ('exact' = content-hash first-id-wins,
+    'near' = connected-component non-survivors from ``near_groups``,
+    a (doc, group_id) frame such as :func:`dedup_groups` returns).
+
+    This is the summary a curation pipeline reads before committing to
+    a dedup pass over 100 TB: two aggregate passes over a 3-column
+    projection of the corpus (id, length, hash), the near labels
+    joined in result-sized. All arithmetic integer, oracle-exact."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(text_col).cast("long").alias("chars"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc").alias("keep_id"))
+    exact = base.join(keep, "h").select(
+        "doc", "chars", (F.col("doc") != F.col("keep_id")).alias("rm")
+    )
+    g = near_groups.select(F.col("doc").alias("gdoc"), "group_id")
+    near = base.join(g, base.doc == g.gdoc, "left").select(
+        "doc",
+        "chars",
+        (F.col("group_id").isNotNull() & (F.col("doc") != F.col("group_id"))).alias(
+            "rm"
+        ),
+    )
+
+    def summarize(frame: DataFrame, method: str) -> DataFrame:
+        return frame.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum((~F.col("rm")).cast("long")).cast("long").alias("docs_kept"),
+            F.sum(F.col("rm").cast("long")).cast("long").alias("docs_removed"),
+            F.sum("chars").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("rm"), F.col("chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+
+    return (
+        summarize(exact, "exact")
+        .unionByName(summarize(near, "near"))
+        .withColumn(
+            "removed_bp",
+            F.expr(
+                "CAST(CASE WHEN docs_total = 0 THEN 0 "
+                "ELSE docs_removed * 10000L DIV docs_total END AS BIGINT)"
+            ),
+        )
+        .orderBy("method")
+    )
+
+
+def dedup_impact_sql(table: str, pairs_sql: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`dedup_impact` (same methods, same integer
+    arithmetic; near labels from the recursive-closure groups twin)."""
+    groups = dedup_groups_sql(pairs_sql)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {id_col} AS doc, CAST(length({text_col}) AS BIGINT) AS chars,
+             md5({text_col}) AS h
+      FROM {table}),
+    keep AS (SELECT h, min(doc) AS keep_id FROM base GROUP BY h),
+    ex AS (
+      SELECT doc, chars, base.doc <> keep.keep_id AS rm
+      FROM base JOIN keep USING (h)),
+    grp AS MATERIALIZED ({groups}),
+    nr AS (
+      SELECT base.doc, chars,
+             grp.group_id IS NOT NULL AND base.doc <> grp.group_id AS rm
+      FROM base LEFT JOIN grp ON base.doc = grp.doc),
+    s AS (
+      SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS docs_total,
+             CAST(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT) AS docs_kept,
+             CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+             CAST(sum(chars) AS BIGINT) AS chars_total,
+             CAST(sum(CASE WHEN rm THEN chars ELSE 0 END) AS BIGINT) AS chars_removed
+      FROM ex
+      UNION ALL
+      SELECT 'near', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT),
+             CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(chars) AS BIGINT),
+             CAST(sum(CASE WHEN rm THEN chars ELSE 0 END) AS BIGINT)
+      FROM nr)
+    SELECT method, docs_total, docs_kept, docs_removed, chars_total,
+           chars_removed,
+           CAST(CASE WHEN docs_total = 0 THEN 0
+                ELSE docs_removed * 10000 // docs_total END AS BIGINT)
+             AS removed_bp
+    FROM s ORDER BY method
+    """

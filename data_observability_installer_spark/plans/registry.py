@@ -2268,6 +2268,25 @@ def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_impact_documents",
+    _dedup.dedup_impact_sql(
+        "documents", _dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)
+    ),
+)
+def dedup_impact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision report: docs/chars each method would remove
+    if applied alone (exact content-hash vs near-dup connected
+    components), exact integer counts + bp shares — the summary a
+    curation pipeline reads before committing to a 100 TB dedup pass.
+    Consumes the shared shingle index like every other pair consumer."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(
+        docs, capped_shingles=_shared_capped_shingles(spark, sf_dir), **_JACCARD_ARGS
+    )
+    return _dedup.dedup_impact(docs, _dedup.dedup_groups(pairs))
+
+
+@register(
     "canonical_docs_documents",
     _dedup.select_canonical_sql(
         _dedup.dedup_groups_sql(_dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)),
@@ -4521,6 +4540,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "ngram_jaccard_documents",
         "minhash_pairs_documents",
         "dedup_groups_documents",
+        "dedup_impact_documents",
         "dup_spans_documents",
         "canonical_docs_documents",
         "embedding_near_dups_lsh",

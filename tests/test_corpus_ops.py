@@ -416,3 +416,30 @@ def test_bpe_pair_counts_hand_checked(spark):
     # words: abab, cd, a(dropped), bab, cd
     # pairs: ab,ba,ab + cd + ba,ab -> ab:3 ba:2 cd:2
     assert got == [("ab", 3), ("ba", 2), ("cd", 2)]
+
+
+def test_dedup_impact_planted(spark):
+    """Exact and near methods report the right removal counts on a
+    corpus with one exact dup pair and one near-dup cluster."""
+    from data_observability_installer_spark.operators.llm.dedup import dedup_impact
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),        # exact dup of 1
+        (3, "completely different text here"),
+        (4, "unique snowflake document four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc bigint, group_id bigint"
+    )  # near labels: {1,2} and {3,4} clusters
+    got = {r["method"]: r for r in dedup_impact(df, groups).collect()}
+    ex = got["exact"]
+    assert (ex["docs_total"], ex["docs_kept"], ex["docs_removed"]) == (4, 3, 1)
+    assert ex["chars_removed"] == len("alpha beta gamma delta")
+    assert ex["removed_bp"] == 2500
+    nr = got["near"]
+    assert (nr["docs_removed"], nr["removed_bp"]) == (2, 5000)  # docs 2 and 4
+    assert nr["chars_removed"] == len("alpha beta gamma delta") + len(
+        "unique snowflake document four"
+    )
