@@ -185,6 +185,8 @@ HEADLINE = [
     "entity_match_customer",
     "skew_diagnosis_events",
     "dedup_impact_documents",
+    "lang_mix_documents",
+    "hard_negatives_embeddings",
 ]
 
 

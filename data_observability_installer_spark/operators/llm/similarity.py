@@ -1225,3 +1225,115 @@ def topk_int8_sql(
     FROM f JOIN cands USING (vid), qf
     ORDER BY score DESC, f.vid LIMIT {k}
     """
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    per_anchor: int = 1,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, its
+    ``per_anchor`` most similar vectors with a DIFFERENT label — the
+    pairs a contrastive/embedding trainer needs most (similar in
+    space, different in class).
+
+    Candidates must cross label boundaries, so blocking CANNOT use the
+    label (knn_graph's block); instead vectors block on their fixed-IVF
+    bucket — spatially coherent regardless of class — and the pair
+    space is sum(bucket²), never corpus². Assignment reuses the
+    literal-centroid argmax (rounded scores, deterministic ties), so
+    the DuckDB twin reproduces bucket membership and ranking exactly.
+    At 100 TB the bucket is the table's cluster key: each bucket's
+    self-join is a co-located partition job."""
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    e = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        "embedding",
+        "nrm",
+        (-_centroid_scores("embedding", "nrm", centroids)[0]["nc"]).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    from pyspark.sql.window import Window
+
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.lbl") != F.col("b.lbl")),
+        )
+        .select(
+            F.col("a.vid").alias("anchor"),
+            F.col("b.vid").alias("negative"),
+            (
+                F.floor(
+                    _dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("score"), "negative")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= per_anchor)
+        .select("anchor", "negative", "score")
+        .orderBy("anchor", F.desc("score"), "negative")
+    )
+
+
+def hard_negatives_sql(
+    table: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    per_anchor: int = 1,
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` — same literal centroids,
+    same rounded assignment and ranking."""
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in ctr)}]::DOUBLE[])"
+        for i, ctr in enumerate(centroids)
+    )
+    cos_c = (
+        "list_inner_product(e.embedding::DOUBLE[], c.vec) /"
+        " (e.nrm * sqrt(list_inner_product(c.vec, c.vec)))"
+    )
+    cos_ab = (
+        "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+        " (a.nrm * b.nrm)"
+    )
+    return f"""
+    WITH c(cid, vec) AS (VALUES {values}),
+    e AS MATERIALIZED (
+      SELECT {id_col} AS vid, {label_col} AS lbl, embedding,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    scored_c AS (
+      SELECT e.vid, e.lbl, e.embedding, e.nrm, c.cid,
+             floor(({cos_c}) * 1000000 + 0.5) / 1000000 AS cs
+      FROM e, c),
+    assigned AS (
+      SELECT vid, lbl, embedding, nrm, cid AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM scored_c) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vid AS anchor, b.vid AS negative,
+             floor(({cos_ab}) * 10000 + 0.5) / 10000 AS score
+      FROM assigned a JOIN assigned b
+        ON a.bucket = b.bucket AND a.lbl <> b.lbl)
+    SELECT anchor, negative, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor
+                                   ORDER BY score DESC, negative) AS rnk
+      FROM pairs)
+    WHERE rnk <= {per_anchor}
+    ORDER BY anchor, score DESC, negative
+    """

