@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_impact_documents",
     "lang_mix_documents",
     "hard_negatives_embeddings",
+    "critical_path_events",
 ]
 
 

@@ -255,3 +255,72 @@ def out_of_sequence(assigned: DataFrame, closure: DataFrame) -> DataFrame:
             F.lit("OUT_OF_SEQUENCE").alias("alert_type"),
         )
     )
+
+
+def dag_depth(edges: list[tuple[str, str]]) -> int:
+    """Longest chain length (edge count) of a journey DAG — driver-side
+    metadata, bounds the relaxation rounds in :func:`critical_path`."""
+    succ: dict[str, list[str]] = {}
+    for u, v in edges:
+        succ.setdefault(u, []).append(v)
+    memo: dict[str, int] = {}
+
+    def depth(v: str) -> int:
+        if v not in memo:
+            memo[v] = 1 + max((depth(w) for w in succ.get(v, [])), default=-1)
+        return memo[v]
+
+    return max((depth(u) for u, _ in edges), default=0)
+
+
+def critical_path(assigned: DataFrame, edges: list[tuple[str, str]]) -> DataFrame:
+    """Duration-weighted longest path through the journey DAG, per
+    instance: which component chain gates the journey's end-to-end
+    latency. Returns one row per (instance, component) with ``path_s``
+    (the longest total duration of any DAG path ending at that
+    component, using each component's slowest run in the instance) and
+    ``is_critical`` (it attains the instance maximum).
+
+    Durations are ``CAST(ts AS DOUBLE)`` differences (micros exact in
+    a double, and DuckDB's epoch() keeps them — the unix_timestamp
+    trap). The DAG is metadata, so the longest path runs as
+    ``dag_depth`` relaxation rounds — each one broadcast edge join +
+    one (instance, component)-keyed max — over a frame of
+    instances x components rows, never the event count. The twin
+    enumerates all root-to-node paths with a recursive CTE and takes
+    the same max."""
+    spark = assigned.sparkSession
+    dur = (
+        assigned.select(
+            "instance_id",
+            "pipeline_key",
+            (
+                F.col("end_ts").cast("double") - F.col("start_ts").cast("double")
+            ).alias("dur_s"),
+        )
+        .groupBy("instance_id", "pipeline_key")
+        .agg(F.max("dur_s").alias("dur_s"))
+        .localCheckpoint(eager=True)  # instances x components rows
+    )
+    e = spark.createDataFrame(edges, "up_key string, down_key string")
+    dist = dur.withColumn("path_s", F.col("dur_s"))
+    for _ in range(dag_depth(edges)):
+        best = (
+            dist.join(F.broadcast(e), dist.pipeline_key == e.up_key)
+            .groupBy("instance_id", F.col("down_key").alias("pipeline_key"))
+            .agg(F.max("path_s").alias("best_pred"))
+        )
+        dist = dur.join(best, ["instance_id", "pipeline_key"], "left").select(
+            "instance_id",
+            "pipeline_key",
+            "dur_s",
+            (F.col("dur_s") + F.coalesce(F.col("best_pred"), F.lit(0.0))).alias(
+                "path_s"
+            ),
+        )
+    w = Window.partitionBy("instance_id")
+    return (
+        dist.withColumn("is_critical", F.col("path_s") == F.max("path_s").over(w))
+        .select("instance_id", "pipeline_key", "path_s", "is_critical")
+        .orderBy("instance_id", "pipeline_key")
+    )

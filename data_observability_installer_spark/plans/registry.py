@@ -1156,6 +1156,69 @@ def a6_out_of_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "critical_path_events",
+    f"""
+    WITH RECURSIVE runs AS ({_RUNS_SQL}),
+    boundary AS (SELECT * FROM runs WHERE pipeline_key = 'pipeline-0'),
+    inst AS (
+      SELECT CAST(row_number() OVER (ORDER BY start_ts, run_key) AS INT) AS instance_id,
+             start_ts AS instance_start,
+             lead(start_ts) OVER (ORDER BY start_ts, run_key) AS instance_end
+      FROM boundary),
+    assigned AS (
+      SELECT r.*, i.instance_id FROM runs r JOIN inst i
+        ON r.start_ts >= i.instance_start
+       AND (i.instance_end IS NULL OR r.start_ts < i.instance_end)
+      WHERE r.pipeline_key IN
+        ('pipeline-0', 'pipeline-1', 'pipeline-2', 'pipeline-3')),
+    dur AS (
+      SELECT instance_id, pipeline_key,
+             max(epoch(end_ts) - epoch(start_ts)) AS dur_s
+      FROM assigned GROUP BY 1, 2),
+    edges(up_key, down_key) AS (VALUES
+      ('pipeline-0', 'pipeline-1'), ('pipeline-1', 'pipeline-2'),
+      ('pipeline-0', 'pipeline-3')),
+    walk(instance_id, comp, total) AS (
+      SELECT instance_id, pipeline_key, dur_s FROM dur
+      UNION ALL
+      SELECT w.instance_id, e.down_key, w.total + d.dur_s
+      FROM walk w JOIN edges e ON w.comp = e.up_key
+      JOIN dur d ON d.instance_id = w.instance_id AND d.pipeline_key = e.down_key),
+    dist AS (SELECT instance_id, comp AS pipeline_key, max(total) AS path_s
+             FROM walk GROUP BY 1, 2)
+    SELECT instance_id, pipeline_key, path_s,
+           path_s = max(path_s) OVER (PARTITION BY instance_id) AS is_critical
+    FROM dist ORDER BY instance_id, pipeline_key
+    """,
+)
+def critical_path_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path attribution per journey instance: the
+    duration-weighted longest DAG path — which component chain gates
+    end-to-end latency (the question a pipeline-observability user
+    asks after 'it was late'). DAG relaxation rounds = dag_depth
+    (metadata); the working frame is instances x components, never the
+    event count."""
+    from ..operators.obs.journeys import (
+        assign_to_instances,
+        critical_path,
+        journey_instances,
+    )
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    conditions = spark.createDataFrame(
+        [("j-events", "START", "pipeline-0")],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    components = spark.createDataFrame(
+        [("j-events", f"pipeline-{i}") for i in range(4)],
+        "journey_id string, component_key string",
+    )
+    instances = journey_instances(runs, conditions)
+    assigned = assign_to_instances(runs, instances, components)
+    return critical_path(assigned, _A6_EDGES)
+
+
+@register(
     "a2_payload_instances",
     f"""
     WITH runs AS ({_RUNS_SQL}),

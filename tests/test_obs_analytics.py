@@ -278,3 +278,46 @@ def test_session_window_exact_gap_boundary_merges(spark):
     n_exact = exact.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
     n_over = over.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
     assert n_exact == 1 and n_over == 2
+
+
+def test_critical_path_diamond(spark):
+    """Diamond DAG a->(b,c)->d: the longest-duration branch gates d;
+    slowest-run-per-component durations; missing components break
+    paths."""
+    import datetime as dt
+
+    from data_observability_installer_spark.operators.obs.journeys import (
+        critical_path,
+        dag_depth,
+    )
+
+    T = dt.datetime
+    rows = [
+        # instance 1: a 10s; b 20s; c 5s; d 3s -> d path = 10+20+3 = 33
+        (1, "a", "r1", T(2025, 1, 1, 0, 0, 0), T(2025, 1, 1, 0, 0, 10)),
+        (1, "b", "r2", T(2025, 1, 1, 0, 1, 0), T(2025, 1, 1, 0, 1, 20)),
+        (1, "c", "r3", T(2025, 1, 1, 0, 1, 0), T(2025, 1, 1, 0, 1, 5)),
+        (1, "d", "r4", T(2025, 1, 1, 0, 2, 0), T(2025, 1, 1, 0, 2, 3)),
+        # b has a second, slower run: max duration (25s) wins
+        (1, "b", "r5", T(2025, 1, 1, 0, 1, 30), T(2025, 1, 1, 0, 1, 55)),
+        # instance 2: b missing -> d path goes through c: 7+2+4 = 13
+        (2, "a", "r6", T(2025, 1, 2, 0, 0, 0), T(2025, 1, 2, 0, 0, 7)),
+        (2, "c", "r7", T(2025, 1, 2, 0, 1, 0), T(2025, 1, 2, 0, 1, 2)),
+        (2, "d", "r8", T(2025, 1, 2, 0, 2, 0), T(2025, 1, 2, 0, 2, 4)),
+    ]
+    assigned = spark.createDataFrame(
+        rows,
+        "instance_id int, pipeline_key string, run_key string, "
+        "start_ts timestamp, end_ts timestamp",
+    )
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    assert dag_depth(edges) == 2
+    got = {
+        (r["instance_id"], r["pipeline_key"]): (r["path_s"], r["is_critical"])
+        for r in critical_path(assigned, edges).collect()
+    }
+    assert got[(1, "d")] == (10 + 25 + 3, True)  # slower b run gates
+    assert got[(1, "b")] == (10 + 25, False)
+    assert got[(1, "c")] == (15.0, False)
+    assert got[(2, "d")] == (7 + 2 + 4, True)  # path through c only
+    assert got[(2, "a")] == (7.0, False)
