@@ -188,6 +188,7 @@ HEADLINE = [
     "lang_mix_documents",
     "hard_negatives_embeddings",
     "critical_path_events",
+    "mk_trend_events",
 ]
 
 

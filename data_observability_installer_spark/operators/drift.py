@@ -550,3 +550,116 @@ def mad_outliers_grouped_sql(table: str, col: str, by: str, k: float = 3.5) -> s
     FROM {table} t JOIN d ON t.{by} = d.g
     GROUP BY t.{by} ORDER BY t.{by}
     """
+
+
+def mann_kendall(
+    series: DataFrame,
+    key_col: str = "k",
+    ord_col: str = "day",
+    val_col: str = "v",
+    z2_e4: int = 38416,  # z_crit^2 * 1e4 (1.96^2 -> 5% two-sided)
+) -> DataFrame:
+    """Mann–Kendall monotone-trend screen per key — the
+    distribution-free 'is this metric drifting up/down' monitor
+    (continuous periodic anomaly monitoring, reference README.md:10),
+    complementing PSI (needs a baseline) and seasonal z-scores
+    (need a period).
+
+    S = sum over ordered pairs of sign(v_j - v_i); Var(S)*18 =
+    n(n-1)(2n+5) - sum_t t(t-1)(2t+5) over tie groups. The
+    significance test compares (|S|-1)^2 * 18 * 1e4 > z2_e4 * var18 —
+    ALL integer arithmetic (the normal-approximation inequality cleared
+    of divisions), so both engines reach identical verdicts. Output:
+    one row per key with n, s_stat, var18, trend (sign of S), and
+    significant.
+
+    Scale: the pair space is per-key days^2 — a monitoring series is
+    hundreds-to-thousands of points, so the self-join is metadata-sized
+    after the daily pre-aggregation the caller does; everything
+    shuffles on the key only."""
+    s = series.select(
+        F.col(key_col).alias("k"), F.col(ord_col).alias("o"), F.col(val_col).alias("v")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.o") < F.col("b.o"))
+    ).select(
+        F.col("a.k").alias("k"),
+        F.signum(F.col("b.v").cast("double") - F.col("a.v").cast("double"))
+        .cast("long")
+        .alias("sgn"),
+    )
+    s_stat = pairs.groupBy("k").agg(F.sum("sgn").cast("long").alias("s_stat"))
+    base = s.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        s.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    return (
+        base.join(s_stat, "k", "left")
+        .join(ties, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie18"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+        .withColumn("trend", F.signum("s_stat").cast("int"))
+        .withColumn(
+            "significant",
+            F.expr(
+                f"(abs(s_stat) - 1) * (abs(s_stat) - 1) * 18L * 10000L"
+                f" > {int(z2_e4)}L * var18 AND s_stat <> 0"
+            ),
+        )
+        .orderBy(key_col)
+    )
+
+
+def mann_kendall_sql(
+    series_sql: str,
+    key_col: str = "k",
+    ord_col: str = "day",
+    val_col: str = "v",
+    z2_e4: int = 38416,
+) -> str:
+    """DuckDB twin of :func:`mann_kendall`; ``series_sql`` is a SELECT
+    producing (key, ord, val)."""
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT {key_col} AS k, {ord_col} AS o, {val_col} AS v
+      FROM ({series_sql})),
+    p AS (
+      SELECT a.k, CAST(sign(CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) AS BIGINT) AS sgn
+      FROM s a JOIN s b ON a.k = b.k AND a.o < b.o),
+    st AS (SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat FROM p GROUP BY k),
+    base AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY k),
+    ties AS (
+      SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY k, v)
+      WHERE t > 1 GROUP BY k)
+    SELECT base.k AS {key_col}, n,
+           CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - coalesce(tie18, 0) AS BIGINT) AS var18,
+           CAST(sign(coalesce(s_stat, 0)) AS INT) AS trend,
+           (abs(coalesce(s_stat, 0)) - 1) * (abs(coalesce(s_stat, 0)) - 1)
+             * 18 * 10000 > {int(z2_e4)} * (n * (n - 1) * (2 * n + 5)
+             - coalesce(tie18, 0))
+             AND coalesce(s_stat, 0) <> 0 AS significant
+    FROM base LEFT JOIN st USING (k) LEFT JOIN ties USING (k)
+    ORDER BY {key_col}
+    """

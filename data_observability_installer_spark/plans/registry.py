@@ -3239,6 +3239,31 @@ def retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+from ..operators.drift import mann_kendall, mann_kendall_sql  # noqa: E402
+
+
+@register(
+    "mk_trend_events",
+    mann_kendall_sql(
+        "SELECT event_type AS k, date_trunc('day', ts) AS day,"
+        " CAST(count(*) AS BIGINT) AS v FROM events"
+        " GROUP BY event_type, date_trunc('day', ts)",
+    ),
+)
+def mk_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend screen on daily event volume per
+    type — the distribution-free 'is it drifting' monitor (no baseline
+    like PSI, no period like the seasonal screen). The significance
+    inequality is cleared of divisions into pure integer arithmetic,
+    so verdicts are bit-identical cross-engine; the pair space is
+    per-key days², metadata after the daily pre-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return mann_kendall(daily)
+
+
 @register(
     "anomaly_daily_volume",
     """

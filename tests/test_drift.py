@@ -218,3 +218,28 @@ def test_mad_outliers_grouped_approx_tracks_exact(spark):
     for g in exact:
         assert abs(approx[g].fence_lo - exact[g].fence_lo) <= 10.0
         assert abs(approx[g].fence_hi - exact[g].fence_hi) <= 10.0
+
+
+def test_mann_kendall_trends(spark):
+    """A strictly increasing series is a significant up-trend; a
+    constant series (all ties) has S=0, var18=0, no trend; a short
+    noisy series is insignificant. Matches scipy-free hand math."""
+    from data_observability_installer_spark.operators.drift import mann_kendall
+
+    rows = (
+        [("up", i, i * 10) for i in range(12)]
+        + [("flat", i, 7) for i in range(12)]
+        + [("noisy", 0, 5), ("noisy", 1, 9), ("noisy", 2, 4), ("noisy", 3, 8)]
+    )
+    df = spark.createDataFrame(rows, "k string, day int, v long")
+    got = {r["k"]: r for r in mann_kendall(df, ord_col="day").collect()}
+    up = got["up"]
+    assert up["s_stat"] == 66 and up["trend"] == 1  # all 12*11/2 pairs rise
+    # var18 = n(n-1)(2n+5) = 12*11*29 = 3828; (66-1)^2*18e4 > 38416*3828
+    assert up["var18"] == 3828 and up["significant"] is True
+    flat = got["flat"]
+    assert flat["s_stat"] == 0 and flat["trend"] == 0
+    assert flat["var18"] == 0 and flat["significant"] is False
+    noisy = got["noisy"]
+    # pairs: (5,9)+,(5,4)-,(5,8)+,(9,4)-,(9,8)-,(4,8)+ -> S=0
+    assert noisy["s_stat"] == 0 and noisy["significant"] is False
