@@ -189,6 +189,7 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "critical_path_events",
     "mk_trend_events",
+    "ontime_scoreboard_events",
 ]
 
 

@@ -77,3 +77,33 @@ def late_runs(run_rollup: DataFrame, ticks: DataFrame) -> DataFrame:
             .alias("alert_type"),
         )
     )
+
+
+def ontime_scoreboard(ticks: DataFrame, late_alerts: DataFrame) -> DataFrame:
+    """Data-downtime KPI per component: expected schedule ticks vs
+    LATE_START misses over the window, with on-time share in integer
+    basis points — the scoreboard a3's per-tick alerts roll up into
+    (the number an SLA review reads). Both inputs are tick-grained
+    (metadata-sized: components x window days); pure integer
+    arithmetic, oracle-exact."""
+    t = ticks.groupBy("component_key").agg(
+        F.count(F.lit(1)).cast("long").alias("ticks_total")
+    )
+    miss = late_alerts.groupBy("component_key").agg(
+        F.count(F.lit(1)).cast("long").alias("ticks_late")
+    )
+    return (
+        t.join(miss, "component_key", "left")
+        .select(
+            "component_key",
+            "ticks_total",
+            F.coalesce(F.col("ticks_late"), F.lit(0)).cast("long").alias("ticks_late"),
+        )
+        .withColumn(
+            "ontime_bp",
+            F.expr(
+                "CAST((ticks_total - ticks_late) * 10000L DIV ticks_total AS BIGINT)"
+            ),
+        )
+        .orderBy("component_key")
+    )

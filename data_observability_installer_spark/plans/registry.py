@@ -1066,6 +1066,52 @@ def a3_late_daily_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ontime_scoreboard_events",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    ticks AS (
+      SELECT 'pipeline-' || CAST(p.range AS VARCHAR) AS component_key, g.tick AS tick_ts
+      FROM range(5) p, generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                                       INTERVAL '1 day') g(tick)),
+    matched AS (
+      SELECT DISTINCT t.component_key, t.tick_ts
+      FROM runs r JOIN ticks t ON r.pipeline_key = t.component_key
+       AND r.start_ts >= t.tick_ts AND r.start_ts <= t.tick_ts + INTERVAL '3600 seconds'),
+    late AS (
+      SELECT t.component_key FROM ticks t ANTI JOIN matched m
+        ON m.component_key = t.component_key AND m.tick_ts = t.tick_ts),
+    tt AS (SELECT component_key, CAST(count(*) AS BIGINT) AS ticks_total
+           FROM ticks GROUP BY 1),
+    ll AS (SELECT component_key, CAST(count(*) AS BIGINT) AS ticks_late
+           FROM late GROUP BY 1)
+    SELECT component_key, ticks_total,
+           CAST(coalesce(ticks_late, 0) AS BIGINT) AS ticks_late,
+           CAST((ticks_total - coalesce(ticks_late, 0)) * 10000 // ticks_total
+                AS BIGINT) AS ontime_bp
+    FROM tt LEFT JOIN ll USING (component_key)
+    ORDER BY component_key
+    """,
+)
+def ontime_scoreboard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-downtime KPI: a3's per-tick LATE_START alerts rolled up
+    to expected-vs-missed ticks and on-time share per component — the
+    number an SLA review reads. Tick-grained inputs (components x
+    window days, metadata); integer bp arithmetic."""
+    import datetime as dt
+
+    from ..operators.obs.schedules import expected_ticks, late_runs, ontime_scoreboard
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    schedules = [
+        {"component_key": f"pipeline-{i}", "expectation": "BATCH_PIPELINE_START_TIME",
+         "schedule": "0 0 * * *", "margin_s": 3600}
+        for i in range(5)
+    ]
+    ticks = expected_ticks(spark, schedules, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31))
+    return ontime_scoreboard(ticks, late_runs(runs, ticks))
+
+
+@register(
     "a4_run_state_alerts",
     f"""
     WITH runs AS ({_RUNS_SQL})
