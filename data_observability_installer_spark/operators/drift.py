@@ -579,7 +579,9 @@ def mann_kendall(
     shuffles on the key only."""
     s = series.select(
         F.col(key_col).alias("k"), F.col(ord_col).alias("o"), F.col(val_col).alias("v")
-    )
+    ).localCheckpoint(eager=True)  # keys x days rows; read by 4 consumers
+    # (pairs a/b, base, ties) — pinning makes the upstream aggregation
+    # run ONCE instead of once per consumer (the fd_check lesson)
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(
         b, (F.col("a.k") == F.col("b.k")) & (F.col("a.o") < F.col("b.o"))

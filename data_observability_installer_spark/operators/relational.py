@@ -209,9 +209,12 @@ def skew_diagnosis(
     big join. NULL keys count too: a NULL-heavy foreign key is the
     most common real-world skew (unmatched rows all hash together).
     """
-    counts = df.groupBy(
-        F.col(key_col).cast("string").alias("key")
-    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint(eager=True)  # key-cardinality rows; feeds both
+        # the total and the top-k from ONE input scan
+    )
     total = counts.agg(F.sum("ct").cast("long").alias("n"))
     return (
         counts.crossJoin(F.broadcast(total))

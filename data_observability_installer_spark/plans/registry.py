@@ -2618,14 +2618,19 @@ def lang_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.language_pred_col("text").alias("pred_lang"),
         (qc["quality"] * 10000).cast("long").alias("qbp"),
     )
-    total = j.agg(F.count(F.lit(1)).alias("n"))
-    return (
+    # language-set-sized; feeds the share denominator AND the report
+    # from ONE corpus scan
+    per_lang = (
         j.groupBy("pred_lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("doc_ct"),
             F.sum("qbp").cast("long").alias("qsum"),
         )
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=True)
+    )
+    total = per_lang.agg(F.sum("doc_ct").alias("n"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
         .select(
             "pred_lang",
             "doc_ct",
