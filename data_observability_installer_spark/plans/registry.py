@@ -1131,8 +1131,12 @@ def a4_run_state_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters over the already-computed run rollup."""
     from ..operators.obs.rules import evaluate_rules
 
-    runs = _events_run_rollup(load_table(spark, sf_dir, "events")).withColumn(
-        "end_ts", F.date_format("end_ts", _TS_FMT_SPARK)
+    # pinned: evaluate_rules fans out one filter branch per rule over
+    # the same rollup
+    runs = (
+        _events_run_rollup(load_table(spark, sf_dir, "events"))
+        .withColumn("end_ts", F.date_format("end_ts", _TS_FMT_SPARK))
+        .localCheckpoint(eager=True)
     )
     rules = [
         {"rule_id": "r-failed-runs", "action": "SEND_EMAIL",
@@ -1184,7 +1188,12 @@ def a6_out_of_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         transitive_edges,
     )
 
-    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    # the rollup feeds instance derivation AND run assignment — pin it
+    # so events scan once (measured ~20-50% at sf0.1; rollup rows =
+    # runs, far below the event count)
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     conditions = spark.createDataFrame(
         [("j-events", "START", "pipeline-0")], "journey_id string, action string, batch_pipeline string"
     )
@@ -1250,7 +1259,10 @@ def critical_path_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         journey_instances,
     )
 
-    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    # pinned: the rollup feeds instance derivation AND run assignment
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
     conditions = spark.createDataFrame(
         [("j-events", "START", "pipeline-0")],
         "journey_id string, action string, batch_pipeline string",
@@ -1301,7 +1313,9 @@ def a2_payload_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.obs.journeys import payload_instances
 
     ev = load_table(spark, sf_dir, "events")
-    runs = _events_run_rollup(ev)
+    # pinned: payload_instances consumes the rollup on both sides of
+    # its boundary/assignment joins
+    runs = _events_run_rollup(ev).localCheckpoint(eager=True)
     payloads = ev.select(
         F.concat(
             F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
