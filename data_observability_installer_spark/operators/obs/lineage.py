@@ -210,6 +210,10 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     constant is derived from the SAME Python double the SQL twin
     embeds via repr(), so both engines iterate on bit-identical
     values."""
+    # the edge list is graph-sized but its lineage is the full
+    # event-scan extraction; every iteration (plus nodes/outdeg) is a
+    # consumer, so pin it — events scan once, not 2+2*iterations times
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
