@@ -238,6 +238,10 @@ def apply_cdc(
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # batch-sized; consumed by BOTH the upsert projection and the
+        # touched-key anti-join side — pin so the changelog (and its
+        # window) is computed once per merge
+        .localCheckpoint(eager=True)
     )
     upserts = latest.filter(F.col(op_col).isin("I", "U")).select(*key_cols, *payload_cols)
     touched = latest.select(*key_cols)
