@@ -310,7 +310,15 @@ def main() -> None:
     out = Path(__file__).resolve().parent.parent / "SCALE_BENCH.json"
     if args.merge and out.exists():
         doc = json.loads(out.read_text())
-        doc["ops"].update(results)
+        for name, timings in results.items():
+            # merge per key so a partial-factor rerun extends an op's
+            # curve instead of clobbering its other points; the op's
+            # "factors" list unions to reflect actual coverage
+            prev = doc["ops"].get(name, {})
+            prev_factors = prev.get("factors", [])
+            prev.update(timings)
+            prev["factors"] = sorted(set(prev_factors) | set(timings["factors"]))
+            doc["ops"][name] = prev
         doc["factors"] = sorted(set(doc["factors"]) | set(factors))
     else:
         doc = {"base_sf": 0.1, "factors": factors, "ops": results}
