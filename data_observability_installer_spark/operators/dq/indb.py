@@ -56,3 +56,41 @@ def outcomes_to_df(spark, outcomes: list[dict[str, Any]]):
     )
     data = [tuple(o[c] for c in OUTCOME_COLUMNS) for o in outcomes]
     return spark.createDataFrame(data, schema)
+
+
+PROFILE_COLUMNS = ["table_name", "column_name", "metric", "value", "value_str"]
+
+
+def run_profile_indb(
+    conn: Any,
+    table_sql: str,
+    table_name: str,
+    schema: list[tuple[str, str]],
+    as_of: str,
+    columns: list[str] | None = None,
+) -> list[dict[str, Any]]:
+    """Profile a table IN the database holding it — the same
+    'in-database SQL, no data copies' execution the suite runner uses
+    (reference README.md:209), applied to TestGen task 1 (profiling,
+    README.md:207). One statement computes every characteristic in a
+    single scan of the source; only the metric rows (one per
+    column x characteristic) leave the warehouse. The statement is the
+    Spark profile's own oracle twin, so parity with the in-engine
+    profile is exactly the correctness gate's equality."""
+    from ..profile import profile_sql
+
+    sql = profile_sql(table_sql, table_name, schema, as_of, columns)
+    cursor = conn.execute(sql) if hasattr(conn, "execute") else conn.cursor().execute(sql)
+    return [dict(zip(PROFILE_COLUMNS, row)) for row in cursor.fetchall()]
+
+
+def profile_to_df(spark, rows: list[dict[str, Any]]):
+    """Lift in-database profile rows into the long-form profile
+    DataFrame, so hygiene screens / test generation / drift consumers
+    run unchanged on a profile the warehouse computed."""
+    schema = (
+        "table_name string, column_name string, metric string, "
+        "value double, value_str string"
+    )
+    data = [tuple(r[c] for c in PROFILE_COLUMNS) for r in rows]
+    return spark.createDataFrame(data, schema)

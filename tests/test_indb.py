@@ -97,3 +97,49 @@ def test_functional_dep_indb_parity(spark, con):
     assert _norm(indb_rows) == _norm(spark_rows)
     by = {r["column_name"]: r["result"] for r in spark_rows}
     assert by["o_orderkey"] == "PASSED" and by["o_custkey"] == "WARNING"
+
+
+def test_profile_indb_matches_spark(spark, con):
+    """In-database profiling returns the same metric rows as the Spark
+    profile (value-for-value on the long form), and the lifted frame
+    drives the hygiene screens unchanged."""
+    from data_observability_installer_spark.operators.dq.indb import (
+        profile_to_df,
+        run_profile_indb,
+    )
+    from data_observability_installer_spark.operators.hygiene import hygiene
+    from data_observability_installer_spark.operators.profile import profile
+    from data_observability_installer_spark.sources.tables import STATIC_SCHEMAS
+
+    rows = run_profile_indb(con, "orders", "orders", STATIC_SCHEMAS["orders"], AS_OF)
+    spark_rows = profile(
+        load_table(spark, SF, "orders"), "orders", AS_OF
+    ).collect()
+
+    def norm(rs):
+        out = []
+        for r in rs:
+            r = dict(r) if not isinstance(r, dict) else r
+            v = r["value"]
+            out.append(
+                (
+                    r["table_name"], r["column_name"], r["metric"],
+                    None if v is None else round(float(v), 4),
+                    r["value_str"],
+                )
+            )
+        return sorted(out)
+
+    assert norm(rows) == norm([x.asDict() for x in spark_rows])
+
+    lifted = profile_to_df(spark, rows)
+    h_indb = {
+        (r["column_name"], r["detector"]) for r in hygiene(lifted, AS_OF).collect()
+    }
+    h_spark = {
+        (r["column_name"], r["detector"])
+        for r in hygiene(
+            profile(load_table(spark, SF, "orders"), "orders", AS_OF), AS_OF
+        ).collect()
+    }
+    assert h_indb == h_spark
