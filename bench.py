@@ -190,6 +190,7 @@ HEADLINE = [
     "critical_path_events",
     "mk_trend_events",
     "ontime_scoreboard_events",
+    "leakage_safe_split_documents",
 ]
 
 

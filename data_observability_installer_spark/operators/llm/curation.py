@@ -758,3 +758,75 @@ def calibrate_scores_sql(
                  * {scale} + 0.5) / {scale} AS calibrated
     FROM s
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic split that can NEVER leak near-duplicates across
+    splits: the hash key is the document's near-dup GROUP id (from
+    :func:`..dedup.dedup_groups`) when it has one, else its own id —
+    so a whole duplicate cluster lands in one split. Without this, a
+    plain per-doc split puts ~(1-w) of every cluster's copies in val —
+    the classic train/test contamination a curation pipeline must rule
+    out BEFORE the near-dups are deduplicated (and even after keep-best
+    dedup, survivors of the same cluster stay co-assigned under
+    re-splits).
+
+    Same stability property as :func:`deterministic_split` (adding
+    rows never moves existing ones; group membership changes move only
+    the affected cluster). The groups frame is result-sized (docs in
+    >=1 pair), broadcast or key-joined by AQE."""
+    g = groups.select(
+        F.col("doc").alias("_gdoc"), F.col("group_id").alias("_gid")
+    )
+    keyed = df.join(g, df[id_col] == g._gdoc, "left").withColumn(
+        "_split_key",
+        F.coalesce(F.col("_gid").cast("string"), F.col(id_col).cast("string")),
+    )
+    key = F.concat(F.lit(salt), F.lit(":"), F.col("_split_key"))
+    b = _bucket(key)
+    edge = 0.0
+    expr = None
+    for name, w in list(weights)[:-1]:
+        edge += w
+        cond = b < int(round(edge * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1][0]
+    split = expr.otherwise(last) if expr is not None else F.lit(last)
+    return keyed.select(
+        id_col, F.col("_split_key").alias("split_key"), split.alias("split")
+    ).orderBy(id_col)
+
+
+def leakage_safe_split_sql(
+    table: str,
+    groups_sql: str,
+    id_col: str = "doc_id",
+    weights: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split` (``groups_sql``
+    produces (doc, group_id) — the dedup_groups twin)."""
+    b = _bucket_sql(f"'{salt}:' || split_key")
+    edge = 0.0
+    whens = []
+    for name, w in list(weights)[:-1]:
+        edge += w
+        whens.append(f"WHEN b < {int(round(edge * BUCKETS))} THEN '{name}'")
+    last = list(weights)[-1][0]
+    return f"""
+    WITH g AS MATERIALIZED ({groups_sql}),
+    keyed AS (
+      SELECT t.{id_col},
+             coalesce(CAST(g.group_id AS VARCHAR), CAST(t.{id_col} AS VARCHAR))
+               AS split_key
+      FROM {table} t LEFT JOIN g ON t.{id_col} = g.doc),
+    h AS (SELECT {id_col}, split_key, {b} AS b FROM keyed)
+    SELECT {id_col}, split_key, CASE {' '.join(whens)} ELSE '{last}' END AS split
+    FROM h ORDER BY {id_col}
+    """

@@ -2410,6 +2410,27 @@ def dedup_impact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split_documents",
+    _cur.leakage_safe_split_sql(
+        "documents",
+        _dedup.dedup_groups_sql(_dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)),
+    ),
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof train/val/test split: the hash key is the
+    near-dup GROUP id, so a duplicate cluster can never straddle the
+    split boundary — the leak a per-doc split is guaranteed to create
+    for ~(1-w) of every cluster. Same incremental-stability property
+    as the plain deterministic split; consumes the shared shingle
+    index."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(
+        docs, capped_shingles=_shared_capped_shingles(spark, sf_dir), **_JACCARD_ARGS
+    )
+    return _cur.leakage_safe_split(docs, _dedup.dedup_groups(pairs))
+
+
+@register(
     "canonical_docs_documents",
     _dedup.select_canonical_sql(
         _dedup.dedup_groups_sql(_dedup.ngram_jaccard_sql("documents", **_JACCARD_ARGS)),
@@ -4750,6 +4771,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "minhash_pairs_documents",
         "dedup_groups_documents",
         "dedup_impact_documents",
+        "leakage_safe_split_documents",
         "dup_spans_documents",
         "canonical_docs_documents",
         "embedding_near_dups_lsh",

@@ -212,3 +212,33 @@ def test_calibrate_scores_group_isolated_percent_ranks(spark):
     kept = {d for d, c in out.items() if c >= 0.5}
     assert len([d for d in kept if d < 100]) == 5  # half of 'lo'
     assert len([d for d in kept if 100 <= d < 200]) == 5  # half of 'hi'
+
+
+def test_leakage_safe_split_coassigns_clusters(spark):
+    """Near-dup clusters land whole in one split; ungrouped docs use
+    their own id (identical to the plain split for them); no pair
+    crosses the boundary by construction."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(200)],
+                                 "doc_id bigint, text string")
+    # three clusters: {0,1,2}, {10,11}, {20,21,22,23}
+    groups = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10),
+         (20, 20), (21, 20), (22, 20), (23, 20)],
+        "doc bigint, group_id bigint",
+    )
+    got = {r["doc_id"]: r for r in leakage_safe_split(docs, groups).collect()}
+    for cluster in [(0, 1, 2), (10, 11), (20, 21, 22, 23)]:
+        splits = {got[d]["split"] for d in cluster}
+        assert len(splits) == 1, cluster
+    # ungrouped docs match the plain split exactly
+    plain = {r["doc_id"]: r["split"] for r in deterministic_split(docs).collect()}
+    grouped_ids = {0, 1, 2, 10, 11, 20, 21, 22, 23}
+    for d, r in got.items():
+        if d not in grouped_ids:
+            assert r["split"] == plain[d]
+            assert r["split_key"] == str(d)
