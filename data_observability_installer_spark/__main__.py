@@ -122,6 +122,48 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_discover(args) -> int:
+    """FD/FK discovery from cardinality evidence, optionally emitting
+    the confirmed dependencies as generated tests and running them —
+    the round-7 profile->generate loop, end to end."""
+    from .operators.dq.compiler import compile_suite
+    from .operators.dq.discovery import discover_fds, discover_fks
+    from .operators.dq.generator import dependency_tests, run_referential_tests
+    from .plans.suites import AS_OF
+    from .sources.tables import STATIC_SCHEMAS, load_table
+
+    spark = _spark(args)
+    table = args.table
+    df = load_table(spark, args.sf_dir, table)
+    fd_rows = discover_fds(df).collect()
+    print(f"functional dependencies on {table}:")
+    for r in fd_rows:
+        mark = "HOLDS" if r["holds"] else f"violated by {r['n_violating_keys']} keys"
+        print(f"  {r['determinant']} -> {r['dependent']}: {mark}")
+    ind_rows = []
+    if args.parents:
+        tables = {table: (df, list(dict(STATIC_SCHEMAS[table])))}
+        for t in args.parents.split(","):
+            t = t.strip()
+            tables[t] = (load_table(spark, args.sf_dir, t), list(dict(STATIC_SCHEMAS[t])))
+        ind_rows = discover_fks(tables).collect()
+        print("inclusion dependencies:")
+        for r in ind_rows:
+            mark = "FK" if r["holds"] else f"{r['containment_bp']} bp contained"
+            print(f"  {r['child']} in {r['parent']}: {mark}")
+    if args.emit_tests:
+        specs = dependency_tests(table, fd_rows, ind_rows)
+        print(f"generated {len(specs)} dependency tests")
+        fd_specs = [s for s in specs if s.test_type == "Functional_Dep"]
+        if fd_specs:
+            compile_suite(df, fd_specs, AS_OF).show(200, truncate=False)
+        fk_specs = [s for s in specs if s.test_type == "Valid_FK"]
+        if fk_specs:
+            all_tables = {t: d for t, (d, _) in tables.items()}
+            run_referential_tests(fk_specs, all_tables).show(200, truncate=False)
+    return 0
+
+
 def cmd_query(args) -> int:
     from .plans import registry
 
@@ -264,6 +306,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("generate")
     p.add_argument("table")
     p.add_argument("--dry-run", action="store_true")
+    p = sub.add_parser("discover")
+    p.add_argument("table")
+    p.add_argument("--parents", default=None,
+                   help="comma-separated candidate parent tables for FK discovery")
+    p.add_argument("--emit-tests", action="store_true",
+                   help="emit confirmed dependencies as generated tests and run them")
     p = sub.add_parser("query")
     p.add_argument("name")
     p.add_argument("--rows", type=int, default=50)
@@ -299,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
         "hygiene": cmd_hygiene,
         "test": cmd_test,
         "generate": cmd_generate,
+        "discover": cmd_discover,
         "query": cmd_query,
         "export": cmd_export,
         "compact": cmd_compact,

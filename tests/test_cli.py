@@ -58,3 +58,14 @@ def test_cli_compact_and_zorder(spark, sf_smoke, tmp_path, capsys):
 
     back = spark.read.parquet(zdst)
     assert back.count() == spark.read.parquet(sf_smoke + "/lineitem.parquet").count()
+
+
+def test_cli_discover_emits_and_runs_tests(spark, sf_smoke, capsys):
+    assert main([
+        "--sf-dir", sf_smoke, "discover", "orders",
+        "--parents", "customer", "--emit-tests",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "functional dependencies on orders" in out
+    assert "orders.o_custkey in customer.c_custkey: FK" in out
+    assert "Valid_FK" in out and "PASSED" in out
