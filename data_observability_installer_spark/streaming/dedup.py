@@ -48,3 +48,43 @@ def curate_stream(
     """Stateless keep/drop decisions on a stream — the batch
     curation_filter applied verbatim (no state, no watermark needed)."""
     return curation_filter(stream, text_col=text_col, id_col=id_col, **filter_kwargs)
+
+
+def lang_mix_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed corpus-composition monitor over a document stream: per
+    (event-time window, predicted language) doc counts and mean
+    quality in integer bp — the streaming face of the
+    ``lang_mix_documents`` report, watching an INGEST for language/
+    quality drift as it happens. Language argmax and the quality
+    heuristics are stateless Column arithmetic, so the only state is
+    the windowed aggregate (languages x open windows)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.llm.text import language_pred_col, quality_cols
+
+    qc = quality_cols(text_col)
+    tagged = stream.select(
+        F.col(ts_col),
+        language_pred_col(text_col).alias("pred_lang"),
+        (qc["quality"] * 10000).cast("long").alias("qbp"),
+    )
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_ct"),
+            F.expr("CAST(sum(qbp) DIV count(1) AS BIGINT)").alias("avg_quality_bp"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "pred_lang",
+            "doc_ct",
+            "avg_quality_bp",
+        )
+    )

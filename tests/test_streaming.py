@@ -767,3 +767,39 @@ def test_streaming_heavy_hitters_bounded_state_superset(spark, tmp_path):
     for term, ct in true_ct.items():
         assert term in final, f"heavy hitter {term} missing from stream candidates"
         assert final[term] <= ct  # Misra–Gries counters are lower bounds
+
+
+def test_streaming_lang_mix_matches_batch(spark, tmp_path):
+    """The windowed language/quality monitor agrees with the batch
+    report on a replayed document stream (same windows, same integer
+    bp means)."""
+    from data_observability_installer_spark.sources.tables import load_table
+    from data_observability_installer_spark.streaming.dedup import lang_mix_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60).alias("ts"),
+    )
+    path = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").json(path)
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").json(path)
+    got = {
+        (r["window_start"], r["pred_lang"]): (r["doc_ct"], r["avg_quality_bp"])
+        for r in _run_stream(
+            spark, lang_mix_stream(stream), "append", "lang_mix_stream"
+        ).collect()
+    }
+    want = {
+        (r["window_start"], r["pred_lang"]): (r["doc_ct"], r["avg_quality_bp"])
+        for r in lang_mix_stream(spark.read.schema(
+            "doc_id bigint, text string, ts timestamp").json(path)).collect()
+    }
+    # append mode emits only watermark-CLOSED windows: every emitted
+    # row must match batch exactly, and only the trailing open
+    # window(s) may be pending
+    assert got
+    assert all(want[k] == v for k, v in got.items())
+    missing = set(want) - set(got)
+    max_start = max(k[0] for k in want)
+    assert all(k[0] == max_start for k in missing), missing
