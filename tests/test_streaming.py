@@ -800,6 +800,10 @@ def test_streaming_lang_mix_matches_batch(spark, tmp_path):
     # window(s) may be pending
     assert got
     assert all(want[k] == v for k, v in got.items())
+    # a window stays open until the watermark (1 h) passes its END, so
+    # the trailing watermark+window span may be pending — nothing older
     missing = set(want) - set(got)
-    max_start = max(k[0] for k in want)
-    assert all(k[0] == max_start for k in missing), missing
+    import datetime as dt
+
+    horizon = max(k[0] for k in want) - dt.timedelta(hours=1)
+    assert all(k[0] >= horizon for k in missing), missing
