@@ -36,6 +36,14 @@ def get_spark(app_name: str = "data-observability-spark", cpus: int | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: when a selective dim side
+        # is too big to broadcast, inject a bloom filter of its join
+        # keys into the fact scan so non-matching rows drop BEFORE the
+        # shuffle — the 100 TB lever for semi-selective big joins. The
+        # default 10 GB application-side threshold keeps it out of
+        # small local scans (no overhead here); plan-gated in
+        # tests/test_plans.py with the threshold lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Local bench files are 10s of MB; the 4 MB default file-open cost
         # caps such scans at ~3 splits, starving 32 cores. At warehouse
         # scale files are >=128 MB so this setting is inert there.

@@ -541,3 +541,46 @@ def test_mad_grouped_no_cartesian_no_python(spark, sf_smoke):
     plan = _executed(spark, "mad_outliers_by_priority", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The tuned session enables runtime bloom-filter pruning: with a
+    selective non-broadcast dim join, Catalyst injects a
+    bloom_filter_agg of the dim keys into the fact side so non-matching
+    rows drop before the shuffle (threshold lowered here to make the
+    10 GB production gate observable at test scale)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan  # the fact-side probe
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
