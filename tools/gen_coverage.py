@@ -50,12 +50,23 @@ def run_oracle(sf: str) -> tuple[list[str], list[str], list[str]]:
 
 def run_pytest() -> str:
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no", "-rf"],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
+    # name any failures in the artifact — a bare "N failed" summary is
+    # useless for telling a flake from a break (round-7 lesson: one
+    # anonymous flaky failure cost a full re-run to rule out a break)
+    failed = [
+        line.strip()
+        for line in proc.stdout.splitlines()
+        if line.startswith("FAILED ")
+    ]
     for line in reversed(proc.stdout.splitlines()):
         if "passed" in line or "failed" in line or "error" in line:
-            return line.strip().strip("= ")
+            summary = line.strip().strip("= ")
+            if failed:
+                summary += " — " + "; ".join(failed[:10])
+            return summary
     return f"pytest exited {proc.returncode} with unparseable output"
 
 
