@@ -191,6 +191,7 @@ HEADLINE = [
     "mk_trend_events",
     "ontime_scoreboard_events",
     "leakage_safe_split_documents",
+    "containment_pairs_documents",
 ]
 
 

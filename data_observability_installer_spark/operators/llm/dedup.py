@@ -1162,3 +1162,95 @@ def dedup_impact_sql(table: str, pairs_sql: str, text_col: str = "text",
              AS removed_bp
     FROM s ORDER BY method
     """
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_bp: int = 6000,
+    max_df: int = 1000,
+    capped_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by the overlap coefficient
+    ``|A∩B| / min(|A|, |B|)`` in integer basis points — the measure
+    that catches a short document CONTAINED in a long one (quotes,
+    excerpts, wrapped reposts), which Jaccard structurally misses: a
+    200-shingle doc fully inside a 4000-shingle doc has containment
+    10000 bp but Jaccard 0.05. Emits which doc is the contained one
+    (the smaller shingle set; ties -> lower id).
+
+    Same df-capped inverted-index join as the Jaccard operator (share
+    ``capped_shingles`` to reuse the one corpus shingle pass); the
+    scoring arithmetic is floor-division integers, so the twin is
+    hash-exact with no float-rounding hazard."""
+    if capped_shingles is not None:
+        sh = capped_shingles
+    else:
+        sh0 = exploded_shingles(df, text_col, id_col, n)
+        keep = (
+            sh0.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_ct"))
+            .filter(F.col("df_ct") <= max_df)
+        )
+        sh = sh0.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_bp",
+            F.expr("CAST(inter * 10000L DIV least(sz_a, sz_b) AS BIGINT)"),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
+        .withColumn(
+            "contained_doc",
+            F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+            .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+            .otherwise(F.least("doc_a", "doc_b")),
+        )
+        .select("doc_a", "doc_b", "inter", "containment_bp", "contained_doc")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_containment_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_bp: int = 6000,
+    max_df: int = 1000,
+) -> str:
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {max_df}),
+    sh AS MATERIALIZED (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
+    SELECT doc_a, doc_b, inter,
+           CAST(inter * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS containment_bp,
+           CASE WHEN sa.sz < sb.sz THEN doc_a
+                WHEN sb.sz < sa.sz THEN doc_b
+                ELSE least(doc_a, doc_b) END AS contained_doc
+    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter * 10000 // least(sa.sz, sb.sz) >= {threshold_bp}
+    ORDER BY doc_a, doc_b
+    """

@@ -2410,6 +2410,26 @@ def dedup_impact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_pairs_documents",
+    _dedup.ngram_containment_sql("documents", n=3, threshold_bp=6000, max_df=1000),
+)
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: overlap coefficient
+    |A∩B|/min(|A|,|B|) in integer bp, flagging the CONTAINED doc —
+    catches quotes/excerpts/wrapped reposts that Jaccard structurally
+    misses (a short doc inside a long one scores ~10000 bp here but
+    ~0 Jaccard). Shares the capped shingle index; floor-division
+    integers, no float-rounding hazard."""
+    return _dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
+        n=3,
+        threshold_bp=6000,
+        max_df=1000,
+    )
+
+
+@register(
     "leakage_safe_split_documents",
     _cur.leakage_safe_split_sql(
         "documents",
@@ -4770,6 +4790,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "ngram_jaccard_documents",
         "minhash_pairs_documents",
         "dedup_groups_documents",
+        "containment_pairs_documents",
         "dedup_impact_documents",
         "leakage_safe_split_documents",
         "dup_spans_documents",

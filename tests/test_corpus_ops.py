@@ -443,3 +443,30 @@ def test_dedup_impact_planted(spark):
     assert nr["chars_removed"] == len("alpha beta gamma delta") + len(
         "unique snowflake document four"
     )
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short excerpt of a long doc: containment ~10000 bp while
+    Jaccard stays below any sane near-dup threshold — the asymmetric
+    case this operator exists for. The contained doc is flagged."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(300))
+    excerpt = " ".join(f"w{i}" for i in range(40, 70))  # 30 words inside
+    other = " ".join(f"z{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, long_words), (2, excerpt), (3, other)], "doc_id bigint, text string"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in ngram_containment_pairs(df, threshold_bp=9000).collect()
+    }
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["containment_bp"] == 10000
+    assert cont[(1, 2)]["contained_doc"] == 2
+    assert (1, 3) not in cont
+    jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
