@@ -192,6 +192,7 @@ HEADLINE = [
     "ontime_scoreboard_events",
     "leakage_safe_split_documents",
     "containment_pairs_documents",
+    "pchart_failures_events",
 ]
 
 

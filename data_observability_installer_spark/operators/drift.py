@@ -665,3 +665,83 @@ def mann_kendall_sql(
     FROM base LEFT JOIN st USING (k) LEFT JOIN ties USING (k)
     ORDER BY {key_col}
     """
+
+
+def p_chart(
+    counts: DataFrame,
+    key_col: str = "k",
+    n_col: str = "n",
+    x_col: str = "x",
+    sigma: int = 3,
+) -> DataFrame:
+    """Proportion control chart (SPC p-chart) over pre-aggregated
+    subgroups: each row of ``counts`` is one subgroup with ``n`` trials
+    and ``x`` events; a subgroup breaches when its event rate sits more
+    than ``sigma`` standard errors from the pooled center line — the
+    classic 'is this day/pipeline out of control' screen for failure
+    rates.
+
+    The breach test is the cross-multiplied inequality
+    ``(x*Nt - Xt*n)^2 > sigma^2 * Xt * (Nt - Xt) * n`` evaluated in
+    DECIMAL(38,0) (HUGEINT on DuckDB) — no division, no sqrt, no
+    floats, so verdicts are bit-identical cross-engine at any scale
+    (the squared term overflows int64 past ~3e9 trial-weighted
+    deviations; decimal headroom covers 1e19 subgroup trials).
+    ``rate_bp``/``pbar_bp`` are floor-division basis points for
+    reporting. One pass over the subgroup frame plus a broadcast
+    scalar."""
+    s = counts.select(
+        F.col(key_col).alias("k"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(x_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=True)  # subgroup-sized; feeds totals + verdicts
+    tot = s.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("x").cast("long").alias("xt")
+    )
+    dev = "(CAST(x AS DECIMAL(38,0)) * nt - CAST(xt AS DECIMAL(38,0)) * n)"
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            "x",
+            F.expr("CAST(CASE WHEN n = 0 THEN 0 ELSE x * 10000L DIV n END AS BIGINT)").alias(
+                "rate_bp"
+            ),
+            F.expr("CAST(CASE WHEN nt = 0 THEN 0 ELSE xt * 10000L DIV nt END AS BIGINT)").alias(
+                "pbar_bp"
+            ),
+            F.expr(
+                f"{dev} * {dev} > CAST({sigma * sigma} AS DECIMAL(38,0))"
+                " * xt * (nt - xt) * n"
+            ).alias("breach"),
+            F.expr(f"CAST(sign({dev}) AS INT)").alias("direction"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def p_chart_sql(
+    counts_sql: str,
+    key_col: str = "k",
+    n_col: str = "n",
+    x_col: str = "x",
+    sigma: int = 3,
+) -> str:
+    """DuckDB twin of :func:`p_chart` (HUGEINT cross-multiplication)."""
+    dev = "(CAST(x AS HUGEINT) * nt - CAST(xt AS HUGEINT) * n)"
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT {key_col} AS k, CAST({n_col} AS BIGINT) AS n,
+             CAST({x_col} AS BIGINT) AS x
+      FROM ({counts_sql})),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt
+            FROM s)
+    SELECT k AS {key_col}, n, x,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE x * 10000 // n END AS BIGINT) AS rate_bp,
+           CAST(CASE WHEN nt = 0 THEN 0 ELSE xt * 10000 // nt END AS BIGINT) AS pbar_bp,
+           {dev} * {dev} > CAST({sigma * sigma} AS HUGEINT)
+             * xt * (nt - xt) * n AS breach,
+           CAST(sign({dev}) AS INT) AS direction
+    FROM s, tot ORDER BY {key_col}
+    """

@@ -3346,6 +3346,35 @@ def retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.drift import mann_kendall, mann_kendall_sql  # noqa: E402
+from ..operators.drift import p_chart, p_chart_sql  # noqa: E402
+
+
+@register(
+    "pchart_failures_events",
+    p_chart_sql(
+        f"""SELECT pipeline_key || '|' || strftime(start_ts, '%Y-%m-%d') AS k,
+               count(*) AS n,
+               sum(CASE WHEN final_status = 'FAILED' THEN 1 ELSE 0 END) AS x
+        FROM ({_RUNS_SQL}) GROUP BY 1"""
+    ),
+)
+def pchart_failures_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart on daily failure rates per pipeline: a (pipeline,
+    day) subgroup breaches when its rate sits 3 standard errors from
+    the pooled center line — the 'out of control, not just unlucky'
+    screen. The breach inequality is cross-multiplied into
+    DECIMAL(38,0)/HUGEINT integer arithmetic (no sqrt, no floats), so
+    verdicts are bit-identical cross-engine at any subgroup size."""
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    counts = runs.groupBy(
+        F.concat(
+            F.col("pipeline_key"), F.lit("|"), F.date_format("start_ts", "yyyy-MM-dd")
+        ).alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("final_status") == "FAILED").cast("long")).alias("x"),
+    )
+    return p_chart(counts)
 
 
 @register(

@@ -243,3 +243,25 @@ def test_mann_kendall_trends(spark):
     noisy = got["noisy"]
     # pairs: (5,9)+,(5,4)-,(5,8)+,(9,4)-,(9,8)-,(4,8)+ -> S=0
     assert noisy["s_stat"] == 0 and noisy["significant"] is False
+
+
+def test_p_chart_integer_verdicts(spark):
+    """The cross-multiplied 3-sigma inequality matches the float
+    formula on hand-computed subgroups; direction reports the side."""
+    from data_observability_installer_spark.operators.drift import p_chart
+
+    # pooled: Xt=60, Nt=600 -> pbar=0.1; se(n=100)=sqrt(.1*.9/100)=.03
+    rows = [
+        ("ok", 100, 10),     # exactly at center: no breach
+        ("hot", 100, 25),    # rate .25, dev .15 = 5 sigma -> breach up
+        ("cold", 100, 1),    # rate .01, dev .09 = 3 sigma exactly? (.09/.03=3, strict > -> no breach)
+        ("a", 100, 8), ("b", 100, 9), ("c", 100, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, n long, x long")
+    got = {r["k"]: r for r in p_chart(df).collect()}
+    assert got["hot"]["breach"] is True and got["hot"]["direction"] == 1
+    assert got["ok"]["breach"] is False and got["ok"]["direction"] == 0
+    # cold: (1*600-60*100)^2 = 5400^2 = 29160000 vs 9*60*540*100 = 29160000
+    # strict inequality -> boundary does NOT breach (matches > in SQL)
+    assert got["cold"]["breach"] is False and got["cold"]["direction"] == -1
+    assert got["hot"]["rate_bp"] == 2500 and got["hot"]["pbar_bp"] == 1000
