@@ -745,3 +745,263 @@ def p_chart_sql(
            CAST(sign({dev}) AS INT) AS direction
     FROM s, tot ORDER BY {key_col}
     """
+
+
+def cusum_screen(
+    series: DataFrame,
+    key_col: str = "k",
+    ord_col: str = "o",
+    val_col: str = "v",
+    k_bp: int = 2500,
+    h_bp: int = 20000,
+) -> DataFrame:
+    """Tabular CUSUM level-shift screen per key — the sequential
+    'has the level moved and STAYED moved' monitor (continuous
+    periodic anomaly monitoring, reference README.md:10). It catches
+    slow sustained drifts the per-point z-score screen
+    (rolling_anomaly) misses, and localizes WHEN the shift started,
+    which Mann-Kendall's single trend verdict cannot.
+
+    Semantics (two one-sided charts against the key's own pooled mean
+    c = total/n): allowance k = k_bp/1e4 * c, decision interval
+    h = h_bp/1e4 * c; S+_i = max(0, S+_{i-1} + (v_i - c - k)) alarms
+    when S+ > h, S- symmetric. The reset-at-zero recursion is
+    expressed as prefix sums minus their running minimum
+    (S+_i = P_i - min(0, min_{j<=i} P_j)), so both engines compute it
+    with plain window functions — no recursion, no UDF.
+
+    Everything is scaled by 1e4*n so the arithmetic is pure integers
+    in DECIMAL(38,0) (HUGEINT on DuckDB): d+_i = 1e4*n*v_i - 1e4*T -
+    k_bp*T, alarm when S+_scaled > h_bp*T. Verdicts are bit-identical
+    cross-engine at any scale with ~1e38 headroom (safe while
+    1e4 * n * total < 1e19 per key-day, far past any daily-count
+    series). Output is one summary row per key: alarm counts, first
+    alarm ordinal per side, and the peak excursions in basis points
+    of the center (floor division).
+
+    Scale: one shuffle on the key for the windows over the
+    pre-aggregated (key, day) frame — metadata-sized after the daily
+    rollup the caller does; totals ride along via a window, not a
+    second scan."""
+    s = series.select(
+        F.col(key_col).alias("k"),
+        F.col(ord_col).alias("o"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    kw = "(PARTITION BY k)"
+    ow = "(PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    stepped = s.selectExpr(
+        "k",
+        "o",
+        "v",
+        f"CAST(count(*) OVER {kw} AS DECIMAL(38,0)) AS n",
+        f"CAST(sum(v) OVER {kw} AS DECIMAL(38,0)) AS t",
+    ).selectExpr(
+        "k",
+        "o",
+        "v",
+        "n",
+        "t",
+        f"CAST(10000 AS DECIMAL(38,0)) * n * v - 10000 * t - {int(k_bp)} * t AS dup",
+        f"10000 * t - {int(k_bp)} * t - CAST(10000 AS DECIMAL(38,0)) * n * v AS ddn",
+    ).selectExpr(
+        "k",
+        "o",
+        "t",
+        f"sum(dup) OVER {ow} AS pup",
+        f"sum(ddn) OVER {ow} AS pdn",
+    ).selectExpr(
+        "k",
+        "o",
+        "t",
+        f"pup - least(CAST(0 AS DECIMAL(38,0)), min(pup) OVER {ow}) AS sup",
+        f"pdn - least(CAST(0 AS DECIMAL(38,0)), min(pdn) OVER {ow}) AS sdn",
+    ).selectExpr(
+        "k",
+        "o",
+        "t",
+        "sup",
+        "sdn",
+        f"sup > {int(h_bp)} * t AS aup",
+        f"sdn > {int(h_bp)} * t AS adn",
+    )
+    return (
+        stepped.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(F.col("t")).cast("long").alias("total"),
+            F.sum(F.col("aup").cast("long")).cast("long").alias("upper_alarms"),
+            F.sum(F.col("adn").cast("long")).cast("long").alias("lower_alarms"),
+            F.min(F.when(F.col("aup"), F.col("o").cast("string"))).alias("first_upper"),
+            F.min(F.when(F.col("adn"), F.col("o").cast("string"))).alias("first_lower"),
+            F.expr("CAST(max(sup) DIV greatest(max(t), 1) AS BIGINT)").alias(
+                "peak_upper_bp"
+            ),
+            F.expr("CAST(max(sdn) DIV greatest(max(t), 1) AS BIGINT)").alias(
+                "peak_lower_bp"
+            ),
+        )
+        .withColumn(
+            "out_of_control", (F.col("upper_alarms") + F.col("lower_alarms")) > 0
+        )
+        .orderBy(key_col)
+    )
+
+
+def cusum_screen_sql(
+    series_sql: str,
+    key_col: str = "k",
+    ord_col: str = "o",
+    val_col: str = "v",
+    k_bp: int = 2500,
+    h_bp: int = 20000,
+) -> str:
+    """DuckDB twin of :func:`cusum_screen` (HUGEINT window arithmetic);
+    ``series_sql`` is a SELECT producing (key, ord, val)."""
+    kw = "(PARTITION BY k)"
+    ow = "(PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH s AS (
+      SELECT {key_col} AS k, {ord_col} AS o, CAST({val_col} AS BIGINT) AS v
+      FROM ({series_sql})),
+    base AS (
+      SELECT k, o, v,
+             CAST(count(*) OVER {kw} AS HUGEINT) AS n,
+             CAST(sum(v) OVER {kw} AS HUGEINT) AS t
+      FROM s),
+    d AS (
+      SELECT k, o, t,
+             CAST(10000 AS HUGEINT) * n * v - 10000 * t - {int(k_bp)} * t AS dup,
+             10000 * t - {int(k_bp)} * t - CAST(10000 AS HUGEINT) * n * v AS ddn
+      FROM base),
+    p AS (
+      SELECT k, o, t,
+             sum(dup) OVER {ow} AS pup,
+             sum(ddn) OVER {ow} AS pdn
+      FROM d),
+    cs AS (
+      SELECT k, o, t,
+             pup - least(CAST(0 AS HUGEINT), min(pup) OVER {ow}) AS sup,
+             pdn - least(CAST(0 AS HUGEINT), min(pdn) OVER {ow}) AS sdn
+      FROM p),
+    a AS (
+      SELECT k, o, t, sup, sdn,
+             sup > {int(h_bp)} * t AS aup,
+             sdn > {int(h_bp)} * t AS adn
+      FROM cs)
+    SELECT k AS {key_col},
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(t) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN aup THEN 1 ELSE 0 END) AS BIGINT) AS upper_alarms,
+           CAST(sum(CASE WHEN adn THEN 1 ELSE 0 END) AS BIGINT) AS lower_alarms,
+           min(CASE WHEN aup THEN CAST(o AS VARCHAR) END) AS first_upper,
+           min(CASE WHEN adn THEN CAST(o AS VARCHAR) END) AS first_lower,
+           CAST(max(sup) // greatest(max(t), 1) AS BIGINT) AS peak_upper_bp,
+           CAST(max(sdn) // greatest(max(t), 1) AS BIGINT) AS peak_lower_bp,
+           sum(CASE WHEN aup OR adn THEN 1 ELSE 0 END) > 0 AS out_of_control
+    FROM a GROUP BY k ORDER BY {key_col}
+    """
+
+
+def changepoint(
+    series: DataFrame,
+    key_col: str = "k",
+    ord_col: str = "o",
+    val_col: str = "v",
+) -> DataFrame:
+    """Single change-point localization per key (binary-segmentation
+    step 1): the split t that maximizes the between-segment SSE
+    reduction gain(t) = (n*T_t - t*T)^2 / (n * t * (n-t)), where T_t
+    is the prefix sum — i.e. WHERE did the level move, complementing
+    cusum_screen's WHEN-did-it-start alarm and Mann-Kendall's
+    is-it-monotone verdict (continuous periodic anomaly monitoring,
+    reference README.md:10).
+
+    The numerator and denominator are pure integers; the argmax is
+    taken over the 1e-4-quantized gain ``gain_q = floor(gain * 1e4)``
+    with earliest-t tie-break — floor division of identical integers,
+    so the chosen split is bit-identical cross-engine (DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB; (n*T_t)^2 * 1e4 needs n*T < ~1e17,
+    far past any pre-aggregated monitoring series). Segment means are
+    reported in exact basis points by floor division.
+
+    Scale: one keyed-window pass over the (key, day) frame plus a
+    per-key top-1 — both metadata-sized after the caller's daily
+    rollup."""
+    ow = "(PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    kw = "(PARTITION BY k)"
+    s = series.select(
+        F.col(key_col).alias("k"),
+        F.col(ord_col).alias("o"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    scored = s.selectExpr(
+        "k",
+        "o",
+        f"CAST(row_number() OVER (PARTITION BY k ORDER BY o) AS DECIMAL(38,0)) AS t",
+        f"CAST(sum(v) OVER {ow} AS DECIMAL(38,0)) AS tt",
+        f"CAST(count(*) OVER {kw} AS DECIMAL(38,0)) AS n",
+        f"CAST(sum(v) OVER {kw} AS DECIMAL(38,0)) AS tot",
+    ).filter("t < n").selectExpr(
+        "k",
+        "o",
+        "t",
+        "n",
+        "tt",
+        "tot",
+        "CAST((n * tt - t * tot) * (n * tt - t * tot) * 10000"
+        " DIV (n * t * (n - t)) AS BIGINT) AS gain_q",
+    )
+    best = scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY k ORDER BY gain_q DESC, t ASC) AS rn",
+    ).filter("rn = 1")
+    return best.selectExpr(
+        f"k AS {key_col}",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(t AS BIGINT) AS t_star",
+        "CAST(o AS STRING) AS split_ord",
+        "gain_q",
+        "CAST(tt * 10000 DIV t AS BIGINT) AS mean_left_bp",
+        "CAST((tot - tt) * 10000 DIV (n - t) AS BIGINT) AS mean_right_bp",
+    ).orderBy(key_col)
+
+
+def changepoint_sql(
+    series_sql: str,
+    key_col: str = "k",
+    ord_col: str = "o",
+    val_col: str = "v",
+) -> str:
+    """DuckDB twin of :func:`changepoint` (HUGEINT arithmetic);
+    ``series_sql`` is a SELECT producing (key, ord, val)."""
+    ow = "(PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    kw = "(PARTITION BY k)"
+    return f"""
+    WITH s AS (
+      SELECT {key_col} AS k, {ord_col} AS o, CAST({val_col} AS BIGINT) AS v
+      FROM ({series_sql})),
+    w AS (
+      SELECT k, o,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY o) AS HUGEINT) AS t,
+             CAST(sum(v) OVER {ow} AS HUGEINT) AS tt,
+             CAST(count(*) OVER {kw} AS HUGEINT) AS n,
+             CAST(sum(v) OVER {kw} AS HUGEINT) AS tot
+      FROM s),
+    scored AS (
+      SELECT k, o, t, n, tt, tot,
+             CAST((n * tt - t * tot) * (n * tt - t * tot) * 10000
+                  // (n * t * (n - t)) AS BIGINT) AS gain_q
+      FROM w WHERE t < n),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY gain_q DESC, t ASC) AS rn
+      FROM scored)
+    SELECT k AS {key_col},
+           CAST(n AS BIGINT) AS n,
+           CAST(t AS BIGINT) AS t_star,
+           CAST(o AS VARCHAR) AS split_ord,
+           gain_q,
+           CAST(tt * 10000 // t AS BIGINT) AS mean_left_bp,
+           CAST((tot - tt) * 10000 // (n - t) AS BIGINT) AS mean_right_bp
+    FROM best WHERE rn = 1 ORDER BY {key_col}
+    """

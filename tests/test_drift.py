@@ -265,3 +265,46 @@ def test_p_chart_integer_verdicts(spark):
     # strict inequality -> boundary does NOT breach (matches > in SQL)
     assert got["cold"]["breach"] is False and got["cold"]["direction"] == -1
     assert got["hot"]["rate_bp"] == 2500 and got["hot"]["pbar_bp"] == 1000
+
+
+def _shift_series(spark):
+    rows = [("shift", f"d{i:03d}", 10 if i < 30 else 20) for i in range(60)]
+    rows += [("flat", f"d{i:03d}", 10) for i in range(60)]
+    return spark.createDataFrame(rows, "k string, o string, v long")
+
+
+def test_cusum_flags_sustained_shift_not_flat(spark):
+    from data_observability_installer_spark.operators.drift import cusum_screen
+
+    out = {r.k: r for r in cusum_screen(_shift_series(spark)).collect()}
+    assert not out["flat"].out_of_control
+    assert out["flat"].peak_upper_bp == 0 and out["flat"].peak_lower_bp == 0
+    s = out["shift"]
+    # pooled-center CUSUM flags both sides of a mid-series mean shift:
+    # the low first half accumulates below center, the high second half above
+    assert s.out_of_control and s.upper_alarms > 0 and s.lower_alarms > 0
+    assert s.first_lower < s.first_upper  # low side breaches first
+    assert s.peak_upper_bp == 25000  # 30 days * (20 - 15 - 3.75) = 2.5x center
+
+
+def test_cusum_single_spike_does_not_alarm(spark):
+    """CUSUM is the SUSTAINED-shift screen: one 3x spike in an
+    otherwise flat series decays back to zero without crossing the
+    decision interval (the rolling z-score screen catches spikes)."""
+    from data_observability_installer_spark.operators.drift import cusum_screen
+
+    rows = [("spiky", f"d{i:03d}", 30 if i == 20 else 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, o string, v long")
+    out = cusum_screen(df).collect()[0]
+    assert not out.out_of_control and out.upper_alarms == 0
+
+
+def test_changepoint_localizes_exact_boundary(spark):
+    from data_observability_installer_spark.operators.drift import changepoint
+
+    out = {r.k: r for r in changepoint(_shift_series(spark)).collect()}
+    s = out["shift"]
+    assert s.t_star == 30 and s.split_ord == "d029"  # last point of left segment
+    assert s.mean_left_bp == 100000 and s.mean_right_bp == 200000
+    # flat series: zero gain everywhere, earliest-t tie-break picks t=1
+    assert out["flat"].gain_q == 0 and out["flat"].t_star == 1
