@@ -3399,6 +3399,45 @@ def mk_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(daily)
 
 
+from ..operators.drift import changepoint, changepoint_sql  # noqa: E402
+from ..operators.drift import cusum_screen, cusum_screen_sql  # noqa: E402
+
+_DAILY_TYPE_SQL = (
+    "SELECT event_type AS k,"
+    " strftime(date_trunc('day', ts), '%Y-%m-%d') AS o,"
+    " CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2"
+)
+
+
+def _daily_type_counts(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("o"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+
+@register("cusum_shift_events", cusum_screen_sql(_DAILY_TYPE_SQL))
+def cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM over daily event volume per type: the sequential
+    'has the level moved and STAYED moved' screen, localizing when a
+    sustained shift started — slow drifts the trailing-week z-score
+    misses. The reset-at-zero recursion is prefix sums minus their
+    running minimum, all DECIMAL(38,0)/HUGEINT integers, so alarm
+    verdicts are bit-identical cross-engine."""
+    daily = _daily_type_counts(load_table(spark, sf_dir, "events"))
+    return cusum_screen(daily)
+
+
+@register("changepoint_events", changepoint_sql(_DAILY_TYPE_SQL))
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point localization on daily event volume per
+    type: the split maximizing the between-segment SSE reduction,
+    argmax over the 1e-4-quantized integer gain with earliest-t
+    tie-break — WHERE the level moved, bit-identical cross-engine."""
+    daily = _daily_type_counts(load_table(spark, sf_dir, "events"))
+    return changepoint(daily)
+
+
 @register(
     "anomaly_daily_volume",
     """
@@ -3688,6 +3727,21 @@ def lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineage_cycles",
+    _LINEAGE_CLOSURE_SQL
+    + """
+    SELECT src AS dataset_key, CAST(depth AS INT) AS cycle_len
+    FROM cl WHERE src = dst ORDER BY dataset_key""",
+)
+def lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback loops in the observed lineage: datasets reachable from
+    themselves, with shortest cycle length — the screen that must pass
+    before 'rebuild everything downstream of X' is a meaningful plan.
+    One filter over the shared cached closure (no new scan)."""
+    return _lin.cycle_nodes(_cached_closure(spark, sf_dir))
+
+
+@register(
     "lineage_impact_failed",
     f"""{_LINEAGE_CLOSURE_SQL},
     failed_runs AS (
@@ -3765,6 +3819,27 @@ def decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return _decontam.decontaminate(train, bench, n=5, min_hits=2)
+
+
+@register(
+    "decontam_fingerprint_documents",
+    _decontam.decontaminate_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_BENCH_PRED}))",
+        f"(SELECT * FROM documents WHERE {_BENCH_PRED})",
+        n=5,
+        min_hits=2,
+    ),
+)
+def decontam_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontam_documents' scale path: the eval shingles broadcast as
+    8-byte xxhash64 fingerprints (eval suites too big for a string
+    broadcast), exact string verify runs only on the nominated pairs —
+    same answer, value-checked against the SAME oracle as the exact
+    broadcast plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return _decontam.decontaminate_fingerprint(train, bench, n=5, min_hits=2)
 
 
 @register(
@@ -4725,15 +4800,19 @@ def min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_WINDOW = 50
 
 
-def _evidence_row_green(v) -> bool:
+def _evidence_row_green(v, has_oracle_now: bool = False) -> bool:
     """Is this CORRECTNESS row green? Oracle-backed rows need
-    rows/schema/hash all non-failing with no error; rows-only rows
-    (err == 'no_oracle', the driver's weaker check) count when the
-    query ran and reported a row count."""
+    rows/schema/hash all non-failing with no error. Rows-only rows
+    (err == 'no_oracle', the driver's weaker check) count only while
+    the query STILL has no oracle: evidence freshness is measured
+    against the check's current strength, so a query that has since
+    gained a SQL twin is maximally stale until the driver value-checks
+    it once (this is what pulled topk_ivf_embeddings back into the
+    round-7 window after its twin landed in round 6)."""
     if not isinstance(v, dict):
         return False
     if v.get("err") == "no_oracle":
-        return v.get("spark_rows") is not None
+        return not has_oracle_now and v.get("spark_rows") is not None
     return bool(
         v.get("rows_match")
         and v.get("schema_match") is not False
@@ -4774,7 +4853,7 @@ def _driver_evidence_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for n, v in rows.items():
-            if green(v):
+            if green(v, has_oracle_now=n in ORACLES):
                 last[n] = max(last.get(n, 0), rnd)
     return last
 

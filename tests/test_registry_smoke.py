@@ -94,3 +94,16 @@ def test_failed_correctness_rows_do_not_count_as_evidence():
     assert not g({"rows_match": None, "schema_match": None, "hash_match": None, "err": "AnalysisException: boom"})
     assert not g({"err": "no_oracle", "spark_rows": None})
     assert not g(None)
+
+
+def test_rows_only_evidence_expires_when_oracle_lands():
+    """A historical rows-only (no_oracle) CORRECTNESS row stops
+    counting as evidence once the query HAS an oracle: freshness is
+    measured against the check's current strength, so a newly-twinned
+    query re-enters the window for its first value check."""
+    row = {"err": "no_oracle", "spark_rows": 10}
+    assert registry._evidence_row_green(row, has_oracle_now=False)
+    assert not registry._evidence_row_green(row, has_oracle_now=True)
+    # topk_ivf_embeddings gained its twin in round 6 after a rows-only
+    # r04 row; it must hold a round-7 window slot
+    assert "topk_ivf_embeddings" in list(registry.queries())[:50]
