@@ -297,3 +297,21 @@ def pagerank_sql(edges_cte: str, iterations: int = 3, damping: float = 0.85) -> 
     SELECT node, floor(pr * 1e6 + 0.5) / 1e6 AS pagerank
     FROM p{iterations} ORDER BY pagerank DESC, node"""
     )
+
+
+def cycle_nodes(closure: DataFrame) -> DataFrame:
+    """Feedback-loop detection over the lineage graph: a dataset is on
+    a cycle iff the transitive closure reaches it from itself, and the
+    min-depth closure row (src == dst) IS the shortest cycle through
+    it. Lineage with cycles breaks every 'rebuild downstream of X'
+    plan, so this is the screen a catalog runs before trusting
+    impact_downstream. Cost: one filter over the already-built closure
+    — reuses the cached BFS, no new scan."""
+    return (
+        closure.filter(F.col("src") == F.col("dst"))
+        .select(
+            F.col("src").alias("dataset_key"),
+            F.col("depth").cast("int").alias("cycle_len"),
+        )
+        .orderBy("dataset_key")
+    )

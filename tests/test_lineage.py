@@ -138,3 +138,28 @@ def test_declared_and_unified_edges_provenance(spark):
     assert uni[("a", "b")] == (True, False)   # stale/declared-only
     assert uni[("b", "c")] == (True, True)    # confirmed
     assert uni[("c", "x")] == (False, True)   # undocumented dependency
+
+
+def test_cycle_nodes_flags_only_cycle_members(spark):
+    from data_observability_installer_spark.operators.obs.lineage import (
+        cycle_nodes,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "f")],
+        "src string, dst string",
+    )
+    out = {r.dataset_key: r.cycle_len for r in cycle_nodes(transitive_closure(edges)).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3}  # acyclic chain d->e->f absent
+
+
+def test_cycle_nodes_self_loop_is_length_one_cycle(spark):
+    from data_observability_installer_spark.operators.obs.lineage import (
+        cycle_nodes,
+        transitive_closure,
+    )
+
+    edges = spark.createDataFrame([("x", "x"), ("x", "y")], "src string, dst string")
+    out = {r.dataset_key: r.cycle_len for r in cycle_nodes(transitive_closure(edges)).collect()}
+    assert out == {"x": 1}
