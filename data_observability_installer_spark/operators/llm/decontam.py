@@ -241,3 +241,48 @@ def decontaminate_fuzzy_sql(
     SELECT doc AS {id_col}, bench_doc, jaccard
     FROM verified WHERE jaccard >= {threshold}
     """
+
+
+def decontaminate_fingerprint(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """:func:`decontaminate` for benchmark sets too large to broadcast
+    as strings — same output, different physical plan.
+
+    Pass 1 (nominate, map-side): the benchmark shingles broadcast as
+    DISTINCT 8-byte xxhash64 fingerprints (~10x smaller than the
+    string set — a multi-GB eval suite fits in executor memory), and
+    the corpus shingles semi-join on the hash with NO corpus shuffle.
+    Pass 2 (verify, exact): only the nominated (doc, shingle) pairs —
+    a tiny fraction of the corpus — shuffle-join against the benchmark
+    STRING shingles, so a 2^-64-probability hash collision can only
+    ever ADD a candidate that exact verification then rejects; it can
+    never flag a clean doc. Nomination is a superset of the true hits
+    (same hash on both sides), so the final counts equal
+    :func:`decontaminate` exactly — the twin oracle is shared.
+    """
+    doc_sh = exploded_shingles(docs, text_col, id_col, n)
+    bench_sh = exploded_shingles(bench, text_col, id_col, n).select("sh").distinct()
+    fp = bench_sh.select(F.xxhash64("sh").alias("h")).distinct()
+    cand = doc_sh.withColumn("h", F.xxhash64("sh")).join(
+        F.broadcast(fp), "h", "left_semi"
+    )
+    hits = (
+        cand.join(bench_sh, "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("hit_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+            (F.coalesce("hit_shingles", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -470,3 +470,28 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert (1, 3) not in cont
     jac = ngram_jaccard_pairs(df, threshold=0.3).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_decontaminate_fingerprint_equals_exact_broadcast(spark):
+    """The fingerprint-nominate/exact-verify plan must produce exactly
+    the decontaminate() result — nomination is a superset (same hash
+    both sides), verification exact."""
+    from data_observability_installer_spark.operators.llm.decontam import (
+        decontaminate_fingerprint,
+    )
+
+    bench = _docs(
+        spark,
+        [(100, "alpha beta gamma delta epsilon zeta"), (101, "one two three four five six")],
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, "intro words then alpha beta gamma delta epsilon and more"),
+            (2, "totally unrelated content nothing shared here at all"),
+            (3, "zero one two three four five six seven"),
+        ],
+    )
+    exact = sorted(map(tuple, decontaminate(docs, bench, n=5, min_hits=1).collect()))
+    fp = sorted(map(tuple, decontaminate_fingerprint(docs, bench, n=5, min_hits=1).collect()))
+    assert exact == fp
