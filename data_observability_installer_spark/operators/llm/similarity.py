@@ -1337,3 +1337,116 @@ def hard_negatives_sql(
     WHERE rnk <= {per_anchor}
     ORDER BY anchor, score DESC, negative
     """
+
+
+def cluster_profile(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus cartography: one row per IVF cell — size, corpus share,
+    mean vector norm, dominant label and its purity. This is the map a
+    curation pipeline reads before deciding which regions of embedding
+    space to up/down-sample, and the balance check behind an IVF
+    index (a cell holding half the corpus means the probe path
+    degenerates to brute force there).
+
+    Determinism: assignment uses the fixed literal centroids with the
+    rounded-cosine/lowest-id tiebreak (same as topk_ivf_fixed); norms
+    are quantized per row to integer 1e-6 units BEFORE summing so the
+    mean is an exact integer floor-division, never an order-dependent
+    float sum; dominant label ties break to the lowest label. One
+    corpus map pass + one bucket-keyed shuffle of (bucket, label)
+    counts — cell-count-sized, not corpus-sized."""
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    e = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    assigned = e.select(
+        F.col(label_col).alias("lbl"),
+        F.expr("CAST(floor(nrm * 1000000 + 0.5) AS BIGINT)").alias("nrm_q"),
+        (-_centroid_scores("embedding", "nrm", centroids)[0]["nc"]).alias("bucket"),
+    )
+    by_bl = assigned.groupBy("bucket", "lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("ct"),
+        F.sum("nrm_q").cast("long").alias("nrm_sum"),
+    )
+    per_bucket = (
+        by_bl.withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY bucket ORDER BY ct DESC, lbl ASC)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("ct").cast("long").alias("n"),
+            F.sum("nrm_sum").cast("long").alias("nrm_total"),
+            F.max(F.when(F.col("rn") == 1, F.col("lbl"))).cast("int").alias("top_label"),
+            F.max(F.when(F.col("rn") == 1, F.col("ct"))).cast("long").alias("top_label_ct"),
+        )
+    )
+    return per_bucket.selectExpr(
+        "CAST(bucket AS INT) AS bucket",
+        "n",
+        f"CAST(n * 10000L DIV (sum(n) OVER ()) AS BIGINT) AS share_bp",
+        "CAST(nrm_total DIV n AS BIGINT) AS mean_norm_e6",
+        "top_label",
+        "top_label_ct",
+        "CAST(top_label_ct * 10000L DIV n AS BIGINT) AS purity_bp",
+    ).orderBy("bucket")
+
+
+def cluster_profile_sql(
+    table: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`cluster_profile` (same fixed centroids,
+    same rounded-cosine/lowest-id assignment, same integer norm
+    quantization and floor-division reporting)."""
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in ctr)}]::DOUBLE[])"
+        for i, ctr in enumerate(centroids)
+    )
+    cos_c = (
+        "list_inner_product(e.embedding::DOUBLE[], c.vec)"
+        " / (e.nrm * sqrt(list_inner_product(c.vec, c.vec)))"
+    )
+    return f"""
+    WITH c(cid, vec) AS (VALUES {values}),
+    e AS MATERIALIZED (
+      SELECT {id_col} AS vid, {label_col} AS lbl, embedding,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    scored AS (
+      SELECT e.vid, e.lbl, CAST(floor(e.nrm * 1000000 + 0.5) AS BIGINT) AS nrm_q,
+             c.cid, floor(({cos_c}) * 1000000 + 0.5) / 1000000 AS cs
+      FROM e, c),
+    assigned AS (
+      SELECT lbl, nrm_q, cid AS bucket
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM scored) WHERE rn = 1),
+    by_bl AS (
+      SELECT bucket, lbl, CAST(count(*) AS BIGINT) AS ct,
+             CAST(sum(nrm_q) AS BIGINT) AS nrm_sum
+      FROM assigned GROUP BY bucket, lbl),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(sum(ct) AS BIGINT) AS n,
+             CAST(sum(nrm_sum) AS BIGINT) AS nrm_total,
+             CAST(max(CASE WHEN rn = 1 THEN lbl END) AS INT) AS top_label,
+             CAST(max(CASE WHEN rn = 1 THEN ct END) AS BIGINT) AS top_label_ct
+      FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY ct DESC, lbl ASC) AS rn
+            FROM by_bl)
+      GROUP BY bucket)
+    SELECT CAST(bucket AS INT) AS bucket, n,
+           CAST(n * 10000 // (sum(n) OVER ()) AS BIGINT) AS share_bp,
+           CAST(nrm_total // n AS BIGINT) AS mean_norm_e6,
+           top_label, top_label_ct,
+           CAST(top_label_ct * 10000 // n AS BIGINT) AS purity_bp
+    FROM per_bucket ORDER BY bucket
+    """

@@ -702,3 +702,101 @@ def bpe_encode_tokens_sql(
       FROM applied)
     GROUP BY token ORDER BY token_ct DESC, token LIMIT {top_n}
     """
+
+
+def bpe_compression(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+    by_col: str = "source",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenizer-fit report: per corpus slice (source/domain), chars
+    per BPE token after applying a trained merge table — the number a
+    tokenizer team watches per domain (a slice compressing much worse
+    than the rest means the vocabulary wasn't trained for it, and its
+    token budget silently inflates).
+
+    Same map-only nested-replace application as
+    :func:`bpe_encode_tokens`, but the per-doc token count is just the
+    SIZE of the split array — no explode, so the corpus pass emits one
+    row per doc and the only shuffle is the tiny per-slice rollup.
+    chars_per_token_bp is an exact integer floor division of summed
+    integer counts (no float ratios). Pass ``merges`` to reuse an
+    offline-trained table (the train-once/apply-many seam)."""
+    if merges is None:
+        merges = [
+            (r["left_tok"], r["right_tok"])
+            for r in bpe_train_local(df, n_merges, text_col).collect()
+        ]
+    col = F.array_join(
+        F.transform(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda w: F.concat(
+                F.lit(_BPE_D), F.regexp_replace(w, "(.)", "$1" + _BPE_D)
+            ),
+        ),
+        " ",
+    )
+    for l, r in merges:
+        col = F.replace(
+            col,
+            F.lit(_BPE_SEP + l + _BPE_D + r + _BPE_SEP),
+            F.lit(_BPE_SEP + l + r + _BPE_SEP),
+        )
+    tok_ct = F.size(
+        F.filter(F.split(col, _BPE_SEP), lambda x: (x != "") & (x != " "))
+    ).cast("long")
+    per_doc = df.select(
+        F.col(by_col).alias("slice_key"),
+        F.length(text_col).cast("long").alias("chars"),
+        tok_ct.alias("tokens"),
+    )
+    return (
+        per_doc.groupBy("slice_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.sum("tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "chars_per_token_bp",
+            F.expr("CAST(total_chars * 10000L DIV greatest(total_tokens, 1L) AS BIGINT)"),
+        )
+        .orderBy("slice_key")
+    )
+
+
+def bpe_compression_sql(
+    table: str, n_merges: int = 32, text_col: str = "text", by_col: str = "source"
+) -> str:
+    """DuckDB twin of :func:`bpe_compression` (train-in-call form —
+    shares the unrolled training CTEs with bpe_encode_tokens_sql)."""
+    sep = "e'\\x1F'"
+    dsep = "e'\\x1F\\x1F'"
+    ctes = _bpe_train_ctes(table, n_merges, text_col)
+    expr = (
+        f"array_to_string(list_transform(regexp_split_to_array(lower({text_col}),"
+        f" '\\s+'), w -> {dsep} || regexp_replace(w, '(.)', '\\1' || {dsep}, 'g')), ' ')"
+    )
+    for i in range(1, n_merges + 1):
+        pat = f"coalesce((SELECT {sep} || l || {dsep} || r || {sep} FROM t{i}), chr(1))"
+        rep = f"coalesce((SELECT {sep} || l || r || {sep} FROM t{i}), chr(1))"
+        expr = f"replace({expr},\n      {pat},\n      {rep})"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    per_doc AS (
+      SELECT {by_col} AS slice_key,
+             CAST(length({text_col}) AS BIGINT) AS chars,
+             CAST(length(list_filter(string_split({expr}, {sep}),
+                                     x -> x <> '' AND x <> ' ')) AS BIGINT) AS tokens
+      FROM {table})
+    SELECT slice_key,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(chars) * 10000 // greatest(sum(tokens), 1) AS BIGINT)
+             AS chars_per_token_bp
+    FROM per_doc GROUP BY slice_key ORDER BY slice_key
+    """

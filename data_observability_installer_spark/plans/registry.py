@@ -2790,6 +2790,22 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_compression_documents", _text.bpe_compression_sql("documents", n_merges=32)
+)
+def bpe_compression_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit report: chars per BPE token by source slice — a
+    slice compressing much worse than the rest means the vocabulary
+    wasn't trained for it and its token budget silently inflates. Same
+    nested-replace application as bpe_encode, but per-doc token counts
+    are array SIZES (no explode), so the corpus pass is one codegen
+    projection and the only shuffle is the per-slice rollup; the ratio
+    is an exact integer floor division."""
+    return _text.bpe_compression(
+        load_table(spark, sf_dir, "documents"), n_merges=32
+    )
+
+
+@register(
     "heavy_hitters_documents",
     None,  # oracle attached below (module import kept local)
 )
@@ -2817,6 +2833,19 @@ ORACLES["heavy_hitters_documents"] = _hh_sql("documents", phi_denom=1000)
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register(
+    "cluster_profile_embeddings",
+    _sim.cluster_profile_sql("embeddings"),
+)
+def cluster_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography over the fixed IVF cells: per-cell size,
+    corpus share, mean vector norm (integer 1e-6 units — norms quantize
+    per row BEFORE summing, so no order-dependent float sum), dominant
+    label and purity. The balance check behind the IVF probe path and
+    the map a curation pass reads before region-level up/down-sampling."""
+    return _sim.cluster_profile(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("topk_int8_embeddings", _sim.topk_int8_sql("embeddings", k=10, query_id=0))

@@ -173,3 +173,42 @@ def test_bpe_encode_applies_merges(spark):
     }
     assert got2["ab"] == 5  # 3x 'aaab' + 2x 'ab'
     assert "b" not in got2  # every b was consumed by the merge
+
+
+def test_bpe_compression_counts_are_exact_and_merges_compress(spark):
+    """Token counts must equal the pure-Python tokenizer's, and more
+    merges can only reduce (never raise) a slice's token count."""
+    from data_observability_installer_spark.operators.llm.text import bpe_compression
+
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the dog sat on the log", "a"),
+        (3, "zq xv zq xv zq xv", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out0 = {r.slice_key: r for r in bpe_compression(docs, n_merges=0).collect()}
+    out8 = {r.slice_key: r for r in bpe_compression(docs, n_merges=8).collect()}
+    # zero merges: every char of every word is a token
+    for sk, texts in {"a": rows[:2], "b": rows[2:]}.items():
+        chars_no_space = sum(len(c) for _, t, _ in texts for c in t.split())
+        assert out0[sk].total_tokens == chars_no_space
+        assert out0[sk].total_chars == sum(len(t) for _, t, _ in texts)
+    assert out8["a"].total_tokens < out0["a"].total_tokens
+    assert all(out8[k].total_tokens <= out0[k].total_tokens for k in out0)
+    assert out8["a"].chars_per_token_bp > out0["a"].chars_per_token_bp
+
+
+def test_cluster_profile_invariants(spark):
+    """Cell sizes partition the corpus; shares/purity are exact bp."""
+    from data_observability_installer_spark.operators.llm.similarity import cluster_profile
+    from data_observability_installer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    total = emb.count()
+    rows = cluster_profile(emb).collect()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0 < r.n and r.top_label_ct <= r.n
+        assert r.share_bp == r.n * 10000 // total
+        assert r.purity_bp == r.top_label_ct * 10000 // r.n
+        assert r.mean_norm_e6 > 0
