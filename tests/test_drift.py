@@ -308,3 +308,34 @@ def test_changepoint_localizes_exact_boundary(spark):
     assert s.mean_left_bp == 100000 and s.mean_right_bp == 200000
     # flat series: zero gain everywhere, earliest-t tie-break picks t=1
     assert out["flat"].gain_q == 0 and out["flat"].t_star == 1
+
+
+def test_wasserstein_detects_shift_ks_scale(spark):
+    """A planted location shift registers proportionally to its size;
+    identical slices score exactly 0 (integer arithmetic, no epsilon)."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.drift import wasserstein_drift
+
+    same = spark.createDataFrame(
+        [(float(i % 100), (i // 100) % 2 == 0) for i in range(2000)],
+        "v double, is_a boolean",
+    )
+    r0 = wasserstein_drift(same, "v", F.col("is_a")).collect()[0]
+    assert r0.w1_e6 == 0 and r0.n_a == r0.n_b == 1000
+
+    # slice A uniform on [0,100), slice B on [20,120): W1 = 20 over a
+    # 120-wide span -> 1/6 of span; binned answer within one bin width
+    shifted = spark.createDataFrame(
+        [(float(i % 100), True) for i in range(1000)]
+        + [(float(i % 100 + 20), False) for i in range(1000)],
+        "v double, is_a boolean",
+    )
+    r1 = wasserstein_drift(shifted, "v", F.col("is_a")).collect()[0]
+    assert abs(r1.w1_e6 / 1e6 - 20 / 119) < 1 / 256 + 1e-3
+
+    # empty side -> NULL (undefined), not 0
+    one_sided = spark.createDataFrame(
+        [(float(i), True) for i in range(100)], "v double, is_a boolean"
+    )
+    assert wasserstein_drift(one_sided, "v", F.col("is_a")).collect()[0].w1_e6 is None
