@@ -504,3 +504,105 @@ def discover_fks_sql(
     LEFT JOIN dv pv ON pv.tbl = cand.pt AND pv.col = cand.pc AND pv.val = l.val
     GROUP BY ct, cc, pt, pc
     ORDER BY child, parent"""
+
+
+def fd_confidence(
+    df: DataFrame, pairs: list[tuple[str, str]], tol_bp: int = 100
+) -> DataFrame:
+    """Approximate functional dependencies: per candidate ``det ->
+    dep``, the g3 error — the fraction of rows that must be REMOVED
+    for the FD to hold exactly (keep the majority dependent per key,
+    drop the rest) — in exact basis points. Real warehouses are full
+    of 99.9%-FDs (typos, late corrections, merged sources);
+    :func:`fd_check`'s binary verdict rejects them all, while g3 lets
+    the generator emit a Condition_Flag-style test with a measured
+    tolerance (reference README.md:207-209's evidence-driven
+    generation).
+
+    Semantics: rows with a NULL determinant are ignored; a NULL
+    dependent is one more dependent value (keeping it means dropping
+    the others). ``holds_softly`` iff g3_bp <= tol_bp.
+
+    Scale shape — ONE input scan for all pairs (the fd_check lesson):
+    GROUPING SETS ((a1,b1), ..., (an,bn)) fans the scan into one
+    (det, dep)-grouped stream per pair with map-side partial counts;
+    the grouped frame is key-cardinality-sized, and the two keyed
+    rollups after it (max-per-key, then per-pair totals) shuffle only
+    that. Determinant keys unify through a CAST to STRING (bit-stable
+    for integer/string/date key material — the _fk_class classes)."""
+    all_cols = sorted({c for p in pairs for c in p})
+    grouped = df.groupingSets(
+        [[F.col(a), F.col(b)] for a, b in pairs], *[F.col(c) for c in all_cols]
+    ).agg(
+        *[F.grouping(c).alias(f"_g_{c}") for c in all_cols],
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    # set membership: exactly the pair's two columns grouped (flag 0)
+    set_id = F.lit(None).cast("int")
+    key_str = F.lit(None).cast("string")
+    for i, (a, b) in enumerate(reversed(pairs)):
+        i = len(pairs) - 1 - i
+        cond = F.lit(True)
+        for c in all_cols:
+            want = 0 if c in (a, b) else 1
+            cond = cond & (F.col(f"_g_{c}") == want)
+        set_id = F.when(cond, F.lit(i)).otherwise(set_id)
+        key_str = F.when(cond, F.col(a).cast("string")).otherwise(key_str)
+    lvl1 = grouped.select(
+        set_id.alias("sid"), key_str.alias("k"), F.col("ct")
+    ).filter(F.col("sid").isNotNull() & F.col("k").isNotNull())
+    per_key = lvl1.groupBy("sid", "k").agg(
+        F.max("ct").alias("mx"), F.sum("ct").alias("rows_k")
+    )
+    per_set = per_key.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("rows_k").cast("long").alias("n_rows"),
+        F.sum("mx").cast("long").alias("keep_rows"),
+    )
+    names = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(pairs)
+    )
+    lookup = df.sparkSession.sql(
+        f"SELECT * FROM VALUES {names} AS t(sid, determinant, dependent)"
+    )
+    return (
+        per_set.join(F.broadcast(lookup), "sid")
+        .selectExpr(
+            "determinant",
+            "dependent",
+            "n_rows",
+            "n_keys",
+            "n_rows - keep_rows AS drop_rows",
+            "CAST((n_rows - keep_rows) * 10000L DIV greatest(n_rows, 1L) AS BIGINT)"
+            " AS g3_bp",
+            f"CAST((n_rows - keep_rows) * 10000L DIV greatest(n_rows, 1L)"
+            f" <= {int(tol_bp)} AS BOOLEAN) AS holds_softly",
+        )
+        .orderBy("determinant", "dependent")
+    )
+
+
+def fd_confidence_sql(
+    table: str, pairs: list[tuple[str, str]], tol_bp: int = 100
+) -> str:
+    """DuckDB twin of :func:`fd_confidence` (per-pair GROUP BY; the
+    oracle mirrors values, not the single-scan plan)."""
+    parts = []
+    for a, b in pairs:
+        parts.append(
+            f"""
+    SELECT '{a}' AS determinant, '{b}' AS dependent,
+           CAST(sum(rows_k) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(rows_k) - sum(mx) AS BIGINT) AS drop_rows,
+           CAST((sum(rows_k) - sum(mx)) * 10000
+                // greatest(sum(rows_k), 1) AS BIGINT) AS g3_bp,
+           (sum(rows_k) - sum(mx)) * 10000
+                // greatest(sum(rows_k), 1) <= {int(tol_bp)} AS holds_softly
+    FROM (SELECT k, max(ct) AS mx, sum(ct) AS rows_k
+          FROM (SELECT CAST({a} AS VARCHAR) AS k, count(*) AS ct
+                FROM {table} WHERE {a} IS NOT NULL GROUP BY {a}, {b})
+          GROUP BY k)"""
+        )
+    union = "\n    UNION ALL".join(parts)
+    return f"{union}\n    ORDER BY determinant, dependent"

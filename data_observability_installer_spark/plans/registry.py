@@ -1512,6 +1512,8 @@ from ..operators.dq.discovery import (  # noqa: E402
     discover_fks_sql,
     fd_check,
     fd_check_sql,
+    fd_confidence,
+    fd_confidence_sql,
     ind_check,
     ind_check_sql,
 )
@@ -1531,6 +1533,23 @@ def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality. Feeds the test generator's Unique/LOV emission with
     evidence (reference README.md:207-209)."""
     return fd_check(load_table(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+_SOFT_FD_PAIRS = [
+    ("l_orderkey", "l_linestatus"),
+    ("l_orderkey", "l_returnflag"),
+    ("l_partkey", "l_suppkey"),
+]
+
+
+@register("fd_confidence_lineitem", fd_confidence_sql("lineitem", _SOFT_FD_PAIRS))
+def fd_confidence_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD screen: per candidate det->dep, the g3 error (rows
+    to remove for the FD to hold, exact basis points) — fd_check's
+    binary verdict extended to the 99.9%-FDs real warehouses carry.
+    ONE input scan for all candidates (GROUPING SETS on the pairs);
+    both rollups after it are key-cardinality-sized."""
+    return fd_confidence(load_table(spark, sf_dir, "lineitem"), _SOFT_FD_PAIRS)
 
 
 _IND_PAIRS = [

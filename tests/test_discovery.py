@@ -236,3 +236,33 @@ def test_dependency_generator_round_trip(spark):
     assert out2[("city", "Functional_Dep")] == "WARNING"
     ref2 = run_referential_tests(fk_specs, {"fact": bad, "dim": dim}).collect()
     assert any(r["result"] == "WARNING" for r in ref2 if r["column_name"] == "city")
+
+
+def test_fd_confidence_g3_exact_and_single_scan(spark, sf_correct):
+    """g3 = rows to drop keeping the majority dependent per key, exact
+    bp; an exact FD scores 0; the N-pair check is still ONE FileScan."""
+    from data_observability_installer_spark.operators.dq.discovery import fd_confidence
+    from data_observability_installer_spark.sources.tables import load_table
+
+    rows = [("k1", "x"), ("k1", "x"), ("k1", "y"), ("k2", "z"), ("k2", "z"), (None, "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = fd_confidence(df, [("a", "b")], tol_bp=2500).collect()[0]
+    # null determinant ignored: 5 rows, keep 2+2 -> drop 1, g3 = 2000bp
+    assert (out.n_rows, out.n_keys, out.drop_rows, out.g3_bp) == (5, 2, 1, 2000)
+    assert out.holds_softly
+
+    # exact FD: key -> constant scores 0 and holds softly at any tol
+    exact = spark.createDataFrame([("k", "v")] * 4 + [("j", "w")], "a string, b string")
+    r = fd_confidence(exact, [("a", "b")], tol_bp=0).collect()[0]
+    assert r.g3_bp == 0 and r.holds_softly
+
+    orders = load_table(spark, sf_correct, "orders")
+    pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+    ]
+    plan = (
+        fd_confidence(orders, pairs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
