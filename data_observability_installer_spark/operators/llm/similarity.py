@@ -1450,3 +1450,102 @@ def cluster_profile_sql(
            CAST(top_label_ct * 10000 // n AS BIGINT) AS purity_bp
     FROM per_bucket ORDER BY bucket
     """
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    side_expr: Column,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-distribution drift between two slices of a corpus
+    (side_expr boolean: True -> A, False -> B): the cosine between the
+    slices' MEAN vectors — the standard cheap detector for 'the new
+    batch embeds somewhere else' (encoder version skew, domain shift,
+    silent preprocessing changes) before any expensive per-pair work.
+
+    Determinism: components quantize per row to integer 1e-6 units,
+    then sum as exact integers per (slice, position) — and since
+    cosine is scale-invariant, cos(mean_A, mean_B) == cos(sum_A,
+    sum_B): the row counts cancel, so the whole statistic is computed
+    from two integer vectors both engines agree on bit-for-bit; the
+    final cosine/norms use the floor(x*1e6+0.5) idiom on identical
+    inputs. NULL when a slice is empty.
+
+    Scale: posexplode fans each row into dim entries, but the
+    groupBy(side, pos) aggregate combines map-side, so the shuffle is
+    2*dim rows per partition — never corpus-sized. One scan."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    comp = embeddings.select(
+        side_expr.alias("is_a"), F.posexplode(q).alias("pos", "qv")
+    )
+    sums = comp.groupBy("is_a", "pos").agg(
+        F.sum("qv").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    folded = sums.groupBy("pos").agg(
+        F.max(F.when(F.col("is_a"), F.col("s"))).alias("sa"),
+        F.max(F.when(~F.col("is_a"), F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("is_a"), F.col("ct"))).alias("na"),
+        F.max(F.when(~F.col("is_a"), F.col("ct"))).alias("nb"),
+    )
+    return folded.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("sa").cast("double") * F.col("sb").cast("double")
+        ).alias("_dot"),
+        F.sum(F.col("sa").cast("double") * F.col("sa").cast("double")).alias("_a2"),
+        F.sum(F.col("sb").cast("double") * F.col("sb").cast("double")).alias("_b2"),
+    ).selectExpr(
+        "n_a",
+        "n_b",
+        """CASE WHEN n_a > 0 AND n_b > 0 AND _a2 > 0 AND _b2 > 0 THEN
+             CAST(floor(_dot / (sqrt(_a2) * sqrt(_b2)) * 1000000 + 0.5) AS BIGINT)
+           END AS cos_mean_e6""",
+        """CASE WHEN n_a > 0 THEN
+             CAST(floor(sqrt(_a2) / n_a + 0.5) AS BIGINT) END AS norm_mean_a_e6""",
+        """CASE WHEN n_b > 0 THEN
+             CAST(floor(sqrt(_b2) / n_b + 0.5) AS BIGINT) END AS norm_mean_b_e6""",
+    )
+
+
+def embedding_drift_sql(table: str, side_sql: str, id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`embedding_drift` (same integer component
+    sums, same floor-quantized cosine on identical inputs)."""
+    return f"""
+    WITH comp AS (
+      SELECT ({side_sql}) AS is_a,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM {table}),
+    sums AS (
+      SELECT is_a, pos, CAST(sum(qv) AS HUGEINT) AS s,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM comp GROUP BY is_a, pos),
+    folded AS (
+      SELECT pos,
+             max(CASE WHEN is_a THEN s END) AS sa,
+             max(CASE WHEN NOT is_a THEN s END) AS sb,
+             max(CASE WHEN is_a THEN ct END) AS na,
+             max(CASE WHEN NOT is_a THEN ct END) AS nb
+      FROM sums GROUP BY pos),
+    tot AS (
+      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             sum(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) AS dot,
+             sum(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) AS a2,
+             sum(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) AS b2
+      FROM folded)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND a2 > 0 AND b2 > 0 THEN
+             CAST(floor(dot / (sqrt(a2) * sqrt(b2)) * 1000000 + 0.5) AS BIGINT)
+           END AS cos_mean_e6,
+           CASE WHEN n_a > 0 THEN
+             CAST(floor(sqrt(a2) / n_a + 0.5) AS BIGINT) END AS norm_mean_a_e6,
+           CASE WHEN n_b > 0 THEN
+             CAST(floor(sqrt(b2) / n_b + 0.5) AS BIGINT) END AS norm_mean_b_e6
+    FROM tot
+    """

@@ -2875,6 +2875,21 @@ def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_drift_embeddings",
+    _sim.embedding_drift_sql("embeddings", "label = 0"),
+)
+def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: cosine between the label-0 slice's
+    mean vector and the rest — the cheap 'new batch embeds somewhere
+    else' detector. Components quantize to integer 1e-6 units per row
+    before summing (counts cancel in cosine, so the statistic comes
+    from two integer vectors both engines agree on bit-for-bit). One
+    scan; the shuffle is 2*dim rows per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.embedding_drift(emb, F.col("label") == 0)
+
+
+@register(
     "cluster_profile_embeddings",
     _sim.cluster_profile_sql("embeddings"),
 )

@@ -542,3 +542,31 @@ def test_hard_negatives_cross_label_and_similar(spark):
             key=lambda v: (cos(r["anchor"], v), -v),
         )
         assert r["score"] <= round(cos(r["anchor"], best) + 1e-9, 4) + 1e-9
+
+
+def test_embedding_drift_identical_orthogonal_empty(spark):
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        embedding_drift,
+    )
+
+    # identical slices -> cosine exactly 1.0 (1e6 units)
+    rows = [(i, [0.5, 0.25, 0.125], i % 2 == 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, is_a boolean")
+    r = embedding_drift(df, F.col("is_a")).collect()[0]
+    assert (r.n_a, r.n_b, r.cos_mean_e6) == (10, 10, 1000000)
+
+    # orthogonal mean vectors -> 0
+    rows = [(i, [1.0, 0.0], True) for i in range(5)] + [
+        (i + 10, [0.0, 1.0], False) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, is_a boolean")
+    assert embedding_drift(df, F.col("is_a")).collect()[0].cos_mean_e6 == 0
+
+    # empty side -> NULL cosine, not a fake 'no drift'
+    df1 = spark.createDataFrame(
+        [(1, [1.0, 0.0], True)], "vec_id long, embedding array<float>, is_a boolean"
+    )
+    r = embedding_drift(df1, F.col("is_a")).collect()[0]
+    assert r.cos_mean_e6 is None and r.norm_mean_a_e6 is not None
