@@ -193,6 +193,15 @@ HEADLINE = [
     "leakage_safe_split_documents",
     "containment_pairs_documents",
     "pchart_failures_events",
+    "cusum_shift_events",
+    "changepoint_events",
+    "lineage_cycles",
+    "decontam_fingerprint_documents",
+    "cluster_profile_embeddings",
+    "bpe_compression_documents",
+    "wasserstein_lineitem",
+    "fd_confidence_lineitem",
+    "embedding_drift_embeddings",
 ]
 
 

@@ -4990,6 +4990,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "embedding_dup_groups",
         "lineage_closure",
         "lineage_impact_failed",
+        "lineage_cycles",
     }
 )
 
