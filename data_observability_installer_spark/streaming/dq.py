@@ -211,3 +211,92 @@ def lateness_stats_stream(
             "late_2h_ct",
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "k string, o string, v long, s_up long, s_dn long,"
+    " alarm_up boolean, alarm_dn boolean"
+)
+_CUSUM_STATE_SCHEMA = "s_up long, s_dn long"
+# saturate the accumulators at 100x the decision interval: a shift that
+# persists for years would otherwise grow S without bound (int64
+# overflow); past 100h the chart has long since alarmed, and decay back
+# below h still takes <= 100 windows — document, don't overflow
+_CUSUM_SAT = 100
+
+
+def _make_cusum_update(center_e4: int, k_bp: int, h_bp: int):
+    up_ref = 10000 * center_e4 + k_bp * center_e4  # 1e8*(c + k), exact ints
+    dn_ref = 10000 * center_e4 - k_bp * center_e4  # 1e8*(c - k)
+    h_scaled = h_bp * center_e4
+    sat = _CUSUM_SAT * max(h_scaled, 1)
+
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        s_up, s_dn = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            # counts for one ordinal sum WITHIN a micro-batch (raw
+            # per-event increments collapse to one fold step per
+            # ordinal), then fold in ordinal order — vectorized, never
+            # a per-row Python loop over the raw stream
+            agg = pdf.groupby("o", sort=True)["v"].sum()
+            for o, v in agg.items():
+                v = int(v)
+                s_up = min(max(0, s_up + (100000000 * v - up_ref)), sat)
+                s_dn = min(max(0, s_dn + (dn_ref - 100000000 * v)), sat)
+                out.append(
+                    (key[0], o, v, s_up, s_dn, s_up > h_scaled, s_dn > h_scaled)
+                )
+        state.update((int(s_up), int(s_dn)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["k", "o", "v", "s_up", "s_dn", "alarm_up", "alarm_dn"],
+            )
+
+    return update
+
+
+def cusum_stream(
+    counts: DataFrame,
+    center_e4: int,
+    key_col: str = "k",
+    ord_col: str = "o",
+    val_col: str = "v",
+    k_bp: int = 2500,
+    h_bp: int = 20000,
+) -> DataFrame:
+    """Unbounded CUSUM level-shift monitor over a PRE-AGGREGATED
+    (key, ordinal, count) stream — the streaming face of
+    ``operators/drift.py:cusum_screen``. Batch CUSUM centers on the
+    pooled mean; a stream cannot know it, so the reference center is
+    FIXED (``center_e4``, 1e-4 units — production centers come from
+    the profiled baseline, exactly like PSI's frozen bins).
+
+    Same integer recursion, scaled by 1e8 so all state is exact int64:
+    d+ = 1e8*v - 1e8*c - 1e8*k, S+ = max(0, S+ + d+) saturated at
+    100x the decision interval (a years-long shift must not overflow;
+    past 100h the chart alarmed long ago), alarm when S+ > h_bp *
+    center_e4. State per key is TWO integers forever — the smallest
+    state footprint in the streaming family.
+
+    Precondition: ordinals arrive non-decreasing per key across
+    micro-batches (rows within a batch are sorted here); an
+    out-of-order replay changes which window the alarm lands on, not
+    whether a sustained shift alarms."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = counts.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ord_col).cast("string").alias("o"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    return src.groupBy("k").applyInPandasWithState(
+        _make_cusum_update(int(center_e4), int(k_bp), int(h_bp)),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

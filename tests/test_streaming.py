@@ -807,3 +807,63 @@ def test_streaming_lang_mix_matches_batch(spark, tmp_path):
 
     horizon = max(k[0] for k in want) - dt.timedelta(hours=1)
     assert all(k[0] >= horizon for k in missing), missing
+
+
+def test_streaming_cusum_matches_python_reference(spark, tmp_path):
+    """Stateful CUSUM across micro-batches must equal the pure-Python
+    fixed-center recursion on the same ordered series: a planted
+    sustained shift alarms (and stays alarmed), the flat key never
+    does, and state survives batch boundaries (the series spans 4
+    files/micro-batches)."""
+    from data_observability_installer_spark.streaming.dq import cusum_stream
+
+    center_e4, k_bp, h_bp = 10_0000, 2500, 20000  # center 10.0
+    series = [("shift", f"d{i:03d}", 10 if i < 30 else 14) for i in range(60)]
+    series += [("flat", f"d{i:03d}", 10) for i in range(60)]
+
+    import json as _json
+    import os as _os
+    import time as _time
+
+    # one file per 15-ordinal block, written with strictly increasing
+    # mtimes: the file source orders batches by modification time, and
+    # the operator contract requires non-decreasing ordinals per key
+    path = str(tmp_path / "counts")
+    _os.makedirs(path, exist_ok=True)
+    for blk in range(4):
+        rows = [r for r in series if blk * 15 <= int(r[1][1:]) < (blk + 1) * 15]
+        with open(_os.path.join(path, f"blk{blk}.json"), "w") as fh:
+            for k, o, v in sorted(rows):
+                fh.write(_json.dumps({"k": k, "o": o, "v": v}) + "\n")
+        _time.sleep(1.1)  # FileStreamSource mtime resolution is 1 s
+
+    stream = spark.readStream.schema("k string, o string, v long").option(
+        "maxFilesPerTrigger", 1
+    ).json(path)
+    got = {
+        (r.k, r.o): (r.s_up, r.s_dn, r.alarm_up, r.alarm_dn)
+        for r in _run_stream(
+            spark,
+            cusum_stream(stream, center_e4, k_bp=k_bp, h_bp=h_bp),
+            "update",
+            "cusum_stream",
+        ).collect()
+    }
+
+    # pure-Python reference (same scaled integers)
+    up_ref = 10000 * center_e4 + k_bp * center_e4
+    dn_ref = 10000 * center_e4 - k_bp * center_e4
+    h_scaled = h_bp * center_e4
+    want = {}
+    state = {}
+    for k, o, v in sorted(series):
+        su, sd = state.get(k, (0, 0))
+        su = max(0, su + (100000000 * v - up_ref))
+        sd = max(0, sd + (dn_ref - 100000000 * v))
+        state[k] = (su, sd)
+        want[(k, o)] = (su, sd, su > h_scaled, sd > h_scaled)
+    assert got == want
+    assert any(a for _, _, a, _ in (want[("shift", f"d{i:03d}")] for i in range(60)))
+    assert not any(
+        a or b for _, _, a, b in (want[("flat", f"d{i:03d}")] for i in range(60))
+    )

@@ -213,6 +213,48 @@ def bpe_local_op(spark, path: str) -> None:
     bpe_train_local(spark.read.parquet(path), n_merges=256).count()
 
 
+def fd_confidence_op(spark, path: str) -> None:
+    """Round-7 one-scan claim for the g3 screen: 3 candidate soft FDs
+    via GROUPING SETS on the pairs; both rollups key-cardinality-
+    bounded."""
+    from data_observability_installer_spark.operators.dq.discovery import (
+        fd_confidence,
+    )
+
+    fd_confidence(
+        spark.read.parquet(path),
+        [
+            ("l_orderkey", "l_linestatus"),
+            ("l_orderkey", "l_returnflag"),
+            ("l_partkey", "l_suppkey"),
+        ],
+    ).collect()
+
+
+def wasserstein_op(spark, path: str) -> None:
+    """Round-7 two-pass claim: min/max agg + one binned histogram, the
+    area fold over a 256-row array."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.drift import wasserstein_drift
+
+    wasserstein_drift(
+        spark.read.parquet(path), "l_extendedprice", F.col("l_returnflag") == "R"
+    ).collect()
+
+
+def embedding_drift_op(spark, path: str) -> None:
+    """Round-7 map-side claim: posexplode + groupBy(side, pos) combines
+    map-side; shuffle = 2*dim rows per partition."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        embedding_drift,
+    )
+
+    embedding_drift(spark.read.parquet(path), F.col("label") == 0).collect()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -224,6 +266,9 @@ OPS = {
     "fd_check_lineitem": ("lineitem", fd_check_op),
     "row_screen_lineitem": ("lineitem", row_screen_op),
     "bpe_local_documents": ("documents", bpe_local_op),
+    "fd_confidence_lineitem": ("lineitem", fd_confidence_op),
+    "wasserstein_lineitem": ("lineitem", wasserstein_op),
+    "embedding_drift_embeddings": ("embeddings", embedding_drift_op),
 }
 
 

@@ -255,6 +255,43 @@ def main() -> None:
         lambda: heavy_hitters(hh_items(batch_df), "w", phi_denom=1000).count()
     )
 
+    # round-7: stateful integer CUSUM — two int64s of state per key,
+    # the smallest state footprint in the family; counts = events per
+    # (pipeline, day), fixed center 10.0
+    from data_observability_installer_spark.streaming.dq import cusum_stream
+
+    def daily_counts(df):
+        return df.groupBy(
+            F.col("pipeline_key").alias("k"),
+            F.date_format(F.date_trunc("day", "event_timestamp"), "yyyy-MM-dd").alias(
+                "o"
+            ),
+        ).agg(F.count(F.lit(1)).alias("v"))
+
+    # streaming groupBy needs a watermark; feed the tracker's per-event
+    # stream through a stateless projection instead: one count per event
+    # row keyed by pipeline (ordinal = event day), CUSUM folds per key
+    ops["cusum"] = run_streaming(
+        spark,
+        cusum_stream(
+            read_stream().select(
+                F.col("pipeline_key").alias("k"),
+                F.date_format(
+                    F.date_trunc("day", "event_timestamp"), "yyyy-MM-dd"
+                ).alias("o"),
+                F.lit(1).cast("long").alias("v"),
+            ),
+            center_e4=10_0000,
+        ),
+        "update",
+        "sb_cusum",
+    )
+    from data_observability_installer_spark.operators.drift import cusum_screen
+
+    ops["cusum"]["batch_twin_s"] = timed_batch(
+        lambda: cusum_screen(daily_counts(batch_df)).count()
+    )
+
     result = {
         "metric": "stream_bench",
         "unit": "rows_per_sec",
