@@ -816,3 +816,91 @@ def correlations_sql(table: str, cols: list[str]) -> str:
         for a, b in pairs
     ]
     return " UNION ALL ".join(selects) + " ORDER BY col_a, col_b"
+
+
+def profile_delta(
+    old: DataFrame, new: DataFrame, rel_tol_bp: int = 1000
+) -> DataFrame:
+    """Run-over-run profile drift report: join two long-form profiles
+    on (column, metric) and flag the characteristics that moved — the
+    'compare this refresh's profile against the baselined one' step of
+    continuous periodic monitoring (reference README.md:10, task 5),
+    turning the 51-characteristic profile into an anomaly screen.
+
+    Numeric metrics report the relative change in basis points via the
+    bit-stable floor(x*1e4 + 0.5) idiom — both profile engines agree on
+    the joined values (the profile itself is oracle-verified), so the
+    delta is bit-identical too. A zero baseline with a nonzero new
+    value reports NULL rel change (undefined) but still flags. String
+    metrics flag on inequality. Metrics present on one side only
+    (schema change) report status ADDED/REMOVED and always flag.
+
+    Cost: the two profile scans are the caller's (one each, cacheable);
+    the diff itself joins two metric-sized frames."""
+    o = old.select(
+        "column_name",
+        "metric",
+        F.col("value").alias("v_old"),
+        F.col("value_str").alias("s_old"),
+        F.lit(1).alias("_po"),
+    )
+    n = new.select(
+        "column_name",
+        "metric",
+        F.col("value").alias("v_new"),
+        F.col("value_str").alias("s_new"),
+        F.lit(1).alias("_pn"),
+    )
+    j = o.join(n, ["column_name", "metric"], "full_outer")
+    return j.selectExpr(
+        "column_name",
+        "metric",
+        "CASE WHEN _po IS NULL THEN 'ADDED' WHEN _pn IS NULL THEN 'REMOVED'"
+        " ELSE 'BOTH' END AS status",
+        "v_old",
+        "v_new",
+        "CASE WHEN v_old IS NOT NULL AND v_new IS NOT NULL AND v_old <> 0 THEN"
+        " CAST(floor((v_new - v_old) / abs(v_old) * 10000 + 0.5) AS BIGINT)"
+        " WHEN v_old = 0 AND v_new = 0 THEN CAST(0 AS BIGINT) END AS rel_change_bp",
+        "s_old",
+        "s_new",
+        f"""CASE WHEN _po IS NULL OR _pn IS NULL THEN TRUE
+             WHEN v_old IS NOT NULL OR v_new IS NOT NULL THEN
+               CASE WHEN v_old IS NULL OR v_new IS NULL THEN (v_old IS DISTINCT FROM v_new)
+                    WHEN v_old = 0 THEN v_new <> 0
+                    ELSE abs(CAST(floor((v_new - v_old) / abs(v_old) * 10000 + 0.5)
+                             AS BIGINT)) > {int(rel_tol_bp)} END
+             ELSE s_old IS DISTINCT FROM s_new END AS flagged""",
+    ).orderBy("column_name", "metric")
+
+
+def profile_delta_sql(old_sql: str, new_sql: str, rel_tol_bp: int = 1000) -> str:
+    """DuckDB twin of :func:`profile_delta`; ``old_sql``/``new_sql``
+    are full profile statements (e.g. :func:`profile_sql` outputs)."""
+    return f"""
+    WITH o AS MATERIALIZED (
+      SELECT column_name, metric, value AS v_old, value_str AS s_old, 1 AS _po
+      FROM ({old_sql})),
+    n AS MATERIALIZED (
+      SELECT column_name, metric, value AS v_new, value_str AS s_new, 1 AS _pn
+      FROM ({new_sql}))
+    SELECT coalesce(o.column_name, n.column_name) AS column_name,
+           coalesce(o.metric, n.metric) AS metric,
+           CASE WHEN _po IS NULL THEN 'ADDED' WHEN _pn IS NULL THEN 'REMOVED'
+                ELSE 'BOTH' END AS status,
+           v_old, v_new,
+           CASE WHEN v_old IS NOT NULL AND v_new IS NOT NULL AND v_old <> 0 THEN
+             CAST(floor((v_new - v_old) / abs(v_old) * 10000 + 0.5) AS BIGINT)
+           WHEN v_old = 0 AND v_new = 0 THEN CAST(0 AS BIGINT) END AS rel_change_bp,
+           s_old, s_new,
+           CASE WHEN _po IS NULL OR _pn IS NULL THEN TRUE
+                WHEN v_old IS NOT NULL OR v_new IS NOT NULL THEN
+                  CASE WHEN v_old IS NULL OR v_new IS NULL THEN (v_old IS DISTINCT FROM v_new)
+                       WHEN v_old = 0 THEN v_new <> 0
+                       ELSE abs(CAST(floor((v_new - v_old) / abs(v_old) * 10000 + 0.5)
+                                AS BIGINT)) > {int(rel_tol_bp)} END
+                ELSE s_old IS DISTINCT FROM s_new END AS flagged
+    FROM o FULL OUTER JOIN n
+      ON o.column_name = n.column_name AND o.metric = n.metric
+    ORDER BY column_name, metric
+    """

@@ -99,6 +99,31 @@ for _table in ["lineitem", "orders", "customer", "events", "documents"]:
     ORACLES[_name] = profile_sql(_table, _table, STATIC_SCHEMAS[_table], AS_OF)
 
 
+from ..operators.profile import profile_delta, profile_delta_sql  # noqa: E402
+
+_OLD_SNAP_SQL = "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)"
+
+
+@register(
+    "profile_delta_lineitem",
+    profile_delta_sql(
+        profile_sql(_OLD_SNAP_SQL, "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF),
+        profile_sql("lineitem", "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF),
+    ),
+)
+def profile_delta_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run profile drift: the even-orderkey half (the
+    'previous snapshot') profiled against the full table, every
+    characteristic's relative change in exact bp with flags — the
+    'compare this refresh against the baseline' step of continuous
+    monitoring (reference README.md:10, task 5). The full-table side
+    reuses the shared cached profile; the diff joins two metric-sized
+    frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    old = profile(li.filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF)
+    return profile_delta(old, cached_profile(spark, sf_dir, "lineitem"))
+
+
 @register(
     "profile_lineitem_incremental",
     None,  # oracle assigned below (needs the profile module import)

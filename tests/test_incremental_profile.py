@@ -72,3 +72,36 @@ def test_partial_state_is_metadata_sized(spark):
     state = profile_partial(li, "lineitem")
     # 11 columns x ~12 stats — state size independent of row count
     assert state.count() < 150
+
+
+def test_profile_delta_flags_planted_shift(spark):
+    """A snapshot whose numeric level doubled flags avg/sum/max but not
+    row-count-invariant metrics; ADDED/REMOVED columns always flag."""
+    from data_observability_installer_spark.operators.profile import (
+        profile,
+        profile_delta,
+    )
+
+    old_rows = [(i, float(10 + i % 3)) for i in range(100)]
+    new_rows = [(i, float(2 * (10 + i % 3))) for i in range(100)]
+    old = profile(
+        spark.createDataFrame(old_rows, "id long, x double"), "t", "2026-01-01"
+    )
+    new = profile(
+        spark.createDataFrame(new_rows, "id long, x double"), "t", "2026-01-01"
+    )
+    out = {(r.column_name, r.metric): r for r in profile_delta(old, new).collect()}
+    avg = out[("x", "avg_val")]
+    assert avg.status == "BOTH" and avg.rel_change_bp == 10000 and avg.flagged
+    assert not out[("x", "null_pct")].flagged  # 0 -> 0 stays unflagged, rel 0
+    assert out[("x", "null_pct")].rel_change_bp == 0
+    assert not out[("id", "record_ct")].flagged
+
+    # schema change: a column present only in the new profile
+    wider = profile(
+        spark.createDataFrame([(1, 1.0, "a")], "id long, x double, y string"),
+        "t",
+        "2026-01-01",
+    )
+    out2 = {(r.column_name, r.metric, r.status) for r in profile_delta(old, wider).collect()}
+    assert any(c == "y" and st == "ADDED" for c, _, st in out2)
