@@ -286,6 +286,44 @@ def cmd_quarantine(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Drift screen battery. Series mode (default): daily counts per
+    --key run through Mann-Kendall (monotone trend), CUSUM (sustained
+    level shift + when it started) and change-point localization
+    (where the level moved). Two-sample mode (--col + --split-sql):
+    KS (did the distribution move) + Wasserstein-1 (by how much)
+    between the two slices."""
+    from pyspark.sql import functions as F
+
+    from .operators.drift import (
+        changepoint,
+        cusum_screen,
+        ks_drift,
+        mann_kendall,
+        wasserstein_drift,
+    )
+    from .sources.tables import load_table
+
+    spark = _spark(args)
+    df = load_table(spark, args.sf_dir, args.table)
+    if args.col:
+        side = F.expr(args.split_sql or "TRUE")
+        print(f"== two-sample screens on {args.col} (A = {args.split_sql}) ==")
+        ks_drift(df, args.col, side).show(truncate=False)
+        wasserstein_drift(df, args.col, side).show(truncate=False)
+        return 0
+    daily = df.groupBy(
+        F.col(args.key).alias("k"),
+        F.date_format(F.date_trunc("day", args.ts), "yyyy-MM-dd").alias("o"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    daily = daily.localCheckpoint(eager=True)  # 3 consumers, one rollup scan
+    print(f"== daily volume per {args.key}: trend / level shift / change point ==")
+    mann_kendall(daily, ord_col="o").show(truncate=False)
+    cusum_screen(daily).show(truncate=False)
+    changepoint(daily).show(truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
     ap.add_argument("--sf-dir", default=None)
@@ -330,6 +368,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--by", required=True,
                    help="comma-separated numeric columns to cluster on")
     p.add_argument("--files", type=int, default=None)
+    p = sub.add_parser("drift")
+    p.add_argument("table")
+    p.add_argument("--ts", default="ts", help="event-time column (series mode)")
+    p.add_argument("--key", default="event_type", help="group column (series mode)")
+    p.add_argument("--col", default=None, help="numeric column (two-sample mode)")
+    p.add_argument("--split-sql", default=None,
+                   help="boolean SQL predicate naming slice A (two-sample mode)")
     p = sub.add_parser("quarantine")
     p.add_argument("table")
     p.add_argument("--clean", required=True, help="path for passing rows")
@@ -352,6 +397,7 @@ def main(argv: list[str] | None = None) -> int:
         "export": cmd_export,
         "compact": cmd_compact,
         "zorder": cmd_zorder,
+        "drift": cmd_drift,
         "quarantine": cmd_quarantine,
     }[args.verb](args)
 

@@ -69,3 +69,28 @@ def test_cli_discover_emits_and_runs_tests(spark, sf_smoke, capsys):
     assert "functional dependencies on orders" in out
     assert "orders.o_custkey in customer.c_custkey: FK" in out
     assert "Valid_FK" in out and "PASSED" in out
+
+
+def test_cli_drift_series_and_two_sample(spark, sf_smoke, capsys):
+    assert main(["--sf-dir", sf_smoke, "drift", "events"]) == 0
+    out = capsys.readouterr().out
+    assert "trend / level shift / change point" in out
+    assert "out_of_control" in out and "split_ord" in out
+
+    assert (
+        main(
+            [
+                "--sf-dir",
+                sf_smoke,
+                "drift",
+                "lineitem",
+                "--col",
+                "l_extendedprice",
+                "--split-sql",
+                "l_returnflag = 'R'",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "ks_d" in out and "w1_e6" in out
