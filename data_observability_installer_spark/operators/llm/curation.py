@@ -830,3 +830,80 @@ def leakage_safe_split_sql(
     SELECT {id_col}, split_key, CASE {' '.join(whens)} ELSE '{last}' END AS split
     FROM h ORDER BY {id_col}
     """
+
+
+def novelty_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the share of
+    the doc's distinct word n-grams NOT present in the reference, in
+    exact basis points — the curation dual of decontamination (there,
+    overlap means DROP; here, low novelty means the doc adds nothing a
+    dedup pass wouldn't eventually catch, and high novelty is the
+    content worth keeping when filling a token budget).
+
+    Same broadcast shape as decontaminate: the reference's distinct
+    shingles broadcast, the corpus side stays a map stage plus one
+    doc-keyed count — no corpus shuffle of text. Zero-shingle docs
+    (empty text) report NULL novelty, not a fake 10000."""
+    from .dedup import exploded_shingles
+
+    doc_sh = exploded_shingles(docs, text_col, id_col, n)
+    ref_sh = (
+        exploded_shingles(reference, text_col, id_col, n).select("sh").distinct()
+    )
+    counts = doc_sh.join(
+        F.broadcast(ref_sh.withColumn("_known", F.lit(1))), "sh", "left"
+    ).groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("total_shingles"),
+        F.sum(F.coalesce("_known", F.lit(0))).cast("long").alias("known_shingles"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(counts, "doc", "left")
+        .selectExpr(
+            f"doc AS {id_col}",
+            "coalesce(total_shingles, 0L) AS total_shingles",
+            "coalesce(known_shingles, 0L) AS known_shingles",
+            """CASE WHEN coalesce(total_shingles, 0L) > 0 THEN
+                 CAST((total_shingles - known_shingles) * 10000L
+                      DIV total_shingles AS BIGINT) END AS novelty_bp""",
+        )
+        .orderBy(id_col)
+    )
+
+
+def novelty_score_sql(
+    docs_sql: str,
+    reference_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`novelty_score`."""
+    from .dedup import _shingles_sql
+
+    sh = _shingles_sql(text_col, n)
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({sh}) AS sh FROM {docs_sql}),
+    r AS MATERIALIZED (
+      SELECT DISTINCT unnest({sh}) AS sh FROM {reference_sql}),
+    counts AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS total_shingles,
+             CAST(sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS known_shingles
+      FROM d LEFT JOIN r ON d.sh = r.sh GROUP BY doc)
+    SELECT t.{id_col},
+           coalesce(c.total_shingles, 0) AS total_shingles,
+           coalesce(c.known_shingles, 0) AS known_shingles,
+           CASE WHEN coalesce(c.total_shingles, 0) > 0 THEN
+             CAST((c.total_shingles - c.known_shingles) * 10000
+                  // c.total_shingles AS BIGINT) END AS novelty_bp
+    FROM {docs_sql} t LEFT JOIN counts c ON c.doc = t.{id_col}
+    ORDER BY t.{id_col}
+    """

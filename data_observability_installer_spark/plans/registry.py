@@ -3930,6 +3930,28 @@ def decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "novelty_documents",
+    _cur.novelty_score_sql(
+        "(SELECT * FROM documents WHERE source <> 'src0')",
+        "(SELECT * FROM documents WHERE source = 'src0')",
+        n=3,
+    ),
+)
+def novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty vs the src0 reference slice: share of distinct
+    3-grams the reference has never seen, exact bp — the curation dual
+    of decontamination (low novelty adds nothing; high novelty is what
+    a token budget should buy). Broadcast reference shingles; the
+    corpus side never shuffles text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _cur.novelty_score(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )
+
+
+@register(
     "decontam_fingerprint_documents",
     _decontam.decontaminate_sql(
         f"(SELECT * FROM documents WHERE NOT ({_BENCH_PRED}))",

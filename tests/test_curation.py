@@ -242,3 +242,30 @@ def test_leakage_safe_split_coassigns_clusters(spark):
         if d not in grouped_ids:
             assert r["split"] == plain[d]
             assert r["split_key"] == str(d)
+
+
+def test_novelty_score_exact_counts_and_empty_doc(spark):
+    from data_observability_installer_spark.operators.llm.curation import novelty_score
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # fully known -> novelty 0
+            (2, "completely new words entirely here"),  # fully novel -> 10000
+            (3, "the quick brown cat sits"),  # mixed
+            (4, ""),  # short-doc slice semantics: ONE empty-string shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_score(docs, ref, n=3).collect()}
+    assert out[1].novelty_bp == 0 and out[1].known_shingles == out[1].total_shingles
+    assert out[2].novelty_bp == 10000 and out[2].known_shingles == 0
+    # doc 3 3-grams: {the quick brown, quick brown cat, brown cat sits}:
+    # 1 of 3 known -> floor(2/3 * 1e4)
+    assert out[3].total_shingles == 3 and out[3].known_shingles == 1
+    assert out[3].novelty_bp == 6666
+    # truncated-slice semantics (same as the oracle): one "" shingle,
+    # unseen in the reference -> fully novel
+    assert out[4].total_shingles == 1 and out[4].novelty_bp == 10000
