@@ -315,3 +315,35 @@ def cycle_nodes(closure: DataFrame) -> DataFrame:
         )
         .orderBy("dataset_key")
     )
+
+
+def rebuild_plan(closure: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Topological rebuild schedule after bad data landed in ``seeds``:
+    every affected dataset (any seed reaches it) with its rebuild
+    wave = the LONGEST distance from any seed (hop-capped closure) —
+    wave 0 is the seeds themselves, and everything in wave k only
+    depends on waves < k, so each wave can rebuild in parallel once
+    the previous finished. This is the actionable output impact
+    analysis feeds an orchestrator; meaningless if lineage_cycles is
+    non-empty (a cycle has no topological order), so run that screen
+    first.
+
+    One broadcast join against the cached closure + one key rollup —
+    nothing scans events again. Note max(depth) (not min): a dataset
+    reachable both directly and through a longer chain must wait for
+    the LAST upstream path to finish. With the hop-capped closure this
+    is exact for paths <= max_depth (the cap is the standard lineage
+    horizon)."""
+    s = seeds.select(F.col("dataset_key").alias("src")).distinct()
+    waves = (
+        closure.join(F.broadcast(s), "src")
+        .groupBy(F.col("dst").alias("dataset_key"))
+        .agg(F.max("depth").cast("int").alias("wave"))
+    )
+    seeds0 = s.select(F.col("src").alias("dataset_key"), F.lit(0).alias("wave"))
+    return (
+        seeds0.unionByName(waves.join(s.withColumnRenamed("src", "dataset_key"), "dataset_key", "left_anti"))
+        .groupBy("dataset_key")
+        .agg(F.max("wave").cast("int").alias("wave"))
+        .orderBy("wave", "dataset_key")
+    )

@@ -3850,6 +3850,63 @@ def lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rebuild_plan_events",
+    f"""{_LINEAGE_CLOSURE_SQL},
+    failed_runs AS (
+      SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key
+      FROM events GROUP BY run_key
+      HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0),
+    seeds AS (
+      SELECT DISTINCT io.dataset_key AS src
+      FROM ({_LINEAGE_IO_SQL}) io
+      JOIN failed_runs f ON io.run_key = f.run_key
+      WHERE io.direction = 'WRITE'),
+    waves AS (
+      SELECT cl.dst AS dataset_key, CAST(max(cl.depth) AS INT) AS wave
+      FROM cl JOIN seeds s ON cl.src = s.src
+      GROUP BY cl.dst)
+    SELECT dataset_key, CAST(max(wave) AS INT) AS wave FROM (
+      SELECT src AS dataset_key, 0 AS wave FROM seeds
+      UNION ALL
+      SELECT dataset_key, wave FROM waves
+      WHERE dataset_key NOT IN (SELECT src FROM seeds))
+    GROUP BY dataset_key ORDER BY wave, dataset_key
+    """,
+)
+def rebuild_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological rebuild schedule for everything downstream of failed
+    runs' outputs: wave = longest seed distance (a dataset waits for
+    its LAST upstream path), wave 0 = the seeds — the orchestrator
+    handoff impact analysis exists to produce. One broadcast join over
+    the shared cached closure."""
+    seeds = _failed_write_seeds(spark, sf_dir)
+    return _lin.rebuild_plan(_cached_closure(spark, sf_dir), seeds)
+
+
+def _failed_write_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasets WRITTEN by any run that logged an error — the seed set
+    shared by the blast-radius report and the rebuild planner."""
+    ev = load_table(spark, sf_dir, "events")
+    io = _lineage_io(spark, sf_dir)
+    failed = (
+        ev.groupBy(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("run_key")
+        )
+        .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
+        .filter(F.col("err_ct") > 0)
+        .select("run_key")
+    )
+    return (
+        io.filter(F.col("direction") == "WRITE")
+        .join(failed, "run_key")
+        .select("dataset_key")
+        .distinct()
+    )
+
+
+@register(
     "lineage_impact_failed",
     f"""{_LINEAGE_CLOSURE_SQL},
     failed_runs AS (
@@ -3870,25 +3927,8 @@ def lineage_impact_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blast radius of failed runs: datasets WRITTEN by any run that
     logged an error, rolled up to (seed, downstream count, max depth)
     over the closure. Seeds broadcast; closure never re-shuffles."""
-    ev = load_table(spark, sf_dir, "events")
-    io = _lineage_io(spark, sf_dir)
     closure = _cached_closure(spark, sf_dir)
-    failed = (
-        ev.groupBy(
-            F.concat(
-                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
-            ).alias("run_key")
-        )
-        .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
-        .filter(F.col("err_ct") > 0)
-        .select("run_key")
-    )
-    seeds = (
-        io.filter(F.col("direction") == "WRITE")
-        .join(failed, "run_key")
-        .select("dataset_key")
-        .distinct()
-    )
+    seeds = _failed_write_seeds(spark, sf_dir)
     return (
         _lin.impact_downstream(closure, seeds)
         .groupBy("seed")

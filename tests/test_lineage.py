@@ -163,3 +163,22 @@ def test_cycle_nodes_self_loop_is_length_one_cycle(spark):
     edges = spark.createDataFrame([("x", "x"), ("x", "y")], "src string, dst string")
     out = {r.dataset_key: r.cycle_len for r in cycle_nodes(transitive_closure(edges)).collect()}
     assert out == {"x": 1}
+
+
+def test_rebuild_plan_waves_are_topological(spark):
+    """Wave = LONGEST seed distance: a dataset reachable directly AND
+    through a longer chain waits for the last path; seeds are wave 0."""
+    from data_observability_installer_spark.operators.obs.lineage import (
+        rebuild_plan,
+        transitive_closure,
+    )
+
+    #   s -> a -> b -> c   and   s -> c  (short-circuit)
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("s", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "dataset_key string")
+    out = {r.dataset_key: r.wave for r in rebuild_plan(transitive_closure(edges), seeds).collect()}
+    assert out == {"s": 0, "a": 1, "b": 2, "c": 3}  # c waits for the long path
+    # disconnected x/y are absent: nothing downstream of the seed
