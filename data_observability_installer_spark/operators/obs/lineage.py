@@ -317,33 +317,51 @@ def cycle_nodes(closure: DataFrame) -> DataFrame:
     )
 
 
-def rebuild_plan(closure: DataFrame, seeds: DataFrame) -> DataFrame:
+def rebuild_plan(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 8
+) -> DataFrame:
     """Topological rebuild schedule after bad data landed in ``seeds``:
-    every affected dataset (any seed reaches it) with its rebuild
-    wave = the LONGEST distance from any seed (hop-capped closure) —
-    wave 0 is the seeds themselves, and everything in wave k only
-    depends on waves < k, so each wave can rebuild in parallel once
+    every affected node with its rebuild wave = the LONGEST edge
+    distance from any seed, computed by ``max_depth`` relaxation
+    rounds — wave 0 is the seeds, and on a DAG everything in wave k
+    depends only on waves < k, so each wave rebuilds in parallel once
     the previous finished. This is the actionable output impact
-    analysis feeds an orchestrator; meaningless if lineage_cycles is
-    non-empty (a cycle has no topological order), so run that screen
-    first.
+    analysis feeds an orchestrator.
 
-    One broadcast join against the cached closure + one key rollup —
-    nothing scans events again. Note max(depth) (not min): a dataset
-    reachable both directly and through a longer chain must wait for
-    the LAST upstream path to finish. With the hop-capped closure this
-    is exact for paths <= max_depth (the cap is the standard lineage
-    horizon)."""
-    s = seeds.select(F.col("dataset_key").alias("src")).distinct()
-    waves = (
-        closure.join(F.broadcast(s), "src")
-        .groupBy(F.col("dst").alias("dataset_key"))
-        .agg(F.max("depth").cast("int").alias("wave"))
+    Longest distance, not shortest: a node reachable both directly and
+    through a longer chain must wait for the LAST upstream path — the
+    min-depth transitive closure CANNOT answer this (a diamond
+    short-circuits), hence the dedicated max-relaxation. On a cyclic
+    graph waves saturate at ``max_depth`` (run ``cycle_nodes`` first;
+    a cycle has no topological order).
+
+    Each round is one broadcast-sized frontier join against the edge
+    list + a max rollup; ``localCheckpoint`` caps lineage like the
+    closure BFS."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    known = (
+        seeds.select(F.col("dataset_key").alias("node"))
+        .distinct()
+        .withColumn("wave", F.lit(0))
+        .localCheckpoint(eager=True)
     )
-    seeds0 = s.select(F.col("src").alias("dataset_key"), F.lit(0).alias("wave"))
-    return (
-        seeds0.unionByName(waves.join(s.withColumnRenamed("src", "dataset_key"), "dataset_key", "left_anti"))
-        .groupBy("dataset_key")
-        .agg(F.max("wave").cast("int").alias("wave"))
-        .orderBy("wave", "dataset_key")
-    )
+    frontier = known
+    for depth in range(1, max_depth + 1):
+        grown = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("wave"))
+            .distinct()
+        )
+        frontier = grown.localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            break
+        known = (
+            known.select(F.col("node").alias("node"), F.col("wave").alias("wave"))
+            .unionByName(frontier)
+            .groupBy("node")
+            .agg(F.max("wave").alias("wave"))
+            .localCheckpoint(eager=True)
+        )
+    return known.select(
+        F.col("node").alias("dataset_key"), F.col("wave").cast("int").alias("wave")
+    ).orderBy("wave", "dataset_key")

@@ -3849,61 +3849,46 @@ def lineage_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lin.cycle_nodes(_cached_closure(spark, sf_dir))
 
 
+_PIPE_DAG = [
+    ("pipeline-0", "pipeline-1"),
+    ("pipeline-1", "pipeline-2"),
+    ("pipeline-0", "pipeline-3"),
+    ("pipeline-3", "pipeline-4"),
+    ("pipeline-2", "pipeline-4"),
+]
+
+
 @register(
     "rebuild_plan_events",
-    f"""{_LINEAGE_CLOSURE_SQL},
-    failed_runs AS (
-      SELECT CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS run_key
-      FROM events GROUP BY run_key
-      HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0),
+    f"""
+    WITH RECURSIVE runs AS ({_RUNS_SQL}),
     seeds AS (
-      SELECT DISTINCT io.dataset_key AS src
-      FROM ({_LINEAGE_IO_SQL}) io
-      JOIN failed_runs f ON io.run_key = f.run_key
-      WHERE io.direction = 'WRITE'),
-    waves AS (
-      SELECT cl.dst AS dataset_key, CAST(max(cl.depth) AS INT) AS wave
-      FROM cl JOIN seeds s ON cl.src = s.src
-      GROUP BY cl.dst)
-    SELECT dataset_key, CAST(max(wave) AS INT) AS wave FROM (
-      SELECT src AS dataset_key, 0 AS wave FROM seeds
-      UNION ALL
-      SELECT dataset_key, wave FROM waves
-      WHERE dataset_key NOT IN (SELECT src FROM seeds))
-    GROUP BY dataset_key ORDER BY wave, dataset_key
+      SELECT DISTINCT pipeline_key FROM runs WHERE final_status = 'FAILED'),
+    edges(src, dst) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in [("pipeline-0", "pipeline-1"), ("pipeline-1", "pipeline-2"), ("pipeline-0", "pipeline-3"), ("pipeline-3", "pipeline-4"), ("pipeline-2", "pipeline-4")])}),
+    walk(node, wave) AS (
+      SELECT pipeline_key, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.wave + 1 FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.wave < 8)
+    SELECT node AS dataset_key, CAST(max(wave) AS INT) AS wave
+    FROM walk GROUP BY node ORDER BY wave, dataset_key
     """,
 )
 def rebuild_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topological rebuild schedule for everything downstream of failed
-    runs' outputs: wave = longest seed distance (a dataset waits for
-    its LAST upstream path), wave 0 = the seeds — the orchestrator
-    handoff impact analysis exists to produce. One broadcast join over
-    the shared cached closure."""
-    seeds = _failed_write_seeds(spark, sf_dir)
-    return _lin.rebuild_plan(_cached_closure(spark, sf_dir), seeds)
-
-
-def _failed_write_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datasets WRITTEN by any run that logged an error — the seed set
-    shared by the blast-radius report and the rebuild planner."""
-    ev = load_table(spark, sf_dir, "events")
-    io = _lineage_io(spark, sf_dir)
-    failed = (
-        ev.groupBy(
-            F.concat(
-                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
-            ).alias("run_key")
-        )
-        .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
-        .filter(F.col("err_ct") > 0)
-        .select("run_key")
-    )
-    return (
-        io.filter(F.col("direction") == "WRITE")
-        .join(failed, "run_key")
-        .select("dataset_key")
+    """Topological rebuild schedule over the DECLARED pipeline DAG
+    (the journey wiring of G10, acyclic by construction): seeds =
+    pipelines with FAILED runs, wave = LONGEST edge distance from any
+    seed via max-relaxation rounds — a diamond's join node waits for
+    the last upstream path (the min-depth closure cannot answer this).
+    Wave k rebuilds in parallel once wave k-1 finished."""
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    seeds = (
+        runs.filter(F.col("final_status") == "FAILED")
+        .select(F.col("pipeline_key").alias("dataset_key"))
         .distinct()
     )
+    edges = spark.createDataFrame(_PIPE_DAG, "src string, dst string")
+    return _lin.rebuild_plan(edges, seeds)
 
 
 @register(

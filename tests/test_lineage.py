@@ -168,10 +168,7 @@ def test_cycle_nodes_self_loop_is_length_one_cycle(spark):
 def test_rebuild_plan_waves_are_topological(spark):
     """Wave = LONGEST seed distance: a dataset reachable directly AND
     through a longer chain waits for the last path; seeds are wave 0."""
-    from data_observability_installer_spark.operators.obs.lineage import (
-        rebuild_plan,
-        transitive_closure,
-    )
+    from data_observability_installer_spark.operators.obs.lineage import rebuild_plan
 
     #   s -> a -> b -> c   and   s -> c  (short-circuit)
     edges = spark.createDataFrame(
@@ -179,6 +176,11 @@ def test_rebuild_plan_waves_are_topological(spark):
         "src string, dst string",
     )
     seeds = spark.createDataFrame([("s",)], "dataset_key string")
-    out = {r.dataset_key: r.wave for r in rebuild_plan(transitive_closure(edges), seeds).collect()}
+    out = {r.dataset_key: r.wave for r in rebuild_plan(edges, seeds).collect()}
     assert out == {"s": 0, "a": 1, "b": 2, "c": 3}  # c waits for the long path
     # disconnected x/y are absent: nothing downstream of the seed
+
+    # a cycle saturates at the hop cap instead of looping forever
+    cyc = spark.createDataFrame([("s", "a"), ("a", "s")], "src string, dst string")
+    capped = {r.dataset_key: r.wave for r in rebuild_plan(cyc, seeds, max_depth=4).collect()}
+    assert capped["a"] <= 4 and capped["s"] <= 4
