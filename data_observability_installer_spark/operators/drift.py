@@ -1136,3 +1136,114 @@ def wasserstein_drift_sql(
                 END AS w1_e6
     FROM area, tot
     """
+
+
+def wasserstein_grouped(
+    df: DataFrame,
+    col: str,
+    side_expr: Column,
+    by: str,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group two-sample Wasserstein-1: :func:`wasserstein_drift`
+    keyed by ``by`` — 'how far did each domain/segment move', the
+    grouped face of the drift family (like mad_outliers_grouped for
+    fences). Each group bins over ITS OWN [min, max] span, so w1_e6 is
+    comparable across groups as a fraction-of-own-span.
+
+    Plan: one scan computes per-group min/max (groupBy + join back —
+    the group stats frame is key-cardinality-sized, AQE broadcasts
+    it), a second bins and counts per (group, side, bin); the area
+    fold is a per-group window over the bins frame. Same exact
+    DECIMAL(38,0)/HUGEINT cross products, same empty-bin run
+    weighting; a group with an empty side reports NULL."""
+    x = F.col(col).cast("double")
+    vals = df.select(
+        F.col(by).alias("g"), x.alias("v"), side_expr.alias("is_a")
+    ).filter(F.col("v").isNotNull())
+    mm = vals.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    j = vals.join(mm, "g")
+    span = F.col("hi") - F.col("lo")
+    bin_ix = F.when(
+        span > 0,
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / span * bins).cast("int"),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    binned = j.groupBy(F.col("g"), bin_ix.alias("bin")).agg(
+        F.sum(F.col("is_a").cast("long")).alias("ct_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("ct_b"),
+    )
+    ow = "(PARTITION BY g ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    cum = binned.selectExpr(
+        "g",
+        "bin",
+        f"sum(ct_a) OVER {ow} AS ca",
+        f"sum(ct_b) OVER {ow} AS cb",
+        f"coalesce(lead(bin) OVER (PARTITION BY g ORDER BY bin), bin) - bin AS width",
+        f"sum(ct_a) OVER (PARTITION BY g) AS tot_a",
+        f"sum(ct_b) OVER (PARTITION BY g) AS tot_b",
+    )
+    return (
+        cum.groupBy(F.col("g").alias(by))
+        .agg(
+            F.max("tot_a").cast("long").alias("n_a"),
+            F.max("tot_b").cast("long").alias("n_b"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(ca AS DECIMAL(38,0)) * tot_b"
+                    " - CAST(cb AS DECIMAL(38,0)) * tot_a) * width"
+                )
+            ).alias("s"),
+        )
+        .selectExpr(
+            by,
+            "n_a",
+            "n_b",
+            f"""CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(
+                 (s * 1000000) DIV (CAST(n_a AS DECIMAL(38,0))
+                  * CAST(n_b AS DECIMAL(38,0)) * {bins}) AS BIGINT) END AS w1_e6""",
+        )
+        .orderBy(by)
+    )
+
+
+def wasserstein_grouped_sql(
+    table: str, col: str, side_sql: str, by: str, bins: int = 128
+) -> str:
+    """DuckDB twin of :func:`wasserstein_grouped`."""
+    return f"""
+    WITH vals AS (
+      SELECT {by} AS g, CAST({col} AS DOUBLE) AS v, ({side_sql}) AS is_a
+      FROM {table} WHERE {col} IS NOT NULL),
+    mm AS (SELECT g, min(v) AS lo, max(v) AS hi FROM vals GROUP BY g),
+    binned AS (
+      SELECT vals.g,
+             CASE WHEN hi > lo
+                  THEN least(CAST(floor((v - lo) / (hi - lo) * {bins}) AS INT), {bins - 1})
+                  ELSE 0 END AS bin,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ct_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS ct_b
+      FROM vals JOIN mm ON vals.g = mm.g GROUP BY 1, 2),
+    cum AS (
+      SELECT g, bin,
+             sum(ct_a) OVER w AS ca, sum(ct_b) OVER w AS cb,
+             coalesce(lead(bin) OVER (PARTITION BY g ORDER BY bin), bin) - bin AS width,
+             sum(ct_a) OVER (PARTITION BY g) AS tot_a,
+             sum(ct_b) OVER (PARTITION BY g) AS tot_b
+      FROM binned
+      WINDOW w AS (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    area AS (
+      SELECT g, CAST(max(tot_a) AS BIGINT) AS n_a, CAST(max(tot_b) AS BIGINT) AS n_b,
+             CAST(sum(abs(CAST(ca AS HUGEINT) * tot_b
+                          - CAST(cb AS HUGEINT) * tot_a) * width) AS HUGEINT) AS s
+      FROM cum GROUP BY g)
+    SELECT g AS {by}, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(s * 1000000 // (CAST(n_a AS HUGEINT) * n_b * {bins})
+                          AS BIGINT)
+                END AS w1_e6
+    FROM area ORDER BY {by}
+    """

@@ -2321,6 +2321,26 @@ def wasserstein_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_drift(li, "l_extendedprice", F.col("l_returnflag") == "R")
 
 
+from ..operators.drift import wasserstein_grouped, wasserstein_grouped_sql  # noqa: E402
+
+
+@register(
+    "wasserstein_by_status_lineitem",
+    wasserstein_grouped_sql(
+        "lineitem", "l_extendedprice", "l_returnflag = 'R'", "l_linestatus"
+    ),
+)
+def wasserstein_by_status_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus Wasserstein-1 between returned and kept items on
+    extended price — 'how far did EACH segment move', the grouped face
+    of the two-sample family. Each group bins over its own span; the
+    area fold is a per-group window over the bins frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return wasserstein_grouped(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", "l_linestatus"
+    )
+
+
 from ..operators.drift import psi_trend, psi_trend_sql  # noqa: E402
 
 

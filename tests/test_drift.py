@@ -339,3 +339,25 @@ def test_wasserstein_detects_shift_ks_scale(spark):
         [(float(i), True) for i in range(100)], "v double, is_a boolean"
     )
     assert wasserstein_drift(one_sided, "v", F.col("is_a")).collect()[0].w1_e6 is None
+
+
+def test_wasserstein_grouped_isolates_the_shifted_group(spark):
+    """Only the group whose slice B is shifted registers; identical
+    groups score exactly 0; a one-sided group reports NULL."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.drift import wasserstein_grouped
+
+    rows = (
+        [("moved", float(i % 100), True) for i in range(1000)]
+        + [("moved", float(i % 100 + 50), False) for i in range(1000)]
+        + [("same", float(i % 100), True) for i in range(1000)]
+        + [("same", float(i % 100), False) for i in range(1000)]
+        + [("onesided", float(i % 100), True) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, is_a boolean")
+    out = {r.g: r for r in wasserstein_grouped(df, "v", F.col("is_a"), "g").collect()}
+    assert out["same"].w1_e6 == 0
+    # uniform [0,100) vs [50,150): W1 = 50 over a 149-wide span
+    assert abs(out["moved"].w1_e6 / 1e6 - 50 / 149) < 1 / 128 + 1e-3
+    assert out["onesided"].w1_e6 is None
