@@ -202,6 +202,10 @@ HEADLINE = [
     "wasserstein_lineitem",
     "fd_confidence_lineitem",
     "embedding_drift_embeddings",
+    "profile_delta_lineitem",
+    "novelty_documents",
+    "rebuild_plan_events",
+    "wasserstein_by_status_lineitem",
 ]
 
 
