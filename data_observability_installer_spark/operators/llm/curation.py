@@ -907,3 +907,65 @@ def novelty_score_sql(
     FROM {docs_sql} t LEFT JOIN counts c ON c.doc = t.{id_col}
     ORDER BY t.{id_col}
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Exactly-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u from a salted md5 of its id and
+    ranks by ln(u)/w — the top-k under that key is a weight-
+    proportional sample, computed as a distributed TakeOrdered (no
+    per-stratum pass, no rejection loop). This is the 'spend k slots
+    proportionally to quality' primitive the rate-based samplers can't
+    express (they bound the EXPECTED count).
+
+    Deterministic and engine-portable: u is 60 bits of md5 (exact
+    integer -> the same double in both engines); the rank key is the
+    ROUNDED score floor(ln(u)/w * 1e9) with id tie-break, per the
+    repo's ranking idiom (raw transcendental doubles may differ in the
+    last ulp between libm implementations). Zero/negative/null weights
+    are excluded (a zero-weight item must never be sampled).
+
+    Scale: one map pass + TakeOrdered(k) — per-partition heaps merge
+    k rows at the driver; nothing shuffles the corpus."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(2**60))
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.floor(F.log(u) / w * 1000000000).cast("long")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), F.col(weight_col), score.alias("score_q"))
+        .orderBy(F.desc("score_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same md5-derived u,
+    same rounded rank key)."""
+    u = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))::UBIGINT"
+        f" / CAST({float(2**60)!r} AS DOUBLE))"
+    )
+    return f"""
+    SELECT {id_col}, {weight_col},
+           CAST(floor(ln({u}) / CAST({weight_col} AS DOUBLE) * 1000000000) AS BIGINT)
+             AS score_q
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
+    ORDER BY score_q DESC, {id_col} LIMIT {k}
+    """

@@ -3975,6 +3975,20 @@ def decontam_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_documents",
+    _cur.weighted_sample_sql("documents", 200, "n_chars"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-200 weighted sample without replacement (Efraimidis-
+    Spirakis): md5-derived exponential keys ranked by ln(u)/w with the
+    rounded-score idiom — length-proportional eval-set construction as
+    one map pass + TakeOrdered, no corpus shuffle."""
+    return _cur.weighted_sample(
+        load_table(spark, sf_dir, "documents"), 200, "n_chars"
+    )
+
+
+@register(
     "novelty_documents",
     _cur.novelty_score_sql(
         "(SELECT * FROM documents WHERE source <> 'src0')",

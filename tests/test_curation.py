@@ -269,3 +269,21 @@ def test_novelty_score_exact_counts_and_empty_doc(spark):
     # truncated-slice semantics (same as the oracle): one "" shingle,
     # unseen in the reference -> fully novel
     assert out[4].total_shingles == 1 and out[4].novelty_bp == 10000
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from data_observability_installer_spark.operators.llm.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1.0 if i != 7 else 1e9) for i in range(100)] + [(200, 0.0), (201, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    b = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    assert a == b and len(a) == 10  # deterministic exact-k
+    assert 7 in a  # weight 1e9 vs 1: inclusion ~certain under A-ES
+    assert 200 not in a and 201 not in a  # zero/null weights never sampled
+
+    # changing the salt changes the draw (it's a seed, not a constant)
+    c = [r.doc_id for r in weighted_sample(df, 10, "w", salt="aes-v2").collect()]
+    assert 7 in c and set(c) != set(a)
