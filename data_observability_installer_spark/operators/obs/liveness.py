@@ -83,3 +83,89 @@ def event_gaps_sql(
            round(epoch(ts) - epoch(prev_ts), 3) AS gap_s
     FROM g WHERE epoch(ts) - epoch(prev_ts) > {min_gap_s}
     """
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival burstiness per stream: coefficient of variation
+    and the Goh-Barabasi burstiness index B = (sigma - mu)/(sigma + mu)
+    of the gaps between consecutive events — the 'is this pipeline
+    steady (B ~ -1 .. 0) or bursty (B -> 1)' fingerprint that decides
+    whether a freshness SLO should be a fixed timeout or a quantile
+    (event_gaps finds WHERE the holes are; this says what the stream's
+    normal rhythm IS).
+
+    Exactness: gaps are integer epoch MICROseconds (unix_micros /
+    epoch_us — never float epoch sums, which are order-dependent);
+    n*sum(g^2) and sum(g)^2 fold in DECIMAL(38,0)/HUGEINT, and the
+    final sigma/mu ratios are floor-quantized doubles of those exact
+    integers (sqrt is IEEE correctly-rounded on identical inputs).
+    Ties order by the event id so the lag is deterministic.
+
+    One key-partitioned window + one rollup; shuffle = the key."""
+    w = f"(PARTITION BY k ORDER BY us, eid)"
+    gaps = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+    ).selectExpr(
+        "k",
+        f"us - lag(us) OVER {w} AS g",
+    ).filter("g IS NOT NULL")
+    return (
+        gaps.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("decimal(38,0)").alias("sg"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("sg2"),
+            F.max("g").cast("long").alias("max_gap_us"),
+        )
+        .selectExpr(
+            key_col,
+            "n_gaps",
+            "CAST(sg DIV n_gaps DIV 1000000 AS BIGINT) AS mean_gap_s",
+            "max_gap_us DIV 1000000 AS max_gap_s",
+            # sigma^2 = (n*sg2 - sg^2) / n^2 ; cov = sigma/mu = n*sigma/sg
+            """CASE WHEN n_gaps > 1 AND sg > 0 THEN CAST(floor(
+                 sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+                 * 10000) AS BIGINT) END AS cov_bp""",
+            """CASE WHEN n_gaps > 1 AND sg > 0 THEN CAST(floor(
+                 (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+                 / (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
+                 * 10000) AS BIGINT) END AS burstiness_bp""",
+        )
+        .orderBy(key_col)
+    )
+
+
+def burstiness_sql(
+    events_sql: str, key_col: str, ts_col: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`burstiness` (epoch_us + HUGEINT folds)."""
+    return f"""
+    WITH gaps AS (
+      SELECT k, us - lag(us) OVER (PARTITION BY k ORDER BY us, eid) AS g
+      FROM (SELECT {key_col} AS k, epoch_us({ts_col}) AS us, {id_col} AS eid
+            FROM ({events_sql}))),
+    agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS HUGEINT) AS sg,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sg2,
+             CAST(max(g) AS BIGINT) AS max_gap_us
+      FROM gaps WHERE g IS NOT NULL GROUP BY k)
+    SELECT k AS {key_col}, n_gaps,
+           CAST(sg // n_gaps // 1000000 AS BIGINT) AS mean_gap_s,
+           max_gap_us // 1000000 AS max_gap_s,
+           CASE WHEN n_gaps > 1 AND sg > 0 THEN CAST(floor(
+             sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+             * 10000) AS BIGINT) END AS cov_bp,
+           CASE WHEN n_gaps > 1 AND sg > 0 THEN CAST(floor(
+             (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))
+             / (sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))
+             * 10000) AS BIGINT) END AS burstiness_bp
+    FROM agg ORDER BY {key_col}
+    """

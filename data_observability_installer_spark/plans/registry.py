@@ -3544,6 +3544,32 @@ def _daily_type_counts(ev: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("v"))
 
 
+from ..operators.obs.liveness import burstiness, burstiness_sql  # noqa: E402
+
+
+@register(
+    "burstiness_events",
+    burstiness_sql(
+        "SELECT 'pipeline-' || CAST(user_id % 5 AS VARCHAR) AS pk, ts, event_id"
+        " FROM events",
+        "pk",
+        "ts",
+        "event_id",
+    ),
+)
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per pipeline: CoV and Goh-Barabasi B of
+    the gaps between consecutive events — steady streams suit a fixed
+    freshness timeout, bursty ones need a quantile SLO. Integer epoch
+    micros, DECIMAL/HUGEINT moment folds, floor-quantized ratios."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pk"),
+        "ts",
+        "event_id",
+    )
+    return burstiness(ev, "pk", "ts", "event_id")
+
+
 @register("cusum_shift_events", cusum_screen_sql(_DAILY_TYPE_SQL))
 def cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tabular CUSUM over daily event volume per type: the sequential

@@ -321,3 +321,25 @@ def test_critical_path_diamond(spark):
     assert got[(1, "c")] == (15.0, False)
     assert got[(2, "d")] == (7 + 2 + 4, True)  # path through c only
     assert got[(2, "a")] == (7.0, False)
+
+
+def test_burstiness_separates_steady_from_bursty(spark):
+    """A perfectly regular clock has CoV = B-index floor -> sigma 0;
+    a heavy-tailed stream (99 ticks then one huge hole) scores high."""
+    from datetime import datetime, timedelta
+
+    from data_observability_installer_spark.operators.obs.liveness import burstiness
+
+    t0 = datetime(2026, 1, 1)
+    steady = [("steady", t0 + timedelta(seconds=60 * i), i) for i in range(50)]
+    bursty = [("bursty", t0 + timedelta(seconds=i), 100 + i) for i in range(50)]
+    bursty.append(("bursty", t0 + timedelta(days=2), 999))
+    df = spark.createDataFrame(
+        steady + bursty, "pk string, ts timestamp, event_id long"
+    )
+    out = {r.pk: r for r in burstiness(df, "pk", "ts", "event_id").collect()}
+    s, b = out["steady"], out["bursty"]
+    assert s.cov_bp == 0 and s.mean_gap_s == 60  # sigma exactly 0
+    assert -10000 <= s.burstiness_bp < 0  # regular -> B < 0 (floor of -1)
+    assert b.cov_bp > 30000 and b.burstiness_bp > 5000  # hole dominates
+    assert b.max_gap_s > 86400
