@@ -3544,6 +3544,47 @@ def _daily_type_counts(ev: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("v"))
 
 
+from ..operators.dq.governance import entity_footprint, entity_footprint_sql  # noqa: E402
+
+_FOOTPRINT_KEYS_SQL = "SELECT c_custkey AS entity_key FROM customer WHERE c_custkey % 311 = 1"
+
+
+@register(
+    "entity_footprint_tpch",
+    entity_footprint_sql(
+        [
+            ("customer", "customer", "c_custkey"),
+            ("orders", "orders", "o_custkey"),
+            (
+                "lineitem",
+                "(SELECT o_custkey, l_orderkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+                "o_custkey",
+            ),
+        ],
+        _FOOTPRINT_KEYS_SQL,
+    ),
+)
+def entity_footprint_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion/subject-access audit: for a requested customer set,
+    the per-table row footprint across customer/orders/lineitem
+    (lineitem linked through its FK path) — zero counts are rows, not
+    gaps, because 'nothing left' IS the compliance answer. One
+    broadcast semi-join scan per table."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    keys = cust.filter(F.col("c_custkey") % 311 == 1).select(
+        F.col("c_custkey").alias("entity_key")
+    )
+    return entity_footprint(
+        [("customer", cust, "c_custkey"), ("orders", orders, "o_custkey"), ("lineitem", li, "o_custkey")],
+        keys,
+    )
+
+
 from ..operators.obs.liveness import burstiness, burstiness_sql  # noqa: E402
 
 
