@@ -74,3 +74,95 @@ def entity_footprint_sql(
     {union}
     ORDER BY entity_key, table_name
     """
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str = "pseudo-v1", keep_len: bool = False
+) -> DataFrame:
+    """Deterministic pseudonymization of identifying columns: each
+    value becomes ``tok_`` + 16 hex of a salted md5 — the same value
+    maps to the same token EVERYWHERE, so joins and group-bys still
+    work after the scrub (the property ad-hoc masking destroys), while
+    the salt keeps tokens non-invertible without it. NULLs stay NULL
+    (a null is not an identity). ``keep_len=True`` pads/trims the
+    token to the original length for fixed-width consumers.
+
+    Pure map-stage codegen projection — no shuffle, applies at any
+    scale as part of an export/sink. Rotating the salt re-keys the
+    whole corpus (the 'crypto-shredding lite' story: forget the salt,
+    lose the linkage)."""
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit("tok_"),
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string"))), 1, 16),
+        )
+        if keep_len:
+            tok = F.rpad(F.substring(tok, 1, F.length(F.col(c).cast("string"))), 4, "_")
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out
+
+
+def pseudonymize_sql(table_sql: str, all_cols: list[str], cols: list[str], salt: str = "pseudo-v1") -> str:
+    """DuckDB twin of :func:`pseudonymize` (keep_len=False form)."""
+    sel = []
+    for c in all_cols:
+        if c in cols:
+            sel.append(
+                f"CASE WHEN {c} IS NOT NULL THEN 'tok_' ||"
+                f" substr(md5('{salt}:' || CAST({c} AS VARCHAR)), 1, 16) END AS {c}"
+            )
+        else:
+            sel.append(c)
+    return f"SELECT {', '.join(sel)} FROM {table_sql}"
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set: the minimum
+    equivalence-class size, how many rows sit in classes smaller than
+    ``k`` (re-identifiable under linkage attacks), and the share in
+    exact basis points — the release-gate number a privacy review asks
+    for before a dataset ships. One GROUP BY on the quasi-identifiers
+    (NULL combinations are classes too) + a class-sized rollup; all
+    integer arithmetic."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    return classes.agg(
+        F.lit(",".join(quasi_cols)).alias("quasi_identifiers"),
+        F.sum("ct").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("ct").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("ct") < k, F.col("ct")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+    ).selectExpr(
+        "quasi_identifiers",
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "rows_below_k",
+        "CAST(rows_below_k * 10000L DIV greatest(n_rows, 1L) AS BIGINT)"
+        " AS below_k_bp",
+        f"min_class_size >= {int(k)} AS k_anonymous",
+    )
+
+
+def k_anonymity_sql(table_sql: str, quasi_cols: list[str], k: int = 5) -> str:
+    """DuckDB twin of :func:`k_anonymity`."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+    WITH classes AS (
+      SELECT {qc}, CAST(count(*) AS BIGINT) AS ct
+      FROM {table_sql} GROUP BY {qc})
+    SELECT '{",".join(quasi_cols)}' AS quasi_identifiers,
+           CAST(sum(ct) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(ct) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN ct < {int(k)} THEN ct ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(sum(CASE WHEN ct < {int(k)} THEN ct ELSE 0 END) * 10000
+                // greatest(sum(ct), 1) AS BIGINT) AS below_k_bp,
+           min(ct) >= {int(k)} AS k_anonymous
+    FROM classes
+    """

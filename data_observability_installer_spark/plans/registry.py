@@ -3546,6 +3546,45 @@ def _daily_type_counts(ev: DataFrame) -> DataFrame:
 
 from ..operators.dq.governance import entity_footprint, entity_footprint_sql  # noqa: E402
 
+from ..operators.dq.governance import k_anonymity, k_anonymity_sql  # noqa: E402
+from ..operators.dq.governance import pseudonymize, pseudonymize_sql  # noqa: E402
+
+_CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "pseudonymize_customer",
+    pseudonymize_sql("customer", _CUSTOMER_COLS, ["c_name"])
+    + " ORDER BY c_custkey LIMIT 100",
+)
+def pseudonymize_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization of the customer name: same value
+    -> same salted token everywhere (joins/group-bys survive the
+    scrub), NULLs stay NULL, rotating the salt re-keys the corpus.
+    Pure map-stage projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        pseudonymize(cust, ["c_name"])
+        .select(*_CUSTOMER_COLS)
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "k_anonymity_customer",
+    k_anonymity_sql("customer", ["c_nationkey", "c_mktsegment"], k=5),
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the (nation, market segment) quasi-
+    identifier pair: min equivalence-class size, rows re-identifiable
+    below k=5 in exact bp — the release gate a privacy review asks for.
+    One GROUP BY + class-sized rollup."""
+    return k_anonymity(
+        load_table(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
 _FOOTPRINT_KEYS_SQL = "SELECT c_custkey AS entity_key FROM customer WHERE c_custkey % 311 = 1"
 
 

@@ -32,3 +32,33 @@ def test_entity_footprint_after_deletion_is_all_zero(spark):
         [("customer", cust.filter("c <> 7"), "c")], keys
     ).collect()[0]
     assert after.row_ct == 0  # the deletion evidence
+
+
+def test_pseudonymize_preserves_joins_and_nulls(spark):
+    from data_observability_installer_spark.operators.dq.governance import pseudonymize
+
+    a = spark.createDataFrame([("alice", 1), ("bob", 2), (None, 3)], "name string, x int")
+    b = spark.createDataFrame([("alice", 10), ("carol", 20)], "name string, y int")
+    pa, pb = pseudonymize(a, ["name"]), pseudonymize(b, ["name"])
+    # same value -> same token across frames: the join still works
+    joined = pa.join(pb, "name").collect()
+    assert len(joined) == 1 and joined[0].x == 1 and joined[0].y == 10
+    rows = {r.x: r.name for r in pa.collect()}
+    assert rows[3] is None  # null is not an identity
+    assert rows[1].startswith("tok_") and rows[1] != rows[2]
+    # a different salt breaks linkage to the old tokens
+    rot = {r.x: r.name for r in pseudonymize(a, ["name"], salt="v2").collect()}
+    assert rot[1] != rows[1]
+
+
+def test_k_anonymity_gate(spark):
+    from data_observability_installer_spark.operators.dq.governance import k_anonymity
+
+    rows = [("US", "A")] * 10 + [("US", "B")] * 5 + [("FR", "A")] * 2
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = k_anonymity(df, ["nation", "seg"], k=5).collect()[0]
+    assert (out.n_rows, out.n_classes, out.min_class_size) == (17, 3, 2)
+    assert out.rows_below_k == 2 and out.below_k_bp == 2 * 10000 // 17
+    assert not out.k_anonymous
+    ok = k_anonymity(df.filter("nation = 'US'"), ["nation", "seg"], k=5).collect()[0]
+    assert ok.k_anonymous and ok.min_class_size == 5
