@@ -29,7 +29,14 @@ def entity_footprint(
     key_col)]; ``keys`` has one column ``entity_key``. Entities with
     zero rows in a table still appear (count 0) — absence is the
     compliance answer, so it must be a row, not a missing row."""
-    k = keys.select(F.col("entity_key").cast("long").alias("entity_key")).distinct()
+    # request-sized and read by 2 consumers PER TABLE (semi-join probe +
+    # zero-fill left join) — pin it once or every union branch re-scans
+    # the key source (the fd_check lesson)
+    k = (
+        keys.select(F.col("entity_key").cast("long").alias("entity_key"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     parts = []
     for name, df, key_col in frames:
         counts = (

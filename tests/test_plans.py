@@ -584,3 +584,44 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             old_thr,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_decontam_fingerprint_broadcasts_nominator(spark, sf_smoke):
+    """The scale claim: the 8-byte fingerprint set broadcasts (a
+    BroadcastHashJoin semi), so the corpus side never shuffles before
+    nomination."""
+    plan = _executed(spark, "decontam_fingerprint_documents", sf_smoke)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_novelty_broadcasts_reference(spark, sf_smoke):
+    plan = _executed(spark, "novelty_documents", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_entity_footprint_one_scan_per_table_all_broadcast(spark, sf_smoke):
+    """Each table is read once with a broadcast of the request-sized
+    key set — per-table scan counts stay at 1 (lineitem's FK path adds
+    its orders join, also broadcast)."""
+    plan = _executed(spark, "entity_footprint_tpch", sf_smoke)
+    # the pinned key set appears as a checkpoint leaf, not re-scans:
+    # customer (frame) + orders + lineitem + orders-for-FK-path = 4
+    assert plan.count("FileScan parquet") <= 4
+    assert plan.count("BroadcastHashJoin") >= 3  # every keys join broadcast
+
+
+def test_cusum_single_scan_keyed_windows(spark, sf_smoke):
+    plan = _executed(spark, "cusum_shift_events", sf_smoke)
+    assert plan.count("FileScan parquet") == 1
+    # windows are keyed: no 'No Partition Defined' single-partition sort
+    assert "Window" in plan
+
+
+def test_pseudonymize_is_pure_projection(spark, sf_smoke):
+    """No shuffle, no Python: the scrub is a codegen map stage (plus
+    the display orderBy/limit, which is a TakeOrdered, not an
+    exchange-backed sort)."""
+    plan = _executed(spark, "pseudonymize_customer", sf_smoke)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
