@@ -206,6 +206,11 @@ HEADLINE = [
     "novelty_documents",
     "rebuild_plan_events",
     "wasserstein_by_status_lineitem",
+    "weighted_sample_documents",
+    "burstiness_events",
+    "entity_footprint_tpch",
+    "pseudonymize_customer",
+    "k_anonymity_customer",
 ]
 
 
