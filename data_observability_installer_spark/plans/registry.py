@@ -4017,6 +4017,29 @@ def rebuild_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lin.rebuild_plan(edges, seeds)
 
 
+def _failed_write_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasets WRITTEN by any run that logged an error — the seed set
+    shared by the blast-radius report and the rebuild planner."""
+    ev = load_table(spark, sf_dir, "events")
+    io = _lineage_io(spark, sf_dir)
+    failed = (
+        ev.groupBy(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("run_key")
+        )
+        .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
+        .filter(F.col("err_ct") > 0)
+        .select("run_key")
+    )
+    return (
+        io.filter(F.col("direction") == "WRITE")
+        .join(failed, "run_key")
+        .select("dataset_key")
+        .distinct()
+    )
+
+
 @register(
     "lineage_impact_failed",
     f"""{_LINEAGE_CLOSURE_SQL},

@@ -300,3 +300,64 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def wasserstein_stream(
+    stream: DataFrame,
+    col: str,
+    edges: list[float],
+    baseline_counts: list[int],
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Wasserstein-1 against the frozen profiling baseline, live: one
+    row per sealed event-time window with the area between the
+    window's binned CDF and the baseline's — 'by how much has this
+    window's distribution moved', complementing psi_drift_stream the
+    way batch W1 complements KS.
+
+    The whole statistic folds inside ONE windowed agg: per fixed bin
+    j, the cumulative count is a sum of conditional sums, and W1 =
+    sum_j |cumA_j * Nb - B_j * Na| with B_j frozen integer constants —
+    exact DECIMAL(38,0) arithmetic, w1_e6 = floor(1e6 * W1 /
+    (Na*Nb*bins)). State per window is bins+1 counters; rows append on
+    watermark seal. NULL for an empty window-side (no rows)."""
+    from ..operators.drift import _bucket_expr
+
+    if len(baseline_counts) != len(edges) + 1:
+        raise ValueError("need len(edges) + 1 baseline counts")
+    nbins = len(baseline_counts)
+    b = _bucket_expr(col, edges)
+    nb = int(sum(baseline_counts))
+    na = F.sum(F.col(col).isNotNull().cast("long"))
+    cum_b = 0
+    terms = []
+    cum_a = None
+    for j, bc in enumerate(baseline_counts[:-1]):  # last cum gap is 0
+        c_j = F.sum(((b == j) & F.col(col).isNotNull()).cast("long"))
+        cum_a = c_j if cum_a is None else (cum_a + c_j)
+        cum_b += int(bc)
+        terms.append(
+            F.abs(
+                cum_a.cast("decimal(38,0)") * F.lit(nb)
+                - F.lit(cum_b).cast("decimal(38,0)") * na
+            )
+        )
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    w1 = F.expr(
+        f"CAST((_s * 1000000) DIV (CAST(_na AS DECIMAL(38,0)) * {nb} * {nbins})"
+        " AS BIGINT)"
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(na.alias("_na"), s.alias("_s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("_na").cast("long").alias("n"),
+            F.when(F.col("_na") > 0, w1).alias("w1_e6"),
+        )
+    )

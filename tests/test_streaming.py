@@ -867,3 +867,47 @@ def test_streaming_cusum_matches_python_reference(spark, tmp_path):
     assert not any(
         a or b for _, _, a, b in (want[("flat", f"d{i:03d}")] for i in range(60))
     )
+
+
+def test_streaming_wasserstein_matches_batch(spark, tmp_path):
+    """Frozen-baseline W1 per sealed window: the streaming plan must
+    equal the same expression evaluated in batch (exact integers), and
+    a shifted window must score above a conforming one."""
+    import json as _json
+    import os as _os
+    from datetime import datetime, timedelta
+
+    from data_observability_installer_spark.streaming.dq import wasserstein_stream
+
+    t0 = datetime(2026, 1, 1)
+    rows = [(t0 + timedelta(hours=i % 24), float(i % 40)) for i in range(240)]
+    rows += [
+        (t0 + timedelta(days=2, hours=i % 24), float(i % 40 + 30)) for i in range(240)
+    ]
+    path = str(tmp_path / "ws")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "a.json"), "w") as fh:
+        for ts, x in rows:
+            fh.write(_json.dumps({"ts": ts.isoformat(sep=" "), "x": x}) + "\n")
+
+    edges, base = [10.0, 20.0, 30.0], [60, 60, 60, 60]
+    stream = spark.readStream.schema("ts timestamp, x double").json(path)
+    got = {
+        r.window_start: (r.n, r.w1_e6)
+        for r in _run_stream(
+            spark,
+            wasserstein_stream(stream, "x", edges, base, watermark="1 hour"),
+            "append",
+            "ws_stream",
+        ).collect()
+    }
+    batch = spark.read.schema("ts timestamp, x double").json(path)
+    want = {
+        r.window_start: (r.n, r.w1_e6)
+        for r in wasserstein_stream(batch, "x", edges, base).collect()
+    }
+    # append mode emits only sealed windows: subset, non-empty, exact
+    assert got and all(want[k] == v for k, v in got.items())
+    w = wasserstein_stream(batch, "x", edges, base).orderBy("window_start").collect()
+    assert len(w) == 2  # day 1 has no rows -> no window
+    assert w[1].w1_e6 > w[0].w1_e6  # the +30 shifted day scores higher
