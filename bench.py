@@ -211,6 +211,7 @@ HEADLINE = [
     "entity_footprint_tpch",
     "pseudonymize_customer",
     "k_anonymity_customer",
+    "l_diversity_customer",
 ]
 
 

@@ -173,3 +173,74 @@ def k_anonymity_sql(table_sql: str, quasi_cols: list[str], k: int = 5) -> str:
            min(ct) >= {int(k)} AS k_anonymous
     FROM classes
     """
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's blind spot is a class whose
+    members all share one sensitive value (group size 50, all
+    'diagnosis=X' — anonymous, yet fully disclosing). Reports the
+    minimum number of DISTINCT sensitive values per quasi-identifier
+    class, the rows in classes below ``l``, and the share in exact
+    basis points. NULL sensitive values don't count as a distinct
+    value (an absent fact discloses nothing).
+
+    One (quasi, sensitive)-grouped count + a class rollup — both
+    shuffles bounded by class cardinality, all integer arithmetic."""
+    per_sv = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    classes = per_sv.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("ct").cast("long").alias("ct"),
+        F.count(F.when(F.col("_sv").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("sv_ct"),
+    )
+    return classes.agg(
+        F.lit(",".join(quasi_cols)).alias("quasi_identifiers"),
+        F.lit(sensitive_col).alias("sensitive_col"),
+        F.sum("ct").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("sv_ct").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("sv_ct") < l, F.col("ct")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_l"),
+    ).selectExpr(
+        "quasi_identifiers",
+        "sensitive_col",
+        "n_rows",
+        "n_classes",
+        "min_diversity",
+        "rows_below_l",
+        "CAST(rows_below_l * 10000L DIV greatest(n_rows, 1L) AS BIGINT)"
+        " AS below_l_bp",
+        f"min_diversity >= {int(l)} AS l_diverse",
+    )
+
+
+def l_diversity_sql(
+    table_sql: str, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> str:
+    """DuckDB twin of :func:`l_diversity`."""
+    qc = ", ".join(quasi_cols)
+    return f"""
+    WITH per_sv AS (
+      SELECT {qc}, {sensitive_col} AS _sv, CAST(count(*) AS BIGINT) AS ct
+      FROM {table_sql} GROUP BY {qc}, {sensitive_col}),
+    classes AS (
+      SELECT {qc}, CAST(sum(ct) AS BIGINT) AS ct,
+             CAST(count(CASE WHEN _sv IS NOT NULL THEN 1 END) AS BIGINT) AS sv_ct
+      FROM per_sv GROUP BY {qc})
+    SELECT '{",".join(quasi_cols)}' AS quasi_identifiers,
+           '{sensitive_col}' AS sensitive_col,
+           CAST(sum(ct) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sv_ct) AS BIGINT) AS min_diversity,
+           CAST(sum(CASE WHEN sv_ct < {int(l)} THEN ct ELSE 0 END) AS BIGINT)
+             AS rows_below_l,
+           CAST(sum(CASE WHEN sv_ct < {int(l)} THEN ct ELSE 0 END) * 10000
+                // greatest(sum(ct), 1) AS BIGINT) AS below_l_bp,
+           min(sv_ct) >= {int(l)} AS l_diverse
+    FROM classes
+    """

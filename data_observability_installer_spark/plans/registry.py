@@ -3585,6 +3585,22 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dq.governance import l_diversity, l_diversity_sql  # noqa: E402
+
+
+@register(
+    "l_diversity_customer",
+    l_diversity_sql("customer", ["c_nationkey"], "c_mktsegment", l=3),
+)
+def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: per nation class, how many distinct market
+    segments — k-anonymity's blind spot is a large class all sharing
+    one sensitive value. Two cardinality-bounded rollups, exact bp."""
+    return l_diversity(
+        load_table(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment", l=3
+    )
+
+
 _FOOTPRINT_KEYS_SQL = "SELECT c_custkey AS entity_key FROM customer WHERE c_custkey % 311 = 1"
 
 

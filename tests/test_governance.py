@@ -62,3 +62,18 @@ def test_k_anonymity_gate(spark):
     assert not out.k_anonymous
     ok = k_anonymity(df.filter("nation = 'US'"), ["nation", "seg"], k=5).collect()[0]
     assert ok.k_anonymous and ok.min_class_size == 5
+
+
+def test_l_diversity_catches_homogeneous_class(spark):
+    from data_observability_installer_spark.operators.dq.governance import l_diversity
+
+    # class US: 10 rows but ALL share one sensitive value; FR diverse
+    rows = [("US", "flu")] * 10 + [("FR", "flu"), ("FR", "cold"), ("FR", "ok")]
+    df = spark.createDataFrame(rows, "nation string, dx string")
+    out = l_diversity(df, ["nation"], "dx", l=2).collect()[0]
+    assert out.min_diversity == 1 and not out.l_diverse
+    assert out.rows_below_l == 10 and out.below_l_bp == 10 * 10000 // 13
+
+    # null sensitive values disclose nothing -> don't count as diversity
+    nul = spark.createDataFrame([("US", None), ("US", "flu")], "nation string, dx string")
+    assert l_diversity(nul, ["nation"], "dx", l=2).collect()[0].min_diversity == 1

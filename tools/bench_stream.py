@@ -292,6 +292,38 @@ def main() -> None:
         lambda: cusum_screen(daily_counts(batch_df)).count()
     )
 
+    # round-7: frozen-baseline W1 per sealed window — one windowed agg,
+    # bins+1 counters of state per window
+    from data_observability_installer_spark.streaming.dq import wasserstein_stream
+
+    _W1_EDGES = [20.0, 40.0, 60.0, 80.0]
+    _W1_BASE = [20, 20, 20, 20, 20]
+
+    ops["wasserstein"] = run_streaming(
+        spark,
+        wasserstein_stream(
+            read_stream().selectExpr(
+                "event_timestamp AS ts", "CAST(metric_value AS DOUBLE) AS x"
+            ),
+            "x",
+            _W1_EDGES,
+            _W1_BASE,
+            watermark="2 hours",
+        ),
+        "append",
+        "sb_w1",
+    )
+    ops["wasserstein"]["batch_twin_s"] = timed_batch(
+        lambda: wasserstein_stream(
+            batch_df.selectExpr(
+                "event_timestamp AS ts", "CAST(metric_value AS DOUBLE) AS x"
+            ),
+            "x",
+            _W1_EDGES,
+            _W1_BASE,
+        ).count()
+    )
+
     result = {
         "metric": "stream_bench",
         "unit": "rows_per_sec",
