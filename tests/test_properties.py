@@ -304,3 +304,88 @@ def test_bpe_pair_counts_matches_python_reference(spark, texts):
                 for i in range(len(w) - 1):
                     ref[w[i : i + 2]] += 1
     assert got == {(p, c) for p, c in ref.items()}
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=40))
+def test_cusum_matches_python_reference(spark, xs):
+    """The window-function prefix-sum/running-min formulation equals
+    the direct max(0, S + d) recursion on the same scaled integers."""
+    from data_observability_installer_spark.operators.drift import cusum_screen
+
+    k_bp, h_bp = 2500, 20000
+    rows = [("k", f"o{i:03d}", v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, o string, v long")
+    got = cusum_screen(df, k_bp=k_bp, h_bp=h_bp).collect()[0]
+
+    n, t = len(xs), sum(xs)
+    su = sd = 0
+    peaks, ups, dns = [0, 0], 0, 0
+    first_up = first_dn = None
+    for i, v in enumerate(xs):
+        dup = 10000 * n * v - 10000 * t - k_bp * t
+        ddn = 10000 * t - k_bp * t - 10000 * n * v
+        su = max(0, su + dup)
+        sd = max(0, sd + ddn)
+        peaks[0] = max(peaks[0], su)
+        peaks[1] = max(peaks[1], sd)
+        if su > h_bp * t:
+            ups += 1
+            first_up = first_up or f"o{i:03d}"
+        if sd > h_bp * t:
+            dns += 1
+            first_dn = first_dn or f"o{i:03d}"
+    assert (got.n, got.total) == (n, t)
+    assert (got.upper_alarms, got.lower_alarms) == (ups, dns)
+    assert (got.first_upper, got.first_lower) == (first_up, first_dn)
+    assert got.peak_upper_bp == (peaks[0] // t if t else 0)
+    assert got.peak_lower_bp == (peaks[1] // t if t else 0)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=30))
+def test_changepoint_matches_bruteforce_argmax(spark, xs):
+    """The windowed split equals the brute-force argmax of the
+    quantized gain with earliest-t tie-break."""
+    from data_observability_installer_spark.operators.drift import changepoint
+
+    rows = [("k", f"o{i:03d}", v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, o string, v long")
+    got = changepoint(df).collect()[0]
+
+    n, tot = len(xs), sum(xs)
+    best = None
+    pre = 0
+    for t in range(1, n):
+        pre += xs[t - 1]
+        gain_q = (n * pre - t * tot) ** 2 * 10000 // (n * t * (n - t))
+        if best is None or gain_q > best[0]:
+            best = (gain_q, t, pre)
+    gain_q, t_star, pre = best
+    assert (got.gain_q, got.t_star) == (gain_q, t_star)
+    assert got.mean_left_bp == pre * 10000 // t_star
+    assert got.mean_right_bp == (tot - pre) * 10000 // (n - t_star)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.floats(-100, 100, allow_nan=False), st.booleans()),
+             min_size=4, max_size=60)
+)
+def test_wasserstein_zero_iff_identical_and_bounded(spark, rows):
+    """W1 of a slice against itself is exactly 0; any two slices score
+    within [0, 1e6] (the area can never exceed the full span)."""
+    from data_observability_installer_spark.operators.drift import wasserstein_drift
+
+    df = spark.createDataFrame(
+        [(v, s) for v, s in rows] + [(v, not s) for v, s in rows],
+        "v double, is_a boolean",
+    )
+    # the union holds each value once per side -> identical slices
+    mirror = wasserstein_drift(df, "v", F.col("is_a")).collect()[0]
+    assert mirror.w1_e6 == 0
+
+    half = spark.createDataFrame(rows, "v double, is_a boolean")
+    r = wasserstein_drift(half, "v", F.col("is_a")).collect()[0]
+    if r.w1_e6 is not None:
+        assert 0 <= r.w1_e6 <= 1_000_000
