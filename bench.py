@@ -212,6 +212,7 @@ HEADLINE = [
     "pseudonymize_customer",
     "k_anonymity_customer",
     "l_diversity_customer",
+    "monitor_events",
 ]
 
 

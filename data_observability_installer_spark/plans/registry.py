@@ -3688,6 +3688,82 @@ def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint(daily)
 
 
+_CP_FLAG_Q = 1_000_000  # changepoint alert floor on the 1e-4-quantized gain
+
+
+def _monitor_twin() -> str:
+    """Single-pane twin: the four continuous screens' own oracle
+    statements wrapped as subqueries and unified to (screen, entity,
+    flagged, detail) — composition over duplication, so the pane can
+    never drift from the screens it summarizes."""
+    mk = ORACLES["mk_trend_events"]
+    cs = ORACLES["cusum_shift_events"]
+    pc = ORACLES["pchart_failures_events"]
+    cp = ORACLES["changepoint_events"]
+    return f"""
+    SELECT 'changepoint' AS screen, k AS entity,
+           gain_q >= {_CP_FLAG_Q} AS flagged, CAST(gain_q AS VARCHAR) AS detail
+    FROM ({cp})
+    UNION ALL
+    SELECT 'cusum', k, out_of_control,
+           CAST(upper_alarms + lower_alarms AS VARCHAR)
+    FROM ({cs})
+    UNION ALL
+    SELECT 'mk_trend', k, significant, CAST(s_stat AS VARCHAR) FROM ({mk})
+    UNION ALL
+    SELECT 'p_chart', split_part(k, '|', 1) AS entity,
+           bool_or(breach), CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS VARCHAR)
+    FROM ({pc}) GROUP BY split_part(k, '|', 1)
+    ORDER BY screen, entity
+    """
+
+
+@register("monitor_events", None)  # twin attached below (needs the 4 oracles)
+def monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-monitoring pane (reference README.md:10, task 5,
+    as ONE table): every screen's verdict per entity — Mann-Kendall
+    trend, CUSUM sustained shift, SPC p-chart failure-rate control,
+    change-point localization — unified to (screen, entity, flagged,
+    detail). Pure composition of the registered screens (shared code
+    AND shared twins), so the pane cannot drift from its parts."""
+    mk = mk_trend_events(spark, sf_dir).selectExpr(
+        "'mk_trend' AS screen",
+        "k AS entity",
+        "significant AS flagged",
+        "CAST(s_stat AS STRING) AS detail",
+    )
+    cs = cusum_shift_events(spark, sf_dir).selectExpr(
+        "'cusum' AS screen",
+        "k AS entity",
+        "out_of_control AS flagged",
+        "CAST(upper_alarms + lower_alarms AS STRING) AS detail",
+    )
+    cp = changepoint_events(spark, sf_dir).selectExpr(
+        "'changepoint' AS screen",
+        "k AS entity",
+        f"gain_q >= {_CP_FLAG_Q} AS flagged",
+        "CAST(gain_q AS STRING) AS detail",
+    )
+    pc = (
+        pchart_failures_events(spark, sf_dir)
+        .groupBy(F.split_part(F.col("k"), F.lit("|"), F.lit(1)).alias("entity"))
+        .agg(
+            F.max(F.col("breach")).alias("flagged"),
+            F.sum(F.col("breach").cast("int")).cast("long").cast("string").alias("detail"),
+        )
+        .selectExpr("'p_chart' AS screen", "entity", "flagged", "detail")
+    )
+    return (
+        cp.unionByName(cs)
+        .unionByName(mk)
+        .unionByName(pc)
+        .orderBy("screen", "entity")
+    )
+
+
+ORACLES["monitor_events"] = _monitor_twin()
+
+
 @register(
     "anomaly_daily_volume",
     """

@@ -343,3 +343,19 @@ def test_burstiness_separates_steady_from_bursty(spark):
     assert -10000 <= s.burstiness_bp < 0  # regular -> B < 0 (floor of -1)
     assert b.cov_bp > 30000 and b.burstiness_bp > 5000  # hole dominates
     assert b.max_gap_s > 86400
+
+
+def test_monitor_pane_agrees_with_its_screens(spark, sf_smoke):
+    """The single pane is pure composition: every verdict equals the
+    underlying screen's own output."""
+    from data_observability_installer_spark.plans import registry
+
+    pane = {
+        (r.screen, r.entity): r.flagged
+        for r in registry.QUERIES["monitor_events"](spark, sf_smoke).collect()
+    }
+    mk = {r.k: r.significant for r in registry.QUERIES["mk_trend_events"](spark, sf_smoke).collect()}
+    cs = {r.k: r.out_of_control for r in registry.QUERIES["cusum_shift_events"](spark, sf_smoke).collect()}
+    assert all(pane[("mk_trend", k)] == v for k, v in mk.items())
+    assert all(pane[("cusum", k)] == v for k, v in cs.items())
+    assert {s for s, _ in pane} == {"mk_trend", "cusum", "changepoint", "p_chart"}
