@@ -104,11 +104,20 @@ from ..operators.profile import profile_delta, profile_delta_sql  # noqa: E402
 _OLD_SNAP_SQL = "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)"
 
 
+_DELTA_COLS = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
+
+
 @register(
     "profile_delta_lineitem",
     profile_delta_sql(
-        profile_sql(_OLD_SNAP_SQL, "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF),
-        profile_sql("lineitem", "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF),
+        profile_sql(
+            _OLD_SNAP_SQL, "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF,
+            columns=_DELTA_COLS,
+        ),
+        profile_sql(
+            "lineitem", "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF,
+            columns=_DELTA_COLS,
+        ),
     ),
 )
 def profile_delta_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,8 +129,19 @@ def profile_delta_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the shared cached profile; the diff joins two metric-sized
     frames."""
     li = load_table(spark, sf_dir, "lineitem")
-    old = profile(li.filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF)
-    return profile_delta(old, cached_profile(spark, sf_dir, "lineitem"))
+    app = spark.sparkContext.applicationId
+    old = _PROFILE_CACHE.get_or_build(
+        (app, sf_dir, "lineitem#delta-old"),
+        lambda: profile(
+            li.filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF,
+            columns=_DELTA_COLS,
+        ).cache(),
+    )
+    new = _PROFILE_CACHE.get_or_build(
+        (app, sf_dir, "lineitem#delta-new"),
+        lambda: profile(li, "lineitem", AS_OF, columns=_DELTA_COLS).cache(),
+    )
+    return profile_delta(old, new)
 
 
 @register(
@@ -5318,6 +5338,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "lineage_closure",
         "lineage_impact_failed",
         "lineage_cycles",
+        "profile_delta_lineitem",
     }
 )
 
