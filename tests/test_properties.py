@@ -389,3 +389,45 @@ def test_wasserstein_zero_iff_identical_and_bounded(spark, rows):
     r = wasserstein_drift(half, "v", F.col("is_a")).collect()[0]
     if r.w1_e6 is not None:
         assert 0 <= r.w1_e6 <= 1_000_000
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=10))
+def test_novelty_monotone_in_reference(spark, texts):
+    """Growing the reference can only LOWER (or keep) every doc's
+    novelty — more seen n-grams can't make content more novel."""
+    from data_observability_installer_spark.operators.llm.curation import novelty_score
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    small_ref = spark.createDataFrame([(100, texts[0])], "doc_id long, text string")
+    big_ref = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    small = {r.doc_id: r.novelty_bp for r in novelty_score(docs, small_ref).collect()}
+    big = {r.doc_id: r.novelty_bp for r in novelty_score(docs, big_ref).collect()}
+    for d in small:
+        if small[d] is not None:
+            assert big[d] <= small[d]
+    # every doc is IN the big reference -> all fully known
+    assert all(v == 0 for v in big.values() if v is not None)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 5)),
+             min_size=2, max_size=40)
+)
+def test_fd_confidence_g3_bounds_and_exactness(spark, pairs_data):
+    """g3 is 0 iff the FD holds exactly (fd_check agreement), and the
+    drop count never reaches the group's row count."""
+    from data_observability_installer_spark.operators.dq.discovery import (
+        fd_check,
+        fd_confidence,
+    )
+
+    df = spark.createDataFrame(pairs_data, "a string, b int")
+    conf = fd_confidence(df, [("a", "b")], tol_bp=0).collect()[0]
+    holds = fd_check(df, [("a", "b")]).collect()[0].holds
+    assert (conf.g3_bp == 0) == bool(holds)
+    assert 0 <= conf.drop_rows < conf.n_rows or conf.n_rows == 0
+    assert conf.drop_rows + conf.n_keys <= conf.n_rows  # keep >= 1 per key
