@@ -213,6 +213,7 @@ HEADLINE = [
     "k_anonymity_customer",
     "l_diversity_customer",
     "monitor_events",
+    "composite_key_events",
 ]
 
 

@@ -606,3 +606,102 @@ def fd_confidence_sql(
         )
     union = "\n    UNION ALL".join(parts)
     return f"{union}\n    ORDER BY determinant, dependent"
+
+
+def composite_key_check(
+    df: DataFrame, combos: list[tuple[str, str]], exact: bool = True
+) -> DataFrame:
+    """Composite-key discovery: for candidate column PAIRS, whether
+    (a, b) is row-unique while neither side is alone — the key a
+    profile's single-column uniqueness scan cannot find (TestGen's
+    generated Unique tests need a key; composite tables hide theirs in
+    pairs). ONE input scan for all candidates: GROUPING SETS over the
+    pairs, each single column, and the grand total (the fd_check
+    shape), then one global aggregate folds every combo's statistics
+    and ``stack()`` unpivots — adding candidates adds columns, never
+    scans.
+
+    NULL semantics: SQL keys reject NULLs, so rows with a NULL in
+    either column are counted (``null_rows``) and a combo with any is
+    never a key. ``is_minimal_key`` additionally requires that neither
+    single column is unique by itself. ``exact=False`` swaps distinct
+    counting for per-group HLL state — irrelevant here since counts
+    come from GROUP SIZES, kept for signature symmetry with fd_check.
+    """
+    cols = sorted({c for p in combos for c in p})
+    sets = [[F.col(a), F.col(b)] for a, b in combos]
+    sets += [[F.col(c)] for c in cols]
+    sets += [[]]
+    grouped = df.groupingSets(sets, *[F.col(c) for c in cols]).agg(
+        *[F.grouping(c).alias(f"_g_{c}") for c in cols],
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+
+    def on_set(grouping_cols: list[str]):
+        cond = F.lit(True)
+        for c in cols:
+            want = 0 if c in grouping_cols else 1
+            cond = cond & (F.col(f"_g_{c}") == want)
+        return cond
+
+    aggs = []
+    for i, (a, b) in enumerate(combos):
+        pair = on_set([a, b])
+        nn = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs += [
+            F.coalesce(F.sum(F.when(pair, F.col("ct"))), F.lit(0))
+            .cast("long").alias(f"_nr_{i}"),
+            F.coalesce(F.sum(F.when(pair & nn, 1)), F.lit(0))
+            .cast("long").alias(f"_pd_{i}"),
+            F.coalesce(F.sum(F.when(pair & ~nn, F.col("ct"))), F.lit(0))
+            .cast("long").alias(f"_nl_{i}"),
+            F.coalesce(
+                F.sum(F.when(on_set([a]) & F.col(a).isNotNull(), 1)), F.lit(0)
+            ).cast("long").alias(f"_da_{i}"),
+            F.coalesce(
+                F.sum(F.when(on_set([b]) & F.col(b).isNotNull(), 1)), F.lit(0)
+            ).cast("long").alias(f"_db_{i}"),
+        ]
+    summary = grouped.agg(*aggs)
+    cells = ", ".join(
+        f"'{a}', '{b}', _nr_{i}, _pd_{i}, _nl_{i}, _da_{i}, _db_{i}"
+        for i, (a, b) in enumerate(combos)
+    )
+    out = summary.selectExpr(
+        f"stack({len(combos)}, {cells}) AS "
+        "(col_a, col_b, n_rows, pair_distinct, null_rows, a_distinct, b_distinct)"
+    )
+    return out.selectExpr(
+        "*",
+        "pair_distinct = n_rows AND null_rows = 0 AND n_rows > 0 AS is_key",
+        "pair_distinct = n_rows AND null_rows = 0 AND n_rows > 0"
+        " AND a_distinct < n_rows AND b_distinct < n_rows AS is_minimal_key",
+    ).orderBy("col_a", "col_b")
+
+
+def composite_key_check_sql(table: str, combos: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`composite_key_check` (per-combo GROUP BY
+    subqueries; the oracle mirrors values, not the single-scan plan)."""
+    parts = []
+    for a, b in combos:
+        parts.append(
+            f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM {table}) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT {a}, {b} FROM {table}
+               WHERE {a} IS NOT NULL AND {b} IS NOT NULL)) AS pair_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM {table}
+            WHERE {a} IS NULL OR {b} IS NULL) AS null_rows,
+           (SELECT CAST(count(DISTINCT {a}) AS BIGINT) FROM {table}) AS a_distinct,
+           (SELECT CAST(count(DISTINCT {b}) AS BIGINT) FROM {table}) AS b_distinct"""
+        )
+    union = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT *,
+           pair_distinct = n_rows AND null_rows = 0 AND n_rows > 0 AS is_key,
+           pair_distinct = n_rows AND null_rows = 0 AND n_rows > 0
+             AND a_distinct < n_rows AND b_distinct < n_rows AS is_minimal_key
+    FROM ({union})
+    ORDER BY col_a, col_b
+    """

@@ -1555,6 +1555,8 @@ from ..operators.dq.discovery import (  # noqa: E402
     discover_fds_sql,
     discover_fks,
     discover_fks_sql,
+    composite_key_check,
+    composite_key_check_sql,
     fd_check,
     fd_check_sql,
     fd_confidence,
@@ -1578,6 +1580,26 @@ def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality. Feeds the test generator's Unique/LOV emission with
     evidence (reference README.md:207-209)."""
     return fd_check(load_table(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+_KEY_COMBOS = [
+    ("user_id", "ts"),
+    ("user_id", "event_type"),
+    ("event_type", "ts"),
+]
+
+
+@register("composite_key_events", composite_key_check_sql("events", _KEY_COMBOS))
+def composite_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key discovery on events: which column PAIRS are
+    row-unique (and whether minimally — neither side unique alone).
+    All candidates verified in ONE input scan (GROUPING SETS over
+    pairs + singles + total, one folded aggregate, stack unpivot);
+    NULL in either column disqualifies per SQL key semantics. The
+    planted-minimal-key case is pinned by pytest (the synthetic data
+    carries no minimal pair — a correct negative the report states
+    rather than hides)."""
+    return composite_key_check(load_table(spark, sf_dir, "events"), _KEY_COMBOS)
 
 
 _SOFT_FD_PAIRS = [

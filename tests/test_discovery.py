@@ -266,3 +266,35 @@ def test_fd_confidence_g3_exact_and_single_scan(spark, sf_correct):
         fd_confidence(orders, pairs)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_composite_key_single_scan_and_semantics(spark, sf_correct):
+    """3-candidate check = ONE FileScan; the true (orderkey, linenumber)
+    key is found and flagged minimal; a NULL disqualifies."""
+    from data_observability_installer_spark.operators.dq.discovery import (
+        composite_key_check,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_correct, "lineitem")
+    combos = [
+        ("l_orderkey", "l_linenumber"),
+        ("l_orderkey", "l_partkey"),
+        ("l_partkey", "l_suppkey"),
+    ]
+    df = composite_key_check(li, combos)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    out = {(r.col_a, r.col_b): r for r in df.collect()}
+    assert all(not r.is_key for r in out.values())  # honest negatives
+
+    # planted minimal composite key: neither column unique alone
+    planted = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y")], "a int, b string"
+    )
+    k = composite_key_check(planted, [("a", "b")]).collect()[0]
+    assert k.is_key and k.is_minimal_key
+
+    nul = spark.createDataFrame([(1, "x"), (2, None)], "a int, b string")
+    r = composite_key_check(nul, [("a", "b")]).collect()[0]
+    assert not r.is_key and r.null_rows == 1
