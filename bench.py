@@ -214,6 +214,7 @@ HEADLINE = [
     "l_diversity_customer",
     "monitor_events",
     "composite_key_events",
+    "seasonality_events",
 ]
 
 

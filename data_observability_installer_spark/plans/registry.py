@@ -3730,6 +3730,29 @@ def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint(daily)
 
 
+from ..operators.drift import seasonality_strength, seasonality_strength_sql  # noqa: E402
+
+
+@register(
+    "seasonality_events",
+    seasonality_strength_sql(
+        "SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS day,"
+        " CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2"
+    ),
+)
+def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of daily event volume per type:
+    variance share explained by ISO day-of-week — decides whether the
+    volume monitor baselines per-weekday or globally. Exact integer
+    moments to <=7 rows per key, floor-quantized ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return seasonality_strength(daily)
+
+
 _CP_FLAG_Q = 1_000_000  # changepoint alert floor on the 1e-4-quantized gain
 
 

@@ -361,3 +361,23 @@ def test_wasserstein_grouped_isolates_the_shifted_group(spark):
     # uniform [0,100) vs [50,150): W1 = 50 over a 149-wide span
     assert abs(out["moved"].w1_e6 / 1e6 - 50 / 149) < 1 / 128 + 1e-3
     assert out["onesided"].w1_e6 is None
+
+
+def test_seasonality_strength_separates_weekly_from_flat(spark):
+    from datetime import date, timedelta
+
+    from data_observability_installer_spark.operators.drift import (
+        seasonality_strength,
+    )
+
+    d0 = date(2026, 1, 5)  # Monday
+    rows = []
+    for i in range(70):
+        d = d0 + timedelta(days=i)
+        rows.append(("weekly", d, 100 if d.isoweekday() <= 5 else 20))
+        rows.append(("flat", d, 50))
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    out = {r.k: r for r in seasonality_strength(df).collect()}
+    # a pure weekday/weekend split is FULLY explained by dow
+    assert out["weekly"].strength_e4 == 10000 and out["weekly"].peak_dow == 1
+    assert out["flat"].strength_e4 is None  # zero variance -> undefined
