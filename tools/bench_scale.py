@@ -255,6 +255,48 @@ def embedding_drift_op(spark, path: str) -> None:
     embedding_drift(spark.read.parquet(path), F.col("label") == 0).collect()
 
 
+def cusum_op(spark, path: str) -> None:
+    """Round-7: one scan + keyed windows over the daily rollup."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.drift import cusum_screen
+
+    ev = spark.read.parquet(path)
+    daily = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("o"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    cusum_screen(daily).collect()
+
+
+def composite_key_op(spark, path: str) -> None:
+    """Round-7 one-scan claim: 3 pair candidates, one GROUPING SETS
+    pass + one folded aggregate."""
+    from data_observability_installer_spark.operators.dq.discovery import (
+        composite_key_check,
+    )
+
+    composite_key_check(
+        spark.read.parquet(path),
+        [("user_id", "ts"), ("user_id", "event_type"), ("event_type", "ts")],
+    ).collect()
+
+
+def burstiness_op(spark, path: str) -> None:
+    """Round-7: one key-partitioned window + rollup in integer micros."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.obs.liveness import burstiness
+
+    ev = spark.read.parquet(path).select(
+        F.concat(F.lit("p-"), (F.col("user_id") % 5).cast("string")).alias("pk"),
+        # raw parquet loads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    burstiness(ev, "pk", "ts", "event_id").collect()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -269,6 +311,9 @@ OPS = {
     "fd_confidence_lineitem": ("lineitem", fd_confidence_op),
     "wasserstein_lineitem": ("lineitem", wasserstein_op),
     "embedding_drift_embeddings": ("embeddings", embedding_drift_op),
+    "cusum_events": ("events", cusum_op),
+    "composite_key_events": ("events", composite_key_op),
+    "burstiness_events": ("events", burstiness_op),
 }
 
 
