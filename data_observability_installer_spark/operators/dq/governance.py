@@ -105,7 +105,14 @@ def pseudonymize(
             F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string"))), 1, 16),
         )
         if keep_len:
-            tok = F.rpad(F.substring(tok, 1, F.length(F.col(c).cast("string"))), 4, "_")
+            # trim/pad to the ORIGINAL value's length (dynamic — the
+            # builtin rpad only takes a literal width)
+            tok = F.expr(
+                f"rpad(substring('tok_' || substring(md5('{salt}:' ||"
+                f" CAST({c} AS STRING)), 1, 16), 1,"
+                f" length(CAST({c} AS STRING))),"
+                f" length(CAST({c} AS STRING)), '_')"
+            )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
 

@@ -77,3 +77,14 @@ def test_l_diversity_catches_homogeneous_class(spark):
     # null sensitive values disclose nothing -> don't count as diversity
     nul = spark.createDataFrame([("US", None), ("US", "flu")], "nation string, dx string")
     assert l_diversity(nul, ["nation"], "dx", l=2).collect()[0].min_diversity == 1
+
+
+def test_pseudonymize_keep_len_preserves_widths(spark):
+    from data_observability_installer_spark.operators.dq.governance import pseudonymize
+
+    df = spark.createDataFrame(
+        [("ab", 1), ("a-much-longer-identifier", 2), (None, 3)], "name string, x int"
+    )
+    rows = {r.x: r.name for r in pseudonymize(df, ["name"], keep_len=True).collect()}
+    assert len(rows[1]) == 2 and len(rows[2]) == 24
+    assert rows[3] is None
