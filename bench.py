@@ -156,6 +156,7 @@ HEADLINE = [
     "embedding_near_dups",
     "embedding_near_dups_lsh",
     "embedding_dup_groups",
+    "dedup_groups_documents",
     "span_scrub_documents",
     "knn_graph_embeddings",
     # round-5 additions
