@@ -524,33 +524,55 @@ def fd_confidence(
     the others). ``holds_softly`` iff g3_bp <= tol_bp.
 
     Scale shape — ONE input scan for all pairs (the fd_check lesson):
-    GROUPING SETS ((a1,b1), ..., (an,bn)) fans the scan into one
-    (det, dep)-grouped stream per pair with map-side partial counts;
+    GROUPING SETS over the DISTINCT column-sets fans the scan into one
+    (det, dep)-grouped stream per set with map-side partial counts;
     the grouped frame is key-cardinality-sized, and the two keyed
     rollups after it (max-per-key, then per-pair totals) shuffle only
-    that. Determinant keys unify through a CAST to STRING (bit-stable
-    for integer/string/date key material — the _fk_class classes)."""
+    that. Both directions of a candidate — ('a','b') AND ('b','a') —
+    share ONE grouping set and fan out of it via a <=2-element explode
+    (duplicating the set in GROUPING SETS would double its rows
+    through the Expand and drop the second pair — round-7 ADVICE).
+    Determinant keys unify through a CAST to STRING (bit-stable for
+    integer/string/date key material — the _fk_class classes)."""
+    if len({tuple(p) for p in pairs}) != len(pairs):
+        raise ValueError(f"duplicate FD candidate pairs in {pairs}")
+    if any(a == b for a, b in pairs):
+        raise ValueError("degenerate FD candidate (det == dep)")
     all_cols = sorted({c for p in pairs for c in p})
+    set_keys: list[frozenset] = []
+    for p in pairs:
+        fs = frozenset(p)
+        if fs not in set_keys:
+            set_keys.append(fs)
     grouped = df.groupingSets(
-        [[F.col(a), F.col(b)] for a, b in pairs], *[F.col(c) for c in all_cols]
+        [[F.col(c) for c in sorted(fs)] for fs in set_keys],
+        *[F.col(c) for c in all_cols],
     ).agg(
         *[F.grouping(c).alias(f"_g_{c}") for c in all_cols],
         F.count(F.lit(1)).cast("long").alias("ct"),
     )
-    # set membership: exactly the pair's two columns grouped (flag 0)
-    set_id = F.lit(None).cast("int")
-    key_str = F.lit(None).cast("string")
-    for i, (a, b) in enumerate(reversed(pairs)):
-        i = len(pairs) - 1 - i
+    # set membership: exactly the pair's two columns grouped (flag 0);
+    # every pair sharing that column-set reads its determinant out of
+    # the same grouped row (array+explode, null entries filtered)
+    entries = []
+    for i, (a, b) in enumerate(pairs):
         cond = F.lit(True)
         for c in all_cols:
             want = 0 if c in (a, b) else 1
             cond = cond & (F.col(f"_g_{c}") == want)
-        set_id = F.when(cond, F.lit(i)).otherwise(set_id)
-        key_str = F.when(cond, F.col(a).cast("string")).otherwise(key_str)
-    lvl1 = grouped.select(
-        set_id.alias("sid"), key_str.alias("k"), F.col("ct")
-    ).filter(F.col("sid").isNotNull() & F.col("k").isNotNull())
+        entries.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(i).alias("sid"), F.col(a).cast("string").alias("k")
+                ),
+            )
+        )
+    lvl1 = (
+        grouped.select(F.explode(F.array(*entries)).alias("_e"), F.col("ct"))
+        .select(F.col("_e.sid").alias("sid"), F.col("_e.k").alias("k"), "ct")
+        .filter(F.col("sid").isNotNull() & F.col("k").isNotNull())
+    )
     per_key = lvl1.groupBy("sid", "k").agg(
         F.max("ct").alias("mx"), F.sum("ct").alias("rows_k")
     )
@@ -628,6 +650,12 @@ def composite_key_check(
     counting for per-group HLL state — irrelevant here since counts
     come from GROUP SIZES, kept for signature symmetry with fd_check.
     """
+    fsets = [frozenset(p) for p in combos]
+    if len(set(fsets)) != len(fsets) or any(len(fs) != 2 for fs in fsets):
+        raise ValueError(
+            "composite-key combos must be distinct unordered column pairs"
+            f" (a key is direction-free): {combos}"
+        )
     cols = sorted({c for p in combos for c in p})
     sets = [[F.col(a), F.col(b)] for a, b in combos]
     sets += [[F.col(c)] for c in cols]

@@ -800,7 +800,7 @@ def leakage_safe_split(
     split = expr.otherwise(last) if expr is not None else F.lit(last)
     return keyed.select(
         id_col, F.col("_split_key").alias("split_key"), split.alias("split")
-    ).orderBy(id_col)
+    )
 
 
 def leakage_safe_split_sql(
@@ -828,7 +828,7 @@ def leakage_safe_split_sql(
       FROM {table} t LEFT JOIN g ON t.{id_col} = g.doc),
     h AS (SELECT {id_col}, split_key, {b} AS b FROM keyed)
     SELECT {id_col}, split_key, CASE {' '.join(whens)} ELSE '{last}' END AS split
-    FROM h ORDER BY {id_col}
+    FROM h
     """
 
 
@@ -873,7 +873,6 @@ def novelty_score(
                  CAST((total_shingles - known_shingles) * 10000L
                       DIV total_shingles AS BIGINT) END AS novelty_bp""",
         )
-        .orderBy(id_col)
     )
 
 
@@ -905,7 +904,6 @@ def novelty_score_sql(
              CAST((c.total_shingles - c.known_shingles) * 10000
                   // c.total_shingles AS BIGINT) END AS novelty_bp
     FROM {docs_sql} t LEFT JOIN counts c ON c.doc = t.{id_col}
-    ORDER BY t.{id_col}
     """
 
 

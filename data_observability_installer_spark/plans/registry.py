@@ -5296,7 +5296,9 @@ def _evidence_row_green(v, has_oracle_now: bool = False) -> bool:
     )
 
 
-def _driver_evidence_rounds() -> dict[str, int]:
+def _driver_evidence_rounds(
+    repo: str | None = None, oracles: set[str] | None = None
+) -> dict[str, int]:
     """Most recent driver round in which each query had a GREEN
     CORRECTNESS row (missing => never checked / never passed). Reads
     the repo-root artifacts; in a deployment without them every query
@@ -5306,15 +5308,24 @@ def _driver_evidence_rounds() -> dict[str, int]:
     leave the query maximally stale so the stalest-first window pulls
     it back in for re-verification next round — counting mere presence
     would rotate a known-broken query OUT of the window that would
-    re-check it."""
+    re-check it.
+
+    ``repo`` / ``oracles`` exist so tests can replay the mechanism
+    against synthetic artifact fixtures instead of pinning live round
+    state (a round-7 verdict finding: a test hard-coded which query
+    held a window slot and went red the moment the next driver
+    artifact landed)."""
     import glob
     import json
     import os
     import re as _re
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    if oracles is None:
+        oracles = ORACLES
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     green = _evidence_row_green
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -5328,7 +5339,7 @@ def _driver_evidence_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for n, v in rows.items():
-            if green(v, has_oracle_now=n in ORACLES):
+            if green(v, has_oracle_now=n in oracles):
                 last[n] = max(last.get(n, 0), rnd)
     return last
 

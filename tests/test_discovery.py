@@ -298,3 +298,59 @@ def test_composite_key_single_scan_and_semantics(spark, sf_correct):
     nul = spark.createDataFrame([(1, "x"), (2, None)], "a int, b string")
     r = composite_key_check(nul, [("a", "b")]).collect()[0]
     assert not r.is_key and r.null_rows == 1
+
+
+def test_fd_confidence_both_directions_one_call(spark):
+    """Round-7 ADVICE: ('a','b') and ('b','a') share one GROUPING SET;
+    the old flag-match assignment doubled the first pair's rows and
+    dropped the second. Both directions in one call must now match the
+    per-direction results exactly — and still plan as ONE scan."""
+    from data_observability_installer_spark.operators.dq.discovery import (
+        fd_confidence,
+    )
+
+    rows = [("k1", "x"), ("k1", "x"), ("k1", "y"), ("k2", "z"), ("k2", "z")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    both = fd_confidence(df, [("a", "b"), ("b", "a")], tol_bp=2500)
+    got = {(r.determinant, r.dependent): r for r in both.collect()}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    for pair in [("a", "b"), ("b", "a")]:
+        solo = fd_confidence(df, [pair], tol_bp=2500).collect()[0]
+        g = got[pair]
+        assert (g.n_rows, g.n_keys, g.drop_rows, g.g3_bp) == (
+            solo.n_rows, solo.n_keys, solo.drop_rows, solo.g3_bp,
+        ), pair
+    # a->b: 5 rows, keys k1(keep 2)/k2(keep 2) -> drop 1
+    assert got[("a", "b")].drop_rows == 1
+    # b->a: x->k1 (2), y->k1 (1), z->k2 (2): exact FD -> drop 0
+    assert got[("b", "a")].drop_rows == 0
+    # one scan of the INPUT in the FINAL plan (AQE prints Initial too;
+    # LocalTableScan is the broadcast name frame)
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1, final
+    assert final.count("Expand") == 1, final
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fd_confidence(df, [("a", "b"), ("a", "b")])
+    with _pytest.raises(ValueError):
+        fd_confidence(df, [("a", "a")])
+
+
+def test_composite_key_rejects_duplicate_unordered_combos(spark):
+    """A composite key is direction-free: (a,b) and (b,a) are the SAME
+    candidate, and duplicating the grouping set would double-count
+    through the Expand (round-7 ADVICE) — reject loudly."""
+    import pytest as _pytest
+
+    from data_observability_installer_spark.operators.dq.discovery import (
+        composite_key_check,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    with _pytest.raises(ValueError):
+        composite_key_check(df, [("a", "b"), ("b", "a")])
+    with _pytest.raises(ValueError):
+        composite_key_check(df, [("a", "a")])

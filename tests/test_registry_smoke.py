@@ -104,6 +104,47 @@ def test_rows_only_evidence_expires_when_oracle_lands():
     row = {"err": "no_oracle", "spark_rows": 10}
     assert registry._evidence_row_green(row, has_oracle_now=False)
     assert not registry._evidence_row_green(row, has_oracle_now=True)
-    # topk_ivf_embeddings gained its twin in round 6 after a rows-only
-    # r04 row; it must hold a round-7 window slot
-    assert "topk_ivf_embeddings" in list(registry.queries())[:50]
+
+
+def test_rows_only_expiry_against_synthetic_artifacts(tmp_path):
+    """Replay the full expiry cycle against SYNTHETIC CORRECTNESS
+    fixtures (never live round state — a round-7 verdict finding: the
+    previous version pinned a query name to a round-7 window slot and
+    went red the moment the driver wrote the next artifact). Scenario:
+    q gets a rows-only row in r1, gains a SQL twin before r2 (staleness
+    resets to never → q must sort stalest), then gets a green oracle
+    row in r2 (freshness == 2)."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q": {"err": "no_oracle", "spark_rows": 10},
+                    "other": {"rows_match": True, "schema_match": True,
+                              "hash_match": True, "err": None}})
+    )
+    # Before the twin lands: the rows-only row IS evidence.
+    last = registry._driver_evidence_rounds(repo=str(tmp_path), oracles=set())
+    assert last == {"q": 1, "other": 1}
+    # Twin lands: the historical rows-only row stops counting; "other"
+    # (always oracle-backed) keeps its green evidence.
+    last = registry._driver_evidence_rounds(
+        repo=str(tmp_path), oracles={"q", "other"}
+    )
+    assert last == {"other": 1}
+    # Driver value-checks q in r2: fresh again, at the NEW strength.
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": None}})
+    )
+    last = registry._driver_evidence_rounds(
+        repo=str(tmp_path), oracles={"q", "other"}
+    )
+    assert last == {"q": 2, "other": 1}
+    # Failed rows never count, at any strength.
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"other": {"rows_match": True, "schema_match": True,
+                              "hash_match": False, "err": None}})
+    )
+    last = registry._driver_evidence_rounds(
+        repo=str(tmp_path), oracles={"q", "other"}
+    )
+    assert last == {"q": 2, "other": 1}
