@@ -106,15 +106,26 @@ def pseudonymize(
         )
         if keep_len:
             # trim/pad to the ORIGINAL value's length (dynamic — the
-            # builtin rpad only takes a literal width)
+            # builtin rpad only takes a literal width, so this drops to
+            # expr; salt is SQL-escaped and the column backtick-quoted
+            # so a quoted salt or odd column name can't break parsing
+            # or silently alter the token — round-7 ADVICE)
+            s = _sql_quote(salt)
+            qc = "`" + c.replace("`", "``") + "`"
             tok = F.expr(
-                f"rpad(substring('tok_' || substring(md5('{salt}:' ||"
-                f" CAST({c} AS STRING)), 1, 16), 1,"
-                f" length(CAST({c} AS STRING))),"
-                f" length(CAST({c} AS STRING)), '_')"
+                f"rpad(substring('tok_' || substring(md5({s} || ':' ||"
+                f" CAST({qc} AS STRING)), 1, 16), 1,"
+                f" length(CAST({qc} AS STRING))),"
+                f" length(CAST({qc} AS STRING)), '_')"
             )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+def _sql_quote(s: str) -> str:
+    """A string as a single-quoted SQL literal (quotes doubled), valid
+    in both Spark SQL and DuckDB — never interpolate raw."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def pseudonymize_sql(table_sql: str, all_cols: list[str], cols: list[str], salt: str = "pseudo-v1") -> str:
@@ -124,7 +135,7 @@ def pseudonymize_sql(table_sql: str, all_cols: list[str], cols: list[str], salt:
         if c in cols:
             sel.append(
                 f"CASE WHEN {c} IS NOT NULL THEN 'tok_' ||"
-                f" substr(md5('{salt}:' || CAST({c} AS VARCHAR)), 1, 16) END AS {c}"
+                f" substr(md5({_sql_quote(salt)} || ':' || CAST({c} AS VARCHAR)), 1, 16) END AS {c}"
             )
         else:
             sel.append(c)

@@ -228,7 +228,11 @@ def ks_drift(
     bins: int = 256,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov screen between two slices of one
-    table (``side_expr`` boolean: True -> sample A, False -> B): the
+    table (``side_expr`` boolean: True -> sample A, False or NULL ->
+    B; the predicate is coalesced to FALSE on BOTH engines so a
+    nullable predicate can't diverge — SQL CASE..ELSE counted NULLs
+    into B while a NULL-propagating boolean cast dropped them, round-7
+    ADVICE): the
     max gap between the slices' binned empirical CDFs. Complements the
     fixed-baseline PSI with a baseline-free split comparison (old vs
     new partition, region A vs B), read on the usual scale: D < 0.05
@@ -245,7 +249,7 @@ def ks_drift(
     """
     x = F.col(col).cast("double")
     vals = df.select(
-        x.alias("v"), side_expr.alias("is_a")
+        x.alias("v"), F.coalesce(side_expr, F.lit(False)).alias("is_a")
     ).filter(F.col("v").isNotNull())
     mm = vals.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
@@ -305,7 +309,7 @@ def ks_drift_sql(table: str, col: str, side_sql: str, bins: int = 256) -> str:
     ordered window over the tiny bin table."""
     return f"""
     WITH vals AS (
-      SELECT CAST({col} AS DOUBLE) AS v, ({side_sql}) AS is_a
+      SELECT CAST({col} AS DOUBLE) AS v, coalesce(({side_sql}), FALSE) AS is_a
       FROM {table} WHERE {col} IS NOT NULL),
     mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
     binned AS (
@@ -1026,9 +1030,11 @@ def wasserstein_drift(
     fraction of the observed span, in exact 1e-6 units. Cross products
     run in DECIMAL(38,0)/HUGEINT so the verdict is bit-identical
     cross-engine (n_a*n_b*bins < 1e38 — any realistic table). NULL
-    when either slice is empty (undefined, like ks_drift)."""
+    when either slice is empty (undefined, like ks_drift). A NULL
+    ``side_expr`` row lands in slice B on both engines (coalesced to
+    FALSE — ks_drift's normalization, round-7 ADVICE)."""
     x = F.col(col).cast("double")
-    vals = df.select(x.alias("v"), side_expr.alias("is_a")).filter(
+    vals = df.select(x.alias("v"), F.coalesce(side_expr, F.lit(False)).alias("is_a")).filter(
         F.col("v").isNotNull()
     )
     mm = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
@@ -1106,7 +1112,7 @@ def wasserstein_drift_sql(
     products, same binning as ks_drift_sql)."""
     return f"""
     WITH vals AS (
-      SELECT CAST({col} AS DOUBLE) AS v, ({side_sql}) AS is_a
+      SELECT CAST({col} AS DOUBLE) AS v, coalesce(({side_sql}), FALSE) AS is_a
       FROM {table} WHERE {col} IS NOT NULL),
     mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
     binned AS (
@@ -1159,7 +1165,7 @@ def wasserstein_grouped(
     weighting; a group with an empty side reports NULL."""
     x = F.col(col).cast("double")
     vals = df.select(
-        F.col(by).alias("g"), x.alias("v"), side_expr.alias("is_a")
+        F.col(by).alias("g"), x.alias("v"), F.coalesce(side_expr, F.lit(False)).alias("is_a")
     ).filter(F.col("v").isNotNull())
     mm = vals.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     j = vals.join(mm, "g")
@@ -1215,7 +1221,7 @@ def wasserstein_grouped_sql(
     """DuckDB twin of :func:`wasserstein_grouped`."""
     return f"""
     WITH vals AS (
-      SELECT {by} AS g, CAST({col} AS DOUBLE) AS v, ({side_sql}) AS is_a
+      SELECT {by} AS g, CAST({col} AS DOUBLE) AS v, coalesce(({side_sql}), FALSE) AS is_a
       FROM {table} WHERE {col} IS NOT NULL),
     mm AS (SELECT g, min(v) AS lo, max(v) AS hi FROM vals GROUP BY g),
     binned AS (
@@ -1266,7 +1272,13 @@ def seasonality_strength(
     Exactness: per-(key, isodow) integer moments (count, sum, sum of
     squares in DECIMAL(38,0)/HUGEINT) reduce the series once; the
     final ratio is a DOUBLE of those exact integers finished with
-    floor(x*1e4) — bit-stable on identical inputs. ISO day-of-week
+    floor(x*1e4). The within-dow SSE is a sum of <=7 doubles, and
+    float addition is order-sensitive — so both engines fold the terms
+    in EXPLICIT dow order (array_sort + aggregate here, list(ORDER BY
+    dow) + list_reduce in the twin) instead of relying on engine/
+    partition summation order, which could flip strength_e4 by one at
+    a floor boundary (round-7 ADVICE). Bit-stable on identical
+    inputs. ISO day-of-week
     (Monday=1) matches between engines, unlike the Sunday-0/Sunday-1
     split of the plain dayofweek functions. ``peak_dow`` is the argmax
     of the exact integer-quantized per-dow mean (lowest dow on ties).
@@ -1290,10 +1302,22 @@ def seasonality_strength(
             F.sum("n_d").cast("long").alias("n_days"),
             F.sum("s1").alias("_s1"),
             F.sum("s2").alias("_s2"),
-            F.sum(
-                F.col("s2").cast("double")
-                - F.col("s1").cast("double") * F.col("s1").cast("double")
-                / F.col("n_d").cast("double")
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dow").alias("dow"),
+                            (
+                                F.col("s2").cast("double")
+                                - F.col("s1").cast("double")
+                                * F.col("s1").cast("double")
+                                / F.col("n_d").cast("double")
+                            ).alias("w"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
             ).alias("_w"),
             F.max(
                 F.struct(
@@ -1338,9 +1362,11 @@ def seasonality_strength_sql(
       SELECT k, CAST(sum(n_d) AS BIGINT) AS n_days,
              CAST(sum(s1) AS HUGEINT) AS _s1,
              CAST(sum(s2) AS HUGEINT) AS _s2,
-             sum(CAST(s2 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                 / CAST(n_d AS DOUBLE)) AS _w,
+             list_reduce(
+               [0.0] || list(CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n_d AS DOUBLE) ORDER BY dow),
+               (a, b) -> a + b) AS _w,
              max(struct_pack(m := CAST(s1 * 10000 // n_d AS BIGINT),
                              nd := -dow)) AS _pk
       FROM per_dow GROUP BY k)

@@ -381,3 +381,36 @@ def test_seasonality_strength_separates_weekly_from_flat(spark):
     # a pure weekday/weekend split is FULLY explained by dow
     assert out["weekly"].strength_e4 == 10000 and out["weekly"].peak_dow == 1
     assert out["flat"].strength_e4 is None  # zero variance -> undefined
+
+
+def test_nullable_side_predicate_lands_in_b_both_engines(spark):
+    """Round-7 ADVICE: SQL CASE..ELSE counted NULL-predicate rows into
+    ct_b while the Spark boolean cast dropped them from both counts.
+    Both engines now coalesce the predicate to FALSE, so a nullable
+    predicate yields identical slice sizes and identical verdicts."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.drift import (
+        ks_drift,
+        ks_drift_sql,
+        wasserstein_drift,
+        wasserstein_drift_sql,
+    )
+
+    # side = (flag = 'a'); flag NULL on some rows -> predicate NULL
+    rows = [(float(i), "a" if i % 3 == 0 else ("b" if i % 3 == 1 else None))
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "v double, flag string")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+
+    w = wasserstein_drift(df, "v", F.col("flag") == "a", bins=16).collect()[0]
+    ww = con.sql(wasserstein_drift_sql("t", "v", "flag = 'a'", bins=16)).fetchone()
+    assert (w.n_a, w.n_b, w.w1_e6) == ww[1:], (w, ww)
+    assert w.n_a + w.n_b == 90  # NULL-predicate rows are in B, not dropped
+
+    k = ks_drift(df, "v", F.col("flag") == "a", bins=16).collect()[0]
+    kk = con.sql(ks_drift_sql("t", "v", "flag = 'a'", bins=16)).fetchone()
+    assert (k.n_a, k.n_b) == (kk[1], kk[2])

@@ -88,3 +88,32 @@ def test_pseudonymize_keep_len_preserves_widths(spark):
     rows = {r.x: r.name for r in pseudonymize(df, ["name"], keep_len=True).collect()}
     assert len(rows[1]) == 2 and len(rows[2]) == 24
     assert rows[3] is None
+
+
+def test_pseudonymize_quoted_salt_safe(spark):
+    """Round-7 ADVICE: a salt containing a single quote broke the
+    keep_len=True raw-f-string expression (and could silently alter
+    the token). Both paths must now parse AND produce the same md5 the
+    safe Column path computes."""
+    import hashlib
+
+    from data_observability_installer_spark.operators.dq.governance import (
+        pseudonymize,
+        pseudonymize_sql,
+    )
+
+    salt = "o'brien's-v1"
+    df = spark.createDataFrame([("alice",), (None,)], "name string")
+    got = {r.name for r in pseudonymize(df, ["name"], salt=salt).collect()}
+    want = "tok_" + hashlib.md5(f"{salt}:alice".encode()).hexdigest()[:16]
+    assert got == {want, None}
+
+    kl = [r.name for r in
+          pseudonymize(df, ["name"], salt=salt, keep_len=True).collect()
+          if r.name is not None][0]
+    assert kl == want[: len("alice")] and len(kl) == len("alice")
+
+    import duckdb
+
+    sql = pseudonymize_sql("(SELECT 'alice' AS name)", ["name"], ["name"], salt=salt)
+    assert duckdb.sql(sql).fetchone()[0] == want
