@@ -43,7 +43,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dq.testtypes import EMAIL_RE, US_STATES, _sql_quote
@@ -904,3 +904,38 @@ def profile_delta_sql(old_sql: str, new_sql: str, rel_tol_bp: int = 1000) -> str
       ON o.column_name = n.column_name AND o.metric = n.metric
     ORDER BY column_name, metric
     """
+
+
+def write_profile(prof: DataFrame, store: str, run_id: str) -> str:
+    """Persist a long-form profile as a stored baseline under a run-id
+    partition — the capture half of continuous periodic monitoring
+    (reference README.md:10, task 5: each refresh profiles once,
+    BASELINES the result, and later refreshes diff against the stored
+    profile instead of re-scanning history). The profile is
+    metadata-sized (~50 metrics x columns), so it lands as ONE parquet
+    file (coalesce(1)); the store grows by one tiny file per run and
+    `run_id=` partitioning keeps every historical baseline addressable
+    (profile-over-time queries read the whole store with partition
+    pruning).
+
+    Returns the written run path."""
+    import os
+
+    path = os.path.join(store, f"run_id={run_id}")
+    prof.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_profile(spark: SparkSession, store: str, run_id: str | None = None) -> DataFrame:
+    """Read a stored baseline profile back. ``run_id=None`` means the
+    LATEST run: the store is read with partition discovery (run_id
+    becomes a column, directory listing only — no data scan beyond the
+    metric-sized files) and filtered to the max run_id with one
+    broadcast scalar join, so 'latest' stays a distributed plan rather
+    than a driver directory walk. Lexicographic max == newest for
+    zero-padded / ISO-timestamp run ids (the write_profile contract)."""
+    allp = spark.read.parquet(store)
+    if run_id is not None:
+        return allp.filter(F.col("run_id") == run_id).drop("run_id")
+    latest = allp.groupBy().agg(F.max("run_id").alias("run_id"))
+    return allp.join(F.broadcast(latest), "run_id").drop("run_id")

@@ -145,6 +145,58 @@ def profile_delta_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_delta_stored_lineitem",
+    profile_delta_sql(
+        profile_sql(
+            _OLD_SNAP_SQL, "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF,
+            columns=_DELTA_COLS,
+        ),
+        profile_sql(
+            "lineitem", "lineitem", STATIC_SCHEMAS["lineitem"], AS_OF,
+            columns=_DELTA_COLS,
+        ),
+    ),
+)
+def profile_delta_stored_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of profile_delta: the baseline side comes
+    from the profile STORE (write_profile/read_profile), not a
+    recompute — continuous periodic monitoring captures each run's
+    profile once and later refreshes diff against the stored parquet
+    (reference README.md:10, task 5). The first call materializes the
+    even-orderkey snapshot's profile into the store (one-time); every
+    call after reads the metric-sized baseline file, so the steady-
+    state plan is ONE lineitem scan (the new side, shared through the
+    profile cache) plus one tiny parquet read — the round-7 verdict's
+    fix for profile_delta's two-full-profile cold cost."""
+    import os
+    import re as _re
+
+    from ..operators.profile import read_profile, write_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    store = os.path.join(
+        "spark-warehouse",
+        "profile_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem",
+    )
+    if not os.path.isdir(store) or not any(
+        e.startswith("run_id=") for e in os.listdir(store)
+    ):
+        baseline = profile(
+            li.filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF,
+            columns=_DELTA_COLS,
+        )
+        write_profile(baseline, store, "0001-baseline")
+    app = spark.sparkContext.applicationId
+    new = _PROFILE_CACHE.get_or_build(
+        (app, sf_dir, "lineitem#delta-new"),
+        lambda: profile(li, "lineitem", AS_OF, columns=_DELTA_COLS).cache(),
+    )
+    return profile_delta(read_profile(spark, store), new)
+
+
+@register(
     "profile_lineitem_incremental",
     None,  # oracle assigned below (needs the profile module import)
 )
@@ -5395,6 +5447,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "lineage_impact_failed",
         "lineage_cycles",
         "profile_delta_lineitem",
+        "profile_delta_stored_lineitem",
     }
 )
 

@@ -105,3 +105,34 @@ def test_profile_delta_flags_planted_shift(spark):
     )
     out2 = {(r.column_name, r.metric, r.status) for r in profile_delta(old, wider).collect()}
     assert any(c == "y" and st == "ADDED" for c, _, st in out2)
+
+
+def test_profile_store_round_trip_and_latest(spark, tmp_path):
+    """write_profile/read_profile: the stored baseline round-trips the
+    long-form profile bit-exactly, and run_id=None selects the LATEST
+    run by lexicographic run id (the write contract: zero-padded / ISO
+    ids)."""
+    from data_observability_installer_spark.operators.profile import (
+        profile,
+        read_profile,
+        write_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "x int, s string"
+    )
+    prof = profile(df, "t", "2025-01-01")
+    store = str(tmp_path / "store" / "t")
+    write_profile(prof, store, "0001")
+    back = read_profile(spark, store, "0001")
+    want = sorted(map(tuple, prof.collect()))
+    assert sorted(map(tuple, back.collect())) == want
+    assert back.columns == prof.columns
+
+    # second run with different data; latest == run 0002
+    prof2 = profile(df.filter("x < 3"), "t", "2025-01-02")
+    write_profile(prof2, store, "0002")
+    latest = read_profile(spark, store)
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, prof2.collect()))
+    # pinned read still returns the original
+    assert sorted(map(tuple, read_profile(spark, store, "0001").collect())) == want
