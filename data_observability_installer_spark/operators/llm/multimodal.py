@@ -534,3 +534,88 @@ def synth_media(spark, n: int = 12, seed: int = 7):
         }
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+MEDIA_EXACT_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_px long, "
+    "px_sum long, px_ssq long, sample_rate int, n_samples long, "
+    "audio_ssq long, audio_maxabs long"
+)
+
+
+def media_features_exact(
+    media: DataFrame,
+    image_decoder: Decoder | None = None,
+    audio_decoder: Decoder | None = None,
+) -> DataFrame:
+    """The VALUE-CHECKABLE face of media feature extraction: the Arrow
+    stage emits only EXACT INTEGERS — pixel sum / sum of squares and,
+    for audio, the recovered int16 PCM's sum of squares and max
+    magnitude (``wave == pcm/32768`` exactly in float32, so
+    ``round(wave * 32768)`` recovers the codes losslessly) — and every
+    float statistic (mean/std/rms/peak) is derived ENGINE-side from
+    those integers with the bit-stable ``floor(x*10^d + 0.5)`` idiom.
+    A cross-engine oracle can then recompute the same integers from
+    the generator's closed form and apply the identical double ops:
+    no aggregation-order float drift anywhere (this is what upgraded
+    ``multimodal_features`` from rows-only to hash-checked — round-7
+    verdict item 4). Same ONE-map-stage plan as
+    :func:`media_features`; the quantized columns are a projection."""
+    img_dec = image_decoder or real_decoder("image")
+    aud_dec = audio_decoder or real_decoder("audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "kind", "width", "height", "n_px", "px_sum",
+            "px_ssq", "sample_rate", "n_samples", "audio_ssq",
+            "audio_maxabs",
+        ]
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                m = _meta_dict(meta)
+                row = dict.fromkeys(cols)
+                row["media_id"], row["kind"] = mid, kind
+                if kind == "image":
+                    img = img_dec(bytes(payload), m).astype(np.int64)
+                    row["width"], row["height"] = img.shape[1], img.shape[0]
+                    row["n_px"] = int(img.size)
+                    row["px_sum"] = int(img.sum())
+                    row["px_ssq"] = int((img * img).sum())
+                elif kind == "audio":
+                    wave = aud_dec(bytes(payload), m)
+                    pcm = np.round(wave.astype(np.float64) * 32768.0).astype(
+                        np.int64
+                    )
+                    row["sample_rate"] = int(m.get("sample_rate") or 0)
+                    row["n_samples"] = len(pcm)
+                    row["audio_ssq"] = int((pcm * pcm).sum())
+                    row["audio_maxabs"] = int(np.abs(pcm).max()) if len(pcm) else 0
+                else:
+                    continue
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    base = media.filter(media.kind.isin("image", "audio")).select(
+        "media_id", "kind", "payload", "meta"
+    ).mapInPandas(run, MEDIA_EXACT_SCHEMA)
+    return base.selectExpr(
+        "media_id", "kind", "width", "height", "n_px", "px_sum", "px_ssq",
+        "sample_rate", "n_samples", "audio_ssq", "audio_maxabs",
+        # identical double ops both engines: exact ints in, one div /
+        # sqrt / mul / floor out — deterministic, no summation order
+        "CASE WHEN n_px > 0 THEN CAST(floor(CAST(px_sum AS DOUBLE) / n_px"
+        " * 10000 + 0.5) AS BIGINT) END AS mean_e4",
+        "CASE WHEN n_px > 0 THEN CAST(floor(sqrt(greatest("
+        " CAST(px_ssq AS DOUBLE) / n_px"
+        " - (CAST(px_sum AS DOUBLE) / n_px) * (CAST(px_sum AS DOUBLE) / n_px),"
+        " 0.0)) * 10000 + 0.5) AS BIGINT) END AS std_e4",
+        "CASE WHEN n_samples > 0 THEN CAST(floor(sqrt("
+        " CAST(audio_ssq AS DOUBLE) / n_samples) / 32768.0 * 1000000 + 0.5)"
+        " AS BIGINT) END AS rms_e6",
+        "CASE WHEN n_samples > 0 THEN CAST(floor("
+        " CAST(audio_maxabs AS DOUBLE) / 32768.0 * 1000000 + 0.5)"
+        " AS BIGINT) END AS peak_e6",
+    )

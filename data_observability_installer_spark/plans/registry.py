@@ -2704,18 +2704,76 @@ def simhash_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_md5(load_table(spark, sf_dir, "documents"))
 
 
-@register("multimodal_features")  # binary decode has no SQL analog: rows-only
+# Closed-form oracle for the exact media features: DuckDB recomputes
+# the generator's pixel values and int16 PCM codes (trunc(0.5*sin*32767)
+# is bit-identical to numpy's cast across 20k samples — verified) and
+# folds them into the SAME exact integers the Arrow stage emits; the
+# float stats are then the identical double ops on both sides.
+_MULTIMODAL_FEATURES_SQL = """
+    WITH ids AS (SELECT unnest(range(0, 48)) AS i),
+    p5dims AS (SELECT i, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+               FROM ids WHERE i % 4 = 0),
+    p5 AS (SELECT i, ((k % w) * 3 + (k // w) * 5 + i * 7) % 256 AS v
+           FROM (SELECT i, w, h, unnest(range(w * h)) AS k FROM p5dims)),
+    p6dims AS (SELECT i, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+               FROM ids WHERE i % 4 = 2),
+    p6 AS (SELECT i, (((k % (w * h)) % w) * (k // (w * h) + 1)
+                     + ((k % (w * h)) // w) * (k // (w * h) + 3) + i) % 256 AS v
+           FROM (SELECT i, w, h, unnest(range(w * h * 3)) AS k FROM p6dims)),
+    px AS (SELECT i, CAST(count(*) AS BIGINT) AS n_px,
+                  CAST(sum(v) AS BIGINT) AS px_sum,
+                  CAST(sum(v * v) AS BIGINT) AS px_ssq
+           FROM (SELECT * FROM p5 UNION ALL SELECT * FROM p6) GROUP BY i),
+    aud AS (SELECT i, CAST(trunc(0.5 * sin(2 * pi() * f * k / 8000)
+                                 * 32767.0) AS BIGINT) AS pcm
+            FROM (SELECT i, 110.0 + 10 * i AS f, unnest(range(512 + 16 * i)) AS k
+                  FROM ids WHERE i % 2 = 1)),
+    auds AS (SELECT i, CAST(count(*) AS BIGINT) AS n_samples,
+                    CAST(sum(pcm * pcm) AS BIGINT) AS audio_ssq,
+                    CAST(max(abs(pcm)) AS BIGINT) AS audio_maxabs
+             FROM aud GROUP BY i)
+    SELECT ids.i AS media_id,
+           CASE WHEN ids.i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CASE WHEN ids.i % 2 = 0 THEN CAST(8 + (ids.i % 4) * 4 AS INT) END AS width,
+           CASE WHEN ids.i % 2 = 0 THEN CAST(8 + (ids.i % 3) * 4 AS INT) END AS height,
+           px.n_px, px.px_sum, px.px_ssq,
+           CASE WHEN ids.i % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+           auds.n_samples, auds.audio_ssq, auds.audio_maxabs,
+           CASE WHEN px.n_px > 0 THEN CAST(floor(CAST(px.px_sum AS DOUBLE)
+                / px.n_px * 10000 + 0.5) AS BIGINT) END AS mean_e4,
+           CASE WHEN px.n_px > 0 THEN CAST(floor(sqrt(greatest(
+                CAST(px.px_ssq AS DOUBLE) / px.n_px
+                - (CAST(px.px_sum AS DOUBLE) / px.n_px)
+                  * (CAST(px.px_sum AS DOUBLE) / px.n_px), 0.0))
+                * 10000 + 0.5) AS BIGINT) END AS std_e4,
+           CASE WHEN auds.n_samples > 0 THEN CAST(floor(sqrt(
+                CAST(auds.audio_ssq AS DOUBLE) / auds.n_samples) / 32768.0
+                * 1000000 + 0.5) AS BIGINT) END AS rms_e6,
+           CASE WHEN auds.n_samples > 0 THEN CAST(floor(
+                CAST(auds.audio_maxabs AS DOUBLE) / 32768.0 * 1000000 + 0.5)
+                AS BIGINT) END AS peak_e6
+    FROM ids LEFT JOIN px ON px.i = ids.i LEFT JOIN auds ON auds.i = ids.i
+    ORDER BY media_id
+    """
+
+
+@register("multimodal_features", _MULTIMODAL_FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image+audio feature extraction over binary media columns — the
-    multimodal family's registry/bench face. The testdata ships no
-    media table, so the input is a deterministic in-plan fixture with
-    REAL encoded payloads (netpbm P5/P6 + PCM RIFF/WAVE built by the
-    module's own encoders); the decode path exercised here is the
-    production one, not the fake decoder. Exact per-row feature values
-    are pinned by pytest (tests/test_multimodal.py)."""
+    multimodal family's registry/bench face, now VALUE-CHECKED end to
+    end (round-7 verdict item 4: previously rows-only). The testdata
+    ships no media table, so the input is a deterministic in-plan
+    fixture with REAL encoded payloads (netpbm P5/P6 + PCM RIFF/WAVE
+    built by the module's own encoders); the decode path exercised
+    here is the production one, not the fake decoder. The Arrow stage
+    emits exact integers (pixel sums, recovered-PCM sums); mean/std/
+    rms/peak derive engine-side with the floor idiom, so the oracle's
+    closed-form recomputation hash-matches bit-for-bit. The float face
+    (media_features) keeps exact-value pytest coverage
+    (tests/test_multimodal.py)."""
     from ..operators.llm import multimodal as _mm
 
-    return _mm.media_features(_mm.demo_media(spark)).orderBy("media_id")
+    return _mm.media_features_exact(_mm.demo_media(spark)).orderBy("media_id")
 
 
 # Closed-form oracle for the deterministic media corpus: DuckDB never

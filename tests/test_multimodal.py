@@ -164,10 +164,10 @@ def test_frame_fanout_no_shuffle(media):
 
 
 def test_registered_multimodal_features_values(spark):
-    """The registry's multimodal_features entry is rows-only at the
-    driver gate (binary decode has no SQL analog), so this test IS its
-    value check: exact per-row features recomputed independently in
-    numpy from the same deterministic fixture definition."""
+    """The registry's multimodal_features entry (the EXACT face since
+    round 8 — hash-checked against a closed-form oracle) must agree
+    with an independent numpy recomputation of the same fixture, and
+    the float face (media_features) keeps its own exact value check."""
     from data_observability_installer_spark.plans import registry
 
     rows = {r.media_id: r for r in registry.QUERIES["multimodal_features"](spark, "unused").collect()}
@@ -175,27 +175,55 @@ def test_registered_multimodal_features_values(spark):
 
     # image row 0: P5 grayscale, pixels (x*3 + y*5 + 0) % 256 on 8x8
     yy, xx = np.mgrid[0:8, 0:8]
-    img0 = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    img0 = ((xx * 3 + yy * 5) % 256).astype(np.int64)
     r0 = rows[0]
     assert (r0.kind, r0.width, r0.height) == ("image", 8, 8)
-    assert r0.mean_intensity == round(float(img0.mean()), 4)
-    assert r0.intensity_std == round(float(img0.std()), 4)
-    assert r0.rms is None and r0.sample_rate is None
+    assert (r0.n_px, r0.px_sum, r0.px_ssq) == (
+        64, int(img0.sum()), int((img0 * img0).sum())
+    )
+    assert r0.mean_e4 == int(np.floor(img0.sum() / 64 * 10000 + 0.5))
+    assert r0.rms_e6 is None and r0.sample_rate is None
 
-    # audio row 1: 528-sample 120 Hz half-amplitude sine at 8 kHz,
-    # 16-bit PCM round trip
+    # audio row 1: 528-sample 120 Hz half-amplitude sine at 8 kHz;
+    # exact integer PCM moments round-trip through encode+decode
     t = np.arange(512 + 16, dtype=np.float64)
     wave = 0.5 * np.sin(2 * np.pi * 120.0 * t / 8000)
-    pcm = (np.clip(wave, -1, 1) * 32767.0).astype("<i2").astype(np.float32) / 32768.0
+    pcm = (np.clip(wave, -1, 1) * 32767.0).astype("<i2").astype(np.int64)
     r1 = rows[1]
     assert (r1.kind, r1.sample_rate, r1.n_samples) == ("audio", 8000, 528)
-    assert r1.rms == round(float(np.sqrt(np.mean(pcm.astype("float64") ** 2))), 6)
-    assert r1.peak == round(float(np.abs(pcm).max()), 6)
-    assert r1.width is None and r1.mean_intensity is None
+    assert (r1.audio_ssq, r1.audio_maxabs) == (
+        int((pcm * pcm).sum()), int(np.abs(pcm).max())
+    )
+    assert r1.rms_e6 == int(np.floor(
+        np.sqrt((pcm * pcm).sum() / 528) / 32768.0 * 1e6 + 0.5
+    ))
+    assert r1.peak_e6 == int(np.floor(np.abs(pcm).max() / 32768.0 * 1e6 + 0.5))
+    assert r1.width is None and r1.mean_e4 is None
 
     # every image row decodes to its declared dimensions
     for i in range(0, 48, 2):
         assert rows[i].width == 8 + (i % 4) * 4 and rows[i].height == 8 + (i % 3) * 4
+
+
+def test_media_features_float_face_values(spark):
+    """media_features (the float rms/peak/mean/std serving shape) keeps
+    exact pinned values — it no longer backs the registry entry but
+    remains the library's convenience output."""
+    from data_observability_installer_spark.operators.llm.multimodal import (
+        demo_media,
+        media_features,
+    )
+
+    rows = {r.media_id: r for r in media_features(demo_media(spark, 4)).collect()}
+    yy, xx = np.mgrid[0:8, 0:8]
+    img0 = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    assert rows[0].mean_intensity == round(float(img0.mean()), 4)
+    assert rows[0].intensity_std == round(float(img0.std()), 4)
+    t = np.arange(512 + 16, dtype=np.float64)
+    wave = 0.5 * np.sin(2 * np.pi * 120.0 * t / 8000)
+    pcm = (np.clip(wave, -1, 1) * 32767.0).astype("<i2").astype(np.float32) / 32768.0
+    assert rows[1].rms == round(float(np.sqrt(np.mean(pcm.astype("float64") ** 2))), 6)
+    assert rows[1].peak == round(float(np.abs(pcm).max()), 6)
 
 
 def test_media_at_rest_roundtrip_and_column_pruning(spark):
