@@ -131,3 +131,106 @@ def journey_instance_stream(
     return tagged.groupBy("journey_id").applyInPandasWithState(
         _instances, OUTPUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 out-of-sequence, streaming (operators/obs/journeys.py:229 is the
+# batch twin). The DAG closure is metadata (broadcast into the state fn
+# as a driver-captured set); per-(journey, instance) state is the set of
+# runs seen so far — journey-DAG-sized, never stream-sized. A violation
+# pair (down.start < up.end) is emitted exactly once: when its LATER-
+# ARRIVING member is processed, it is checked against every stored
+# earlier arrival (and intra-batch arrivals), which covers both arrival
+# orders of the pair.
+# ---------------------------------------------------------------------------
+
+OOS_OUTPUT_SCHEMA = (
+    "journey_id string, instance_id int, up_key string, up_run string, "
+    "down_key string, down_run string, alert_type string"
+)
+# parallel arrays: one entry per run seen in this instance
+OOS_STATE_SCHEMA = (
+    "keys array<string>, runs array<string>, starts array<long>, "
+    "ends array<long>, max_end_us long"
+)
+
+
+def out_of_sequence_stream(
+    runs: DataFrame,
+    closure: list[tuple[str, str, str]],
+    watermark: str = "2 hours",
+    gc_after_s: int = 24 * 3600,
+) -> DataFrame:
+    """A6 as a per-instance state machine: ``runs`` is a streaming
+    frame of instance-assigned component runs (journey_id, instance_id,
+    pipeline_key, run_key, start_ts, end_ts); ``closure`` is the
+    metadata-sized transitive DAG closure [(journey_id, up_key,
+    down_key)]. Emits the batch operator's exact alert rows. State per
+    open instance is the run list (bounded by the journey's component
+    count x retries); an instance is garbage-collected ``gc_after_s``
+    of event time after its newest run end, so state is
+    O(active instances)."""
+    edge = frozenset((j, u, d) for j, u, d in closure)
+
+    def detect(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        keys, rks, sts, ens, max_end = (
+            state.get if state.exists else ([], [], [], [], 0)
+        )
+        keys, rks, sts, ens = list(keys), list(rks), list(sts), list(ens)
+        jid = key[0]
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["start_ts", "run_key"])
+            for pk, rk, s_us, e_us in zip(
+                pdf["pipeline_key"].tolist(),
+                pdf["run_key"].tolist(),
+                (pdf["start_ts"].astype("int64") // 1_000).tolist(),
+                (pdf["end_ts"].astype("int64") // 1_000).tolist(),
+            ):
+                for opk, ork, os_us, oe_us in zip(keys, rks, sts, ens):
+                    # stored run upstream of the new one?
+                    if (jid, opk, pk) in edge and s_us < oe_us:
+                        out.append((opk, ork, pk, rk))
+                    # new run upstream of a stored one?
+                    if (jid, pk, opk) in edge and os_us < e_us:
+                        out.append((pk, rk, opk, ork))
+                keys.append(pk)
+                rks.append(rk)
+                sts.append(s_us)
+                ens.append(e_us)
+                max_end = max(max_end, e_us)
+        state.update((keys, rks, sts, ens, max_end))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(max_end // 1000 + gc_after_s * 1000, wm + 1)
+        )
+        if out:
+            yield pd.DataFrame(
+                [
+                    {
+                        "journey_id": jid,
+                        "instance_id": key[1],
+                        "up_key": u,
+                        "up_run": ur,
+                        "down_key": d,
+                        "down_run": dr,
+                        "alert_type": "OUT_OF_SEQUENCE",
+                    }
+                    for u, ur, d, dr in out
+                ]
+            )
+
+    keyed = runs.withWatermark("start_ts", watermark).select(
+        "journey_id", "instance_id", "pipeline_key", "run_key",
+        "start_ts", "end_ts",
+    )
+    return keyed.groupBy("journey_id", "instance_id").applyInPandasWithState(
+        detect,
+        OOS_OUTPUT_SCHEMA,
+        OOS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -911,3 +911,72 @@ def test_streaming_wasserstein_matches_batch(spark, tmp_path):
     w = wasserstein_stream(batch, "x", edges, base).orderBy("window_start").collect()
     assert len(w) == 2  # day 1 has no rows -> no window
     assert w[1].w1_e6 > w[0].w1_e6  # the +30 shifted day scores higher
+
+
+def test_parity_out_of_sequence_vs_batch(spark, tmp_path):
+    """A6 streaming: the per-instance state machine must emit exactly
+    the batch operator's alert PAIRS on the same assigned runs —
+    including a violation whose two members arrive in different
+    micro-batches (state carries the earlier arrival across), a
+    transitive-closure edge, and a cross-instance near-miss that must
+    NOT alert."""
+    import datetime as dt
+    import time
+
+    from data_observability_installer_spark.operators.obs.journeys import (
+        out_of_sequence,
+        transitive_edges,
+    )
+    from data_observability_installer_spark.streaming.journeys import (
+        out_of_sequence_stream,
+    )
+
+    T = lambda h, m=0: dt.datetime(2025, 3, 1, h, m)  # noqa: E731
+    SCHEMA = (
+        "journey_id string, instance_id int, pipeline_key string, "
+        "run_key string, start_ts timestamp, end_ts timestamp"
+    )
+    # DAG a -> b -> c (closure adds a -> c)
+    edges = [("a", "b"), ("b", "c")]
+    closure = [("j1", u, d) for u, d in transitive_edges(edges)]
+
+    batch1 = [
+        # instance 1: b starts before a ends (direct violation) and c
+        # starts before a ends (transitive violation, caught vs state
+        # in a LATER micro-batch)
+        ("j1", 1, "a", "a-r1", T(1), T(3)),
+        ("j1", 1, "b", "b-r1", T(2), T(4)),
+        # instance 2: clean in-order run (no alert)
+        ("j1", 2, "a", "a-r2", T(10), T(11)),
+    ]
+    batch2 = [
+        ("j1", 1, "c", "c-r1", T(2, 30), T(5)),
+        # instance 2: would violate only if it shared instance 1's id
+        ("j1", 2, "b", "b-r2", T(11, 30), T(12)),
+    ]
+    path = tmp_path / "oos_runs"
+    path.mkdir()
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(str(path))
+    time.sleep(1.1)  # file-source batch order follows mtime @ 1 s
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(str(path))
+
+    stream = spark.readStream.schema(SCHEMA).json(str(path))
+    got_rows = _run_stream(
+        spark,
+        out_of_sequence_stream(stream, closure, watermark="1 hour"),
+        "append",
+        "oos_parity",
+    ).collect()
+    got = {tuple(r) for r in got_rows}
+
+    all_runs = spark.createDataFrame(batch1 + batch2, SCHEMA)
+    closure_df = spark.createDataFrame(
+        closure, "journey_id string, up_key string, down_key string"
+    )
+    want = {tuple(r) for r in out_of_sequence(all_runs, closure_df).collect()}
+    assert got == want
+    assert {(r[2], r[4]) for r in got} == {("a", "b"), ("a", "c"), ("b", "c")}

@@ -324,6 +324,56 @@ def main() -> None:
         ).count()
     )
 
+    # round-8: A6 out-of-sequence as a per-instance state machine —
+    # state = the instance's run list (DAG-sized), alerts on DAG-edge
+    # overlap; the replay is mapped to ~100k instances x ~tens of runs
+    from data_observability_installer_spark.operators.obs.journeys import (
+        out_of_sequence,
+        transitive_edges,
+    )
+    from data_observability_installer_spark.streaming.journeys import (
+        out_of_sequence_stream,
+    )
+
+    _OOS_EDGES = [
+        ("pipeline-0", "pipeline-1"),
+        ("pipeline-1", "pipeline-2"),
+        ("pipeline-0", "pipeline-3"),
+    ]
+    _OOS_CLOSURE = [("jb", u, d) for u, d in transitive_edges(_OOS_EDGES)]
+
+    def assigned_runs(df):
+        # 64 consecutive events = one instance (close in event time, so
+        # the variable-length runs genuinely overlap and alert);
+        # pipelines cycle within the instance so DAG edges apply
+        return df.select(
+            F.lit("jb").alias("journey_id"),
+            (F.col("event_id") / 64).cast("int").alias("instance_id"),
+            F.concat(F.lit("pipeline-"), F.pmod("event_id", F.lit(4))).alias(
+                "pipeline_key"
+            ),
+            F.col("event_id").cast("string").alias("run_key"),
+            F.col("event_timestamp").alias("start_ts"),
+            F.expr(
+                "event_timestamp + make_interval(0,0,0,0,0,0, pmod(event_id, 300))"
+            ).alias("end_ts"),
+        )
+
+    ops["out_of_sequence"] = run_streaming(
+        spark,
+        out_of_sequence_stream(
+            assigned_runs(read_stream()), _OOS_CLOSURE, watermark="2 hours"
+        ),
+        "append",
+        "sb_oos",
+    )
+    closure_df = spark.createDataFrame(
+        _OOS_CLOSURE, "journey_id string, up_key string, down_key string"
+    )
+    ops["out_of_sequence"]["batch_twin_s"] = timed_batch(
+        lambda: out_of_sequence(assigned_runs(batch_df), closure_df).count()
+    )
+
     result = {
         "metric": "stream_bench",
         "unit": "rows_per_sec",
