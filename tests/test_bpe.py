@@ -212,3 +212,28 @@ def test_cluster_profile_invariants(spark):
         assert r.share_bp == r.n * 10000 // total
         assert r.purity_bp == r.top_label_ct * 10000 // r.n
         assert r.mean_norm_e6 > 0
+
+
+def test_bpe_local_merge_table_prefix_property(spark, sf_correct):
+    """A production-count run's merge table must EXTEND a smaller run's
+    bit-for-bit (the 30k-merge SCALE_BENCH row is trustworthy iff its
+    prefix equals the oracle-verified 256-round table) — and training
+    must stay a BOUNDED number of Spark jobs, never one per round."""
+    from data_observability_installer_spark.operators.llm.text import (
+        bpe_train_local,
+    )
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    small = [tuple(r) for r in bpe_train_local(docs, n_merges=64).collect()]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe512", "prefix-property run")
+    big_df = bpe_train_local(docs, n_merges=512)
+    big = [tuple(r) for r in big_df.collect()]
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe512")
+    sc.setJobGroup(None, None)
+
+    assert big[: len(small)] == small
+    assert len(big) > len(small)
+    # one vocab collect + the result materializations — not 512 jobs
+    assert len(jobs) < 10, f"job-per-merge-round regression: {len(jobs)} jobs"

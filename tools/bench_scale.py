@@ -297,6 +297,83 @@ def burstiness_op(spark, path: str) -> None:
     burstiness(ev, "pk", "ts", "event_id").collect()
 
 
+def scaled_customer(spark, k: int, out: str) -> str:
+    """Replicas get a per-rep NAME PREFIX, so the 16-char prefix blocks
+    stay constant-SIZE while block COUNT scales — the entity-match
+    contract (cost = sum of block², linear in blocks). Without it, k
+    copies of every name would grow each block k-fold and the pair
+    space k² BY CONSTRUCTION."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    big = (
+        c.crossJoin(F.broadcast(spark.range(k).withColumnRenamed("id", "rep")))
+        .withColumn("c_custkey", F.col("c_custkey") * k + F.col("rep"))
+        .withColumn(
+            "c_name",
+            F.concat(F.lpad(F.col("rep").cast("string"), 4, "0"), F.lit("_"),
+                     F.col("c_name")),
+        )
+        .drop("rep")
+    )
+    big.repartition(16).write.mode("overwrite").parquet(out)
+    return out
+
+
+def entity_match_op(spark, path: str) -> None:
+    """Round-7 blocked-linkage claim: candidates only inside 16-char
+    name-prefix blocks; scoring is map-side integer bp."""
+    from data_observability_installer_spark.operators.linkage import entity_match
+
+    c = spark.read.parquet(path).withColumn(
+        "bal_cents", F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    )
+    entity_match(
+        c, "c_custkey", "c_name", block_prefix=16, cat_cols=["c_nationkey"],
+        num_cols=[("bal_cents", 10000)], threshold_bp=9000, limit=100,
+    ).collect()
+
+
+def containment_pairs_op(spark, path: str) -> None:
+    """Round-7 shared-index claim: overlap-coefficient pairs off the
+    df-capped shingle index — pair space sum(bucket²) like Jaccard."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        ngram_containment_pairs,
+    )
+
+    spark.catalog.clearCache()
+    ngram_containment_pairs(
+        spark.read.parquet(path), n=3, threshold_bp=6000, max_df=1000
+    ).count()
+
+
+def hard_negatives_op(spark, path: str) -> None:
+    """Round-7 IVF-blocked claim: nearest different-label neighbor per
+    vector, pair space sum(bucket²) over spatial buckets."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        hard_negatives,
+    )
+
+    hard_negatives(spark.read.parquet(path)).count()
+
+
+def leakage_safe_split_op(spark, path: str) -> None:
+    """Round-8 post-sort-removal curve: shingle index + CC groups +
+    map-side hash split, no corpus-wide range exchange anywhere."""
+    from data_observability_installer_spark.operators.llm.curation import (
+        leakage_safe_split,
+    )
+    from data_observability_installer_spark.operators.llm.dedup import (
+        dedup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(path)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.3, max_df=1000
+    )
+    leakage_safe_split(docs, dedup_groups(pairs)).count()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -314,6 +391,10 @@ OPS = {
     "cusum_events": ("events", cusum_op),
     "composite_key_events": ("events", composite_key_op),
     "burstiness_events": ("events", burstiness_op),
+    "entity_match_customer": ("customer", entity_match_op),
+    "containment_pairs_documents": ("documents", containment_pairs_op),
+    "hard_negatives_embeddings": ("embeddings", hard_negatives_op),
+    "leakage_safe_split_documents": ("documents", leakage_safe_split_op),
 }
 
 
@@ -363,6 +444,8 @@ def main() -> None:
                 paths[("documents", k)] = scaled_documents(spark, k, f"{tmp}/doc_{k}")
             if "embeddings" in tables:
                 paths[("embeddings", k)] = scaled_embeddings(spark, k, f"{tmp}/emb_{k}")
+            if "customer" in tables:
+                paths[("customer", k)] = scaled_customer(spark, k, f"{tmp}/cust_{k}")
 
         for name, (table, fn) in ops.items():
             timings = {}
