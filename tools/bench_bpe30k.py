@@ -80,24 +80,28 @@ def main() -> None:
     corpus_entry["sf_dir"] = sf
 
     # 2) a rich-vocabulary corpus that genuinely SUSTAINS 30k merges:
-    # 2M rows x 4 md5-derived words whose keys are BOUNDED moduli, so
-    # the vocabulary is ~130k distinct words (a real tokenizer's
-    # training vocab is 1e5-1e6 after max-vocab truncation) with heavy
-    # shared hex substructure. Built executor-side; the driver sees
-    # only the collected vocabulary — the memory this row measures.
-    # (A first attempt used per-id unique words -> 1M-word vocab; the
-    # 30k-round loop over it ran >12 CPU-minutes without finishing.
-    # That is the case the vocab_cap truncation exists FOR.)
+    # 2M rows x 4 md5-derived words whose keys are BOUNDED moduli ->
+    # ~36k distinct words with heavy shared hex substructure. Built
+    # executor-side; the driver sees only the collected vocabulary —
+    # the memory this row measures. vocab_cap is the wall-clock lever
+    # as much as the memory one, measured the hard way: a per-id-unique
+    # construction (~1M-word vocab) ran >12 CPU-min of driver loop
+    # without finishing, and ~130k words ran >20 CPU-min — pure-Python
+    # merge loops over hex-dense vocabularies pay ~(words containing
+    # winner x word length) per round, and with a 16-char alphabet the
+    # early winners hit most of the vocabulary. A production trainer
+    # caps the training vocab (max-vocab truncation) for exactly this
+    # reason; the measured row documents the operating envelope.
     rich = spark.range(2_000_000).selectExpr(
         "concat_ws(' ', "
-        " substr(md5(CAST(pmod(id, 50000) AS STRING)), 1, 8 + CAST(pmod(id, 9) AS INT)),"
-        " substr(md5(CAST(pmod(id * 7 + 3, 40000) AS STRING)), 1, 8 + CAST(pmod(id, 7) AS INT)),"
-        " substr(md5(CAST(pmod(id, 30000) AS STRING)), 9, 16),"
-        " substr(md5(CAST(pmod(id, 10000) AS STRING)), 17, 12)"
+        " substr(md5(CAST(pmod(id, 12000) AS STRING)), 1, 8 + CAST(pmod(id, 9) AS INT)),"
+        " substr(md5(CAST(pmod(id * 7 + 3, 10000) AS STRING)), 1, 8 + CAST(pmod(id, 7) AS INT)),"
+        " substr(md5(CAST(pmod(id, 8000) AS STRING)), 9, 16),"
+        " substr(md5(CAST(pmod(id, 6000) AS STRING)), 17, 12)"
         ") AS text"
     )
-    rich_entry = _measure(spark, rich, n_merges, vocab_cap=200_000)
-    rich_entry["corpus"] = "synthetic rich-vocab (2M rows x 4 md5 words, ~130k vocab)"
+    rich_entry = _measure(spark, rich, n_merges, vocab_cap=50_000)
+    rich_entry["corpus"] = "synthetic rich-vocab (2M rows x 4 md5 words, ~36k vocab)"
 
     entry = {"sf01_documents": corpus_entry, "rich_vocab_30k": rich_entry}
     out = Path(__file__).resolve().parent.parent / "SCALE_BENCH.json"
