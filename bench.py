@@ -216,6 +216,9 @@ HEADLINE = [
     "monitor_events",
     "composite_key_events",
     "seasonality_events",
+    # round-8 additions
+    "profile_delta_stored_lineitem",
+    "txtable_time_travel_lineitem",
 ]
 
 
