@@ -259,3 +259,77 @@ def merge_cdc(
         path, {"op": "merge", "files": files, "schema": schema,
                "added": len(files)}
     )
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two versions — the CDC-read face of the
+    table. Exact for append/stream_append commits (each manifest
+    records exactly which files it added, so the delta is a plain
+    parquet scan of those files — no row diffing); raises for a range
+    containing overwrite/compact/merge commits, whose file lists do
+    not decompose into added-rows (a row-level diff there is
+    :func:`operators.dq.snapshot.snapshot_diff`'s job)."""
+    vs = _versions(path)
+    to_v = to_version if to_version is not None else vs[-1]
+    added: list[str] = []
+    for v in vs:
+        if from_version < v <= to_v:
+            m = read_manifest(path, v)
+            if m["op"] not in ("append", "stream_append"):
+                raise ValueError(
+                    f"version {v} is op={m['op']!r}; table_changes is "
+                    "append-only — use snapshot_diff for rewrites"
+                )
+            prev = read_manifest(path, v - 1)["files"] if v > 1 else []
+            added.extend(f for f in m["files"] if f not in set(prev))
+    if not added:
+        m = read_manifest(path, to_v)
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
+def commit_stream_batch(path: str, df: DataFrame, batch_id: int) -> int | None:
+    """The sink's idempotent commit body (public so the replay guard is
+    directly testable): publishes ``df`` as a stream_append commit
+    stamped with ``batch_id``, or returns None WITHOUT publishing when
+    a commit with that batch_id already exists — the exactly-once
+    guard foreachBatch's at-least-once replays rely on."""
+    seen = {read_manifest(path, v).get("batch_id") for v in _versions(path)}
+    if batch_id in seen:
+        return None  # replay of an already-committed micro-batch
+    files, schema = _write_data_files(df, path)
+    base = read_manifest(path)["files"] if _versions(path) else []
+    return _publish(
+        path,
+        {"op": "stream_append", "files": base + files, "schema": schema,
+         "added": len(files), "batch_id": batch_id},
+    )
+
+
+def txtable_sink(stream: DataFrame, path: str, checkpoint: str, **trigger):
+    """EXACTLY-ONCE streaming sink into a txtable: ``foreachBatch`` is
+    at-least-once (a crashed micro-batch replays with the SAME
+    batch_id), so each commit manifest records its batch_id and a
+    replayed batch whose id is already in the commit log publishes
+    NOTHING — the retry becomes a no-op and the table sees every
+    micro-batch exactly once. This is the transactional upgrade of the
+    idempotent batch_id sink (sources/sinks.py): there, idempotence is
+    per-PATH (a rerun overwrites the batch directory); here it is
+    per-COMMIT, so readers also get atomicity and time travel across
+    micro-batches.
+
+    Returns the started StreamingQuery."""
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(path, df, batch_id)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -137,3 +137,55 @@ def test_merge_cdc_atomic_upsert_delete(spark, tmp_path):
     assert _rows(read_table(spark, t, version=v - 1)) == [
         (1, "a"), (2, "b"), (3, "c")
     ]
+
+
+def test_table_changes_append_only_cdc_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1,)], "k int"))
+    write_table(spark, t, spark.createDataFrame([(2,)], "k int"))
+    write_table(spark, t, spark.createDataFrame([(3,)], "k int"))
+    from data_observability_installer_spark.sources.txtable import table_changes
+
+    assert _rows(table_changes(spark, t, from_version=1)) == [(2,), (3,)]
+    assert _rows(table_changes(spark, t, 1, to_version=2)) == [(2,)]
+    assert _rows(table_changes(spark, t, 3)) == []  # empty delta, schema kept
+    compact(spark, t, target_partitions=1)
+    with pytest.raises(ValueError, match="append-only"):
+        table_changes(spark, t, 1)
+
+
+def test_txtable_sink_exactly_once_across_replays(spark, tmp_path):
+    """foreachBatch is at-least-once; the manifest's batch_id makes the
+    table exactly-once — a replayed micro-batch publishes nothing."""
+    import time as _time
+
+    from data_observability_installer_spark.sources.txtable import txtable_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1,)], "k int").coalesce(1).write.mode("append").json(str(src))
+    _time.sleep(1.1)  # file-source order follows mtime @ 1 s
+    spark.createDataFrame([(2,)], "k int").coalesce(1).write.mode("append").json(str(src))
+
+    stream = spark.readStream.schema("k int").option("maxFilesPerTrigger", 1).json(str(src))
+    q = txtable_sink(stream, t, ckpt, availableNow=True)
+    q.awaitTermination(120)
+    assert _rows(read_table(spark, t)) == [(1,), (2,)]
+    n_versions = len(history(t))
+
+    # simulate Spark replaying an already-committed micro-batch: drive
+    # the sink's ACTUAL commit body again with a seen batch_id — it
+    # must publish nothing, even with different (retried) data
+    from data_observability_installer_spark.sources import txtable as _tx
+
+    seen = {_tx.read_manifest(t, v)["batch_id"] for v in _tx._versions(t)
+            if _tx.read_manifest(t, v).get("batch_id") is not None}
+    replay_id = next(iter(seen))
+    df = spark.createDataFrame([(99,)], "k int")
+    assert _tx.commit_stream_batch(t, df, replay_id) is None
+    assert _rows(read_table(spark, t)) == [(1,), (2,)]
+    assert len(history(t)) == n_versions
+    # an UNSEEN batch_id commits normally
+    assert _tx.commit_stream_batch(t, df, max(seen) + 1000) == n_versions + 1
+    assert (99,) in _rows(read_table(spark, t))
