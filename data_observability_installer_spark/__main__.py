@@ -324,6 +324,37 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Transactional-table maintenance (sources/txtable.py): history
+    prints the commit log; compact rewrites the head snapshot as one
+    commit; vacuum drops versions past the retention window; changes
+    prints the rows appended since --from-version (append-only CDC
+    read); show prints the head (or --version) snapshot."""
+    from .sources import txtable as tx
+
+    if args.action == "history":
+        for h in tx.history(args.path):
+            print(h)
+        return 0
+    if args.action == "compact":
+        v = tx.compact(_spark(args), args.path, target_partitions=args.files)
+        print(f"compacted as v{v}")
+        return 0
+    if args.action == "vacuum":
+        n = tx.vacuum(args.path, keep_last=args.keep_last)
+        print(f"removed {n} data files")
+        return 0
+    if args.action == "changes":
+        tx.table_changes(_spark(args), args.path, args.from_version).show(
+            args.rows, truncate=False
+        )
+        return 0
+    tx.read_table(_spark(args), args.path, version=args.version).show(
+        args.rows, truncate=False
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
     ap.add_argument("--sf-dir", default=None)
@@ -380,6 +411,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--clean", required=True, help="path for passing rows")
     p.add_argument("--bad", required=True,
                    help="path for violating rows (tagged with violated tests)")
+    p = sub.add_parser("table")
+    p.add_argument("action",
+                   choices=["history", "show", "compact", "vacuum", "changes"])
+    p.add_argument("path")
+    p.add_argument("--version", type=int, default=None, help="show: time travel")
+    p.add_argument("--rows", type=int, default=50)
+    p.add_argument("--files", type=int, default=4, help="compact: target files")
+    p.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
+    p.add_argument("--from-version", type=int, default=0,
+                   help="changes: rows appended after this version")
 
     args = ap.parse_args(argv)
     if args.sf_dir is None:
@@ -399,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
         "zorder": cmd_zorder,
         "drift": cmd_drift,
         "quarantine": cmd_quarantine,
+        "table": cmd_table,
     }[args.verb](args)
 
 

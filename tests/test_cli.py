@@ -94,3 +94,33 @@ def test_cli_drift_series_and_two_sample(spark, sf_smoke, capsys):
     )
     out = capsys.readouterr().out
     assert "ks_d" in out and "w1_e6" in out
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """table verb: seed via the library, then history / show / changes
+    / compact / vacuum through the CLI."""
+    from data_observability_installer_spark.sources.txtable import write_table
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    write_table(spark, t, spark.createDataFrame([(2, "b")], "k int, v string"))
+
+    assert main(["table", "history", t]) == 0
+    out = capsys.readouterr().out
+    assert "'version': 1" in out and "'op': 'append'" in out
+
+    assert main(["table", "show", t, "--version", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "a" in out and "b" not in out
+
+    assert main(["table", "changes", t, "--from-version", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "b" in out and ("a" not in out.replace("table", ""))
+
+    assert main(["table", "compact", t, "--files", "1"]) == 0
+    assert "compacted as v3" in capsys.readouterr().out
+    assert main(["table", "vacuum", t, "--keep-last", "1"]) == 0
+    assert "removed" in capsys.readouterr().out
+    assert main(["table", "show", t]) == 0
+    out = capsys.readouterr().out
+    assert "a" in out and "b" in out
