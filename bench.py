@@ -219,6 +219,8 @@ HEADLINE = [
     # round-8 additions
     "profile_delta_stored_lineitem",
     "txtable_time_travel_lineitem",
+    "threshold_sweep_documents",
+    "profile_history_lineitem",
 ]
 
 

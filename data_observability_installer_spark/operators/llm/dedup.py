@@ -1254,3 +1254,126 @@ def ngram_containment_sql(
     WHERE inter * 10000 // least(sa.sz, sb.sz) >= {threshold_bp}
     ORDER BY doc_a, doc_b
     """
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    thresholds_bp: list[int] = (2000, 3000, 5000, 7000, 9000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 1000,
+    capped_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup-threshold TUNING report: for each candidate Jaccard
+    threshold, how many near-dup pairs fire and how many distinct
+    documents they touch — the number a pipeline owner reads before
+    committing to a cutoff (too low deletes paraphrases, too high
+    leaves boilerplate; the reference's evidence-driven generation
+    story applied to dedup policy).
+
+    ONE pass over the (shared, df-capped) shingle index computes every
+    candidate pair's similarity in exact integer bp (``inter * 10000
+    DIV union`` — no float rounding hazard); the sweep itself is a
+    broadcast cross-join of the RESULT-sized pair frame against the
+    threshold list plus two keyed aggregates, so trying ten thresholds
+    costs the same corpus work as trying one. Thresholds below
+    min(thresholds_bp) are unobservable by construction; pairs are
+    pre-filtered there."""
+    spark = df.sparkSession
+    floor_bp = min(int(t) for t in thresholds_bp)
+    if capped_shingles is not None:
+        sh = capped_shingles
+    else:
+        sh0 = exploded_shingles(df, text_col, id_col, n)
+        keep = (
+            sh0.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_ct"))
+            .filter(F.col("df_ct") <= max_df)
+        )
+        sh = sh0.join(keep.select("sh"), "sh").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(inter * 10000 DIV (sz_a + sz_b - inter) AS BIGINT) AS j_bp",
+        )
+        .filter(F.col("j_bp") >= floor_bp)
+    )
+    th = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({int(t)})" for t in sorted(set(thresholds_bp)))
+        + " AS t(threshold_bp)"
+    )
+    hits = pairs.join(
+        F.broadcast(th), F.col("j_bp") >= F.col("threshold_bp")
+    )
+    stats = hits.groupBy("threshold_bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs = (
+        hits.select("threshold_bp", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("threshold_bp")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    )
+    return (
+        th.join(stats, "threshold_bp", "left")
+        .join(docs, "threshold_bp", "left")
+        .selectExpr(
+            "threshold_bp",
+            "coalesce(n_pairs, 0L) AS n_pairs",
+            "coalesce(n_docs, 0L) AS n_docs",
+        )
+        .orderBy("threshold_bp")
+    )
+
+
+def jaccard_threshold_sweep_sql(
+    table: str,
+    thresholds_bp: list[int] = (2000, 3000, 5000, 7000, 9000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`jaccard_threshold_sweep`."""
+    floor_bp = min(int(t) for t in thresholds_bp)
+    values = ", ".join(f"({int(t)})" for t in sorted(set(thresholds_bp)))
+    return f"""
+    WITH sh0 AS MATERIALIZED (
+      SELECT {id_col} AS doc, unnest({_shingles_sql(text_col, n)}) AS sh FROM {table}),
+    keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= {max_df}),
+    sh AS MATERIALIZED (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS j_bp
+      FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter * 10000 // (sa.sz + sb.sz - inter) >= {floor_bp}),
+    th(threshold_bp) AS (VALUES {values}),
+    hits AS (SELECT th.threshold_bp, p.doc_a, p.doc_b
+             FROM pairs p JOIN th ON p.j_bp >= th.threshold_bp),
+    stats AS (SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM hits GROUP BY threshold_bp),
+    docs AS (
+      SELECT threshold_bp, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      FROM (SELECT threshold_bp, doc_a AS doc FROM hits
+            UNION ALL SELECT threshold_bp, doc_b FROM hits)
+      GROUP BY threshold_bp)
+    SELECT th.threshold_bp,
+           coalesce(stats.n_pairs, 0) AS n_pairs,
+           coalesce(docs.n_docs, 0) AS n_docs
+    FROM th LEFT JOIN stats USING (threshold_bp) LEFT JOIN docs USING (threshold_bp)
+    ORDER BY threshold_bp
+    """

@@ -196,6 +196,118 @@ def profile_delta_stored_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     return profile_delta(read_profile(spark, store), new)
 
 
+_HIST_RUNS = [
+    ("0001", "l_orderkey % 4 <= 0"),
+    ("0002", "l_orderkey % 4 <= 1"),
+    ("0003", "l_orderkey % 4 <= 2"),
+]
+
+
+@register(
+    "profile_history_lineitem",
+    """
+    WITH runs AS MATERIALIZED (
+    """
+    + "\n      UNION ALL\n".join(
+        f"SELECT '{rid}' AS run_id, * FROM ("
+        + profile_sql(
+            f"(SELECT * FROM lineitem WHERE {pred})",
+            "lineitem",
+            STATIC_SCHEMAS["lineitem"],
+            AS_OF,
+            columns=_DELTA_COLS,
+        )
+        + ")"
+        for rid, pred in _HIST_RUNS
+    )
+    + """
+    ),
+    bounds AS (SELECT min(run_id) AS r0, max(run_id) AS r1 FROM runs)
+    SELECT column_name, metric,
+           CAST(count(DISTINCT run_id) AS BIGINT) AS n_runs,
+           max(CASE WHEN run_id = r0 THEN value END) AS v_first,
+           max(CASE WHEN run_id = r1 THEN value END) AS v_last,
+           CASE WHEN max(CASE WHEN run_id = r0 THEN value END) IS NOT NULL
+                 AND max(CASE WHEN run_id = r1 THEN value END) IS NOT NULL
+                 AND max(CASE WHEN run_id = r0 THEN value END) <> 0 THEN
+             CAST(floor((max(CASE WHEN run_id = r1 THEN value END)
+                         - max(CASE WHEN run_id = r0 THEN value END))
+                        / abs(max(CASE WHEN run_id = r0 THEN value END))
+                        * 10000 + 0.5) AS BIGINT)
+           WHEN max(CASE WHEN run_id = r0 THEN value END) = 0
+                AND max(CASE WHEN run_id = r1 THEN value END) = 0
+           THEN CAST(0 AS BIGINT) END AS rel_change_bp
+    FROM runs, bounds
+    GROUP BY column_name, metric
+    ORDER BY column_name, metric
+    """,
+)
+def profile_history_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-over-time from the PROFILE STORE — the full shape of
+    continuous periodic monitoring (reference README.md:10, task 5):
+    each refresh captures its profile into the store (seeded here as
+    three runs over a growing slice of lineitem), and this query reads
+    the WHOLE store back (one metric-sized parquet scan with run_id
+    partition discovery) and reports every characteristic's trajectory:
+    runs observed, first/last value, and first-to-last relative change
+    in exact bp via the bit-stable floor idiom. No table re-scan at
+    query time — the store is the data."""
+    import os
+    import re as _re
+
+    from ..operators.profile import read_profile, write_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    store = os.path.join(
+        "spark-warehouse",
+        "profile_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_history",
+    )
+    have = (
+        {e.split("=", 1)[1] for e in os.listdir(store) if e.startswith("run_id=")}
+        if os.path.isdir(store)
+        else set()
+    )
+    for rid, pred in _HIST_RUNS:
+        if rid not in have:
+            write_profile(
+                profile(li.filter(F.expr(pred)), "lineitem", AS_OF,
+                        columns=_DELTA_COLS),
+                store,
+                rid,
+            )
+    allp = spark.read.parquet(store)
+    bounds = allp.agg(F.min("run_id").alias("r0"), F.max("run_id").alias("r1"))
+    return (
+        allp.join(F.broadcast(bounds))
+        .groupBy("column_name", "metric")
+        .agg(
+            F.countDistinct("run_id").cast("long").alias("n_runs"),
+            F.max(
+                F.when(F.col("run_id") == F.col("r0"), F.col("value"))
+            ).alias("v_first"),
+            F.max(
+                F.when(F.col("run_id") == F.col("r1"), F.col("value"))
+            ).alias("v_last"),
+        )
+        .selectExpr(
+            "column_name",
+            "metric",
+            "n_runs",
+            "v_first",
+            "v_last",
+            """CASE WHEN v_first IS NOT NULL AND v_last IS NOT NULL
+                     AND v_first <> 0 THEN
+                 CAST(floor((v_last - v_first) / abs(v_first) * 10000 + 0.5)
+                      AS BIGINT)
+               WHEN v_first = 0 AND v_last = 0 THEN CAST(0 AS BIGINT)
+               END AS rel_change_bp""",
+        )
+        .orderBy("column_name", "metric")
+    )
+
+
 @register(
     "profile_lineitem_incremental",
     None,  # oracle assigned below (needs the profile module import)
@@ -2603,6 +2715,25 @@ def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped_shingles=_shared_capped_shingles(spark, sf_dir),
         n=3,
         threshold_bp=6000,
+        max_df=1000,
+    )
+
+
+@register(
+    "threshold_sweep_documents",
+    _dedup.jaccard_threshold_sweep_sql("documents", n=3, max_df=1000),
+)
+def threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning report: pairs fired and documents touched
+    at each candidate Jaccard cutoff, all from ONE pass over the shared
+    capped shingle index (integer-bp similarities; the sweep itself is
+    a broadcast cross-join of the result-sized pair frame against the
+    threshold list) — the evidence a pipeline owner reads before
+    committing to a dedup policy."""
+    return _dedup.jaccard_threshold_sweep(
+        load_table(spark, sf_dir, "documents"),
+        capped_shingles=_shared_capped_shingles(spark, sf_dir),
+        n=3,
         max_df=1000,
     )
 
@@ -5566,6 +5697,7 @@ CACHE_CONSUMERS: frozenset[str] = frozenset(
         "minhash_pairs_documents",
         "dedup_groups_documents",
         "containment_pairs_documents",
+        "threshold_sweep_documents",
         "dedup_impact_documents",
         "leakage_safe_split_documents",
         "dup_spans_documents",
