@@ -661,3 +661,16 @@ def test_profile_delta_stored_steady_state_one_table_scan(spark, sf_smoke):
     assert "profile_store" in executed, executed
     assert "lineitem.parquet" not in executed, executed
     assert "InMemoryTableScan" in plan  # new side rides the cache
+
+
+def test_threshold_sweep_rides_shared_shingle_cache(spark, sf_smoke):
+    """The sweep must consume the SHARED capped shingle index (cache
+    hit after any other consumer built it) and add no corpus scan of
+    its own — ten thresholds cost one index pass."""
+    registry.QUERIES["ngram_jaccard_documents"](spark, sf_smoke).collect()
+    df = registry.QUERIES["threshold_sweep_documents"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    executed = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in plan  # the shared index
+    assert "documents.parquet" not in executed, executed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
