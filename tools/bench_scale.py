@@ -380,6 +380,17 @@ def leakage_safe_split_op(spark, path: str) -> None:
     leakage_safe_split(docs, dedup_groups(pairs)).count()
 
 
+def threshold_sweep_op(spark, path: str) -> None:
+    """Round-8: five thresholds from ONE index pass — the curve must
+    track the single jaccard pair scan, not multiply by thresholds."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    spark.catalog.clearCache()
+    jaccard_threshold_sweep(spark.read.parquet(path), n=3, max_df=1000).collect()
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -401,6 +412,7 @@ OPS = {
     "containment_pairs_documents": ("documents", containment_pairs_op),
     "hard_negatives_embeddings": ("embeddings", hard_negatives_op),
     "leakage_safe_split_documents": ("documents", leakage_safe_split_op),
+    "threshold_sweep_documents": ("documents", threshold_sweep_op),
 }
 
 
