@@ -250,10 +250,9 @@ def merge_cdc(
         survivors = updates.filter(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(
             deleted_col
         )
-        updates_keys = updates.select(*key_cols)
-    else:
-        updates_keys = updates.select(*key_cols)
-    merged = cur.join(updates_keys, key_cols, "left_anti").unionByName(survivors)
+    merged = cur.join(updates.select(*key_cols), key_cols, "left_anti").unionByName(
+        survivors
+    )
     files, schema = _write_data_files(merged, path)
     return _publish(
         path, {"op": "merge", "files": files, "schema": schema,
