@@ -221,6 +221,7 @@ HEADLINE = [
     "txtable_time_travel_lineitem",
     "threshold_sweep_documents",
     "profile_history_lineitem",
+    "profile_incremental_stored_lineitem",
 ]
 
 

@@ -334,6 +334,49 @@ ORACLES["profile_lineitem_incremental"] = _fin_sql(
 )
 
 
+@register(
+    "profile_incremental_stored_lineitem",
+    _fin_sql("lineitem", STATIC_SCHEMAS["lineitem"], AS_OF),
+)
+def profile_incremental_stored_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-RESCAN continuous profile: yesterday's mergeable partial
+    state lives in the store (seeded once from the even-orderkey half);
+    the query scans ONLY the new slice (odd half), merges its partial
+    with the stored state — a metadata-sized groupBy — and finalizes.
+    The oracle computes the same characteristics over the FULL table,
+    so merge-correctness against real persisted state IS the check.
+    At 100 TB this is the profile's steady-state cost model: one scan
+    of the day's partition + a stats-sized read, never the table."""
+    import os
+    import re as _re
+
+    from ..operators.profile import (
+        finalize_profile,
+        merge_partials,
+        profile_partial,
+        write_profile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    store = os.path.join(
+        "spark-warehouse",
+        "profile_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_partials",
+    )
+    if not os.path.isdir(store) or not any(
+        e.startswith("run_id=") for e in os.listdir(store)
+    ):
+        write_profile(
+            profile_partial(li.filter(F.col("l_orderkey") % 2 == 0), "lineitem"),
+            store,
+            "0001",
+        )
+    stored = spark.read.parquet(store).drop("run_id")
+    fresh = profile_partial(li.filter(F.col("l_orderkey") % 2 == 1), "lineitem")
+    return finalize_profile(merge_partials(stored, fresh), AS_OF)
+
+
 @register("profile_lineitem_approx")  # HLL + approx_percentile: the 100 TB
 def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale configuration (``exact=False``): approx_count_distinct

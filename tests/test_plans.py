@@ -674,3 +674,24 @@ def test_threshold_sweep_rides_shared_shingle_cache(spark, sf_smoke):
     assert "InMemoryTableScan" in plan  # the shared index
     assert "documents.parquet" not in executed, executed
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_profile_incremental_stored_scans_only_new_slice(spark, sf_smoke):
+    """Steady state of the no-rescan profile: ONE lineitem scan (the
+    new slice, filter pushed) plus the metadata-sized stored-state
+    read — the previous slice is never re-read."""
+    registry.QUERIES["profile_incremental_stored_lineitem"](spark, sf_smoke).collect()
+    df = registry.QUERIES["profile_incremental_stored_lineitem"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    # long plan lines elide their middle (the Location path), so
+    # identify scans by schema: the store state has (stat, value_d),
+    # the table scan has l_orderkey
+    scans = re.findall(r"FileScan parquet[^\n]*", final)
+    li = [s for s in scans if "l_orderkey" in s]
+    store = [s for s in scans if "value_d" in s and "stat" in s]
+    assert len(li) == 1, scans
+    assert len(store) == 1, scans
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
