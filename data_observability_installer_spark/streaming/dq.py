@@ -361,3 +361,44 @@ def wasserstein_stream(
             F.when(F.col("_na") > 0, w1).alias("w1_e6"),
         )
     )
+
+
+def profile_partial_sink(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    table_name: str,
+    columns: list[str] | None = None,
+    **trigger,
+):
+    """CONTINUOUS PROFILING: every micro-batch reduces to its mergeable
+    partial-profile state (one agg pass, O(columns x stats) rows) and
+    lands in the profile store under ``run_id=<batch_id>`` — the
+    streaming face of the no-rescan profile
+    (operators/profile.py: profile_partial / merge_partials /
+    finalize_profile, store layout from write_profile). A monitoring
+    job then reads the store, merges the partials, and finalizes,
+    WITHOUT ever re-scanning history; the partial algebra is
+    associative, so batch boundaries are invisible in the result
+    (parity-pinned by pytest).
+
+    Idempotence: the run_id partition is keyed by batch_id and written
+    with overwrite, so foreachBatch's at-least-once replays rewrite
+    the same partition with the same deterministic content instead of
+    double-counting. State here is ZERO (stateless agg per batch);
+    durability lives in the store."""
+    from ..operators.profile import profile_partial, write_profile
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        write_profile(
+            profile_partial(df, table_name, columns=columns),
+            store,
+            f"{batch_id:08d}",
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -980,3 +980,46 @@ def test_parity_out_of_sequence_vs_batch(spark, tmp_path):
     want = {tuple(r) for r in out_of_sequence(all_runs, closure_df).collect()}
     assert got == want
     assert {(r[2], r[4]) for r in got} == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_streaming_profile_partials_merge_to_batch_profile(spark, tmp_path):
+    """Continuous profiling: per-micro-batch partial states written to
+    the store must MERGE to exactly the batch profile of all rows —
+    the associativity of the partial algebra, across real micro-batch
+    boundaries and the parquet round-trip."""
+    import time as _time
+
+    from data_observability_installer_spark.operators.profile import (
+        finalize_profile,
+        merge_partials,
+        profile_partial,
+    )
+    from data_observability_installer_spark.streaming.dq import (
+        profile_partial_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, "aa", 1.5), (2, "b", -3.0)]
+    rows2 = [(3, None, 0.0), (4, "dddd", 7.25)]
+    schema = "k int, s string, x double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").json(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").json(str(src))
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    q = profile_partial_sink(stream, store, ckpt, "t", availableNow=True)
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(store)
+    assert stored.select("run_id").distinct().count() == 2  # one per batch
+    got = finalize_profile(merge_partials(stored.drop("run_id")), "2025-01-01")
+    # the mergeable-metric profile of ALL rows in one pass: batch
+    # boundaries must be invisible (associativity + parquet round-trip)
+    want = finalize_profile(
+        profile_partial(spark.createDataFrame(rows1 + rows2, schema), "t"),
+        "2025-01-01",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 20  # real metric coverage, not an empty frame
