@@ -189,3 +189,52 @@ def test_txtable_sink_exactly_once_across_replays(spark, tmp_path):
     # an UNSEEN batch_id commits normally
     assert _tx.commit_stream_batch(t, df, max(seen) + 1000) == n_versions + 1
     assert (99,) in _rows(read_table(spark, t))
+
+
+def test_txtable_random_command_sequences_match_model(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    append/overwrite/compact/merge commands against a plain in-memory
+    model — after EVERY commit, the head snapshot equals the model and
+    every retained historical version still equals its recorded model
+    state (snapshot immutability under later writes)."""
+    import random
+
+    from data_observability_installer_spark.sources.txtable import merge_cdc
+
+    rng = random.Random(20250815)
+    t = str(tmp_path / "t")
+    model: dict[int, int] = {}  # k -> v
+    snapshots: dict[int, dict[int, int]] = {}
+
+    def df_of(d: dict[int, int]):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [], "k int, v int"
+        )
+
+    write_table(spark, t, df_of({1: 10}))
+    model = {1: 10}
+    snapshots[1] = dict(model)
+
+    for step in range(8):
+        op = rng.choice(["append", "overwrite", "compact", "merge"])
+        if op == "append":
+            new = {rng.randrange(100, 200) + step * 1000: rng.randrange(9)}
+            v = write_table(spark, t, df_of(new))
+            model.update(new)
+        elif op == "overwrite":
+            new = {rng.randrange(5): rng.randrange(9) for _ in range(3)}
+            v = write_table(spark, t, df_of(new), mode="overwrite")
+            model = dict(new)
+        elif op == "compact":
+            v = compact(spark, t, target_partitions=1)
+        else:
+            ks = list(model) or [0]
+            upd = {rng.choice(ks): rng.randrange(9), 999 + step: step}
+            v = merge_cdc(spark, t, df_of(upd), ["k"])
+            model.update(upd)
+        snapshots[v] = dict(model)
+        assert _rows(read_table(spark, t)) == sorted(model.items()), (step, op)
+
+    # every retained version still reads as the model state it froze
+    for v, m in snapshots.items():
+        assert _rows(read_table(spark, t, version=v)) == sorted(m.items()), v
