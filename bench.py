@@ -253,24 +253,36 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float | None] = {}
+    first: dict[str, float | None] = {}
     warm: dict[str, float] = {}
     total = 0.0
+    first_total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # cold DATA, warm CODE: execute once untimed so the query's
+        # cold DATA, warm CODE: execute once so the query's
         # whole-stage-codegen classes compile and JIT outside the
         # measurement (first-execution compile added 1.5-4x one-off
         # noise per query — committed numbers must reproduce within the
         # tripwire on a fresh run), then clear the shared caches and
         # time the second execution. Page cache is warm either way at
-        # bench scale; what this isolates is the PLAN's cost.
+        # bench scale; what this isolates is the PLAN's cost. The first
+        # execution is ALSO timed and recorded separately: it is the
+        # driver's methodology (codegen compile charged to the query),
+        # so committing first_exec_total makes the driver's BENCH_r*
+        # totals directly comparable round over round (round-8 verdict,
+        # What's wrong #3).
         registry.clear_caches()
+        t0 = time.monotonic()
         try:
             fn(spark, SF_DIR).collect()
+            dt = round(time.monotonic() - t0, 3)
+            first[name] = dt
+            first_total += dt
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = None
+            first[name] = None
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             continue
         registry.clear_caches()
@@ -328,7 +340,11 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the report must never break the bench
         pass
     with open("bench_queries.json", "w") as fh:
-        json.dump({"sf": sf_val, "queries": timings, "warm": warm}, fh)
+        json.dump(
+            {"sf": sf_val, "queries": timings, "warm": warm,
+             "first_exec": first, "first_exec_total": round(first_total, 3)},
+            fh,
+        )
     print(json.dumps({"detail": "bench_queries.json", "queries": timings}))
     print(
         json.dumps(
@@ -339,6 +355,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "failed": sum(1 for v in timings.values() if v is None),
+                "first_exec_total": round(first_total, 3),
             }
         )
     )

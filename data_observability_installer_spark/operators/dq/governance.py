@@ -105,18 +105,21 @@ def pseudonymize(
             F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string"))), 1, 16),
         )
         if keep_len:
-            # trim/pad to the ORIGINAL value's length (dynamic — the
-            # builtin rpad only takes a literal width, so this drops to
-            # expr; salt is SQL-escaped and the column backtick-quoted
-            # so a quoted salt or odd column name can't break parsing
-            # or silently alter the token — round-7 ADVICE)
-            s = _sql_quote(salt)
-            qc = "`" + c.replace("`", "``") + "`"
-            tok = F.expr(
-                f"rpad(substring('tok_' || substring(md5({s} || ':' ||"
-                f" CAST({qc} AS STRING)), 1, 16), 1,"
-                f" length(CAST({qc} AS STRING))),"
-                f" length(CAST({qc} AS STRING)), '_')"
+            # trim/pad to the ORIGINAL value's length, entirely
+            # Column-typed (Column.substr and F.repeat take Column
+            # widths): no SQL interpolation at all, so a salt or
+            # column name containing quotes OR backslashes can never
+            # break parsing or diverge from the DuckDB twin — closes
+            # the backslash gap the round-8 ADVICE found in the
+            # round-7 quote-doubling fix
+            orig_len = F.length(F.col(c).cast("string"))
+            trimmed = tok.substr(F.lit(1), orig_len)
+            tok = F.concat(
+                trimmed,
+                F.repeat(
+                    F.lit("_"),
+                    F.greatest(orig_len - F.length(trimmed), F.lit(0)),
+                ),
             )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out

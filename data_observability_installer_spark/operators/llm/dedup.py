@@ -1279,7 +1279,14 @@ def jaccard_threshold_sweep(
     threshold list plus two keyed aggregates, so trying ten thresholds
     costs the same corpus work as trying one. Thresholds below
     min(thresholds_bp) are unobservable by construction; pairs are
-    pre-filtered there."""
+    pre-filtered there.
+
+    The pair frame feeds TWO aggregates (pair counts and distinct-doc
+    counts), so it is persisted for the duration of the call and — the
+    result being threshold-count-sized — materialized before return,
+    which lets the function unpersist both it and any locally-built
+    shingle index instead of leaking executor memory into long-lived
+    sessions (round-8 ADVICE)."""
     spark = df.sparkSession
     floor_bp = min(int(t) for t in thresholds_bp)
     if capped_shingles is not None:
@@ -1306,6 +1313,7 @@ def jaccard_threshold_sweep(
             "CAST(inter * 10000 DIV (sz_a + sz_b - inter) AS BIGINT) AS j_bp",
         )
         .filter(F.col("j_bp") >= floor_bp)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     th = spark.sql(
         "SELECT * FROM VALUES "
@@ -1323,7 +1331,7 @@ def jaccard_threshold_sweep(
         .groupBy("threshold_bp")
         .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
     )
-    return (
+    out = (
         th.join(stats, "threshold_bp", "left")
         .join(docs, "threshold_bp", "left")
         .selectExpr(
@@ -1331,6 +1339,15 @@ def jaccard_threshold_sweep(
             "coalesce(n_pairs, 0L) AS n_pairs",
             "coalesce(n_docs, 0L) AS n_docs",
         )
+        .orderBy("threshold_bp")
+    )
+    rows = out.collect()  # threshold-count-sized by construction
+    pairs.unpersist()
+    if capped_shingles is None:
+        sh.unpersist()
+    return (
+        spark.createDataFrame(rows, out.schema)
+        .coalesce(1)
         .orderBy("threshold_bp")
     )
 

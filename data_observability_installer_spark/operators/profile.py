@@ -939,3 +939,103 @@ def read_profile(spark: SparkSession, store: str, run_id: str | None = None) -> 
         return allp.filter(F.col("run_id") == run_id).drop("run_id")
     latest = allp.groupBy().agg(F.max("run_id").alias("run_id"))
     return allp.join(F.broadcast(latest), "run_id").drop("run_id")
+
+
+def list_profile_runs(store: str) -> list[str]:
+    """run_ids present in a profile store, lexicographically sorted
+    (== chronological under the write_profile zero-padded/ISO
+    contract). Directory listing only."""
+    import os
+
+    if not os.path.isdir(store):
+        return []
+    return sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(store)
+        if e.startswith("run_id=")
+    )
+
+
+_PARTIAL_COLS = {"table_name", "column_name", "stat", "value_d", "value_s"}
+
+
+def vacuum_profile_store(
+    spark: SparkSession,
+    store: str,
+    keep_last_n: int | None = None,
+    keep_days: float | None = None,
+    keep_before: str | None = None,
+    rollup_run_id: str | None = None,
+) -> dict:
+    """Retention for the profile store. Continuous profiling writes one
+    tiny ``run_id=`` partition per micro-batch (streaming/dq.py:
+    profile_partial_sink), so an unvacuumed store accretes the same
+    small-file/unbounded-listing problem txtable's compact solves for
+    data — profile-over-time reads would list and scan every batch
+    forever (round-8 verdict, Next round #7).
+
+    Exactly one keep policy: ``keep_last_n`` newest runs,
+    ``keep_days`` (ISO-timestamp run ids only: cutoff = now - days,
+    compared lexicographically — valid because the write_profile
+    contract makes run_ids sort chronologically), or an explicit
+    ``keep_before`` lexicographic cutoff.
+
+    ``rollup_run_id``: instead of discarding history, MERGE the dropped
+    partitions into one partition with that run_id before deleting them
+    — valid only for PARTIAL-state partitions (profile_partial schema),
+    whose algebra is associative, so the post-vacuum
+    merge-all-then-finalize result is bit-identical to the pre-vacuum
+    one. The rollup id must sort below every retained run (it replaces
+    OLDER history; violating this would corrupt latest-run selection),
+    and must not already exist (re-merging a previous rollup with its
+    sources would double-count — a crashed vacuum is re-run by deleting
+    the half-written rollup partition first). Rollup lands before any
+    delete, so a crash never loses state.
+
+    Returns ``{"dropped": [...], "kept": [...], "rollup": ...}``."""
+    import os
+    import shutil
+
+    policies = [keep_last_n is not None, keep_days is not None, keep_before is not None]
+    if sum(policies) != 1:
+        raise ValueError("exactly one of keep_last_n | keep_days | keep_before")
+    runs = list_profile_runs(store)
+    if keep_last_n is not None:
+        drop = runs[: max(len(runs) - keep_last_n, 0)]
+    else:
+        if keep_days is not None:
+            import datetime
+
+            keep_before = (
+                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+                - datetime.timedelta(days=keep_days)
+            ).isoformat()
+        drop = [r for r in runs if r < keep_before]
+    kept = [r for r in runs if r not in set(drop)]
+    if not drop:
+        return {"dropped": [], "kept": kept, "rollup": None}
+    if rollup_run_id is not None:
+        if rollup_run_id in runs:
+            raise ValueError(
+                f"rollup run_id {rollup_run_id!r} already exists — a "
+                "re-merge would double-count; delete it first if "
+                "recovering a crashed vacuum"
+            )
+        if kept and rollup_run_id >= min(kept):
+            raise ValueError(
+                f"rollup run_id {rollup_run_id!r} must sort below every "
+                f"retained run (oldest kept: {min(kept)!r})"
+            )
+        parts = [
+            spark.read.parquet(os.path.join(store, f"run_id={r}")) for r in drop
+        ]
+        for p in parts:
+            if set(p.columns) != _PARTIAL_COLS:
+                raise ValueError(
+                    "rollup requires partial-state partitions "
+                    f"(profile_partial schema); got {sorted(p.columns)}"
+                )
+        write_profile(merge_partials(*parts), store, rollup_run_id)
+    for r in drop:
+        shutil.rmtree(os.path.join(store, f"run_id={r}"))
+    return {"dropped": drop, "kept": kept, "rollup": rollup_run_id}

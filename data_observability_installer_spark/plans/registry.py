@@ -5574,8 +5574,12 @@ def txtable_time_travel_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents quantity sum — the oracle recomputes the same numbers
     straight from lineitem, so a commit that lost/duplicated rows, a
     compaction that changed data, or a broken manifest CAS all
-    hash-mismatch. Store is seeded once per sf_dir (atomic CAS commits
-    make a half-seeded store impossible: data lands before manifests)."""
+    hash-mismatch. Store is seeded once per sf_dir; each commit is
+    atomic (data lands before manifests), and seeding RESUMES from the
+    observed version count, so a crash between the three seed commits
+    never re-runs an already-committed step (re-running step 1 would
+    append the even slice twice and permanently poison the store —
+    round-8 advice finding)."""
     import os
     import re as _re
 
@@ -5590,10 +5594,13 @@ def txtable_time_travel_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
         "lineitem",
     )
-    if len(_tx._versions(store)) < 3:
-        _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 0))
-        _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 1))
-        _tx.compact(spark, store, target_partitions=4)
+    seed_steps = [
+        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 0)),
+        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 1)),
+        lambda: _tx.compact(spark, store, target_partitions=4),
+    ]
+    for step in seed_steps[len(_tx._versions(store)):]:
+        step()
     cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
     parts = []
     for h in _tx.history(store)[:3]:

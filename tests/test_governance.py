@@ -117,3 +117,28 @@ def test_pseudonymize_quoted_salt_safe(spark):
 
     sql = pseudonymize_sql("(SELECT 'alice' AS name)", ["name"], ["name"], salt=salt)
     assert duckdb.sql(sql).fetchone()[0] == want
+
+
+def test_pseudonymize_backslash_salt_safe(spark):
+    """Round-8 ADVICE: Spark SQL expr() literals are backslash-escaped
+    while DuckDB literals are not, so a backslash salt diverged between
+    engines and a TRAILING backslash broke Spark parsing under the old
+    interpolated keep_len path. The Column-typed path must match the
+    raw md5 for both, including a salt ending in a backslash."""
+    import hashlib
+
+    import duckdb
+
+    from data_observability_installer_spark.operators.dq.governance import (
+        pseudonymize,
+        pseudonymize_sql,
+    )
+
+    for salt in ["back\\slash-v1", "trailing-backslash\\", "mix\\'d\\"]:
+        df = spark.createDataFrame([("alice",)], "name string")
+        want = "tok_" + hashlib.md5(f"{salt}:alice".encode()).hexdigest()[:16]
+        assert [r.name for r in pseudonymize(df, ["name"], salt=salt).collect()] == [want]
+        kl = pseudonymize(df, ["name"], salt=salt, keep_len=True).collect()[0].name
+        assert kl == want[: len("alice")]
+        sql = pseudonymize_sql("(SELECT 'alice' AS name)", ["name"], ["name"], salt=salt)
+        assert duckdb.sql(sql).fetchone()[0] == want

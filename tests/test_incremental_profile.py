@@ -136,3 +136,87 @@ def test_profile_store_round_trip_and_latest(spark, tmp_path):
     assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, prof2.collect()))
     # pinned read still returns the original
     assert sorted(map(tuple, read_profile(spark, store, "0001").collect())) == want
+
+
+def test_vacuum_profile_store_keep_last_n_and_rollup(spark, tmp_path):
+    """Retention for continuous profiling: per-micro-batch partial
+    partitions older than the keep window merge into ONE rollup
+    partition (associative algebra -> finalize over the vacuumed store
+    is bit-identical to the unvacuumed one), and the store's partition
+    count stops growing with stream lifetime."""
+    from data_observability_installer_spark.operators.profile import (
+        list_profile_runs,
+        read_profile,
+        vacuum_profile_store,
+        write_profile,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    store = str(tmp_path / "store" / "lineitem_partials")
+    fifths = [li.filter(F.col("l_orderkey") % 5 == i) for i in range(5)]
+    for i, part in enumerate(fifths):
+        write_profile(profile_partial(part, "lineitem"), store, f"{i:08d}")
+
+    before = finalize_profile(
+        merge_partials(*[read_profile(spark, store, f"{i:08d}") for i in range(5)]),
+        AS_OF,
+    )
+    want = sorted(map(tuple, before.collect()))
+
+    out = vacuum_profile_store(
+        spark, store, keep_last_n=2, rollup_run_id="00000000-rollup"
+    )
+    assert out["dropped"] == [f"{i:08d}" for i in range(3)]
+    runs = list_profile_runs(store)
+    assert runs == ["00000000-rollup", "00000003", "00000004"]
+
+    after = finalize_profile(
+        merge_partials(*[read_profile(spark, store, r) for r in runs]), AS_OF
+    )
+    assert sorted(map(tuple, after.collect())) == want
+
+
+def test_vacuum_profile_store_policies_and_guards(spark, tmp_path):
+    from data_observability_installer_spark.operators.profile import (
+        list_profile_runs,
+        profile,
+        read_profile,
+        vacuum_profile_store,
+        write_profile,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    store = str(tmp_path / "store" / "t")
+    for rid in ["2025-01-01T00:00:00", "2025-01-02T00:00:00", "2025-01-03T00:00:00"]:
+        write_profile(profile(df, "t", rid[:10]), store, rid)
+
+    # exactly one policy required
+    with pytest.raises(ValueError, match="exactly one"):
+        vacuum_profile_store(spark, store, keep_last_n=1, keep_days=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        vacuum_profile_store(spark, store)
+
+    # finalized-profile partitions cannot roll up (schema guard)
+    with pytest.raises(ValueError, match="partial-state"):
+        vacuum_profile_store(
+            spark, store, keep_last_n=1, rollup_run_id="2020-rollup"
+        )
+
+    # keep_before: lexicographic cutoff (== keep_days for ISO run ids)
+    out = vacuum_profile_store(spark, store, keep_before="2025-01-02")
+    assert out["dropped"] == ["2025-01-01T00:00:00"]
+    # latest-run selection (the profile_history read path) is unchanged
+    latest = read_profile(spark, store)
+    assert latest.count() > 0
+    assert list_profile_runs(store) == [
+        "2025-01-02T00:00:00", "2025-01-03T00:00:00"
+    ]
+
+    # rollup id colliding with retained-run ordering is rejected
+    with pytest.raises(ValueError, match="below every"):
+        vacuum_profile_store(
+            spark, store, keep_last_n=1, rollup_run_id="2025-06-01"
+        )
+    # no-op vacuum (nothing older than the window) returns empty drop
+    assert vacuum_profile_store(spark, store, keep_last_n=5)["dropped"] == []
