@@ -28,6 +28,18 @@ at sum(block²) like the fuzzy matcher; production blockers layer
 extra keys (phonetic, length bucket) as unions of the same one-join
 shape. Scoring is pure map-side Column arithmetic on the joined
 candidates.
+
+Cost floor: with bounded block sizes, candidate pairs — and therefore
+scoring work — grow EXACTLY linearly with row count; linear-in-pairs
+is the floor for any blocked matcher, because every emitted candidate
+must be scored (sub-linear total work would mean silently dropping
+candidates). The committed 8x scale point (~7.8x, SCALE_BENCH.json)
+is that floor, not a super-linear step. What CAN go quadratic is a
+HOT block — a prefix shared by a large fraction of rows (think
+"LLC"-style boilerplate names): ``max_block`` bounds it by excluding
+blocks larger than the cap from candidate generation, the same
+too-generic-key rule as the shingle index's ``max_df`` — an
+over-shared blocking key carries no linkage evidence.
 """
 
 from __future__ import annotations
@@ -48,6 +60,7 @@ def entity_match(
     num_weight: int = 1,
     threshold_bp: int = 6000,
     limit: int = 200,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Score candidate pairs of ``df`` against themselves; returns
     ``(id_a, id_b, name_sim_bp, score_bp)`` for pairs at or above
@@ -56,7 +69,13 @@ def entity_match(
 
     ``num_cols`` entries are ``(column, scale)`` with INTEGER-typed
     columns (quantize floats upstream with the floor(x*k+0.5) idiom)
-    — the condition for bit-stable cross-engine scores."""
+    — the condition for bit-stable cross-engine scores.
+
+    ``max_block`` (optional) excludes prefix blocks with more than that
+    many rows from candidate generation — the hot-block skew bound (see
+    module docstring). The size count groups on the same key the
+    candidate join shuffles on, so the guard rides the existing
+    exchange."""
     cat_cols = cat_cols or []
     num_cols = num_cols or []
     sides = {}
@@ -69,6 +88,16 @@ def entity_match(
         cols += [F.col(c).alias(f"{c}_{tag}") for c in cat_cols]
         cols += [F.col(c).alias(f"{c}_{tag}") for c, _ in num_cols]
         sides[tag] = df.select(*cols)
+    if max_block is not None:
+        keep = (
+            df.groupBy(
+                F.substring(F.col(name_col), 1, block_prefix).alias("blk")
+            )
+            .agg(F.count(F.lit(1)).alias("_blk_ct"))
+            .filter(F.col("_blk_ct") <= max_block)
+            .select("blk")
+        )
+        sides["a"] = sides["a"].join(keep, "blk")
     j = sides["a"].join(sides["b"], "blk").filter(F.col("id_a") < F.col("id_b"))
 
     name_sim = (
@@ -112,6 +141,7 @@ def entity_match_sql(
     num_weight: int = 1,
     threshold_bp: int = 6000,
     limit: int = 200,
+    max_block: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`entity_match` — the same prefix block and
     the same integer-bp arithmetic (// is DuckDB floor division)."""
@@ -136,6 +166,13 @@ def entity_match_sql(
         )
         total_w += num_weight
     score = f"({' + '.join(terms)}) // {total_w}"
+    blk_guard = ""
+    if max_block is not None:
+        blk_guard = (
+            f" JOIN (SELECT substring({name_col}, 1, {block_prefix}) AS blk"
+            f" FROM {table} GROUP BY 1 HAVING count(*) <= {int(max_block)}) kb"
+            f" ON substring(a.{name_col}, 1, {block_prefix}) = kb.blk"
+        )
     return f"""
     SELECT id_a, id_b, name_sim_bp, score_bp FROM (
       SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
@@ -144,7 +181,7 @@ def entity_match_sql(
       FROM {table} a JOIN {table} b
         ON substring(a.{name_col}, 1, {block_prefix})
            = substring(b.{name_col}, 1, {block_prefix})
-       AND a.{id_col} < b.{id_col})
+       AND a.{id_col} < b.{id_col}{blk_guard})
     WHERE score_bp >= {threshold_bp}
     ORDER BY score_bp DESC, id_a, id_b LIMIT {limit}
     """

@@ -205,6 +205,110 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], str]:
     return sorted(files), df.schema.json()
 
 
+def _stat_value(v):
+    """Parquet-footer statistic -> JSON-storable, order-preserving
+    value: dates/timestamps become ISO strings (lexicographic ==
+    chronological), bytes decode, numbers pass through."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def _collect_file_stats(
+    path: str, files: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols``, read from the parquet
+    FOOTERS — a metadata-only read of O(KB) per file, never a data
+    scan (the same source Delta/Iceberg data-skipping stats come
+    from). A column whose footer lacks min/max (unsupported type,
+    all-null file) is simply absent for that file, which pruning
+    treats as "cannot skip"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {
+            md.schema.column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        fstats: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    mins = []
+                    break
+                mins.append(lo)
+                maxs.append(hi)
+            if mins:
+                fstats[c] = [min(mins), max(maxs)]
+        if fstats:
+            out[f] = fstats
+    return out
+
+
+def prune_files(
+    manifest: dict, predicates: list[tuple[str, str, object]]
+) -> list[str]:
+    """Manifest file list minus files whose [min, max] stats PROVE the
+    conjunction of ``predicates`` ``(col, op, value)`` (op in =, <, <=,
+    >, >=) matches no row. Files without stats for a predicate column
+    are always kept — skipping is a pure optimization, never a filter
+    (callers still apply the row-level predicate; pruning only shrinks
+    the scan's file list, which is what makes a needle query on a
+    100 TB table read GBs instead of everything)."""
+    stats = manifest.get("stats") or {}
+    keep = []
+    for f in manifest["files"]:
+        fstats = stats.get(f) or {}
+        skip = False
+        for col, op, val in predicates:
+            rng = fstats.get(col)
+            if not rng:
+                continue
+            lo, hi = rng
+            v = _stat_value(val)
+            if v is None:
+                continue
+            if op in ("=", "=="):
+                skip = v < lo or v > hi
+            elif op == "<":
+                skip = lo >= v
+            elif op == "<=":
+                skip = lo > v
+            elif op == ">":
+                skip = hi <= v
+            elif op == ">=":
+                skip = hi < v
+            else:
+                raise ValueError(f"unsupported predicate op {op!r}")
+            if skip:
+                break
+        if not skip:
+            keep.append(f)
+    return keep
+
+
 def _publish(
     path: str,
     manifest: dict,

@@ -234,3 +234,137 @@ def out_of_sequence_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# A2 END_PAYLOAD instance conditions, streaming (the reference's third
+# condition kind, demo_helper.py:1851-1875, payload keys :1106-1116;
+# batch twin operators/obs/journeys.py:payload_instances). One instance
+# per (journey, payload_key): opens at the first START-pipeline run
+# start carrying the key, closes at the first END_PAYLOAD-pipeline run
+# end strictly after it. State is two scalars per in-flight payload
+# key; a closed key's state is garbage-collected on event-time timeout.
+# Batch's instance_id (a per-journey row_number over instance starts)
+# is presentation-layer: computing it in the stream would serialize
+# every payload key of a journey through one state partition, so the
+# streaming row is identified by its natural key (journey, payload)
+# and the parity test matches on that.
+# ---------------------------------------------------------------------------
+
+PAYLOAD_OUTPUT_SCHEMA = (
+    "journey_id string, payload_key string, instance_start timestamp, "
+    "instance_end timestamp"
+)
+PAYLOAD_STATE_SCHEMA = "open_start_us long, closed boolean"
+
+
+def _payload_instances(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    open_us, closed = state.get if state.exists else (None, False)
+
+    if state.hasTimedOut:
+        if open_us is not None and not closed:
+            # still-open payload: flush the batch operator's NULL-end row
+            yield pd.DataFrame(
+                [
+                    {
+                        "journey_id": key[0],
+                        "payload_key": key[1],
+                        "instance_start": pd.Timestamp(open_us, unit="us"),
+                        "instance_end": pd.NaT,
+                    }
+                ]
+            )
+            state.update((open_us, True))  # tombstone: one instance per key
+        else:
+            state.remove()  # closed + timed out: nothing left to guard
+        return
+
+    emit = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, kind in zip(
+            (pdf["ts"].astype("int64") // 1_000).tolist(), pdf["kind"].tolist()
+        ):
+            if closed:
+                break  # one instance per (journey, payload) — batch contract
+            if kind == "OPEN":
+                if open_us is None:
+                    open_us = ts  # event-time order => first OPEN == min start
+            elif open_us is not None and ts > open_us:
+                # first END_PAYLOAD run end strictly after the open
+                emit = (open_us, ts)
+                closed = True
+    if emit is not None:
+        yield pd.DataFrame(
+            [
+                {
+                    "journey_id": key[0],
+                    "payload_key": key[1],
+                    "instance_start": pd.Timestamp(emit[0], unit="us"),
+                    "instance_end": pd.Timestamp(emit[1], unit="us"),
+                }
+            ]
+        )
+    state.update((open_us, closed))
+    wm = state.getCurrentWatermarkMs()
+    anchor = (open_us or 0) // 1000
+    state.setTimeoutTimestamp(max(anchor + 24 * 3600 * 1000, wm + 1))
+
+
+def payload_instance_stream(
+    events: DataFrame, conditions: list[dict], watermark: str = "2 hours"
+) -> DataFrame:
+    """OBS_EVENT stream + END_PAYLOAD instance conditions -> one
+    instance row per (journey, payload_key). ``conditions`` is
+    metadata-sized ``{journey_id, action: START|END_PAYLOAD,
+    batch_pipeline}`` dicts, compiled driver-side into literal CASE
+    chains; ``payload_keys`` (array per event) explodes JVM-side, so
+    only tagged boundary rows — run-level RUNNING on a START pipeline,
+    run-level COMPLETED/FAILED on an END_PAYLOAD pipeline — reach the
+    Python state function."""
+    start_of = {
+        c["batch_pipeline"]: c["journey_id"]
+        for c in conditions
+        if c["action"] == "START"
+    }
+    endp_of = {
+        c["batch_pipeline"]: c["journey_id"]
+        for c in conditions
+        if c["action"] == "END_PAYLOAD"
+    }
+
+    def lookup(mapping: dict) -> F.Column:
+        expr = F.lit(None).cast("string")
+        for pipe, journey in mapping.items():
+            expr = F.when(F.col("pipeline_key") == pipe, F.lit(journey)).otherwise(expr)
+        return expr
+
+    run_level = F.col("task_key").isNull()
+    opens = (F.col("status") == "RUNNING") & run_level
+    closes = F.col("status").isin("COMPLETED", "FAILED") & run_level
+    tagged = (
+        events.filter(
+            (F.col("event_type") == "RUN_STATUS")
+            & F.col("payload_keys").isNotNull()
+        )
+        .withColumn(
+            "journey_id",
+            F.when(opens, lookup(start_of)).when(closes, lookup(endp_of)),
+        )
+        .withColumn("kind", F.when(opens, F.lit("OPEN")).otherwise(F.lit("CLOSE")))
+        .filter(F.col("journey_id").isNotNull())
+        .select(
+            "journey_id",
+            F.explode("payload_keys").alias("payload_key"),
+            "kind",
+            F.col("event_timestamp").alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    return tagged.groupBy("journey_id", "payload_key").applyInPandasWithState(
+        _payload_instances,
+        PAYLOAD_OUTPUT_SCHEMA,
+        PAYLOAD_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -158,3 +158,40 @@ def test_entity_match_multi_field_scoring(spark):
     assert got[(1, 2)][1] > got[(1, 3)][1]
     # different block: (1,4) never compared
     assert (1, 4) not in got
+
+
+def test_entity_match_max_block_drops_hot_blocks(spark):
+    """Hot-block skew guard: a prefix shared by too many rows carries
+    no linkage evidence and would cost block^2 comparisons — max_block
+    excludes it from candidate generation on BOTH engines, leaving
+    normal blocks untouched."""
+    import duckdb
+
+    from data_observability_installer_spark.operators.linkage import (
+        entity_match,
+        entity_match_sql,
+    )
+
+    hot = [(i, f"llc b{i:03d}", 1, 0) for i in range(10)]  # prefix "llc b" x10
+    cold = [(100, "acme corp", 1, 0), (101, "acme core", 1, 0)]
+    df = spark.createDataFrame(
+        hot + cold, "id int, name string, cat int, cents long"
+    )
+    kw = dict(block_prefix=5, cat_cols=["cat"], num_cols=[("cents", 10000)],
+              threshold_bp=0, limit=500)
+    uncapped = entity_match(df, "id", "name", **kw).collect()
+    capped = entity_match(df, "id", "name", max_block=5, **kw).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    assert len(uncapped) == 45 + 1  # C(10,2) hot pairs + the cold pair
+
+    # SQL twin agrees under the same cap
+    values = ", ".join(
+        f"({i}, '{n}', {c}, {x})" for i, n, c, x in hot + cold
+    )
+    got = duckdb.sql(
+        entity_match_sql(
+            f"(SELECT * FROM (VALUES {values}) v(id, name, cat, cents))",
+            "id", "name", max_block=5, **kw,
+        )
+    ).fetchall()
+    assert {(a, b) for a, b, *_ in got} == {(100, 101)}

@@ -1023,3 +1023,91 @@ def test_streaming_profile_partials_merge_to_batch_profile(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 20  # real metric coverage, not an empty frame
+
+
+def test_parity_payload_instances_vs_batch(spark, tmp_path):
+    """A2 END_PAYLOAD streaming port: the same events replayed through
+    payload_instance_stream must produce exactly the batch operator's
+    CLOSED instance windows per (journey, payload_key) — including the
+    strictly-after close rule (an END run ending AT the instance start
+    closes nothing) and ignoring payload keys that never saw a START."""
+    import time as _time
+
+    from data_observability_installer_spark.operators.obs.journeys import (
+        payload_instances,
+    )
+    from data_observability_installer_spark.operators.obs.rollup import (
+        run_state_rollup,
+    )
+    from data_observability_installer_spark.streaming.journeys import (
+        payload_instance_stream,
+    )
+
+    def ev(eid, ts_h, ts_m, pipe, run, status, keys):
+        return {
+            "event_id": eid,
+            "event_type": "RUN_STATUS",
+            "event_timestamp": f"2024-03-01T{ts_h:02d}:{ts_m:02d}:00.000Z",
+            "pipeline_key": pipe,
+            "run_key": run,
+            "status": status,
+            "payload_keys": keys,
+        }
+
+    early = [
+        ev(1, 0, 0, "S", "s:1", "RUNNING", ["p1", "p2"]),
+        # END run ending exactly AT p1's instance start: must NOT close
+        ev(2, 0, 0, "E", "e:0", "COMPLETED", ["p1"]),
+        ev(3, 1, 0, "S", "s:1", "COMPLETED", ["p1", "p2"]),
+        ev(4, 2, 0, "E", "e:1", "RUNNING", ["p1"]),
+    ]
+    late = [
+        ev(5, 3, 0, "E", "e:1", "COMPLETED", ["p1"]),
+        ev(6, 4, 0, "E", "e:2", "RUNNING", ["p2"]),
+        ev(7, 5, 0, "S", "s:2", "RUNNING", ["p3"]),  # never closes
+        ev(8, 5, 30, "S", "s:2", "COMPLETED", ["p3"]),
+        ev(9, 6, 0, "E", "e:2", "COMPLETED", ["p2"]),
+        ev(10, 7, 0, "E", "e:3", "COMPLETED", ["p4"]),  # END w/o START
+    ]
+    src = tmp_path / "payload_events"
+    src.mkdir()
+    import json as _json
+
+    (src / "a.json").write_text("\n".join(_json.dumps(e) for e in early))
+    _time.sleep(1.1)  # file-source order follows mtime @ 1 s
+    (src / "b.json").write_text("\n".join(_json.dumps(e) for e in late))
+
+    conds = [
+        {"journey_id": "j", "action": "START", "batch_pipeline": "S"},
+        {"journey_id": "j", "action": "END_PAYLOAD", "batch_pipeline": "E"},
+    ]
+    stream = (
+        spark.readStream.schema(OBS_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = _run_stream(
+        spark, payload_instance_stream(stream, conds), "append", "payload_parity"
+    )
+    got = {
+        (r.journey_id, r.payload_key, r.instance_start, r.instance_end)
+        for r in out.collect()
+        if r.instance_end is not None
+    }
+
+    batch_events = spark.read.schema(OBS_EVENT).json(str(src))
+    cond_df = spark.createDataFrame(
+        [(c["journey_id"], c["action"], c["batch_pipeline"]) for c in conds],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    payloads = batch_events.select(
+        "run_key", F.explode("payload_keys").alias("payload_key")
+    ).distinct()
+    batch = payload_instances(run_state_rollup(batch_events), cond_df, payloads)
+    want = {
+        (r.journey_id, r.payload_key, r.instance_start, r.instance_end)
+        for r in batch.collect()
+        if r.instance_end is not None
+    }
+    assert got == want
+    assert {p for _, p, *_ in got} == {"p1", "p2"}  # p3 open, p4 ignored

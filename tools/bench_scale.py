@@ -416,6 +416,22 @@ OPS = {
 }
 
 
+# Interpretation notes carried into the artifact next to the numbers
+# they qualify (a curve without its floor argument reads as a defect).
+NOTES = {
+    "entity_match_customer": (
+        "linear-in-pairs IS the floor for blocked linkage: the fixture "
+        "holds block sizes constant, so candidate pairs — every one of "
+        "which must be scored — grow exactly with N, and the ~8x@8x "
+        "ratio measures that floor, not a super-linear step. The "
+        "separate scale risk (a HOT block growing with the data) is "
+        "bounded by entity_match(max_block=...), which excludes "
+        "over-shared prefixes from candidate generation (tested in "
+        "tests/test_relational.py)."
+    ),
+}
+
+
 def main() -> None:
     import argparse
 
@@ -492,6 +508,8 @@ def main() -> None:
             # factors list, so each op records which factors ITS
             # numbers actually come from
             timings["factors"] = factors
+            if name in NOTES:
+                timings["note"] = NOTES[name]
             results[name] = timings
             print(name, timings)
     finally:

@@ -114,6 +114,13 @@ def run_streaming(spark, stream_df, mode: str, name: str):
         .trigger(availableNow=True)
         .start()
     )
+    return _drain(q, lambda: spark.table(name).count())
+
+
+def _drain(q, output_rows_fn):
+    """Await a started query and distill its progress telemetry —
+    shared by the memory-sink ops above and the foreachBatch SINKS
+    (profile store, txtable), whose writer is part of the operator."""
     q.awaitTermination(600)
     prog = [
         p if isinstance(p, dict) else json.loads(p.json if hasattr(p, "json") else str(p))
@@ -130,7 +137,7 @@ def run_streaming(spark, stream_df, mode: str, name: str):
         for p in batches
         if "triggerExecution" in p.get("durationMs", {})
     )
-    out_rows = spark.table(name).count()
+    out_rows = output_rows_fn()
     # state-store telemetry from the LAST progress carrying it: peak
     # keyed-state rows and memory — the empirical check on the "state
     # is O(active keys), not O(stream length)" claim
@@ -373,6 +380,119 @@ def main() -> None:
     ops["out_of_sequence"]["batch_twin_s"] = timed_batch(
         lambda: out_of_sequence(assigned_runs(batch_df), closure_df).count()
     )
+
+    # round-9: A2 END_PAYLOAD — per-(journey, payload_key) two-scalar
+    # state; remap the replay onto one START and one END_PAYLOAD
+    # pipeline with ~20k payload keys so state cardinality is the
+    # payload-key space, not the event count
+    from data_observability_installer_spark.operators.obs.journeys import (
+        payload_instances,
+    )
+    from data_observability_installer_spark.operators.obs.rollup import (
+        run_state_rollup,
+    )
+    from data_observability_installer_spark.streaming.journeys import (
+        payload_instance_stream,
+    )
+
+    _PL_CONDS = [
+        {"journey_id": "jp", "action": "START", "batch_pipeline": "P0"},
+        {"journey_id": "jp", "action": "END_PAYLOAD", "batch_pipeline": "P1"},
+    ]
+
+    def payload_events(df):
+        return df.withColumn(
+            "pipeline_key", F.concat(F.lit("P"), F.pmod("event_id", F.lit(2)))
+        ).withColumn(
+            "payload_keys",
+            F.array(F.concat(F.lit("pl_"), F.pmod("event_id", F.lit(20000)))),
+        )
+
+    ops["payload_instances"] = run_streaming(
+        spark,
+        payload_instance_stream(payload_events(read_stream()), _PL_CONDS,
+                                watermark="2 hours"),
+        "append",
+        "sb_payload",
+    )
+    _pl_batch = payload_events(batch_df)
+    _pl_cond_df = spark.createDataFrame(
+        [(c["journey_id"], c["action"], c["batch_pipeline"]) for c in _PL_CONDS],
+        "journey_id string, action string, batch_pipeline string",
+    )
+    ops["payload_instances"]["batch_twin_s"] = timed_batch(
+        lambda: payload_instances(
+            run_state_rollup(_pl_batch),
+            _pl_cond_df,
+            _pl_batch.select(
+                "run_key", F.explode("payload_keys").alias("payload_key")
+            ).distinct(),
+        ).count()
+    )
+
+    # round-9: the two foreachBatch SINKS the round-8 verdict wanted
+    # telemetry for. Zero keyed state by design (durability lives in the
+    # store/commit log), so the interesting numbers are throughput and
+    # per-batch store growth.
+    import shutil
+    import tempfile as _tf
+
+    from data_observability_installer_spark.operators.profile import (
+        list_profile_runs,
+    )
+    from data_observability_installer_spark.sources import txtable as _tx
+    from data_observability_installer_spark.streaming.dq import (
+        profile_partial_sink,
+    )
+
+    sink_root = _tf.mkdtemp(prefix="stream_bench_sinks_")
+    pstore = os.path.join(sink_root, "profile_store")
+    q = profile_partial_sink(
+        read_stream().select("event_timestamp", "pipeline_key", "metric_value"),
+        pstore,
+        os.path.join(sink_root, "ckpt_profile"),
+        "events_replay",
+        availableNow=True,
+    )
+    ops["profile_partial_sink"] = _drain(
+        q,
+        lambda: spark.read.parquet(pstore).count(),
+    )
+    ops["profile_partial_sink"]["store_partitions"] = len(list_profile_runs(pstore))
+    from data_observability_installer_spark.operators.profile import profile_partial
+
+    ops["profile_partial_sink"]["batch_twin_s"] = timed_batch(
+        lambda: profile_partial(
+            batch_df.select("event_timestamp", "pipeline_key", "metric_value"),
+            "events_replay",
+        ).count()
+    )
+
+    tpath = os.path.join(sink_root, "txtable")
+    q = _tx.txtable_sink(
+        read_stream().select("event_id", "event_timestamp", "pipeline_key",
+                             "status", "metric_value"),
+        tpath,
+        os.path.join(sink_root, "ckpt_txtable"),
+        availableNow=True,
+    )
+    ops["txtable_sink"] = _drain(
+        q, lambda: _tx.read_table(spark, tpath).count()
+    )
+    hist = _tx.history(tpath)
+    ops["txtable_sink"]["commits"] = len(hist)
+    ops["txtable_sink"]["files_per_commit_avg"] = round(
+        sum(h["added"] for h in hist) / max(len(hist), 1), 2
+    )
+    ops["txtable_sink"]["batch_twin_s"] = timed_batch(
+        lambda: _tx.write_table(
+            spark,
+            os.path.join(sink_root, "txtable_batch"),
+            batch_df.select("event_id", "event_timestamp", "pipeline_key",
+                            "status", "metric_value"),
+        )
+    )
+    shutil.rmtree(sink_root, ignore_errors=True)
 
     result = {
         "metric": "stream_bench",
