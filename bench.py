@@ -222,6 +222,8 @@ HEADLINE = [
     "threshold_sweep_documents",
     "profile_history_lineitem",
     "profile_incremental_stored_lineitem",
+    # round-9 additions
+    "txtable_skipping_lineitem",
 ]
 
 

@@ -5618,6 +5618,73 @@ def txtable_time_travel_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+@register(
+    "txtable_skipping_lineitem",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def txtable_skipping_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping through the txtable manifest: lineitem lands as
+    four commits bucketed by ship-date range with per-file [min, max]
+    l_shipdate stats (read from the parquet FOOTERS at commit time —
+    no data scan), and the query opens the table with a ship-date
+    predicate, so the planner-level file pruning drops the three
+    out-of-range buckets before Spark plans the scan. The row-level
+    filter still applies (pruning is an optimization, never a filter),
+    and the oracle recomputes the same aggregate straight from
+    lineitem — a pruning bug that dropped a file with matching rows
+    hash-mismatches immediately. Seeding resumes from the observed
+    version count (same crash-safety as the time-travel store). The
+    pruned-vs-total file-count gate is tests/test_txtable.py."""
+    import os
+    import re as _re
+
+    from ..sources import txtable as _tx
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    store = os.path.join(
+        "spark-warehouse",
+        "txtable_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_by_shipdate",
+    )
+    buckets = [
+        "l_shipdate <  TIMESTAMP'1997-01-01'",
+        "l_shipdate >= TIMESTAMP'1997-01-01' AND l_shipdate < TIMESTAMP'1999-01-01'",
+        "l_shipdate >= TIMESTAMP'1999-01-01' AND l_shipdate < TIMESTAMP'2001-01-01'",
+        "l_shipdate >= TIMESTAMP'2001-01-01'",
+    ]
+    done = len(_tx._versions(store))
+    for cond in buckets[done:]:
+        _tx.write_table(
+            spark, store, li.filter(F.expr(cond)), stats_cols=["l_shipdate"]
+        )
+    return (
+        _tx.read_table(
+            spark, store, predicates=[("l_shipdate", ">=", "2001-01-01T00:00:00")]
+        )
+        .filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate ordering. The driver's correctness gate hard-checks only the
 # FIRST 50 registrations, so insertion order decides which operators get

@@ -64,6 +64,18 @@ reach past the retention horizon raise the named
 :class:`VacuumedVersionError` instead of a bare missing-parent error
 (round-8 verdict, What's wrong #2).
 
+Data skipping: commits made with ``stats_cols=`` record per-file
+[min, max] column stats in the manifest — harvested from the parquet
+FOOTERS the write already produced (a metadata-only read, never a
+data scan). :func:`read_table` with ``predicates=`` prunes the file
+list against those stats before Spark ever plans the scan, the same
+planning-time skipping Delta/Iceberg do; on a needle query against a
+wide time range this is the difference between reading one file and
+reading the table. Stats ride the manifest merge on every path
+(append carries the head's entries, compact/merge recompute for their
+rewritten files, the stream sink keeps collecting the tracked
+columns).
+
 At 100 TB: manifests carry file LISTS (metadata-sized, thousands of
 entries, not rows); data writes are fully distributed; the commit
 itself is one O(1) driver CAS. Readers never pay a directory listing
@@ -193,7 +205,13 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], str]:
     """Write df as immutable parquet under data/<uuid>/ and return the
-    part-file names (relative to the table root) plus the schema."""
+    part-file names (relative to the table root) plus the schema.
+    Zero-row part files (Spark writes one per empty partition) are left
+    out of the manifest: they can contribute nothing to any scan, they
+    have no footer stats to skip on, and at scale empty-partition
+    debris is a real file-count tax."""
+    import pyarrow.parquet as pq
+
     sub = os.path.join(_DATA, uuid.uuid4().hex)
     out = os.path.join(path, sub)
     df.write.mode("error").parquet(out)
@@ -201,6 +219,7 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], str]:
         os.path.join(sub, f)
         for f in os.listdir(out)
         if f.endswith(".parquet")
+        and pq.ParquetFile(os.path.join(out, f)).metadata.num_rows > 0
     ]
     return sorted(files), df.schema.json()
 
@@ -240,10 +259,7 @@ def _collect_file_stats(
     out: dict[str, dict[str, list]] = {}
     for f in files:
         md = pq.ParquetFile(os.path.join(path, f)).metadata
-        idx = {
-            md.schema.column(i).path_in_schema: i
-            for i in range(md.num_columns)
-        }
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
         fstats: dict[str, list] = {}
         for c in stats_cols:
             if c not in idx:
@@ -366,6 +382,7 @@ def write_table(
     df: DataFrame,
     mode: str = "append",
     backend: CommitBackend | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the table. ``mode='append'`` adds its files to
     the current snapshot's list; ``mode='overwrite'`` replaces the
@@ -373,13 +390,24 @@ def write_table(
     leaves the previous version intact. On a lost commit race the loop
     re-reads the NEW head, re-checks schema compatibility, and rebuilds
     ``base_files`` from it — the data files need no rewrite, only the
-    manifest merge. Returns the committed version."""
+    manifest merge. Returns the committed version.
+
+    ``stats_cols``: record per-file [min, max] for these columns in the
+    manifest (footer-read, no data scan) so :func:`read_table` with
+    ``predicates=`` can skip files — data skipping, the reason a
+    point/range query on a huge table reads a sliver of it. Appends
+    inherit the head's stats for files they carry, and pass
+    ``stats_cols=None`` with the same columns to keep collecting (the
+    column set defaults to what the table already tracks)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     files, schema = _write_data_files(df, path)
+    own_stats: dict | None = None
     for _ in range(_RETRIES):
         base_files: list[str] = []
+        base_stats: dict = {}
         parent_v = 0
+        cols = stats_cols
         if _versions(path):
             cur = read_manifest(path)
             parent_v = cur["version"]
@@ -390,33 +418,51 @@ def write_table(
                         "overwrite or migrate explicitly"
                     )
                 base_files = cur["files"]
+                base_stats = cur.get("stats") or {}
+                if cols is None and base_stats:
+                    # keep tracking whatever the table already tracks
+                    cols = sorted({c for s in base_stats.values() for c in s})
+        if own_stats is None:
+            own_stats = _collect_file_stats(path, files, cols) if cols else {}
+        manifest = {"op": mode, "files": base_files + files, "schema": schema,
+                    "added": len(files), "added_files": files}
+        if base_stats or own_stats:
+            manifest["stats"] = {
+                **{f: s for f, s in base_stats.items() if f in set(base_files)},
+                **own_stats,
+            }
         try:
-            return _publish(
-                path,
-                {"op": mode, "files": base_files + files, "schema": schema,
-                 "added": len(files), "added_files": files},
-                parent_v,
-                backend,
-            )
+            return _publish(path, manifest, parent_v, backend)
         except VersionClaimedError:
             continue  # rebuild base_files from the racer's head
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicates: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot read: pin one manifest (latest by default, or a
     time-travel ``version``) and scan exactly its file list. The
     DataFrame stays valid across later commits/compactions because
     data files are immutable (vacuum is the only thing that can
-    invalidate a sufficiently old pinned snapshot)."""
+    invalidate a sufficiently old pinned snapshot).
+
+    ``predicates`` (``[(col, op, value)]``, ANDed) activates data
+    skipping: files whose manifest [min, max] stats prove zero matches
+    are dropped from the scan BEFORE Spark plans it. Pruning is an
+    optimization, not a filter — rows from kept files still need the
+    caller's row-level predicate (a kept file merely MIGHT contain
+    matches)."""
     m = read_manifest(path, version)
-    if not m["files"]:
+    files = prune_files(m, predicates) if predicates else m["files"]
+    if not files:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*[os.path.join(path, f) for f in m["files"]])
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
 def _appends_since(path: str, base_version: int, head_version: int) -> list[str]:
@@ -452,17 +498,22 @@ def compact(
     base = read_manifest(path)
     cur = read_table(spark, path, version=base["version"])
     files, schema = _write_data_files(cur.repartition(target_partitions), path)
+    cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
+    own_stats = _collect_file_stats(path, files, cols) if cols else {}
     for _ in range(_RETRIES):
         head = read_manifest(path)
         carried = _appends_since(path, base["version"], head["version"])
+        manifest = {"op": "compact", "files": files + carried,
+                    "schema": schema, "added": len(files),
+                    "added_files": files}
+        head_stats = head.get("stats") or {}
+        if own_stats or head_stats:
+            manifest["stats"] = {
+                **{f: s for f, s in head_stats.items() if f in set(carried)},
+                **own_stats,
+            }
         try:
-            return _publish(
-                path,
-                {"op": "compact", "files": files + carried, "schema": schema,
-                 "added": len(files), "added_files": files},
-                head["version"],
-                backend,
-            )
+            return _publish(path, manifest, head["version"], backend)
         except VersionClaimedError:
             continue  # a racer landed mid-publish; carry its appends too
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
@@ -539,14 +590,13 @@ def merge_cdc(
             updates.select(*key_cols), key_cols, "left_anti"
         ).unionByName(survivors)
         files, schema = _write_data_files(merged, path)
+        cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
+        manifest = {"op": "merge", "files": files, "schema": schema,
+                    "added": len(files), "added_files": files}
+        if cols:
+            manifest["stats"] = _collect_file_stats(path, files, cols)
         try:
-            return _publish(
-                path,
-                {"op": "merge", "files": files, "schema": schema,
-                 "added": len(files), "added_files": files},
-                base["version"],
-                backend,
-            )
+            return _publish(path, manifest, base["version"], backend)
         except VersionClaimedError:
             continue  # stale snapshot basis: redo the merge on the new head
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
@@ -614,16 +664,21 @@ def commit_stream_batch(
         if files is None:
             files, schema = _write_data_files(df, path)
         head = read_manifest(path) if vs else None
+        head_stats = (head.get("stats") or {}) if head else {}
+        cols = sorted({c for s in head_stats.values() for c in s})
+        manifest = {"op": "stream_append",
+                    "files": (head["files"] if head else []) + files,
+                    "schema": schema, "added": len(files),
+                    "added_files": files, "batch_id": batch_id}
+        if head_stats:
+            manifest["stats"] = {
+                **{f: s for f, s in head_stats.items()
+                   if f in set(head["files"])},
+                **(_collect_file_stats(path, files, cols) if cols else {}),
+            }
         try:
-            return _publish(
-                path,
-                {"op": "stream_append",
-                 "files": (head["files"] if head else []) + files,
-                 "schema": schema, "added": len(files),
-                 "added_files": files, "batch_id": batch_id},
-                head["version"] if head else 0,
-                backend,
-            )
+            return _publish(path, manifest, head["version"] if head else 0,
+                            backend)
         except VersionClaimedError:
             continue  # re-read head AND re-check batch_id dedupe
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")

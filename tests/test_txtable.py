@@ -411,3 +411,121 @@ def test_txtable_random_command_sequences_match_model(spark, tmp_path):
     # every retained version still reads as the model state it froze
     for v, m in snapshots.items():
         assert _rows(read_table(spark, t, version=v)) == sorted(m.items()), v
+
+
+def test_data_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """stats_cols records per-file [min,max] from the parquet footers;
+    read_table(predicates=) drops files the stats PROVE empty for the
+    predicate and keeps everything else — pruning + the row filter must
+    equal the unpruned scan + the same filter."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    t = str(tmp_path / "t")
+    # three commits with disjoint key ranges -> disjoint file stats
+    for lo in (0, 100, 200):
+        write_table(
+            spark, t,
+            spark.createDataFrame([(lo + i, f"v{lo+i}") for i in range(10)],
+                                  "k int, v string"),
+            stats_cols=["k"],
+        )
+    m = read_manifest(t)
+    assert all("k" in s for s in m["stats"].values())
+    assert set(m["stats"]) == set(m["files"])
+
+    pred = [("k", ">=", 200)]
+    kept = prune_files(m, pred)
+    assert 0 < len(kept) < len(m["files"])  # pruned, not filtered away
+
+    pruned = read_table(spark, t, predicates=pred).filter("k >= 200")
+    full = read_table(spark, t).filter("k >= 200")
+    assert _rows(pruned) == _rows(full) and pruned.count() == 10
+
+    # equality and upper-bound predicates prune (each commit writes
+    # several part files, so per-file ranges are finer than per-commit
+    # — the exact kept count depends on write parallelism)
+    eq_kept = prune_files(m, [("k", "=", 105)])
+    assert 0 < len(eq_kept) < len(m["files"])
+    assert read_table(spark, t, predicates=[("k", "=", 105)]).filter(
+        "k = 105"
+    ).count() == 1
+    lt_kept = prune_files(m, [("k", "<", 100)])
+    assert 0 < len(lt_kept) < len(m["files"])
+    assert read_table(spark, t, predicates=[("k", "<", 100)]).filter(
+        "k < 100"
+    ).count() == 10
+    # conjunction proving emptiness -> empty DataFrame with the schema
+    assert read_table(
+        spark, t, predicates=[("k", ">", 500)]
+    ).count() == 0
+
+    # a file without stats for the column is always kept (safety)
+    m2 = dict(m)
+    m2["stats"] = {f: s for f, s in m["stats"].items() if f != m["files"][0]}
+    assert m["files"][0] in prune_files(m2, [("k", ">=", 9999)])
+
+
+def test_data_skipping_stats_survive_append_compact_merge_stream(spark, tmp_path):
+    """Stats ride every commit path: appends inherit the tracked column
+    set, compact/merge recompute for rewritten files, the stream-batch
+    commit keeps collecting — and pruning still answers correctly after
+    each op."""
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        prune_files,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(
+        spark, t, spark.createDataFrame([(1,), (2,)], "k int"),
+        stats_cols=["k"],
+    )
+    # append WITHOUT stats_cols keeps tracking k (inherited column set)
+    write_table(spark, t, spark.createDataFrame([(100,), (101,)], "k int"))
+    m = read_manifest(t)
+    assert set(m["stats"]) == set(m["files"])
+
+    commit_stream_batch(t, spark.createDataFrame([(200,)], "k int"), batch_id=0)
+    m = read_manifest(t)
+    assert set(m["stats"]) == set(m["files"])
+    assert len(prune_files(m, [("k", ">=", 200)])) < len(m["files"])
+
+    compact(spark, t, target_partitions=1)
+    m = read_manifest(t)
+    assert set(m["stats"]) == set(m["files"]) and m["op"] == "compact"
+
+    merge_cdc(spark, t, spark.createDataFrame([(1,)], "k int"), ["k"])
+    m = read_manifest(t)
+    assert set(m["stats"]) == set(m["files"]) and m["op"] == "merge"
+    # post-compact the survivors share one wide-range file, so pruning
+    # keeps it (pruning is never a filter) — the ROW filter still rules
+    assert _rows(
+        read_table(spark, t, predicates=[("k", ">=", 100)]).filter("k >= 100")
+    ) == [(100,), (101,), (200,)]
+
+
+def test_data_skipping_date_stats(spark, tmp_path):
+    """Date columns prune via ISO-string stats (lexicographic ==
+    chronological); predicate values may be date objects or ISO
+    strings."""
+    import datetime as _dt
+
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    t = str(tmp_path / "t")
+    for y in (2023, 2024, 2025):
+        write_table(
+            spark, t,
+            spark.createDataFrame(
+                [(_dt.date(y, m, 1), y * 100 + m) for m in (1, 6, 12)],
+                "d date, x int",
+            ),
+            stats_cols=["d"],
+        )
+    m = read_manifest(t)
+    kept = prune_files(m, [("d", ">=", _dt.date(2025, 1, 1))])
+    assert 0 < len(kept) < len(m["files"])
+    got = read_table(
+        spark, t, predicates=[("d", ">=", "2025-01-01")]
+    ).filter("d >= DATE'2025-01-01'")
+    assert got.count() == 3
