@@ -224,6 +224,7 @@ HEADLINE = [
     "profile_incremental_stored_lineitem",
     # round-9 additions
     "txtable_skipping_lineitem",
+    "topk_pq_embeddings",
 ]
 
 

@@ -1549,3 +1549,213 @@ def embedding_drift_sql(table: str, side_sql: str, id_col: str = "vec_id") -> st
              CAST(floor(sqrt(b2) / n_b + 0.5) AS BIGINT) END AS norm_mean_b_e6
     FROM tot
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 64-dim vector splits into PQ_M
+# subspaces, each encoded as the id of its nearest codebook centroid —
+# PQ_M small ints per vector (4 bytes at PQ_K=16) against 256 bytes of
+# float32, a 64x at-rest compression, with query-time scoring done as
+# PQ_M table lookups per row (asymmetric distance computation). The
+# two-phase shape mirrors topk_int8: rank everything on the compressed
+# representation, then exact-rescore only rescore*k candidates.
+# Codebooks are integer literals in the IVF_SCALE grid, so encode,
+# LUT build, and ADC are pure int64 arithmetic — bit-equal on every
+# engine (the same determinism contract as the IVF family). At 100 TB
+# the codes table is the thing you scan (pq_encode is the ingest-time
+# pass); the float vectors are cold storage touched only by the
+# rescore point-lookups.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces (64 dims -> 8 per subspace)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+
+
+def pq_codebooks(
+    dim: int = _DIM, m: int = PQ_M, k: int = PQ_K, seed: int = 123
+) -> list[list[list[int]]]:
+    """Deterministic 'pre-trained' INTEGER codebooks (one list of k
+    centroids per subspace, components in the IVF_SCALE grid). Like
+    ivf_centroids, this is the shipped-constants shape real systems
+    use at query time; swap in offline-trained books via the
+    ``books=`` seam."""
+    rs = np.random.RandomState(seed)
+    d = dim // m
+    return [
+        [
+            [int(math.floor(x * IVF_SCALE + 0.5)) for x in c]
+            for c in rs.uniform(-1, 1, (k, d))
+        ]
+        for _ in range(m)
+    ]
+
+
+def _pq_code_exprs(eq_sql: str, books: list[list[list[int]]]) -> list[str]:
+    """Per-subspace nearest-centroid assignment, each as ONE parsed
+    int64 expression (the _argmin_bucket_sql min-encode idiom)."""
+    m = len(books)
+    d = len(books[0][0])
+    out = []
+    for j in range(m):
+        sub = f"slice({eq_sql}, {j * d + 1}, {d})"
+        out.append(
+            _argmin_bucket_sql(sub, {i: c for i, c in enumerate(books[j])}, len(books[j]))
+        )
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ingest-time PQ encoding: (id, codes array<int>) — the compressed
+    index a production deployment stores and scans instead of the float
+    vectors. One projection pass, no shuffle."""
+    books = books or pq_codebooks()
+    eq = _quant_sql("embedding")
+    codes = ", ".join(_pq_code_exprs(eq, books))
+    return embeddings.selectExpr(
+        f"{id_col} AS vid", f"array({codes}) AS codes"
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Top-k cosine via PQ + asymmetric distance computation: the
+    query row builds a PQ_M x PQ_K lookup table of exact int64 squared
+    distances from its quantized subvectors to every codebook centroid
+    (ONE row's work, broadcast), every corpus row pays PQ_M lookups on
+    its codes, and the smallest ``rescore * k`` approximate distances
+    are exact-rescored against the full-precision vectors — the
+    compressed-scan/point-lookup split of topk_int8, at 1/64 instead
+    of 1/4 of the bytes. Candidate and final ranking use the min-int /
+    rounded-score + id-tiebreak idioms, so the DuckDB twin replays
+    both phases bit-for-bit."""
+    books = books or pq_codebooks()
+    m, d = len(books), len(books[0][0])
+    eq = _quant_sql("embedding")
+    code_exprs = _pq_code_exprs("eq", books)
+    corpus = embeddings.selectExpr(
+        f"{id_col} AS vid", "embedding", f"{eq} AS eq"
+    ).selectExpr(
+        "vid",
+        *[f"{ce} AS code{j}" for j, ce in enumerate(code_exprs)],
+    )
+    lut_exprs = []
+    for j in range(m):
+        sub = f"slice(eq, {j * d + 1}, {d})"
+        dists = ", ".join(_sqdist_lits_sql(sub, c) for c in books[j])
+        lut_exprs.append(f"array({dists}) AS lut{j}")
+    qlut = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .selectExpr(f"{eq} AS eq")
+        .selectExpr(*lut_exprs)
+    )
+    adist = " + ".join(f"element_at(lut{j}, code{j} + 1)" for j in range(m))
+    cands = (
+        corpus.filter(F.col("vid") != query_id)
+        .crossJoin(F.broadcast(qlut))
+        .selectExpr("vid", f"({adist}) AS adist")
+        .orderBy(F.asc("adist"), F.asc("vid"))
+        .limit(rescore * k)
+        .select("vid")
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qfull = full.filter((F.col("vid") == query_id) & (F.col("nrm") > 0)).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    exact = (
+        full.filter(F.col("nrm") > 0)
+        .join(F.broadcast(cands), "vid")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vid",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+    )
+    return (
+        exact.orderBy(F.desc("score"), F.asc("vid"))
+        .limit(k)
+        .select(F.col("vid").alias(id_col), "score")
+    )
+
+
+def topk_pq_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`topk_pq`: identical integer codebooks,
+    min-encoded argmin assignment, LUT build on the query row, ADC
+    sum, and rounded-cosine rescore."""
+    books = books or pq_codebooks()
+    m, d = len(books), len(books[0][0])
+    kc = len(books[0])
+
+    def lit(c: list[int]) -> str:
+        return "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+
+    def sqd(sub: str, c: list[int]) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sub}, {lit(c)}), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+        )
+
+    code_cols = []
+    for j in range(m):
+        sub = f"eq[{j * d + 1}:{(j + 1) * d}]"
+        terms = ", ".join(
+            f"({sqd(sub, c)} * {kc} + {i})" for i, c in enumerate(books[j])
+        )
+        code_cols.append(f"CAST(least({terms}) % {kc} AS INT) AS code{j}")
+    lut_cols = []
+    for j in range(m):
+        sub = f"eq[{j * d + 1}:{(j + 1) * d}]"
+        dists = ", ".join(sqd(sub, c) for c in books[j])
+        lut_cols.append(f"[{dists}] AS lut{j}")
+    adist = " + ".join(f"lut.lut{j}[c.code{j} + 1]" for j in range(m))
+    cos_q = (
+        "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])"
+        " / (e.nrm * q.q_nrm)"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    c AS (SELECT vid, {', '.join(code_cols)} FROM e),
+    lut AS (SELECT {', '.join(lut_cols)} FROM e WHERE vid = {query_id}),
+    cands AS (
+      SELECT c.vid FROM c, lut WHERE c.vid <> {query_id}
+      ORDER BY ({adist}) ASC, c.vid ASC LIMIT {rescore * k}),
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e
+          WHERE vid = {query_id} AND nrm > 0)
+    SELECT e.vid AS {id_col},
+           floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+    FROM e JOIN cands USING (vid), q
+    WHERE e.nrm > 0
+    ORDER BY score DESC, e.vid ASC LIMIT {k}
+    """

@@ -3287,6 +3287,18 @@ def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
+@register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
+def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit
+    each, 1/64 the bytes of float32 at rest), the query builds an
+    8 x 16 exact-int LUT once, every corpus row pays 8 lookups (ADC),
+    and 4k candidates exact-rescore against the float vectors. Encode,
+    LUT and ADC are pure int64 on literal codebooks, so the DuckDB twin
+    replays both phases bit-for-bit; pq_encode is the ingest-time pass
+    a deployment runs once."""
+    return _sim.topk_pq(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
 @register(
     "topk_batch_embeddings",
     _sim.topk_batch_sql("embeddings", query_ids=[0, 1, 2], k=10),

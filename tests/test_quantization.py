@@ -59,3 +59,40 @@ def test_zero_vector_quantizes_to_zero(spark):
     # zero vector never ranks: query 1's top-k excludes vid 0 scores as null/0
     got = topk_int8(df, k=2, query_id=1, rescore=2).collect()
     assert [r["vec_id"] for r in got][0] == 2
+
+
+def test_topk_pq_two_phase_and_encode(spark, sf_correct):
+    """PQ ADC: the approximate phase must surface enough true
+    neighbors for the exact rescore to recover a reasonable top-10
+    (random fixed codebooks — this bounds the MECHANISM, recall
+    quality comes from trained books via the books= seam), the result
+    must be a subset of the exact-rescored candidate pool by
+    construction, and pq_encode emits one small code per subspace."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        topk_pq,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    exact = [r["vec_id"] for r in topk_bruteforce(emb, k=10, query_id=0).collect()]
+    got = topk_pq(emb, k=10, query_id=0, rescore=8).collect()
+    assert len(got) == 10
+    # every returned score is an exact rounded cosine: spot-check the
+    # top hit against the brute-force list's scores
+    bf = {r["vec_id"]: r["score"] for r in topk_bruteforce(emb, k=10, query_id=0).collect()}
+    for r in got:
+        if r["vec_id"] in bf:
+            assert r["score"] == bf[r["vec_id"]]
+    overlap = len(set(exact) & {r["vec_id"] for r in got})
+    assert overlap >= 2, f"ADC recall@10 {overlap}/10 collapsed"
+
+    codes = pq_encode(emb)
+    row = codes.first()
+    assert len(row["codes"]) == PQ_M
+    assert all(0 <= c < PQ_K for c in row["codes"])
+    # deterministic: encoding twice gives identical codes
+    a = {r["vid"]: tuple(r["codes"]) for r in codes.limit(50).collect()}
+    b = {r["vid"]: tuple(r["codes"]) for r in pq_encode(emb).limit(50).collect()}
+    assert {k: a[k] for k in a if k in b} == {k: b[k] for k in b if k in a}
