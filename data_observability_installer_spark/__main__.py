@@ -349,8 +349,50 @@ def cmd_table(args) -> int:
             args.rows, truncate=False
         )
         return 0
-    tx.read_table(_spark(args), args.path, version=args.version).show(
-        args.rows, truncate=False
+    if args.action == "stats":
+        m = tx.read_manifest(args.path, args.version)
+        stats = m.get("stats") or {}
+        cols = sorted({c for s in stats.values() for c in s})
+        print(
+            f"v{m['version']}: {len(m['files'])} files, "
+            f"{len(stats)} with stats, tracked columns: {cols or '(none)'}"
+        )
+        for f in m["files"][: args.rows]:
+            print(f"  {f}: {stats.get(f, '(no stats)')}")
+        return 0
+    preds = None
+    if args.prune:
+        preds = []
+        for spec in args.prune:
+            col, op, val = spec.split(":", 2)
+            preds.append((col, op, val))
+    tx.read_table(
+        _spark(args), args.path, version=args.version, predicates=preds
+    ).show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_profile_store(args) -> int:
+    """Profile-store maintenance (operators/profile.py): runs lists
+    the stored run ids; vacuum applies a retention policy, optionally
+    rolling dropped PARTIAL-state runs up into one merged partition."""
+    from .operators.profile import list_profile_runs, vacuum_profile_store
+
+    if args.action == "runs":
+        for r in list_profile_runs(args.path):
+            print(r)
+        return 0
+    out = vacuum_profile_store(
+        _spark(args),
+        args.path,
+        keep_last_n=args.keep_last,
+        keep_days=args.keep_days,
+        keep_before=args.keep_before,
+        rollup_run_id=args.rollup_run_id,
+    )
+    print(
+        f"dropped {len(out['dropped'])} runs, kept {len(out['kept'])}"
+        + (f", rolled up into {out['rollup']}" if out["rollup"] else "")
     )
     return 0
 
@@ -413,7 +455,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="path for violating rows (tagged with violated tests)")
     p = sub.add_parser("table")
     p.add_argument("action",
-                   choices=["history", "show", "compact", "vacuum", "changes"])
+                   choices=["history", "show", "compact", "vacuum", "changes",
+                            "stats"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--rows", type=int, default=50)
@@ -421,6 +464,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
     p.add_argument("--from-version", type=int, default=0,
                    help="changes: rows appended after this version")
+    p.add_argument("--prune", action="append", default=None,
+                   metavar="COL:OP:VALUE",
+                   help="show: data-skipping predicate(s), e.g. "
+                        "l_shipdate:>=:2001-01-01T00:00:00 (repeatable)")
+    p = sub.add_parser("profile-store")
+    p.add_argument("action", choices=["runs", "vacuum"])
+    p.add_argument("path")
+    p.add_argument("--keep-last", type=int, default=None, dest="keep_last")
+    p.add_argument("--keep-days", type=float, default=None)
+    p.add_argument("--keep-before", default=None,
+                   help="lexicographic run-id cutoff (ISO timestamp)")
+    p.add_argument("--rollup-run-id", default=None,
+                   help="merge dropped PARTIAL-state runs into this run id")
 
     args = ap.parse_args(argv)
     if args.sf_dir is None:
@@ -441,6 +497,7 @@ def main(argv: list[str] | None = None) -> int:
         "drift": cmd_drift,
         "quarantine": cmd_quarantine,
         "table": cmd_table,
+        "profile-store": cmd_profile_store,
     }[args.verb](args)
 
 

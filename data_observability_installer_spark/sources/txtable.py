@@ -306,6 +306,13 @@ def prune_files(
             v = _stat_value(val)
             if v is None:
                 continue
+            if isinstance(lo, (int, float)) and isinstance(v, str):
+                # CLI predicates arrive as strings; numeric stats
+                # coerce, junk keeps the file (skipping must be safe)
+                try:
+                    v = float(v)
+                except ValueError:
+                    continue
             if op in ("=", "=="):
                 skip = v < lo or v > hi
             elif op == "<":

@@ -124,3 +124,48 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     assert main(["table", "show", t]) == 0
     out = capsys.readouterr().out
     assert "a" in out and "b" in out
+
+
+def test_cli_table_stats_and_prune(spark, tmp_path, capsys):
+    """table stats prints the tracked columns and per-file ranges;
+    table show --prune applies data skipping from the command line."""
+    from data_observability_installer_spark.sources.txtable import write_table
+
+    t = str(tmp_path / "tbl")
+    write_table(
+        spark, t, spark.createDataFrame([(1,), (2,)], "k int"),
+        stats_cols=["k"],
+    )
+    write_table(spark, t, spark.createDataFrame([(100,), (101,)], "k int"))
+
+    assert main(["table", "stats", t]) == 0
+    out = capsys.readouterr().out
+    assert "tracked columns: ['k']" in out and "with stats" in out
+
+    assert main(["table", "show", t, "--prune", "k:>=:100"]) == 0
+    out = capsys.readouterr().out
+    assert "100" in out and "| 1 " not in out  # low-range files pruned
+
+
+def test_cli_profile_store_runs_and_vacuum(spark, tmp_path, capsys):
+    from data_observability_installer_spark.operators.profile import (
+        profile_partial,
+        write_profile,
+    )
+
+    store = str(tmp_path / "pstore")
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    for i in range(3):
+        write_profile(profile_partial(df, "t"), store, f"{i:04d}")
+
+    assert main(["profile-store", "runs", store]) == 0
+    assert capsys.readouterr().out.split() == ["0000", "0001", "0002"]
+
+    assert main([
+        "profile-store", "vacuum", store, "--keep-last", "1",
+        "--rollup-run-id", "0000-rollup",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "dropped 2 runs, kept 1" in out and "rolled up into 0000-rollup" in out
+    assert main(["profile-store", "runs", store]) == 0
+    assert capsys.readouterr().out.split() == ["0000-rollup", "0002"]
