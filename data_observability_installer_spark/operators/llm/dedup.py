@@ -1276,17 +1276,21 @@ def jaccard_threshold_sweep(
     candidate pair's similarity in exact integer bp (``inter * 10000
     DIV union`` — no float rounding hazard); the sweep itself is a
     broadcast cross-join of the RESULT-sized pair frame against the
-    threshold list plus two keyed aggregates, so trying ten thresholds
-    costs the same corpus work as trying one. Thresholds below
-    min(thresholds_bp) are unobservable by construction; pairs are
-    pre-filtered there.
+    threshold list. Thresholds below min(thresholds_bp) are
+    unobservable by construction; pairs are pre-filtered there.
 
-    The pair frame feeds TWO aggregates (pair counts and distinct-doc
-    counts), so it is persisted for the duration of the call and — the
-    result being threshold-count-sized — materialized before return,
-    which lets the function unpersist both it and any locally-built
-    shingle index instead of leaking executor memory into long-lived
-    sessions (round-8 ADVICE)."""
+    Pair counts and distinct-doc counts come from ONE aggregate over
+    the exploded (threshold, doc) rows — each kept pair contributes
+    exactly two doc rows, so ``n_pairs = count DIV 2`` — which means
+    the expensive pair lineage has a single consumer and needs no
+    persist (round-8 ADVICE found the old two-aggregate shape could
+    execute it twice and leaked the persisted frame). When this call
+    builds its OWN shingle index (no ``capped_shingles``), that index
+    is persisted for the self-join, the threshold-count-sized result
+    is materialized, and the index is unpersisted before returning;
+    with the shared index the plan is returned lazily and cache
+    ownership stays with the caller (the registry's plan gate pins
+    this path to the shared cache)."""
     spark = df.sparkSession
     floor_bp = min(int(t) for t in thresholds_bp)
     if capped_shingles is not None:
@@ -1313,7 +1317,6 @@ def jaccard_threshold_sweep(
             "CAST(inter * 10000 DIV (sz_a + sz_b - inter) AS BIGINT) AS j_bp",
         )
         .filter(F.col("j_bp") >= floor_bp)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     th = spark.sql(
         "SELECT * FROM VALUES "
@@ -1323,17 +1326,18 @@ def jaccard_threshold_sweep(
     hits = pairs.join(
         F.broadcast(th), F.col("j_bp") >= F.col("threshold_bp")
     )
-    stats = hits.groupBy("threshold_bp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    docs = (
-        hits.select("threshold_bp", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+    agg = (
+        hits.select(
+            "threshold_bp", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
         .groupBy("threshold_bp")
-        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+        .agg(
+            F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_pairs"),
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+        )
     )
     out = (
-        th.join(stats, "threshold_bp", "left")
-        .join(docs, "threshold_bp", "left")
+        th.join(agg, "threshold_bp", "left")
         .selectExpr(
             "threshold_bp",
             "coalesce(n_pairs, 0L) AS n_pairs",
@@ -1341,10 +1345,10 @@ def jaccard_threshold_sweep(
         )
         .orderBy("threshold_bp")
     )
+    if capped_shingles is not None:
+        return out  # shared index: lazy plan, cache owned by the caller
     rows = out.collect()  # threshold-count-sized by construction
-    pairs.unpersist()
-    if capped_shingles is None:
-        sh.unpersist()
+    sh.unpersist()
     return (
         spark.createDataFrame(rows, out.schema)
         .coalesce(1)
