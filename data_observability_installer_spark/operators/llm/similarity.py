@@ -1759,3 +1759,61 @@ def topk_pq_sql(
     WHERE e.nrm > 0
     ORDER BY score DESC, e.vid ASC LIMIT {k}
     """
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+) -> list[list[list[int]]]:
+    """Deterministic per-subspace Lloyd refinement of the fixed PQ
+    init (:func:`pq_codebooks`) — the live half of the ``books=``
+    seam. Same determinism contract as :func:`train_ivf_kmeans`
+    (exact int64 assignment, int64 component sums, ONE double
+    division + floor per centroid component), applied independently
+    in each subspace.
+
+    One Spark pass per ITERATION covers ALL subspaces: every row
+    explodes into m (subspace, assigned-centroid, subvector) entries
+    and a single groupBy((j, bucket)) folds the component sums — the
+    shuffle count is `iters`, not `iters * m`. Driver state is
+    m x k x d integers (the offline-trained constants a 100 TB
+    deployment ships to its query layer). A centroid that loses all
+    members keeps its INIT row — PQ codes index codebook POSITIONS,
+    so the book must stay k-long (unlike IVF, where an empty cluster
+    can simply drop)."""
+    init = pq_codebooks(m=m, k=k)
+    d = len(init[0][0])
+    books = [[list(c) for c in init[j]] for j in range(m)]
+    eqall = embeddings.select(F.expr(_quant_sql("embedding")).alias("eqa"))
+    for _ in range(iters):
+        entries = []
+        for j in range(m):
+            sub = f"slice(eqa, {j * d + 1}, {d})"
+            argmin = _argmin_bucket_sql(
+                sub, {i: c for i, c in enumerate(books[j])}, k
+            )
+            entries.append(
+                f"named_struct('j', {j}, 'bucket', {argmin}, 'sub', {sub})"
+            )
+        exploded = eqall.selectExpr(f"inline(array({', '.join(entries)}))")
+        rows = (
+            exploded.groupBy("j", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            # mirror train_ivf_kmeans: CAST(sum AS DOUBLE)/n then
+            # floor(x+0.5) — bit-stable while |sum| < 2^53
+            books[int(r["j"])][int(r["bucket"])] = [
+                int(math.floor(float(r[f"s{i}"]) / r["n"] + 0.5))
+                for i in range(d)
+            ]
+    return books

