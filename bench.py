@@ -225,6 +225,7 @@ HEADLINE = [
     # round-9 additions
     "txtable_skipping_lineitem",
     "topk_pq_embeddings",
+    "topk_pq_trained_embeddings",
 ]
 
 

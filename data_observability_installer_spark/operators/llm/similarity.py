@@ -1817,3 +1817,110 @@ def train_pq(
                 for i in range(d)
             ]
     return books
+
+
+def topk_pq_trained_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of ``topk_pq(books=train_pq(df, iters=...))`` — the
+    LEARNED-codebook PQ value-checked end to end, the same move
+    topk_ivf_sql makes for the IVF trainer: the per-subspace Lloyd
+    iterations unroll as CTE pairs from the identical integer init,
+    every step exact int64 or the one shared double-division idiom,
+    dead centroids inherited from the previous round (train_pq keeps
+    them — codes index positions). ADC here is a JOIN of the code
+    table against the query's (subspace, centroid) distance rows —
+    set-equivalent to the Spark side's literal-LUT lookups."""
+    init = pq_codebooks(m=m, k=kc)
+    d = len(init[0][0])
+    bvalues = ", ".join(
+        f"({j}, {b}, [{', '.join(str(v) for v in c)}]::BIGINT[])"
+        for j in range(m)
+        for b, c in enumerate(init[j])
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(s.sub, b.cq), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"b0(j, bucket, cq) AS (VALUES {bvalues})",
+        f"""e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table})""",
+        f"""s AS MATERIALIZED (
+      SELECT vid, js.j, list_slice(eq, js.j * {d} + 1, (js.j + 1) * {d}) AS sub
+      FROM e, (SELECT unnest(generate_series(0, {m - 1})) AS j) js)""",
+    ]
+    prev = "b0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT s.vid, s.j, any_value(s.sub) AS sub,
+             CAST(min({dist} * {kc} + b.bucket) % {kc} AS INT) AS bucket
+      FROM s JOIN {prev} b ON b.j = s.j GROUP BY s.vid, s.j)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+      SELECT j, bucket, list(cv ORDER BY idx) AS cq FROM (
+        SELECT j, bucket, idx,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+        FROM (SELECT j, bucket, unnest(sub) AS v,
+                     generate_subscripts(sub, 1) AS idx FROM a{i})
+        GROUP BY j, bucket, idx)
+      GROUP BY j, bucket)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+      SELECT * FROM u{i}
+      UNION ALL
+      SELECT p.* FROM {prev} p
+      WHERE NOT EXISTS (SELECT 1 FROM u{i} n
+                        WHERE n.j = p.j AND n.bucket = p.bucket))"""
+        )
+        prev = f"b{i}"
+    ctes.append(
+        f"""codes AS (
+      SELECT s.vid, s.j,
+             CAST(min({dist} * {kc} + b.bucket) % {kc} AS INT) AS bucket
+      FROM s JOIN {prev} b ON b.j = s.j GROUP BY s.vid, s.j)"""
+    )
+    ctes.append(
+        f"""lq AS (
+      SELECT b.j, b.bucket, {dist} AS qdist
+      FROM s JOIN {prev} b ON b.j = s.j WHERE s.vid = {query_id})"""
+    )
+    ctes.append(
+        f"""cands AS (
+      SELECT c.vid FROM codes c
+      JOIN lq ON lq.j = c.j AND lq.bucket = c.bucket
+      WHERE c.vid <> {query_id}
+      GROUP BY c.vid
+      ORDER BY CAST(sum(qdist) AS BIGINT) ASC, c.vid ASC
+      LIMIT {rescore * k})"""
+    )
+    ctes.append(
+        f"q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e"
+        f" WHERE vid = {query_id} AND nrm > 0)"
+    )
+    cos_q = (
+        "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])"
+        " / (e.nrm * q.q_nrm)"
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT e.vid AS {id_col},
+           floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+    FROM e JOIN cands USING (vid), q
+    WHERE e.nrm > 0
+    ORDER BY score DESC, e.vid ASC LIMIT {k}
+    """

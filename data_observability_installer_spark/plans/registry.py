@@ -3287,6 +3287,22 @@ def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_lsh(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
+@register(
+    "topk_pq_trained_embeddings",
+    _sim.topk_pq_trained_sql("embeddings", k=10, query_id=0),
+)
+def topk_pq_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-codebook PQ, value-checked end to end: train_pq's
+    deterministic per-subspace Lloyd refinement (2 iterations from the
+    fixed integer init) feeds topk_pq's ADC + exact rescore, and the
+    DuckDB twin unrolls the SAME training as CTE pairs — the learned
+    variant carries the same oracle strength as the fixed one (the
+    IVF-family contract). Training is 2 Spark passes; driver state is
+    8 x 16 x 8 integers (the shipped-constants shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.topk_pq(emb, k=10, query_id=0, books=_sim.train_pq(emb, iters=2))
+
+
 @register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
 def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit
