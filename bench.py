@@ -226,6 +226,7 @@ HEADLINE = [
     "txtable_skipping_lineitem",
     "topk_pq_embeddings",
     "topk_pq_trained_embeddings",
+    "pq_near_dups_embeddings",
 ]
 
 

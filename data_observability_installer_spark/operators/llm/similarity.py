@@ -1924,3 +1924,144 @@ def topk_pq_trained_sql(
     WHERE e.nrm > 0
     ORDER BY score DESC, e.vid ASC LIMIT {k}
     """
+
+
+def pq_near_dups(
+    embeddings: DataFrame,
+    min_band_matches: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via PQ-code collision blocking: each
+    subspace code is an LSH band key — vectors sharing the SAME
+    centroid in at least ``min_band_matches`` of the PQ_M subspaces
+    become candidate pairs (a join on (subspace, code), never an
+    all-pairs scan), and candidates are verified with the exact
+    rounded cosine against ``threshold``. The band join runs on the
+    CODE table — 1/64 of the float bytes — so at 100 TB the pair
+    generation never touches the embedding column; only verified
+    nominees pay the two float point-lookups. Codes are deterministic
+    integer arithmetic, so the DuckDB twin replays the same blocking
+    and verification bit-for-bit."""
+    books = books or pq_codebooks()
+    m = len(books)
+    codes = pq_encode(embeddings, books, id_col)
+    bands = codes.select(
+        "vid",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(j) for j in range(m)]).alias("j"),
+                F.col("codes").alias("code"),
+            )
+        ).alias("z"),
+    ).select("vid", F.col("z.j").alias("j"), F.col("z.code").alias("code"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .groupBy(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_band_matches)
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    fa = full.select(
+        F.col("vid").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    fb = full.select(
+        F.col("vid").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    thr_bp = int(math.floor(threshold * 10000 + 0.5))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands",
+            (
+                F.floor(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("nrm_a") * F.col("nrm_b"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+            ).cast("long").alias("score_bp"),
+        )
+        .filter(F.col("score_bp") >= thr_bp)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def pq_near_dups_sql(
+    table: str,
+    min_band_matches: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`pq_near_dups`: identical code assignment
+    (min-encode argmin on literal integer codebooks), identical band
+    join + collision count, identical rounded-cosine verification."""
+    books = books or pq_codebooks()
+    m, kc = len(books), len(books[0])
+    d = len(books[0][0])
+
+    def lit(c: list[int]) -> str:
+        return "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+
+    def sqd(sub: str, c: list[int]) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sub}, {lit(c)}), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+        )
+
+    code_cols = []
+    for j in range(m):
+        sub = f"eq[{j * d + 1}:{(j + 1) * d}]"
+        terms = ", ".join(
+            f"({sqd(sub, c)} * {kc} + {i})" for i, c in enumerate(books[j])
+        )
+        code_cols.append(f"CAST(least({terms}) % {kc} AS INT) AS code{j}")
+    band_rows = " UNION ALL ".join(
+        f"SELECT vid, {j} AS j, code{j} AS code FROM c" for j in range(m)
+    )
+    thr_bp = int(math.floor(threshold * 10000 + 0.5))
+    cos = (
+        "list_inner_product(fa.embedding::DOUBLE[], fb.embedding::DOUBLE[])"
+        " / (fa.nrm * fb.nrm)"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    c AS MATERIALIZED (SELECT vid, {', '.join(code_cols)} FROM e),
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.code = b.code AND a.vid < b.vid
+      GROUP BY a.vid, b.vid
+      HAVING count(*) >= {min_band_matches})
+    SELECT id_a, id_b, n_bands,
+           CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS score_bp
+    FROM cand
+    JOIN e fa ON fa.vid = id_a AND fa.nrm > 0
+    JOIN e fb ON fb.vid = id_b AND fb.nrm > 0
+    WHERE floor(({cos}) * 10000 + 0.5) >= {thr_bp}
+    ORDER BY id_a, id_b
+    """

@@ -3288,6 +3288,23 @@ def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_near_dups_embeddings",
+    _sim.pq_near_dups_sql("embeddings", min_band_matches=2, threshold=0.5),
+)
+def pq_near_dups_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via PQ-code collision blocking: each subspace
+    code is an LSH band key, pairs sharing >=2 of 8 codes become
+    candidates (a join on the 1/64-size CODE table — the embedding
+    column is touched only by the exact-cosine verification of
+    nominees). Deterministic integer codes make the blocking itself
+    oracle-checkable, unlike hyperplane LSH where only the verified
+    output is."""
+    return _sim.pq_near_dups(
+        load_table(spark, sf_dir, "embeddings"), min_band_matches=2, threshold=0.5
+    )
+
+
+@register(
     "topk_pq_trained_embeddings",
     _sim.topk_pq_trained_sql("embeddings", k=10, query_id=0),
 )

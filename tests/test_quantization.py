@@ -124,3 +124,33 @@ def test_train_pq_improves_or_matches_fixed_books(spark, sf_correct):
         for r in topk_pq(emb, k=10, query_id=0, rescore=8, books=books).collect()
     }
     assert len(exact & trained) >= len(exact & fixed) - 1  # no regression
+
+
+def test_pq_near_dups_blocks_on_codes_and_verifies_exact(spark):
+    """A planted near-identical pair must collide on most subspace
+    codes and pass verification; an orthogonal vector must never pair.
+    Verification is exact: the emitted score_bp equals the rounded
+    true cosine."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        pq_near_dups,
+    )
+
+    base = [0.5] * 32 + [-0.5] * 32
+    near = list(base)
+    near[0] = 0.49  # tiny perturbation: same codes almost everywhere
+    ortho = [0.5, -0.5] * 32
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id int, embedding array<float>",
+    )
+    rows = pq_near_dups(df, min_band_matches=2, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r.n_bands >= 6  # near-identical -> nearly all codes agree
+    import math
+
+    a = [float(x) for x in base]
+    b = [float(x) for x in near]
+    dot = sum(x * y for x, y in zip(a, b))
+    cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    assert r.score_bp == int(math.floor(cos * 10000 + 0.5))
