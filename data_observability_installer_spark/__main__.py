@@ -337,7 +337,11 @@ def cmd_table(args) -> int:
             print(h)
         return 0
     if args.action == "compact":
-        v = tx.compact(_spark(args), args.path, target_partitions=args.files)
+        sort_by = args.sort_by.split(",") if args.sort_by else None
+        v = tx.compact(
+            _spark(args), args.path, target_partitions=args.files,
+            sort_by=sort_by,
+        )
         print(f"compacted as v{v}")
         return 0
     if args.action == "vacuum":
@@ -464,6 +468,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-last", type=int, default=2, help="vacuum retention")
     p.add_argument("--from-version", type=int, default=0,
                    help="changes: rows appended after this version")
+    p.add_argument("--sort-by", default=None, dest="sort_by",
+                   help="compact: re-cluster on these comma-separated "
+                        "columns during the rewrite (restores skipping)")
     p.add_argument("--prune", action="append", default=None,
                    metavar="COL:OP:VALUE",
                    help="show: data-skipping predicate(s), e.g. "

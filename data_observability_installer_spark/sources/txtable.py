@@ -390,6 +390,7 @@ def write_table(
     mode: str = "append",
     backend: CommitBackend | None = None,
     stats_cols: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the table. ``mode='append'`` adds its files to
     the current snapshot's list; ``mode='overwrite'`` replaces the
@@ -405,9 +406,18 @@ def write_table(
     point/range query on a huge table reads a sliver of it. Appends
     inherit the head's stats for files they carry, and pass
     ``stats_cols=None`` with the same columns to keep collecting (the
-    column set defaults to what the table already tracks)."""
+    column set defaults to what the table already tracks).
+
+    ``sort_by``: range-partition + sort the batch on these columns
+    before writing, so each data file covers a NARROW, mostly-disjoint
+    value range — what makes the stats selective (unsorted writes give
+    every file ~the full range and pruning keeps everything). The
+    linear-clustering counterpart of the zorder verb, applied at
+    commit time."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if sort_by:
+        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     files, schema = _write_data_files(df, path)
     own_stats: dict | None = None
     for _ in range(_RETRIES):
@@ -494,6 +504,7 @@ def compact(
     path: str,
     target_partitions: int = 4,
     backend: CommitBackend | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot as ``target_partitions`` files and
     commit the rewritten list (op='compact'). Row-identical by
@@ -501,10 +512,18 @@ def compact(
     vacuum. A concurrent APPEND does not invalidate the work — its
     files are carried over into the compacted manifest on retry; a
     concurrent rewrite raises :class:`CommitConflict` (the compacted
-    data is stale)."""
+    data is stale). ``sort_by`` re-clusters during the rewrite
+    (range partition + sort), restoring data-skipping selectivity
+    that interleaved appends eroded."""
     base = read_manifest(path)
     cur = read_table(spark, path, version=base["version"])
-    files, schema = _write_data_files(cur.repartition(target_partitions), path)
+    if sort_by:
+        rewritten = cur.repartitionByRange(
+            target_partitions, *sort_by
+        ).sortWithinPartitions(*sort_by)
+    else:
+        rewritten = cur.repartition(target_partitions)
+    files, schema = _write_data_files(rewritten, path)
     cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
     own_stats = _collect_file_stats(path, files, cols) if cols else {}
     for _ in range(_RETRIES):

@@ -529,3 +529,54 @@ def test_data_skipping_date_stats(spark, tmp_path):
         spark, t, predicates=[("d", ">=", "2025-01-01")]
     ).filter("d >= DATE'2025-01-01'")
     assert got.count() == 3
+
+
+def test_sort_by_write_makes_stats_selective(spark, tmp_path):
+    """Clustered commits: sort_by range-partitions the batch so files
+    cover narrow, mostly-disjoint ranges — a point predicate prunes to
+    a small fraction of files, where the same data written unsorted
+    keeps (nearly) every file."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    rows = [(i * 37 % 1000,) for i in range(1000)]  # shuffled keys
+    df = spark.createDataFrame(rows, "k int").repartition(8)
+
+    t_sorted = str(tmp_path / "sorted")
+    write_table(spark, t_sorted, df, stats_cols=["k"], sort_by=["k"])
+    m = read_manifest(t_sorted)
+    kept = prune_files(m, [("k", "=", 500)])
+    assert len(kept) <= max(1, len(m["files"]) // 3)
+
+    t_plain = str(tmp_path / "plain")
+    write_table(spark, t_plain, df, stats_cols=["k"])
+    mp = read_manifest(t_plain)
+    kept_plain = prune_files(mp, [("k", "=", 500)])
+    assert len(kept_plain) > len(mp["files"]) // 2  # unsorted: no help
+
+    # row-identical either way
+    assert _rows(read_table(spark, t_sorted)) == _rows(read_table(spark, t_plain))
+
+
+def test_compact_sort_by_restores_selectivity(spark, tmp_path):
+    """Interleaved appends erode skipping (every file spans the whole
+    key range); compact(sort_by=) re-clusters so the same predicate
+    prunes again."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    t = str(tmp_path / "t")
+    for s in range(4):  # each append interleaves the full key range
+        write_table(
+            spark, t,
+            spark.createDataFrame([(s + 4 * i,) for i in range(250)], "k int")
+            .repartition(4),
+            stats_cols=["k"],
+        )
+    m = read_manifest(t)
+    assert len(prune_files(m, [("k", "<", 100)])) > len(m["files"]) // 2
+
+    compact(spark, t, target_partitions=8, sort_by=["k"])
+    m2 = read_manifest(t)
+    kept = prune_files(m2, [("k", "<", 100)])
+    assert len(kept) <= max(1, len(m2["files"]) // 4)
+    got = read_table(spark, t, predicates=[("k", "<", 100)]).filter("k < 100")
+    assert got.count() == 100
