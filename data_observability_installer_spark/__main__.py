@@ -353,6 +353,11 @@ def cmd_table(args) -> int:
             args.rows, truncate=False
         )
         return 0
+    if args.action == "health":
+        import json as _json
+
+        print(_json.dumps(tx.table_health(args.path, args.version), indent=2))
+        return 0
     if args.action == "stats":
         m = tx.read_manifest(args.path, args.version)
         stats = m.get("stats") or {}
@@ -460,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table")
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
-                            "stats"])
+                            "stats", "health"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--rows", type=int, default=50)

@@ -733,3 +733,52 @@ def txtable_sink(stream: DataFrame, path: str, checkpoint: str, **trigger):
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def table_health(path: str, version: int | None = None) -> dict:
+    """Maintenance signal for a txtable snapshot, from METADATA only
+    (manifest + os.stat — no Spark, no data read): file count and size
+    spread (small-file pressure -> run :func:`compact`), stats
+    coverage, and per-tracked-column CLUSTERING DEPTH — the average
+    number of files whose [min, max] range covers a file's midpoint,
+    i.e. how many files a random point predicate must read. Depth ~1
+    means disjoint ranges (perfect skipping); depth ~n_files means the
+    ranges all overlap and pruning is useless -> run
+    ``compact(sort_by=[col])``. The same metadata-driven signal
+    Iceberg/Delta expose for OPTIMIZE scheduling."""
+    m = read_manifest(path, version)
+    sizes = []
+    for f in m["files"]:
+        full = os.path.join(path, f)
+        if os.path.exists(full):
+            sizes.append(os.path.getsize(full))
+    sizes.sort()
+
+    def pct(p: float) -> int | None:
+        return sizes[min(int(len(sizes) * p), len(sizes) - 1)] if sizes else None
+
+    stats = m.get("stats") or {}
+    cols = sorted({c for s in stats.values() for c in s})
+    depth = {}
+    for c in cols:
+        ranges = [s[c] for s in stats.values() if c in s]
+        covered = 0
+        probes = 0
+        for lo, hi in ranges:
+            mid = (
+                (lo + hi) / 2
+                if isinstance(lo, (int, float))
+                else lo  # strings/ISO timestamps: probe at the low edge
+            )
+            probes += 1
+            covered += sum(1 for lo2, hi2 in ranges if lo2 <= mid <= hi2)
+        depth[c] = round(covered / probes, 2) if probes else None
+    return {
+        "version": m["version"],
+        "n_files": len(m["files"]),
+        "bytes_total": sum(sizes),
+        "file_bytes_p50": pct(0.5),
+        "file_bytes_max": sizes[-1] if sizes else None,
+        "stats_coverage": round(len(stats) / len(m["files"]), 2) if m["files"] else 1.0,
+        "clustering_depth": depth,
+    }

@@ -169,3 +169,16 @@ def test_cli_profile_store_runs_and_vacuum(spark, tmp_path, capsys):
     assert "dropped 2 runs, kept 1" in out and "rolled up into 0000-rollup" in out
     assert main(["profile-store", "runs", store]) == 0
     assert capsys.readouterr().out.split() == ["0000-rollup", "0002"]
+
+
+def test_cli_table_health(spark, tmp_path, capsys):
+    from data_observability_installer_spark.sources.txtable import write_table
+
+    t = str(tmp_path / "tbl")
+    write_table(
+        spark, t, spark.createDataFrame([(1,), (2,)], "k int"),
+        stats_cols=["k"],
+    )
+    assert main(["table", "health", t]) == 0
+    out = capsys.readouterr().out
+    assert '"n_files"' in out and '"clustering_depth"' in out

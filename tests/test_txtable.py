@@ -580,3 +580,28 @@ def test_compact_sort_by_restores_selectivity(spark, tmp_path):
     assert len(kept) <= max(1, len(m2["files"]) // 4)
     got = read_table(spark, t, predicates=[("k", "<", 100)]).filter("k < 100")
     assert got.count() == 100
+
+
+def test_table_health_flags_eroded_clustering(spark, tmp_path):
+    """Interleaved appends drive clustering depth toward n_files; a
+    sort_by compact drops it back toward 1 — the metadata-only signal
+    for scheduling maintenance."""
+    from data_observability_installer_spark.sources.txtable import table_health
+
+    t = str(tmp_path / "t")
+    for s in range(4):
+        write_table(
+            spark, t,
+            spark.createDataFrame([(s + 4 * i,) for i in range(250)], "k int")
+            .repartition(4),
+            stats_cols=["k"],
+        )
+    h = table_health(t)
+    assert h["n_files"] == 16 and h["stats_coverage"] == 1.0
+    assert h["clustering_depth"]["k"] > 8  # everything overlaps
+
+    compact(spark, t, target_partitions=8, sort_by=["k"])
+    h2 = table_health(t)
+    assert h2["clustering_depth"]["k"] <= 2.0
+    assert h2["n_files"] <= 8 and h2["bytes_total"] > 0
+    assert h2["file_bytes_p50"] <= h2["file_bytes_max"]
