@@ -227,6 +227,7 @@ HEADLINE = [
     "topk_pq_embeddings",
     "topk_pq_trained_embeddings",
     "pq_near_dups_embeddings",
+    "topk_ivfpq_embeddings",
 ]
 
 

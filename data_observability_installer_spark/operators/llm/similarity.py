@@ -2065,3 +2065,236 @@ def pq_near_dups_sql(
     WHERE floor(({cos}) * 10000 + 0.5) >= {thr_bp}
     ORDER BY id_a, id_b
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file cells + product-quantized RESIDUALS —
+# the canonical billion-scale ANN layout (a probe reads nprobe cells'
+# code lists; vectors store as cell id + PQ_M sub-codes of the residual
+# against their cell centroid). Everything is exact int64 on the
+# IVF_SCALE grid: residual = quantized vector minus integer centroid,
+# codes = argmin over integer residual books, ADC = a JOIN of the code
+# rows against the query's per-(cell, subspace, code) distance rows —
+# so the DuckDB twin replays cell routing, encoding, and scoring
+# bit-for-bit, and the exact rescore fixes the final ranking.
+# ---------------------------------------------------------------------------
+
+
+def _cb_literal_sql(cents: list[list[int]]) -> str:
+    """Spark-SQL literal array-of-arrays of integer centroids."""
+    return "array(" + ", ".join(_int_arr_sql(c) for c in cents) + ")"
+
+
+def topk_ivfpq(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Top-k cosine via IVF-PQ + ADC: route every vector to its nearest
+    coarse cell (integer argmin over the fixed cell centroids), PQ-encode
+    the RESIDUAL against the cell centroid, probe the query's ``nprobe``
+    nearest cells, score each candidate with PQ_M lookups against the
+    query's per-cell residual distance table, and exact-rescore the best
+    ``rescore * k``. At rest a vector is one cell id + PQ_M sub-codes;
+    a probe touches nprobe/n_cells of the code table and the float
+    column only for the rescore nominees."""
+    books = books or pq_codebooks(seed=321)
+    m, d = len(books), len(books[0][0])
+    kc = len(books[0])
+    cents = {
+        b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
+        for b, row in enumerate(ivf_centroids(n_clusters=n_cells))
+    }
+    cb = _cb_literal_sql([cents[b] for b in range(n_cells)])
+    eq = _quant_sql("embedding")
+    res = f"zip_with(eq, element_at({cb}, bucket + 1), (x, y) -> x - y)"
+    code_exprs = _pq_code_exprs("res", books)
+    assigned = (
+        embeddings.selectExpr(f"{id_col} AS vid", f"{eq} AS eq")
+        .selectExpr(
+            "vid", "eq", f"{_argmin_bucket_sql('eq', cents, n_cells)} AS bucket"
+        )
+        .selectExpr("vid", "eq", "bucket", f"{res} AS res")
+    )
+    codes = assigned.select(
+        "vid",
+        "bucket",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(j) for j in range(m)]).alias("j"),
+                F.expr(f"array({', '.join(code_exprs)})").alias("code"),
+            )
+        ).alias("z"),
+    ).select("vid", "bucket", F.col("z.j").alias("j"), F.col("z.code").alias("code"))
+    # query: nprobe nearest cells by exact integer distance (ties ->
+    # lowest cell id via the min-encode idiom), then one residual per
+    # probed cell -> (bucket, j, code, qdist) LUT rows
+    cell_dists = ", ".join(
+        f"named_struct('enc', {_sqdist_lits_sql('eq', cents[b])} * {n_cells} + {b})"
+        for b in range(n_cells)
+    )
+    probes = (
+        assigned.filter(F.col("vid") == query_id)
+        .selectExpr("eq", f"slice(array_sort(array({cell_dists})), 1, {nprobe}) AS ps")
+        .selectExpr("eq", "explode(ps.enc) AS enc")
+        .selectExpr("eq", f"CAST(pmod(enc, {n_cells}) AS INT) AS bucket")
+        .selectExpr("bucket", f"{res} AS qres")
+    )
+    lut_structs = []
+    for j in range(m):
+        sub = f"slice(qres, {j * d + 1}, {d})"
+        for c, cvec in enumerate(books[j]):
+            lut_structs.append(
+                f"named_struct('j', {j}, 'code', {c}, "
+                f"'qdist', {_sqdist_lits_sql(sub, cvec)})"
+            )
+    lut = probes.selectExpr(
+        "bucket", f"inline(array({', '.join(lut_structs)}))"
+    )
+    cand = (
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(lut), ["bucket", "j", "code"])
+        .groupBy("vid")
+        .agg(F.sum("qdist").cast("long").alias("adist"))
+        .filter(F.col("adist").isNotNull())
+        .orderBy(F.asc("adist"), F.asc("vid"))
+        .limit(rescore * k)
+        .select("vid")
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qfull = full.filter((F.col("vid") == query_id) & (F.col("nrm") > 0)).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    exact = (
+        full.filter(F.col("nrm") > 0)
+        .join(F.broadcast(cand), "vid")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vid",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+    )
+    return (
+        exact.orderBy(F.desc("score"), F.asc("vid"))
+        .limit(k)
+        .select(F.col("vid").alias(id_col), "score")
+    )
+
+
+def topk_ivfpq_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`topk_ivfpq`: identical cell routing
+    (min-encode argmin on literal integer centroids), identical
+    residual PQ codes, identical (cell, subspace, code) LUT join and
+    rounded-cosine rescore."""
+    books = books or pq_codebooks(seed=321)
+    m, d = len(books), len(books[0][0])
+    kc = len(books[0])
+    cents = [
+        [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
+        for row in ivf_centroids(n_clusters=n_cells)
+    ]
+
+    def lit(c: list[int]) -> str:
+        return "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+
+    def sqd(sub: str, c: list[int]) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sub}, {lit(c)}), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+        )
+
+    cvalues = ", ".join(f"({b}, {lit(c)})" for b, c in enumerate(cents))
+    dist_e = (
+        "CAST(list_sum(list_transform(list_zip(e.eq, cb.cq), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    code_cols = []
+    for j in range(m):
+        sub = f"res[{j * d + 1}:{(j + 1) * d}]"
+        terms = ", ".join(
+            f"({sqd(sub, c)} * {kc} + {i})" for i, c in enumerate(books[j])
+        )
+        code_cols.append(f"CAST(least({terms}) % {kc} AS INT) AS code{j}")
+    band_rows = " UNION ALL ".join(
+        f"SELECT vid, bucket, {j} AS j, code{j} AS code FROM enc" for j in range(m)
+    )
+    lut_rows = []
+    for j in range(m):
+        sub = f"qres[{j * d + 1}:{(j + 1) * d}]"
+        for c, cvec in enumerate(books[j]):
+            lut_rows.append(
+                f"SELECT bucket, {j} AS j, {c} AS code, {sqd(sub, cvec)} AS qdist"
+                " FROM qr"
+            )
+    cos_q = (
+        "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])"
+        " / (e.nrm * q.q_nrm)"
+    )
+    return f"""
+    WITH cb(bucket, cq) AS (VALUES {cvalues}),
+    e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    a AS MATERIALIZED (
+      SELECT e.vid, any_value(e.eq) AS eq,
+             CAST(min({dist_e} * {n_cells} + cb.bucket) % {n_cells} AS INT) AS bucket
+      FROM e, cb GROUP BY e.vid),
+    r AS MATERIALIZED (
+      SELECT a.vid, a.bucket,
+             list_transform(list_zip(a.eq, cb.cq), z -> z[1] - z[2]) AS res
+      FROM a JOIN cb USING (bucket)),
+    enc AS MATERIALIZED (SELECT vid, bucket, {', '.join(code_cols)} FROM r),
+    bands AS ({band_rows}),
+    probes AS (
+      SELECT cb.bucket, a.eq FROM a, cb WHERE a.vid = {query_id}
+      ORDER BY CAST(list_sum(list_transform(list_zip(a.eq, cb.cq),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), cb.bucket
+      LIMIT {nprobe}),
+    qr AS MATERIALIZED (
+      SELECT p.bucket,
+             list_transform(list_zip(p.eq, cb.cq), z -> z[1] - z[2]) AS qres
+      FROM probes p JOIN cb USING (bucket)),
+    lut AS MATERIALIZED ({' UNION ALL '.join(lut_rows)}),
+    cands AS (
+      SELECT b.vid FROM bands b
+      JOIN lut ON lut.bucket = b.bucket AND lut.j = b.j AND lut.code = b.code
+      WHERE b.vid <> {query_id}
+      GROUP BY b.vid
+      ORDER BY CAST(sum(qdist) AS BIGINT) ASC, b.vid ASC
+      LIMIT {rescore * k}),
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e
+          WHERE vid = {query_id} AND nrm > 0)
+    SELECT e.vid AS {id_col},
+           floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+    FROM e JOIN cands USING (vid), q
+    WHERE e.nrm > 0
+    ORDER BY score DESC, e.vid ASC LIMIT {k}
+    """

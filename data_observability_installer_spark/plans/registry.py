@@ -3288,6 +3288,23 @@ def topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_ivfpq_embeddings",
+    _sim.topk_ivfpq_sql("embeddings", k=10, query_id=0),
+)
+def topk_ivfpq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the canonical billion-scale ANN layout: coarse cells
+    route vectors (integer argmin over fixed centroids), residuals
+    against the cell centroid PQ-encode to 8 sub-codes, the query
+    probes its 4 nearest cells with a per-(cell, subspace, code)
+    residual distance table, ADC is a join on the code rows, and the
+    best 4k candidates exact-rescore. At rest: one cell id + 4 bytes
+    per vector; a probe reads nprobe/n_cells of the code table. All
+    integer arithmetic — routing, encoding, and scoring replay
+    bit-for-bit on DuckDB."""
+    return _sim.topk_ivfpq(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
+@register(
     "pq_near_dups_embeddings",
     _sim.pq_near_dups_sql("embeddings", min_band_matches=2, threshold=0.5),
 )

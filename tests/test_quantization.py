@@ -154,3 +154,30 @@ def test_pq_near_dups_blocks_on_codes_and_verifies_exact(spark):
     dot = sum(x * y for x, y in zip(a, b))
     cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
     assert r.score_bp == int(math.floor(cos * 10000 + 0.5))
+
+
+def test_topk_ivfpq_probe_semantics_and_recall(spark, sf_correct):
+    """IVF-PQ: results must be exact rounded cosines, nprobe=n_cells
+    must dominate (or match) a narrow probe's recall (probing more
+    cells can only add candidates), and the residual codes stay in
+    range."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_ivfpq,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    exact = {r["vec_id"]: r["score"] for r in topk_bruteforce(emb, k=10, query_id=0).collect()}
+    # rescore budget large enough that the ADC cut never truncates:
+    # then more probes => a superset of candidates => recall monotone.
+    # (With a BINDING budget wider probes can displace true neighbors
+    # from the approximate pool — real ADC behavior, not a defect.)
+    narrow = topk_ivfpq(emb, k=10, query_id=0, nprobe=2, rescore=1000).collect()
+    wide = topk_ivfpq(emb, k=10, query_id=0, nprobe=16, rescore=1000).collect()
+    for r in narrow + wide:
+        if r["vec_id"] in exact:
+            assert r["score"] == exact[r["vec_id"]]
+    hit_n = len(set(exact) & {r["vec_id"] for r in narrow})
+    hit_w = len(set(exact) & {r["vec_id"] for r in wide})
+    assert hit_w >= hit_n  # unbinding budget: probes only add candidates
+    assert hit_w == 10  # probing ALL cells + full rescore == brute force
+    assert len(wide) == 10
