@@ -401,6 +401,18 @@ def topk_pq_op(spark, path: str) -> None:
     topk_pq(spark.read.parquet(path), k=10, query_id=0).collect()
 
 
+def topk_ivfpq_op(spark, path: str) -> None:
+    """Round-9 IVF-PQ claim: routing + residual encode are one
+    projection pass; the ADC join touches only probed cells' code
+    rows (nprobe/n_cells of the corpus)."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_ivfpq,
+    )
+
+    spark.catalog.clearCache()
+    topk_ivfpq(spark.read.parquet(path), k=10, query_id=0).collect()
+
+
 def txtable_skipping_op(spark, path: str) -> None:
     """Round-9 data-skipping claim: a NEEDLE query's cost must be
     independent of table size. The txtable is seeded once per factor
@@ -462,6 +474,7 @@ OPS = {
     "leakage_safe_split_documents": ("documents", leakage_safe_split_op),
     "threshold_sweep_documents": ("documents", threshold_sweep_op),
     "topk_pq_embeddings": ("embeddings", topk_pq_op),
+    "topk_ivfpq_embeddings": ("embeddings", topk_ivfpq_op),
     "txtable_skipping_lineitem": ("lineitem", txtable_skipping_op),
 }
 
