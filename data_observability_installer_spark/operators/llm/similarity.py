@@ -1932,6 +1932,7 @@ def pq_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     books: list[list[list[int]]] | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via PQ-code collision blocking: each
     subspace code is an LSH band key — vectors sharing the SAME
@@ -1943,7 +1944,14 @@ def pq_near_dups(
     generation never touches the embedding column; only verified
     nominees pay the two float point-lookups. Codes are deterministic
     integer arithmetic, so the DuckDB twin replays the same blocking
-    and verification bit-for-bit."""
+    and verification bit-for-bit.
+
+    ``max_bucket`` bounds band-bucket skew: a (subspace, code) bucket
+    larger than the cap leaves candidate generation — an over-popular
+    code (a degenerate/low-variance corpus region) costs bucket² pairs
+    and discriminates nothing, the same too-generic-key rule as the
+    shingle index's max_df and entity_match's max_block. Expected
+    bucket size is n/PQ_K, so the cap only fires on true skew."""
     books = books or pq_codebooks()
     m = len(books)
     codes = pq_encode(embeddings, books, id_col)
@@ -1956,6 +1964,14 @@ def pq_near_dups(
             )
         ).alias("z"),
     ).select("vid", F.col("z.j").alias("j"), F.col("z.code").alias("code"))
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("j", "code")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") <= max_bucket)
+            .select("j", "code")
+        )
+        bands = bands.join(keep, ["j", "code"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

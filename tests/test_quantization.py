@@ -181,3 +181,24 @@ def test_topk_ivfpq_probe_semantics_and_recall(spark, sf_correct):
     assert hit_w >= hit_n  # unbinding budget: probes only add candidates
     assert hit_w == 10  # probing ALL cells + full rescore == brute force
     assert len(wide) == 10
+
+
+def test_pq_near_dups_max_bucket_drops_degenerate_codes(spark):
+    """A degenerate region (many identical vectors) floods one band
+    bucket; max_bucket excludes it so only the healthy pair survives."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        pq_near_dups,
+    )
+
+    flood = [(i, [0.5] * 64) for i in range(20)]  # identical: one bucket
+    base = [0.3] * 32 + [-0.7] * 32
+    near = list(base)
+    near[1] = 0.29
+    df = spark.createDataFrame(
+        flood + [(100, base), (101, near)],
+        "vec_id int, embedding array<float>",
+    )
+    capped = pq_near_dups(df, min_band_matches=2, threshold=0.9, max_bucket=5)
+    assert [(r.id_a, r.id_b) for r in capped.collect()] == [(100, 101)]
+    uncapped = pq_near_dups(df, min_band_matches=2, threshold=0.9)
+    assert uncapped.count() == 190 + 1  # C(20,2) flood pairs + the pair
