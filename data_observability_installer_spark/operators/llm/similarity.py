@@ -1592,7 +1592,15 @@ def pq_codebooks(
 
 def _pq_code_exprs(eq_sql: str, books: list[list[list[int]]]) -> list[str]:
     """Per-subspace nearest-centroid assignment, each as ONE parsed
-    int64 expression (the _argmin_bucket_sql min-encode idiom)."""
+    int64 expression (the _argmin_bucket_sql min-encode idiom over the
+    subvector slice). The lambda-based sqdist is the RIGHT form here:
+    an experiment replacing it with fully-unrolled element_at
+    arithmetic (128 sqdists x 16 element_at refs) blew the JVM 64 KB
+    generated-method limit — janino compile failures, interpreted
+    fallback, and a recompile attempt per execution made every PQ
+    query 2-3x SLOWER. Keep expressions under the codegen method
+    budget; interpreted higher-order functions on 8-element arrays are
+    cheaper than broken codegen."""
     m = len(books)
     d = len(books[0][0])
     out = []
@@ -1613,11 +1621,10 @@ def pq_encode(
     index a production deployment stores and scans instead of the float
     vectors. One projection pass, no shuffle."""
     books = books or pq_codebooks()
-    eq = _quant_sql("embedding")
-    codes = ", ".join(_pq_code_exprs(eq, books))
+    codes = ", ".join(_pq_code_exprs("eq", books))
     return embeddings.selectExpr(
-        f"{id_col} AS vid", f"array({codes}) AS codes"
-    )
+        f"{id_col} AS vid", f"{_quant_sql('embedding')} AS eq"
+    ).selectExpr("vid", f"array({codes}) AS codes")
 
 
 def topk_pq(
@@ -1954,7 +1961,12 @@ def pq_near_dups(
     bucket size is n/PQ_K, so the cap only fires on true skew."""
     books = books or pq_codebooks()
     m = len(books)
-    codes = pq_encode(embeddings, books, id_col)
+    # pin the code table: it feeds BOTH sides of the band self-join
+    # (and the bucket-size guard), and recomputing the 8-argmin encode
+    # per consumer multiplied the corpus scans; in production the code
+    # table is a PERSISTED artifact (pq_encode is the ingest pass), so
+    # materializing it here mirrors the deployment shape
+    codes = pq_encode(embeddings, books, id_col).localCheckpoint(eager=True)
     bands = codes.select(
         "vid",
         F.explode(
