@@ -2326,3 +2326,118 @@ def topk_ivfpq_sql(
     WHERE e.nrm > 0
     ORDER BY score DESC, e.vid ASC LIMIT {k}
     """
+
+
+def pq_near_dups_incremental(
+    spark,
+    code_store: str,
+    batch: DataFrame,
+    min_band_matches: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: check a NEW batch of vectors against the
+    accumulated code store (a txtable of (vid, codes, embedding)) and
+    append the batch's codes — per-batch work is |batch| x a band join
+    against the store's code table, never a corpus self-join, so an
+    unbounded ingest pays each arrival once (the PQ-code face of
+    dedup_incremental). Pairs where BOTH sides are old emitted when
+    their later member arrived, so the cumulative pair set equals the
+    full-corpus :func:`pq_near_dups` over the union (parity-tested).
+
+    New-new pairs appear from both join directions; grouping on the
+    normalized (min, max) ids with countDistinct(subspace) folds them
+    without double-counting band matches. ``batch_id`` makes the code
+    append exactly-once under foreachBatch replays
+    (:func:`sources.txtable.commit_stream_batch`); a replay of the LAST
+    batch — the only replay foreachBatch produces, since later batches
+    cannot have committed past a failed one — recomputes the SAME pairs
+    even when its codes already landed (the batch's own store copy
+    never pairs with itself: equal vids are excluded), so the pair
+    output is replay-idempotent. Vector ids are assumed unique
+    across the stream (ingest contract).
+
+    Returns the verified pair frame (id_a, id_b, n_bands, score_bp)."""
+    import os as _os
+
+    from ...sources import txtable as _tx
+
+    books = books or pq_codebooks()
+    m = len(books)
+    new = (
+        pq_encode(batch, books, id_col)
+        .join(
+            batch.select(F.col(id_col).alias("vid"), "embedding"), "vid"
+        )
+        .localCheckpoint(eager=True)  # one encode; feeds join + commit
+    )
+    have_store = bool(_os.path.isdir(_os.path.join(code_store, "_commits")))
+    union = (
+        _tx.read_table(spark, code_store).unionByName(new) if have_store else new
+    )
+
+    def bands(codes_df):
+        return codes_df.select(
+            "vid",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(j) for j in range(m)]).alias("j"),
+                    F.col("codes").alias("code"),
+                )
+            ).alias("z"),
+        ).select("vid", F.col("z.j").alias("j"), F.col("z.code").alias("code"))
+
+    a, b = bands(new).alias("a"), bands(union).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.least("a.vid", "b.vid").alias("id_a"),
+            F.greatest("a.vid", "b.vid").alias("id_b"),
+            F.col("a.j").alias("j"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("j").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_band_matches)
+    )
+    full = union.select(
+        "vid",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    fa = full.select(
+        F.col("vid").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    fb = full.select(
+        F.col("vid").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    thr_bp = int(math.floor(threshold * 10000 + 0.5))
+    pairs = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a", "id_b", "n_bands",
+            F.floor(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+                * 10000
+                + F.lit(0.5)
+            ).cast("long").alias("score_bp"),
+        )
+        .filter(F.col("score_bp") >= thr_bp)
+        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=True)  # pin BEFORE the commit moves the store head
+    )
+    if batch_id is not None:
+        _tx.commit_stream_batch(code_store, new, batch_id)
+    else:
+        _tx.write_table(spark, code_store, new, mode="append")
+    return pairs

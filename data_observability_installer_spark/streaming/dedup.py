@@ -88,3 +88,47 @@ def lang_mix_stream(
             "avg_quality_bp",
         )
     )
+
+
+def pq_near_dup_sink(
+    stream: DataFrame,
+    code_store: str,
+    pairs_store: str,
+    checkpoint: str,
+    min_band_matches: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    **trigger,
+):
+    """Streaming near-dup over an embedding ingest, composed from three
+    round-9 pieces: each micro-batch PQ-encodes, band-joins against the
+    txtable-backed code store (per-batch cost = batch x store bands,
+    never a self-join), exact-verifies nominees, writes the pairs under
+    ``pairs_store/batch_id=N`` (overwrite => replay-idempotent), and
+    appends its codes exactly-once (batch_id-stamped commit). The
+    cumulative pair set equals the full-corpus pq_near_dups over
+    everything ingested (parity-tested in test_streaming.py).
+
+    Returns the started StreamingQuery."""
+    from ..operators.llm.similarity import pq_near_dups_incremental
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        pairs = pq_near_dups_incremental(
+            df.sparkSession,
+            code_store,
+            df,
+            min_band_matches=min_band_matches,
+            threshold=threshold,
+            id_col=id_col,
+            batch_id=batch_id,
+        )
+        pairs.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs_store}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

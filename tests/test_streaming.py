@@ -1111,3 +1111,77 @@ def test_parity_payload_instances_vs_batch(spark, tmp_path):
     }
     assert got == want
     assert {p for _, p, *_ in got} == {"p1", "p2"}  # p3 open, p4 ignored
+
+
+def test_pq_near_dup_sink_cumulative_parity_and_replay(spark, tmp_path):
+    """Incremental streaming near-dup: the union of per-batch pair
+    outputs must equal the full-corpus batch pq_near_dups over
+    everything ingested (cross-batch pairs emit when the LATER member
+    arrives), and a replayed micro-batch changes nothing (exactly-once
+    code commits + idempotent pair partitions)."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        pq_near_dups,
+        pq_near_dups_incremental,
+    )
+    from data_observability_installer_spark.sources import txtable as _tx
+    from data_observability_installer_spark.streaming.dedup import pq_near_dup_sink
+
+    base = [0.5] * 32 + [-0.5] * 32
+    near = list(base); near[0] = 0.49
+    far = list(base); far[5] = 0.48          # second near-dup, later batch
+    other = [0.3] * 32 + [-0.7] * 32
+    onear = list(other); onear[1] = 0.29     # in-batch pair, batch 2
+    b1 = [(0, base), (1, near), (10, [0.5, -0.5] * 32)]
+    b2 = [(2, far), (20, other), (21, onear)]
+
+    src = tmp_path / "emb_stream"; src.mkdir()
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"vec_id": i, "embedding": e}) for i, e in rows)
+        )
+    dump(b1, "a.json"); _time.sleep(1.1); dump(b2, "b.json")
+
+    code_store = str(tmp_path / "codes")
+    pairs_store = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("vec_id int, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = pq_near_dup_sink(
+        stream, code_store, pairs_store, str(tmp_path / "ckpt"),
+        threshold=0.9, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_store).collect()
+    }
+    full_df = spark.createDataFrame(b1 + b2, "vec_id int, embedding array<float>")
+    want = {
+        (r.id_a, r.id_b)
+        for r in pq_near_dups(full_df, min_band_matches=2, threshold=0.9).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (21, 20) not in got and (20, 21) in got
+    # cross-batch pair (0 or 1 from batch 1, 2 from batch 2) found
+    assert any(2 in p for p in got)
+
+    # replay the LAST batch (the only replay foreachBatch produces:
+    # later batches cannot have committed yet): the code store is
+    # unchanged (batch_id dedupe) and the pair output recomputes
+    # identically — the batch's own store copy never pairs with itself
+    n_versions = len(_tx.history(code_store))
+    replay_df = spark.createDataFrame(b2, "vec_id int, embedding array<float>")
+    pairs = pq_near_dups_incremental(
+        spark, code_store, replay_df, threshold=0.9, batch_id=1
+    )
+    assert len(_tx.history(code_store)) == n_versions  # exactly-once
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{pairs_store}/batch_id=1").collect()
+    }

@@ -492,6 +492,54 @@ def main() -> None:
                             "status", "metric_value"),
         )
     )
+    # round-9: incremental PQ near-dup sink — per-batch encode + band
+    # join against the accumulated txtable code store (never a corpus
+    # self-join). Embeddings synthesize deterministically from
+    # event_id; input capped to every 5th event (~20k vectors) because
+    # the 8-argmin encode costs ~1 ms/row interpreted.
+    from data_observability_installer_spark.operators.llm.similarity import (
+        pq_near_dups,
+    )
+    from data_observability_installer_spark.streaming.dedup import (
+        pq_near_dup_sink,
+    )
+
+    def synth_emb(df):
+        return df.filter(F.pmod("event_id", F.lit(5)) == 0).select(
+            F.col("event_id").cast("int").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CAST(pmod(event_id * (i + 7), 97) - 48 AS DOUBLE) / 48.0)"
+            ).cast("array<float>").alias("embedding"),
+            "event_timestamp",
+        )
+
+    sink_root2 = _tf.mkdtemp(prefix="stream_bench_pqnd_")
+    q = pq_near_dup_sink(
+        synth_emb(read_stream()).drop("event_timestamp"),
+        os.path.join(sink_root2, "codes"),
+        os.path.join(sink_root2, "pairs"),
+        os.path.join(sink_root2, "ckpt"),
+        threshold=0.5,
+        availableNow=True,
+    )
+    ops["pq_near_dup_sink"] = _drain(
+        q,
+        lambda: spark.read.parquet(os.path.join(sink_root2, "pairs")).count(),
+    )
+    from data_observability_installer_spark.sources import txtable as _tx2
+
+    ops["pq_near_dup_sink"]["code_store_commits"] = len(
+        _tx2.history(os.path.join(sink_root2, "codes"))
+    )
+    ops["pq_near_dup_sink"]["batch_twin_s"] = timed_batch(
+        lambda: pq_near_dups(
+            synth_emb(batch_df).drop("event_timestamp"),
+            min_band_matches=2,
+            threshold=0.5,
+        ).count()
+    )
+    shutil.rmtree(sink_root2, ignore_errors=True)
     shutil.rmtree(sink_root, ignore_errors=True)
 
     result = {
