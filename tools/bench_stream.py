@@ -505,11 +505,16 @@ def main() -> None:
     )
 
     def synth_emb(df):
+        # hash-random components (near-orthogonal vectors — a lattice
+        # formula here produced 2.7M pairs from 20k vectors, pure
+        # fixture self-similarity) with a planted twin for ~1 in 20
+        # vectors via a colliding embedding seed
         return df.filter(F.pmod("event_id", F.lit(5)) == 0).select(
             F.col("event_id").cast("int").alias("vec_id"),
             F.expr(
                 "transform(sequence(0, 63), i -> "
-                "CAST(pmod(event_id * (i + 7), 97) - 48 AS DOUBLE) / 48.0)"
+                "CAST(pmod(abs(hash(pmod(event_id, 95000), i)), 1001)"
+                " AS DOUBLE) / 500.0 - 1.0)"
             ).cast("array<float>").alias("embedding"),
             "event_timestamp",
         )
@@ -520,7 +525,7 @@ def main() -> None:
         os.path.join(sink_root2, "codes"),
         os.path.join(sink_root2, "pairs"),
         os.path.join(sink_root2, "ckpt"),
-        threshold=0.5,
+        threshold=0.9,
         availableNow=True,
     )
     ops["pq_near_dup_sink"] = _drain(
@@ -536,7 +541,7 @@ def main() -> None:
         lambda: pq_near_dups(
             synth_emb(batch_df).drop("event_timestamp"),
             min_band_matches=2,
-            threshold=0.5,
+            threshold=0.9,
         ).count()
     )
     shutil.rmtree(sink_root2, ignore_errors=True)
