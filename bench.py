@@ -228,6 +228,7 @@ HEADLINE = [
     "topk_pq_trained_embeddings",
     "pq_near_dups_embeddings",
     "topk_ivfpq_embeddings",
+    "cm_sketch_documents",
 ]
 
 

@@ -183,3 +183,134 @@ def heavy_hitters_bigrams_sql(table: str, phi_denom: int = 1000, text_col: str =
     WHERE ct * {phi_denom} >= total
     ORDER BY ct DESC, term
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): a d x w counter grid
+# where item x increments cell (i, h_i(x)) in each of d rows; the point
+# estimate min_i grid[i][h_i(x)] NEVER undercounts and overcounts by
+# <= 2N/w with probability 1 - (1/2)^d. Stored as a LONG counts table
+# (row_id, bucket, ct) — metadata-sized (d*w cells), mergeable by plain
+# (row_id, bucket) summation, the exact algebra a partitioned /
+# multi-day ingest needs. The hash family is literal-parameter
+# polynomial arithmetic over the string's character codes — pure int64
+# both engines can replay, so sketch CONTENT (not just its bounds) is
+# oracle-checkable, unlike library sketches with engine-native hashing
+# (the same determinism choice as simhash_md5's twin).
+# ---------------------------------------------------------------------------
+
+CM_P = 1_000_000_007  # prime modulus: acc stays < 1e9, acc*131 < 2^63
+#: (a, b) per sketch row for h_i(x) = ((a * poly(x) + b) mod p) mod w
+CM_PARAMS = [(1_299_709, 15_485_863), (492_876_847, 715_225_739),
+             (179_424_673, 32_452_843), (982_451_653, 86_028_121)]
+
+
+def _cm_poly_sql(col_sql: str) -> str:
+    """Spark-SQL text: polynomial rolling hash of a string's character
+    codes, mod CM_P — exact int64 at every step."""
+    return (
+        f"aggregate(sequence(1, length({col_sql})), CAST(0 AS BIGINT), "
+        f"(acc, i) -> pmod(acc * 131 + ascii(substring({col_sql}, i, 1)), {CM_P}))"
+    )
+
+
+def cm_sketch(
+    items: DataFrame, col: str = "w", width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: one pass, explode each item into its ``depth``
+    (row_id, bucket) cells, ONE groupBy — shuffle bounded at d*w cells
+    regardless of input size. Returns (row_id, bucket, ct)."""
+    poly = _cm_poly_sql(col)
+    cells = ", ".join(
+        f"named_struct('row_id', {i}, 'bucket', "
+        f"CAST(pmod({a}L * _poly + {b}L, {CM_P}) % {width} AS INT))"
+        for i, (a, b) in enumerate(CM_PARAMS[:depth])
+    )
+    return (
+        items.selectExpr(f"{poly} AS _poly")
+        .selectExpr(f"inline(array({cells}))")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (width, depth, params):
+    plain summation per cell — the associative algebra that lets every
+    partition/day build its own sketch independently."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row_id", "bucket").agg(
+        F.sum("ct").cast("long").alias("ct")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str = "w",
+    width: int = 256, depth: int = 4,
+) -> DataFrame:
+    """Point estimates for a key frame: compute each key's d buckets,
+    join the (broadcast, d*w-sized) sketch, take min over rows. Never
+    undercounts; overcount <= 2N/width w.h.p."""
+    poly = _cm_poly_sql(col)
+    cells = ", ".join(
+        f"named_struct('row_id', {i}, 'bucket', "
+        f"CAST(pmod({a}L * _poly + {b}L, {CM_P}) % {width} AS INT))"
+        for i, (a, b) in enumerate(CM_PARAMS[:depth])
+    )
+    keyed = keys.selectExpr(col, f"{poly} AS _poly").selectExpr(
+        col, f"inline(array({cells}))"
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("ct"), F.lit(0))).cast("long").alias("cm_ct"))
+    )
+
+
+def cm_sketch_report_sql(
+    table: str, text_col: str = "text", width: int = 256, depth: int = 4,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the sketch-accuracy report (build + estimate the
+    true top-k): the identical polynomial hash (list_reduce with a
+    prepended 0 accumulator — DuckDB's reduce seeds from the first
+    element), identical cell assignment, identical min-over-rows."""
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT))), "
+        f"(acc, i) -> (acc * 131 + ascii(substr(w, CAST(i AS INT), 1))) % {CM_P})"
+    )
+    build_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row_id, "
+        f"CAST(({a} * _poly + {b}) % {CM_P} % {width} AS INT) AS bucket FROM hp"
+        for i, (a, b) in enumerate(CM_PARAMS[:depth])
+    )
+    key_rows = " UNION ALL ".join(
+        f"SELECT w, exact_ct, {i} AS row_id, "
+        f"CAST(({a} * _poly + {b}) % {CM_P} % {width} AS INT) AS bucket FROM tk"
+        for i, (a, b) in enumerate(CM_PARAMS[:depth])
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    hp AS MATERIALIZED (SELECT {poly} AS _poly FROM t),
+    cells AS (
+      SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM ({build_rows}) GROUP BY row_id, bucket),
+    top AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_ct
+      FROM t GROUP BY w ORDER BY exact_ct DESC, w LIMIT {k}),
+    tk AS (SELECT w, exact_ct, {poly} AS _poly FROM top),
+    est AS (
+      SELECT kr.w, any_value(kr.exact_ct) AS exact_ct,
+             CAST(min(coalesce(c.ct, 0)) AS BIGINT) AS cm_ct
+      FROM ({key_rows}) kr
+      LEFT JOIN cells c ON c.row_id = kr.row_id AND c.bucket = kr.bucket
+      GROUP BY kr.w)
+    SELECT w, exact_ct, cm_ct,
+           CAST(cm_ct - exact_ct AS BIGINT) AS overcount_ct
+    FROM est ORDER BY w
+    """

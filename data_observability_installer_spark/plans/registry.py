@@ -3240,6 +3240,48 @@ from ..operators.sketch import heavy_hitters_bigrams_sql as _hh_sql  # noqa: E40
 ORACLES["heavy_hitters_documents"] = _hh_sql("documents", phi_denom=1000)
 
 
+@register(
+    "cm_sketch_documents",
+    None,  # oracle attached below
+)
+def cm_sketch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy report over the corpus vocabulary:
+    build the d x w counter grid in ONE pass (shuffle bounded at d*w
+    cells, never the vocabulary), then estimate the TRUE top-10 words
+    and report exact vs estimate — overcount_ct >= 0 is the sketch's
+    one-sided guarantee made visible. The hash family is literal
+    polynomial int64 arithmetic, so the DuckDB twin rebuilds the SAME
+    sketch cell-for-cell (sketch CONTENT is value-checked, not just
+    its error bound). The mergeable face (cm_merge: per-cell sums) is
+    pytest-pinned in test_sketch.py."""
+    from ..operators.llm.lm import _tokens
+    from ..operators.sketch import cm_estimate, cm_sketch
+
+    words = _tokens(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("w")
+    sk = cm_sketch(words)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_ct"))
+        .orderBy(F.desc("exact_ct"), F.asc("w"))
+        .limit(10)
+    )
+    return (
+        top.join(cm_estimate(sk, top.select("w")), "w")
+        .selectExpr(
+            "w", "exact_ct", "cm_ct",
+            "CAST(cm_ct - exact_ct AS BIGINT) AS overcount_ct",
+        )
+        .orderBy("w")
+    )
+
+
+from ..operators.sketch import cm_sketch_report_sql as _cm_sql  # noqa: E402
+
+ORACLES["cm_sketch_documents"] = _cm_sql("documents")
+
+
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

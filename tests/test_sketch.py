@@ -120,3 +120,43 @@ def test_broadcast_verify_plan(spark):
     df = spark.createDataFrame([(f"w{i%10}",) for i in range(100)], "w string")
     plan = heavy_hitters(df, "w", phi_denom=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cm_sketch_never_undercounts_and_merges(spark):
+    """CM guarantees, pinned: estimates never undercount any key;
+    sketches built per-slice and merged equal the one-pass sketch
+    (associative per-cell sums); total mass is preserved per row."""
+    from data_observability_installer_spark.operators.sketch import (
+        cm_estimate,
+        cm_merge,
+        cm_sketch,
+    )
+
+    rows = [("alpha",)] * 50 + [("beta",)] * 20 + [("gamma",)] * 5 + [
+        (w,) for w in ("d1 d2 d3 d4 d5 d6 d7 d8 d9 d10".split())
+    ]
+    df = spark.createDataFrame(rows, "w string")
+
+    sk = cm_sketch(df, width=16, depth=4)  # small width: force collisions
+    keys = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("d1",), ("absent",)], "w string"
+    )
+    est = {r.w: r.cm_ct for r in cm_estimate(sk, keys, width=16).collect()}
+    exact = {"alpha": 50, "beta": 20, "gamma": 5, "d1": 1, "absent": 0}
+    for w, ex in exact.items():
+        assert est[w] >= ex, (w, est[w], ex)
+
+    # mergeability: per-slice sketches sum to the one-pass sketch
+    a = cm_sketch(spark.createDataFrame(rows[:40], "w string"), width=16, depth=4)
+    b = cm_sketch(spark.createDataFrame(rows[40:], "w string"), width=16, depth=4)
+    merged = {(r.row_id, r.bucket): r.ct for r in cm_merge(a, b).collect()}
+    full = {(r.row_id, r.bucket): r.ct for r in sk.collect()}
+    assert merged == full
+
+    # mass conservation: each sketch row sums to the input size
+    import collections
+
+    per_row = collections.Counter()
+    for (i, _), ct in full.items():
+        per_row[i] += ct
+    assert set(per_row.values()) == {len(rows)}
