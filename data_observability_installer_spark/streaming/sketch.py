@@ -97,3 +97,52 @@ def heavy_hitters_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def cm_sketch_sink(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    col: str = "w",
+    width: int = 256,
+    depth: int = 4,
+    **trigger,
+):
+    """CONTINUOUS Count-Min: every micro-batch reduces to its own d x w
+    sketch (ONE aggregation, cells not rows) and lands under
+    ``run_id=<batch_id>`` — replay-idempotent via overwrite, exactly
+    like the continuous profiling sink. Because cm_merge is plain
+    per-cell summation, the merged store equals the one-pass sketch of
+    everything ingested (parity-pinned), so a monitoring job gets
+    whole-history frequency estimates without re-scanning any data.
+    State in the stream is ZERO; durability lives in the store."""
+    from ..operators.profile import write_profile
+    from ..operators.sketch import cm_sketch
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        write_profile(
+            cm_sketch(df, col=col, width=width, depth=depth),
+            store,
+            f"{batch_id:08d}",
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_cm_store(spark, store: str) -> DataFrame:
+    """Merge every stored per-batch sketch into the whole-history
+    sketch: one metadata-sized groupBy over d*w*n_batches cells
+    (vacuum_profile_store's rollup applies unchanged if batch count
+    ever matters)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("ct").cast("long").alias("ct"))
+    )

@@ -1185,3 +1185,56 @@ def test_pq_near_dup_sink_cumulative_parity_and_replay(spark, tmp_path):
         (r.id_a, r.id_b)
         for r in spark.read.parquet(f"{pairs_store}/batch_id=1").collect()
     }
+
+
+def test_cm_sketch_sink_merged_store_equals_one_pass(spark, tmp_path):
+    """Continuous CM: the merged per-batch sketch store must be
+    CELL-IDENTICAL to the one-pass sketch over everything ingested
+    (per-cell sums are the whole merge algebra), and estimates from the
+    merged store never undercount."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.sketch import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        cm_sketch_sink,
+        read_cm_store,
+    )
+
+    b1 = ["alpha"] * 30 + ["beta"] * 5
+    b2 = ["alpha"] * 20 + ["gamma"] * 7
+    src = tmp_path / "words"; src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps({"w": w}) for w in b1))
+    _time.sleep(1.1)
+    (src / "b.json").write_text("\n".join(_json.dumps({"w": w}) for w in b2))
+
+    store = str(tmp_path / "cm_store")
+    stream = (
+        spark.readStream.schema("w string").option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = cm_sketch_sink(
+        stream, store, str(tmp_path / "ckpt"), width=16, depth=4,
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    merged = {(r.row_id, r.bucket): r.ct for r in read_cm_store(spark, store).collect()}
+    one_pass = {
+        (r.row_id, r.bucket): r.ct
+        for r in cm_sketch(
+            spark.createDataFrame([(w,) for w in b1 + b2], "w string"),
+            width=16, depth=4,
+        ).collect()
+    }
+    assert merged == one_pass
+
+    keys = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "w string")
+    est = {
+        r.w: r.cm_ct
+        for r in cm_estimate(read_cm_store(spark, store), keys, width=16).collect()
+    }
+    assert est["alpha"] >= 50 and est["beta"] >= 5 and est["gamma"] >= 7
