@@ -605,3 +605,64 @@ def test_table_health_flags_eroded_clustering(spark, tmp_path):
     assert h2["clustering_depth"]["k"] <= 2.0
     assert h2["n_files"] <= 8 and h2["bytes_total"] > 0
     assert h2["file_bytes_p50"] <= h2["file_bytes_max"]
+
+
+def test_txtable_random_sequences_with_stats_prune_parity(spark, tmp_path):
+    """Model-based check, data-skipping edition: a pseudo-random
+    command sequence (sorted/unsorted appends with stats, overwrite,
+    compact with/without re-cluster, merge) where after EVERY commit a
+    random range predicate must satisfy pruned-scan + row-filter ==
+    model filter — pruning may keep extra files but can never lose a
+    matching row, under any interleaving of clustered and unclustered
+    commits."""
+    import random
+
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    rng = random.Random(20260815)
+    t = str(tmp_path / "t")
+    model: dict[int, int] = {}
+
+    def df_of(d):
+        return spark.createDataFrame(list(d.items()) or [], "k int, v int")
+
+    write_table(spark, t, df_of({i: i for i in range(0, 50)}), stats_cols=["k"])
+    model = {i: i for i in range(0, 50)}
+
+    for step in range(8):
+        op = rng.choice(["append", "append_sorted", "overwrite", "compact",
+                         "compact_sorted", "merge"])
+        new = {rng.randrange(1000) + step * 1000: rng.randrange(99)
+               for _ in range(20)}
+        if op == "append":
+            write_table(spark, t, df_of(new))
+            model.update(new)
+        elif op == "append_sorted":
+            write_table(spark, t, df_of(new), sort_by=["k"])
+            model.update(new)
+        elif op == "overwrite":
+            write_table(spark, t, df_of(new), mode="overwrite",
+                        stats_cols=["k"])
+            model = dict(new)
+        elif op == "compact":
+            compact(spark, t, target_partitions=2)
+        elif op == "compact_sorted":
+            compact(spark, t, target_partitions=2, sort_by=["k"])
+        else:
+            upd = {rng.choice(list(model)): rng.randrange(99)}
+            merge_cdc(spark, t, df_of(upd), ["k"])
+            model.update(upd)
+
+        lo = rng.randrange(0, 9000)
+        hi = lo + rng.randrange(1, 2000)
+        preds = [("k", ">=", lo), ("k", "<", hi)]
+        got = _rows(
+            read_table(spark, t, predicates=preds).filter(
+                f"k >= {lo} AND k < {hi}"
+            )
+        )
+        want = sorted((k, v) for k, v in model.items() if lo <= k < hi)
+        assert got == want, (step, op, lo, hi)
+        m = read_manifest(t)
+        kept = prune_files(m, preds)
+        assert set(kept) <= set(m["files"])  # pruning only shrinks
