@@ -225,3 +225,68 @@ def classifier_score_sql(
              AS clf_score
     FROM feat GROUP BY doc
     """
+
+
+def vocab_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    head_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary health report — the numbers a tokenizer/
+    stop-list decision reads first: token and type counts, hapax (and
+    dis) legomena, type-token ratio, and how much of the mass the
+    top-``head_k`` types hold (Zipf-head concentration; ~1.0 means
+    boilerplate, ~0.2 means diverse text). One token pass + one
+    type-level rollup; ratios are exact integer basis points
+    (x * 10000 DIV n), so the DuckDB twin is hash-equal."""
+    types = _tokens(df, text_col, id_col).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    head = (
+        types.orderBy(F.desc("ct"), F.asc("w"))
+        .limit(head_k)
+        .agg(F.sum("ct").cast("long").alias("head_mass"))
+    )
+    return (
+        types.agg(
+            F.sum("ct").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("ct") == 1).cast("long")).cast("long").alias("hapax_ct"),
+            F.sum((F.col("ct") == 2).cast("long")).cast("long").alias("dis_ct"),
+        )
+        .crossJoin(F.broadcast(head))
+        .selectExpr(
+            "n_tokens", "n_types", "hapax_ct", "dis_ct",
+            "CAST(n_types * 10000 DIV n_tokens AS BIGINT) AS ttr_bp",
+            "CAST(hapax_ct * 10000 DIV n_types AS BIGINT) AS hapax_share_bp",
+            "CAST(head_mass * 10000 DIV n_tokens AS BIGINT) AS head_mass_bp",
+        )
+    )
+
+
+def vocab_stats_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id",
+    head_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`vocab_stats`."""
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    types AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS ct FROM t GROUP BY w),
+    head AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS head_mass FROM (
+        SELECT ct FROM types ORDER BY ct DESC, w ASC LIMIT {head_k})),
+    tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_ct,
+             CAST(sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_ct
+      FROM types)
+    SELECT n_tokens, n_types, hapax_ct, dis_ct,
+           CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+           CAST(hapax_ct * 10000 // n_types AS BIGINT) AS hapax_share_bp,
+           CAST(head_mass * 10000 // n_tokens AS BIGINT) AS head_mass_bp
+    FROM tot, head
+    """

@@ -4795,6 +4795,15 @@ def vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.vocab_topk(load_table(spark, sf_dir, "documents"), k=50)
 
 
+@register("vocab_stats_documents", _lm.vocab_stats_sql("documents"))
+def vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary health report (tokens/types/hapax/TTR/Zipf-head
+    concentration in exact bp) — the pre-tokenizer corpus check;
+    complements vocab_topk (the WHICH terms) with the SHAPE of the
+    distribution."""
+    return _lm.vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("unigram_nll_documents", _lm.unigram_logprob_screen_sql("documents"))
 def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc avg negative log2-likelihood under the corpus unigram LM

@@ -570,3 +570,19 @@ def test_embedding_drift_identical_orthogonal_empty(spark):
     )
     r = embedding_drift(df1, F.col("is_a")).collect()[0]
     assert r.cos_mean_e6 is None and r.norm_mean_a_e6 is not None
+
+
+def test_vocab_stats_hand_computed(spark):
+    """5 'a', 2 'b', 1 'c' across 3 docs: every statistic is
+    hand-checkable, including the floor-division bp ratios and the
+    head-mass cap at head_k."""
+    from data_observability_installer_spark.operators.llm.lm import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c"), (3, "a")], "doc_id int, text string"
+    )
+    r = vocab_stats(df, head_k=2).collect()[0]
+    assert (r.n_tokens, r.n_types, r.hapax_ct, r.dis_ct) == (8, 3, 1, 1)
+    assert r.ttr_bp == 3 * 10000 // 8
+    assert r.hapax_share_bp == 1 * 10000 // 3
+    assert r.head_mass_bp == (5 + 2) * 10000 // 8  # top-2 of 3 types
