@@ -2374,8 +2374,17 @@ def pq_near_dups_incremental(
         .localCheckpoint(eager=True)  # one encode; feeds join + commit
     )
     have_store = bool(_os.path.isdir(_os.path.join(code_store, "_commits")))
+    # A crash-replay can present a batch whose codes ALREADY landed (crash
+    # between commit_stream_batch and the sink's pairs write): the store copy
+    # and the new copy of each vid are row-identical, but without dedup the
+    # fa/fb verification joins below would multiply every affected pair row
+    # up to 4x. dropDuplicates makes replay output ROW-identical, not just
+    # set-identical (the ids are unique by ingest contract, so on a normal
+    # batch this dedups nothing).
     union = (
-        _tx.read_table(spark, code_store).unionByName(new) if have_store else new
+        _tx.read_table(spark, code_store).unionByName(new).dropDuplicates(["vid"])
+        if have_store
+        else new
     )
 
     def bands(codes_df):

@@ -313,18 +313,24 @@ def prune_files(
                     v = float(v)
                 except ValueError:
                     continue
-            if op in ("=", "=="):
-                skip = v < lo or v > hi
-            elif op == "<":
-                skip = lo >= v
-            elif op == "<=":
-                skip = lo > v
-            elif op == ">":
-                skip = hi <= v
-            elif op == ">=":
-                skip = hi < v
-            else:
+            if op not in ("=", "==", "<", "<=", ">", ">="):
                 raise ValueError(f"unsupported predicate op {op!r}")
+            try:
+                if op in ("=", "=="):
+                    skip = v < lo or v > hi
+                elif op == "<":
+                    skip = lo >= v
+                elif op == "<=":
+                    skip = lo > v
+                elif op == ">":
+                    skip = hi <= v
+                elif op == ">=":
+                    skip = hi < v
+            except TypeError:
+                # remaining incomparable mix (e.g. numeric predicate vs
+                # string/ISO-timestamp stats): keep the file — a type
+                # mismatch must degrade skipping, never crash the read
+                continue
             if skip:
                 break
         if not skip:
@@ -350,6 +356,19 @@ def _publish(
     manifest["version"] = v
     manifest["parent"] = parent_version if parent_version else None
     manifest["committed_at_ms"] = int(time.time() * 1000)
+    # fold the high-water batch_id into EVERY manifest (not just
+    # stream_appends) so the exactly-once replay guard survives vacuum:
+    # retained manifests may no longer include the commit that carried a
+    # given batch_id, but the head always carries the max ever committed
+    inherited = (
+        read_manifest(path, parent_version).get("max_batch_id")
+        if parent_version
+        else None
+    )
+    own = manifest.get("batch_id")
+    hw = max((x for x in (inherited, own) if x is not None), default=None)
+    if hw is not None:
+        manifest["max_batch_id"] = hw
     if not (backend or _DEFAULT_BACKEND).claim_version(
         path, v, json.dumps(manifest)
     ):
@@ -419,7 +438,11 @@ def write_table(
     if sort_by:
         df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     files, schema = _write_data_files(df, path)
-    own_stats: dict | None = None
+    # footer-stat cache keyed by the EFFECTIVE column set: a retry can see a
+    # different head (a racer created the table with tracked stats_cols, or
+    # changed the tracked set), and stats computed for the old set must not
+    # be reused for the new one
+    own_stats_cache: dict[tuple, dict] = {}
     for _ in range(_RETRIES):
         base_files: list[str] = []
         base_stats: dict = {}
@@ -439,8 +462,12 @@ def write_table(
                 if cols is None and base_stats:
                     # keep tracking whatever the table already tracks
                     cols = sorted({c for s in base_stats.values() for c in s})
-        if own_stats is None:
-            own_stats = _collect_file_stats(path, files, cols) if cols else {}
+        key = tuple(sorted(cols or ()))
+        if key not in own_stats_cache:
+            own_stats_cache[key] = (
+                _collect_file_stats(path, files, cols) if cols else {}
+            )
+        own_stats = own_stats_cache[key]
         manifest = {"op": mode, "files": base_files + files, "schema": schema,
                     "added": len(files), "added_files": files}
         if base_stats or own_stats:
@@ -680,13 +707,25 @@ def commit_stream_batch(
     a commit with that batch_id already exists — the exactly-once
     guard foreachBatch's at-least-once replays rely on. The dedupe
     check re-runs after every lost commit race, because the racing
-    winner may BE a replay of this very batch."""
+    winner may BE a replay of this very batch.
+
+    The guard is VACUUM-SAFE: besides scanning retained manifests, it
+    rejects any ``batch_id`` at or below the table's ``max_batch_id``
+    high-water mark, which every commit (stream or not) carries forward
+    from its parent — so a replay of a batch whose own manifest vacuum
+    dropped still publishes nothing. This leans on foreachBatch's
+    contract that batch ids are monotone per stream; callers feeding
+    out-of-order ids must not vacuum past them."""
     files: list[str] | None = None
     schema = ""
     for _ in range(_RETRIES):
         vs = _versions(path)
         if batch_id in {read_manifest(path, v).get("batch_id") for v in vs}:
             return None  # replay of an already-committed micro-batch
+        if vs:
+            hw = read_manifest(path).get("max_batch_id")
+            if hw is not None and batch_id <= hw:
+                return None  # committed before the vacuum horizon
         if files is None:
             files, schema = _write_data_files(df, path)
         head = read_manifest(path) if vs else None

@@ -275,6 +275,10 @@ def _payload_instances(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupSta
                 ]
             )
             state.update((open_us, True))  # tombstone: one instance per key
+            # schedule the tombstone's OWN removal — without a fresh timer
+            # an opened-but-never-closed key would hold state forever
+            # (EventTimeTimeout fires only when a timestamp is set)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         else:
             state.remove()  # closed + timed out: nothing left to guard
         return

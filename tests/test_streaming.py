@@ -1181,10 +1181,18 @@ def test_pq_near_dup_sink_cumulative_parity_and_replay(spark, tmp_path):
         spark, code_store, replay_df, threshold=0.9, batch_id=1
     )
     assert len(_tx.history(code_store)) == n_versions  # exactly-once
-    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {
-        (r.id_a, r.id_b)
+    # ROW-identical, not just set-identical: the replayed batch's vids
+    # exist in BOTH the store and the new frame; without vid dedup the
+    # verification joins would multiply each affected pair row up to 4x
+    replay_rows = sorted(
+        (r.id_a, r.id_b, r.n_bands, r.score_bp) for r in pairs.collect()
+    )
+    first_rows = sorted(
+        (r.id_a, r.id_b, r.n_bands, r.score_bp)
         for r in spark.read.parquet(f"{pairs_store}/batch_id=1").collect()
-    }
+    )
+    assert replay_rows == first_rows
+    assert len(replay_rows) == len({(a, b) for a, b, *_ in replay_rows})
 
 
 def test_cm_sketch_sink_merged_store_equals_one_pass(spark, tmp_path):
@@ -1238,3 +1246,59 @@ def test_cm_sketch_sink_merged_store_equals_one_pass(spark, tmp_path):
         for r in cm_estimate(read_cm_store(spark, store), keys, width=16).collect()
     }
     assert est["alpha"] >= 50 and est["beta"] >= 5 and est["gamma"] >= 7
+
+
+def test_payload_instance_tombstone_is_garbage_collected():
+    """State-lifecycle unit check on the raw state function: a
+    still-open key that times out flushes its NULL-end row, tombstones,
+    AND schedules a follow-up timeout; the next timeout removes the
+    tombstone. Without the follow-up timer, EventTimeTimeout never
+    fires again and every opened-but-never-closed payload key would
+    hold a state row forever."""
+    from data_observability_installer_spark.streaming.journeys import (
+        _payload_instances,
+    )
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False, wm=0):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self._wm = wm
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_set = ts
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    key = ("j1", "p1")
+    # timeout fires on a still-open key: flush + tombstone + NEW timer
+    st = FakeState(value=(1_000_000, False), timed_out=True, wm=50_000)
+    out = list(_payload_instances(key, iter([]), st))
+    assert len(out) == 1 and out[0]["instance_end"].isna().all()
+    assert st._v == (1_000_000, True)  # tombstoned
+    assert not st.removed
+    assert st.timeout_set is not None and st.timeout_set > 50_000
+
+    # the tombstone's own timeout: state is removed, nothing emitted
+    st.hasTimedOut = True
+    st.timeout_set = None
+    out2 = list(_payload_instances(key, iter([]), st))
+    assert out2 == []
+    assert st.removed

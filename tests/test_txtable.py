@@ -666,3 +666,60 @@ def test_txtable_random_sequences_with_stats_prune_parity(spark, tmp_path):
         m = read_manifest(t)
         kept = prune_files(m, preds)
         assert set(kept) <= set(m["files"])  # pruning only shrinks
+
+
+def test_prune_files_type_mismatch_keeps_file():
+    """A numeric predicate against a column whose manifest stats are
+    strings (ISO timestamps, text) must KEEP the file, not raise —
+    skipping is a pure optimization, never a filter (and never a
+    crash)."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    m = {
+        "files": ["f1.parquet", "f2.parquet"],
+        "stats": {
+            "f1.parquet": {"d": ["2025-01-01", "2025-01-31"]},
+            "f2.parquet": {"d": ["2025-02-01", "2025-02-28"]},
+        },
+    }
+    for op in ("=", "<", "<=", ">", ">="):
+        assert prune_files(m, [("d", op, 42)]) == m["files"]
+    # string-vs-string still prunes as before
+    assert prune_files(m, [("d", ">=", "2025-02-15")]) == ["f2.parquet"]
+
+
+def test_stream_replay_guard_survives_vacuum(spark, tmp_path):
+    """Exactly-once vs vacuum: after vacuum drops the manifest that
+    carried a batch_id, a replay of that batch must STILL publish
+    nothing — the max_batch_id high-water mark every commit carries
+    forward is the guard's vacuum-safe backstop."""
+    from data_observability_installer_spark.sources import txtable as _tx
+
+    t = str(tmp_path / "t")
+    for b in range(4):
+        _tx.commit_stream_batch(t, spark.createDataFrame([(b,)], "k int"), b)
+    # an interleaved non-stream commit must carry the mark forward too
+    _tx.compact(spark, t, target_partitions=1)
+    removed = _tx.vacuum(t, keep_last=2)
+    assert removed >= 0
+    retained_bids = {
+        _tx.read_manifest(t, v).get("batch_id") for v in _tx._versions(t)
+    }
+    assert 0 not in retained_bids  # batch 0's manifest is really gone
+    assert _tx.read_manifest(t).get("max_batch_id") == 3
+
+    before = sorted(_rows(_tx.read_table(spark, t)))
+    n = len(_tx.history(t))
+    # replay of the vacuumed batch: no publish, no duplicate rows
+    assert (
+        _tx.commit_stream_batch(t, spark.createDataFrame([(0,)], "k int"), 0)
+        is None
+    )
+    assert len(_tx.history(t)) == n
+    assert sorted(_rows(_tx.read_table(spark, t))) == before
+    # a genuinely NEW batch still commits
+    assert (
+        _tx.commit_stream_batch(t, spark.createDataFrame([(9,)], "k int"), 9)
+        is not None
+    )
+    assert (9,) in _rows(_tx.read_table(spark, t))
