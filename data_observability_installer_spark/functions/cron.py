@@ -64,14 +64,48 @@ class Cron:
             return dom_ok
         return dom_ok or dow_ok
 
-    def ticks(self, start: dt.datetime, end: dt.datetime) -> list[dt.datetime]:
-        """All matching minutes in [start, end)."""
+    def ticks(
+        self,
+        start: dt.datetime,
+        end: dt.datetime,
+        tz: str | dt.tzinfo | None = None,
+    ) -> list[dt.datetime]:
+        """All matching minutes in [start, end), naive-UTC in and out.
+
+        With ``tz`` (an IANA name like the reference's schedule payload
+        ``"timezone": "America/New_York"``, demo_helper.py:658,1072, or
+        a tzinfo), the cron fields match WALL-CLOCK time in that zone
+        while the returned ticks stay naive UTC — the frame run events
+        join against. DST falls out of iterating the UTC minute grid:
+        spring-forward wall times don't exist (no UTC minute maps to
+        them) so those ticks are skipped, and fall-back wall times that
+        repeat fire ONCE, at their first (pre-transition) instant —
+        Vixie-cron semantics."""
         t = start.replace(second=0, microsecond=0)
         if t < start:
             t += dt.timedelta(minutes=1)
+        zone: dt.tzinfo | None = None
+        if tz is not None:
+            from zoneinfo import ZoneInfo
+
+            zone = ZoneInfo(tz) if isinstance(tz, str) else tz
+        utc = dt.timezone.utc
         out = []
         while t < end:
-            if self.matches(t):
-                out.append(t)
+            if zone is None:
+                if self.matches(t):
+                    out.append(t)
+            else:
+                wall = t.replace(tzinfo=utc).astimezone(zone).replace(tzinfo=None)
+                if self.matches(wall):
+                    # fold=0 maps an ambiguous wall time to its FIRST
+                    # UTC instant; only that instant fires the tick
+                    first = (
+                        wall.replace(tzinfo=zone, fold=0)
+                        .astimezone(utc)
+                        .replace(tzinfo=None)
+                    )
+                    if first == t:
+                        out.append(t)
             t += dt.timedelta(minutes=1)
         return out

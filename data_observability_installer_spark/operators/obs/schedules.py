@@ -29,11 +29,24 @@ def expected_ticks(
     window_start: dt.datetime,
     window_end: dt.datetime,
 ) -> DataFrame:
-    """Schedules (dicts with component_key/expectation/schedule/margin_s)
-    -> tick table (component_key, expectation, tick_ts, margin_s)."""
+    """Schedules (dicts with component_key/expectation/schedule/margin_s
+    and optional ``timezone``, an IANA name — the reference posts
+    ``"timezone": "America/New_York"`` with every schedule,
+    demo_helper.py:653-659, :1067-1073) -> tick table (component_key,
+    expectation, tick_ts, margin_s). The window bounds and emitted
+    tick_ts are UTC; the cron expands against wall-clock time in the
+    schedule's zone, so non-UTC deployments and DST transitions land
+    their expectations at the right instants."""
     rows = []
+    cache: dict[tuple, list] = {}  # fleets share few distinct (cron, tz)
     for s in schedules:
-        for tick in Cron(s["schedule"]).ticks(window_start, window_end):
+        ck = (s["schedule"], s.get("timezone"))
+        if ck not in cache:
+            cache[ck] = Cron(s["schedule"]).ticks(
+                window_start, window_end, tz=s.get("timezone")
+            )
+        ticks = cache[ck]
+        for tick in ticks:
             rows.append((s["component_key"], s.get("expectation", "BATCH_PIPELINE_START_TIME"), tick, int(s["margin_s"])))
     return spark.createDataFrame(
         rows, "component_key string, expectation string, tick_ts timestamp, margin_s int"

@@ -1318,6 +1318,62 @@ def a3_late_daily_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3_late_tz_starts",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    ticks AS (
+      -- America/New_York 23:00 wall-clock on the UTC grid, closed form:
+      -- EST (UTC-5) puts the tick at next-day 04:00 UTC; from the
+      -- 2024-03-10 DST transition EDT (UTC-4) shifts it to 03:00
+      SELECT 'pipeline-' || CAST(p.range AS VARCHAR) AS component_key,
+             g.d + INTERVAL 1 HOUR *
+               (CASE WHEN g.d >= TIMESTAMP '2024-03-11' THEN 3 ELSE 4 END)
+               AS tick_ts
+      FROM range(5) p,
+           generate_series(TIMESTAMP '2024-01-15', TIMESTAMP '2024-03-30',
+                           INTERVAL '1 day') g(d)),
+    matched AS (
+      SELECT DISTINCT t.component_key, t.tick_ts
+      FROM runs r JOIN ticks t ON r.pipeline_key = t.component_key
+       AND r.start_ts >= t.tick_ts AND r.start_ts <= t.tick_ts + INTERVAL '3600 seconds')
+    SELECT t.component_key, strftime(t.tick_ts, '%Y-%m-%d %H:%M:%S') AS tick_ts,
+           3600 AS margin_s, 'LATE_START' AS alert_type
+    FROM ticks t ANTI JOIN matched m
+      ON m.component_key = t.component_key AND m.tick_ts = t.tick_ts
+    """,
+)
+def a3_late_tz_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with the reference's OWN schedule payload shape — an IANA
+    timezone next to the cron (demo_helper.py:653-659 posts
+    ``"timezone": "America/New_York"`` with ``0 23 * * *``): ticks
+    expand against New-York wall-clock over a window that CROSSES the
+    2024-03-10 DST transition, so the expected UTC instants shift by an
+    hour mid-window; the oracle pins them with the closed-form offset
+    flip. A naive (UTC) expansion mis-times every tick and the March
+    side twice over."""
+    import datetime as dt
+
+    from ..operators.obs.schedules import expected_ticks, late_runs
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    schedules = [
+        {"component_key": f"pipeline-{i}", "expectation": "BATCH_PIPELINE_START_TIME",
+         "schedule": "0 23 * * *", "margin_s": 3600,
+         "timezone": "America/New_York"}
+        for i in range(5)
+    ]
+    ticks = expected_ticks(
+        spark, schedules, dt.datetime(2024, 1, 15), dt.datetime(2024, 3, 31)
+    )
+    return late_runs(runs, ticks).select(
+        "component_key",
+        F.date_format("tick_ts", _TS_FMT_SPARK).alias("tick_ts"),
+        "margin_s",
+        "alert_type",
+    )
+
+
+@register(
     "ontime_scoreboard_events",
     f"""
     WITH runs AS ({_RUNS_SQL}),

@@ -202,6 +202,78 @@ def test_cron_expansion():
     assert len(t2) == 8 and t2[0] == dt.datetime(2024, 1, 1, 9, 0)
 
 
+def test_cron_timezone_dst_expansion():
+    """The reference posts an IANA timezone with every schedule
+    (demo_helper.py:658,1072) — ticks must expand against wall-clock
+    time in that zone and land at UTC instants that SHIFT across the
+    DST transition, where naive expansion provably differs."""
+    from data_observability_installer_spark.functions.cron import Cron
+
+    c = Cron("0 23 * * *")  # the demo's own nightly schedule
+    # US DST starts 2024-03-10 02:00 local: EST (UTC-5) -> EDT (UTC-4)
+    tz_ticks = c.ticks(
+        dt.datetime(2024, 3, 9), dt.datetime(2024, 3, 12),
+        tz="America/New_York",
+    )
+    assert tz_ticks == [
+        dt.datetime(2024, 3, 9, 4, 0),    # Mar 8 23:00 EST
+        dt.datetime(2024, 3, 10, 4, 0),   # Mar 9 23:00 EST
+        dt.datetime(2024, 3, 11, 3, 0),   # Mar 10 23:00 EDT — shifted
+    ]
+    naive = c.ticks(dt.datetime(2024, 3, 9), dt.datetime(2024, 3, 12))
+    assert naive != tz_ticks  # a naive expansion mis-times every tick
+
+    # spring-forward: 02:30 local does not exist on Mar 10 -> skipped
+    spring = Cron("30 2 * * *").ticks(
+        dt.datetime(2024, 3, 9), dt.datetime(2024, 3, 12),
+        tz="America/New_York",
+    )
+    assert spring == [
+        dt.datetime(2024, 3, 9, 7, 30),   # Mar 9 02:30 EST
+        dt.datetime(2024, 3, 11, 6, 30),  # Mar 11 02:30 EDT; Mar 10 skipped
+    ]
+
+    # fall-back 2024-11-03: 01:30 local happens twice -> fires ONCE,
+    # at the first (EDT) instant — Vixie-cron semantics
+    fall = Cron("30 1 * * *").ticks(
+        dt.datetime(2024, 11, 3), dt.datetime(2024, 11, 4),
+        tz="America/New_York",
+    )
+    assert fall == [dt.datetime(2024, 11, 3, 5, 30)]  # 01:30 EDT only
+
+    # UTC zone == naive expansion (contract anchor)
+    assert c.ticks(
+        dt.datetime(2024, 3, 9), dt.datetime(2024, 3, 12), tz="UTC"
+    ) == naive
+
+
+def test_expected_ticks_honors_schedule_timezone(spark):
+    """expected_ticks reads the schedule dict's timezone field and
+    emits UTC tick_ts; a UTC-zone schedule reproduces the naive
+    frame (back-compat)."""
+    from data_observability_installer_spark.operators.obs.schedules import (
+        expected_ticks,
+    )
+
+    schedules = [
+        {"component_key": "ny", "schedule": "0 23 * * *", "margin_s": 600,
+         "timezone": "America/New_York"},
+        {"component_key": "utc", "schedule": "0 23 * * *", "margin_s": 600},
+    ]
+    got = {
+        (r.component_key, r.tick_ts)
+        for r in expected_ticks(
+            spark, schedules, dt.datetime(2024, 3, 10), dt.datetime(2024, 3, 12)
+        ).collect()
+    }
+    assert got == {
+        ("ny", dt.datetime(2024, 3, 10, 4, 0)),
+        ("ny", dt.datetime(2024, 3, 11, 3, 0)),
+        ("utc", dt.datetime(2024, 3, 10, 23, 0)),
+        ("utc", dt.datetime(2024, 3, 11, 23, 0)),
+    }
+
+
 def test_funnel_strict_ordering(spark):
     """A click BEFORE the first view must not count toward stage 2."""
     from data_observability_installer_spark.operators.obs.funnel import funnel_stages

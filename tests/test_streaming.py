@@ -1302,3 +1302,68 @@ def test_payload_instance_tombstone_is_garbage_collected():
     out2 = list(_payload_instances(key, iter([]), st))
     assert out2 == []
     assert st.removed
+
+
+def test_streaming_late_end_matches_batch(spark, tmp_path):
+    """A3 END expectation, streaming vs batch: a run that finishes past
+    tick+margin (or never) must produce LATE_END exactly where the
+    batch operator's BATCH_PIPELINE_END_TIME anti-join does, for every
+    tick whose deadline the stream's final watermark sealed."""
+    import datetime as dt
+
+    from data_observability_installer_spark.operators.obs import run_state_rollup
+    from data_observability_installer_spark.operators.obs.schedules import (
+        expected_ticks,
+        late_runs,
+    )
+    from data_observability_installer_spark.streaming.schedules import late_end_stream
+
+    def ev(eid, day, hh, mm, status, pipeline="endpipe"):
+        return {
+            "event_id": eid,
+            "event_type": "RUN_STATUS",
+            "event_timestamp": dt.datetime(2025, 1, day, hh, mm),
+            "pipeline_key": pipeline,
+            "run_key": f"{pipeline}:{day}",
+            "task_key": None,
+            "status": status,
+        }
+
+    rows = [
+        ev(1, 1, 21, 50, "RUNNING"),
+        ev(2, 1, 22, 5, "COMPLETED"),   # day 1: ended inside [22:00, 22:10]
+        ev(3, 2, 21, 55, "RUNNING"),
+        ev(4, 2, 23, 30, "COMPLETED"),  # day 2: ended PAST the margin
+        ev(5, 3, 22, 3, "COMPLETED"),   # day 3: on time; seals day 2
+    ]
+    path = str(tmp_path / "late_end_events")
+    spark.createDataFrame(
+        [tuple(r.get(f.name) for f in OBS_EVENT.fields) for r in rows], OBS_EVENT
+    ).write.mode("overwrite").json(path)
+
+    stream = spark.readStream.schema(OBS_EVENT).json(path)
+    out = late_end_stream(
+        stream, {"endpipe": ("0 22 * * *", 600)}, watermark="2 hours"
+    )
+    got = {
+        (r.pipeline_key, r.tick_ts, r.alert_type)
+        for r in _run_stream(spark, out, "append", "late_end_stream").collect()
+    }
+
+    batch_events = spark.read.schema(OBS_EVENT).json(path)
+    ticks = expected_ticks(
+        spark,
+        [{"component_key": "endpipe", "expectation": "BATCH_PIPELINE_END_TIME",
+          "schedule": "0 22 * * *", "margin_s": 600}],
+        dt.datetime(2025, 1, 1),
+        dt.datetime(2025, 1, 3),  # day 3's own tick is past the stream's wm
+    )
+    want = {
+        (r.component_key, r.tick_ts, r.alert_type)
+        for r in late_runs(run_state_rollup(batch_events), ticks).collect()
+    }
+    assert got == want == {
+        ("endpipe", dt.datetime(2025, 1, 2, 22, 0), "LATE_END")
+    }
+    # a RUNNING event alone never discharges an END tick: day 2 started
+    # on time (21:55) and still went LATE_END

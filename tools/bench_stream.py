@@ -430,6 +430,41 @@ def main() -> None:
         ).count()
     )
 
+    # round-10: A3 END expectation — absence alerting via event-time
+    # timers. 200 pipelines x hourly ticks, margin 1800 s: state per
+    # pipeline is O(undecided ticks) (watermark-bounded), and a tick
+    # with no run-level terminal event inside [T, T+margin] emits
+    # LATE_END only once the watermark seals its deadline.
+    from data_observability_installer_spark.operators.obs.schedules import (
+        expected_ticks,
+        late_runs,
+    )
+    from data_observability_installer_spark.streaming.schedules import (
+        late_end_stream,
+    )
+
+    _LE_SCHEDS = {f"pipe_{i}": ("0 * * * *", 1800) for i in range(200)}
+    ops["late_end"] = run_streaming(
+        spark,
+        late_end_stream(read_stream(), _LE_SCHEDS, watermark="2 hours"),
+        "append",
+        "sb_late_end",
+    )
+    _le_bounds = batch_df.agg(
+        F.min("event_timestamp"), F.max("event_timestamp")
+    ).first()
+    _le_dicts = [
+        {"component_key": k, "expectation": "BATCH_PIPELINE_END_TIME",
+         "schedule": expr, "margin_s": margin}
+        for k, (expr, margin) in _LE_SCHEDS.items()
+    ]
+    ops["late_end"]["batch_twin_s"] = timed_batch(
+        lambda: late_runs(
+            run_state_rollup(batch_df),
+            expected_ticks(spark, _le_dicts, _le_bounds[0], _le_bounds[1]),
+        ).count()
+    )
+
     # round-9: the two foreachBatch SINKS the round-8 verdict wanted
     # telemetry for. Zero keyed state by design (durability lives in the
     # store/commit log), so the interesting numbers are throughput and
