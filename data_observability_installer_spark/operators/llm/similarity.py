@@ -363,6 +363,8 @@ def train_ivf_kmeans(
             )
             .collect()
         )
+        if not rows:
+            break  # empty table: nothing to train on, keep current cells
         cents = {
             int(r["bucket"]): [
                 # mirror the twin's arithmetic EXACTLY: the DuckDB CTE
@@ -1791,9 +1793,21 @@ def train_pq(
     so the book must stay k-long (unlike IVF, where an empty cluster
     can simply drop)."""
     init = pq_codebooks(m=m, k=k)
+    eqall = embeddings.select(F.expr(_quant_sql("embedding")).alias("eqa"))
+    return _train_pq_lloyd(eqall, init, k, iters)
+
+
+def _train_pq_lloyd(
+    eqall: DataFrame, init: list[list[list[int]]], k: int, iters: int
+) -> list[list[list[int]]]:
+    """The shared per-subspace Lloyd loop over an ``eqa`` int-array
+    column (raw quantized vectors for :func:`train_pq`, coarse-cell
+    residuals for :func:`train_pq_residuals`). One Spark pass per
+    iteration covers ALL subspaces; dead centroids keep their previous
+    row (codes index codebook positions)."""
+    m = len(init)
     d = len(init[0][0])
     books = [[list(c) for c in init[j]] for j in range(m)]
-    eqall = embeddings.select(F.expr(_quant_sql("embedding")).alias("eqa"))
     for _ in range(iters):
         entries = []
         for j in range(m):
@@ -1824,6 +1838,47 @@ def train_pq(
                 for i in range(d)
             ]
     return books
+
+
+def _cents_map_sql(cents: dict[int, list[int]]) -> str:
+    """Spark-SQL literal MAP bucket -> integer centroid: trained cell
+    sets may have holes (train_ivf_kmeans drops empty clusters), so
+    positional array indexing is wrong there — key lookup is not."""
+    return (
+        "map("
+        + ", ".join(f"{b}, {_int_arr_sql(c)}" for b, c in sorted(cents.items()))
+        + ")"
+    )
+
+
+def train_pq_residuals(
+    embeddings: DataFrame,
+    cents: dict[int, list[int]],
+    n_cells: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+) -> list[list[list[int]]]:
+    """Train the PQ codebooks on coarse-cell RESIDUALS — the production
+    IVF-PQ configuration (the canonical billion-scale layout trains
+    books on x - centroid(cell(x)), which concentrates the subvector
+    distribution and buys most of PQ's accuracy at high k). ``cents``
+    is a :func:`train_ivf_kmeans` result (or any integer cell dict on
+    the IVF_SCALE grid). Same determinism contract as
+    :func:`train_pq`: exact int64 assignment and sums, one double
+    division + floor per component, so the DuckDB twin
+    (:func:`topk_ivfpq_trained_sql`) unrolls to bit-equal books."""
+    cbm = _cents_map_sql(cents)
+    eqall = (
+        embeddings.selectExpr(f"{_quant_sql('embedding')} AS eq")
+        .selectExpr(
+            "eq", f"{_argmin_bucket_sql('eq', cents, n_cells)} AS bucket"
+        )
+        .selectExpr(
+            f"zip_with(eq, element_at({cbm}, bucket), (x, y) -> x - y) AS eqa"
+        )
+    )
+    return _train_pq_lloyd(eqall, pq_codebooks(m=m, k=k, seed=321), k, iters)
 
 
 def topk_pq_trained_sql(
@@ -2108,11 +2163,6 @@ def pq_near_dups_sql(
 # ---------------------------------------------------------------------------
 
 
-def _cb_literal_sql(cents: list[list[int]]) -> str:
-    """Spark-SQL literal array-of-arrays of integer centroids."""
-    return "array(" + ", ".join(_int_arr_sql(c) for c in cents) + ")"
-
-
 def topk_ivfpq(
     embeddings: DataFrame,
     k: int = 10,
@@ -2122,25 +2172,34 @@ def topk_ivfpq(
     rescore: int = 4,
     id_col: str = "vec_id",
     books: list[list[list[int]]] | None = None,
+    cents: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """Top-k cosine via IVF-PQ + ADC: route every vector to its nearest
-    coarse cell (integer argmin over the fixed cell centroids), PQ-encode
+    coarse cell (integer argmin over the cell centroids), PQ-encode
     the RESIDUAL against the cell centroid, probe the query's ``nprobe``
     nearest cells, score each candidate with PQ_M lookups against the
     query's per-cell residual distance table, and exact-rescore the best
     ``rescore * k``. At rest a vector is one cell id + PQ_M sub-codes;
     a probe touches nprobe/n_cells of the code table and the float
-    column only for the rescore nominees."""
+    column only for the rescore nominees.
+
+    ``cents``/``books`` are the train-once/probe-many seam: pass a
+    :func:`train_ivf_kmeans` cell dict (ids must stay < n_cells; holes
+    from dropped empty clusters are fine — residual lookup is by map
+    key, not array position) and :func:`train_pq_residuals` books for
+    the fully TRAINED configuration; omitted, both fall back to the
+    fixed shipped-constants index."""
     books = books or pq_codebooks(seed=321)
     m, d = len(books), len(books[0][0])
     kc = len(books[0])
-    cents = {
-        b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
-        for b, row in enumerate(ivf_centroids(n_clusters=n_cells))
-    }
-    cb = _cb_literal_sql([cents[b] for b in range(n_cells)])
+    if cents is None:
+        cents = {
+            b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
+            for b, row in enumerate(ivf_centroids(n_clusters=n_cells))
+        }
+    cb = _cents_map_sql(cents)
     eq = _quant_sql("embedding")
-    res = f"zip_with(eq, element_at({cb}, bucket + 1), (x, y) -> x - y)"
+    res = f"zip_with(eq, element_at({cb}, bucket), (x, y) -> x - y)"
     code_exprs = _pq_code_exprs("res", books)
     assigned = (
         embeddings.selectExpr(f"{id_col} AS vid", f"{eq} AS eq")
@@ -2163,8 +2222,8 @@ def topk_ivfpq(
     # lowest cell id via the min-encode idiom), then one residual per
     # probed cell -> (bucket, j, code, qdist) LUT rows
     cell_dists = ", ".join(
-        f"named_struct('enc', {_sqdist_lits_sql('eq', cents[b])} * {n_cells} + {b})"
-        for b in range(n_cells)
+        f"named_struct('enc', {_sqdist_lits_sql('eq', cq)} * {n_cells} + {b})"
+        for b, cq in sorted(cents.items())
     )
     probes = (
         assigned.filter(F.col("vid") == query_id)
@@ -2320,6 +2379,181 @@ def topk_ivfpq_sql(
       LIMIT {rescore * k}),
     q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e
           WHERE vid = {query_id} AND nrm > 0)
+    SELECT e.vid AS {id_col},
+           floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+    FROM e JOIN cands USING (vid), q
+    WHERE e.nrm > 0
+    ORDER BY score DESC, e.vid ASC LIMIT {k}
+    """
+
+
+def topk_ivfpq_trained_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    coarse_iters: int = 2,
+    book_iters: int = 2,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+) -> str:
+    """DuckDB twin of the fully TRAINED IVF-PQ — the actual production
+    configuration of the canonical billion-scale layout:
+    ``topk_ivfpq(cents=train_ivf_kmeans(...),
+    books=train_pq_residuals(...))`` value-checked end to end. Composes
+    the two unrolled-CTE trainers this module already proves
+    separately: the coarse Lloyd pairs from :func:`topk_ivf_sql`
+    (empty cells DROP — no centroid row) feed residual computation,
+    the per-subspace residual Lloyd pairs from
+    :func:`topk_pq_trained_sql` (dead book centroids INHERIT — codes
+    index positions) feed a relational join-ADC (books live in a CTE,
+    not literals — set-equivalent to the Spark side's literal LUT).
+    Every training step is exact int64 or the one shared
+    double-division idiom, so cells, books, codes, probe set and
+    result all match the Spark path bit-for-bit."""
+    d = _DIM // m
+    coarse_init = ivf_centroids(n_clusters=n_cells)
+    cvalues = ", ".join(
+        f"({b}, [{', '.join(str(int(math.floor(v * IVF_SCALE + 0.5))) for v in row)}]::BIGINT[])"
+        for b, row in enumerate(coarse_init)
+    )
+    book_init = pq_codebooks(m=m, k=kc, seed=321)
+    bvalues = ", ".join(
+        f"({j}, {b}, [{', '.join(str(v) for v in c)}]::BIGINT[])"
+        for j in range(m)
+        for b, c in enumerate(book_init[j])
+    )
+    dist_c = (
+        "CAST(list_sum(list_transform(list_zip(e.eq, c.cq), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    dist_b = (
+        "CAST(list_sum(list_transform(list_zip(s.sub, b.cq), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"c0(bucket, cq) AS (VALUES {cvalues})",
+        f"pb0(j, bucket, cq) AS (VALUES {bvalues})",
+        f"""e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table})""",
+    ]
+    prev_c = "c0"
+    for i in range(1, coarse_iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT e.vid, any_value(e.eq) AS eq,
+             CAST(min({dist_c} * {n_cells} + c.bucket) % {n_cells} AS INT) AS bucket
+      FROM e, {prev_c} c GROUP BY e.vid)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT bucket, list(cv ORDER BY idx) AS cq FROM (
+        SELECT bucket, idx, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+        FROM (SELECT bucket, unnest(eq) AS v, generate_subscripts(eq, 1) AS idx FROM a{i})
+        GROUP BY bucket, idx)
+      GROUP BY bucket)"""
+        )
+        prev_c = f"c{i}"
+    ctes.append(
+        f"""af AS MATERIALIZED (
+      SELECT e.vid, any_value(e.eq) AS eq,
+             CAST(min({dist_c} * {n_cells} + c.bucket) % {n_cells} AS INT) AS bucket
+      FROM e, {prev_c} c GROUP BY e.vid)"""
+    )
+    ctes.append(
+        f"""r AS MATERIALIZED (
+      SELECT af.vid, af.bucket AS cell,
+             list_transform(list_zip(af.eq, c.cq), z -> z[1] - z[2]) AS res
+      FROM af JOIN {prev_c} c USING (bucket))"""
+    )
+    ctes.append(
+        f"""s AS MATERIALIZED (
+      SELECT vid, cell, js.j,
+             list_slice(res, js.j * {d} + 1, (js.j + 1) * {d}) AS sub
+      FROM r, (SELECT unnest(generate_series(0, {m - 1})) AS j) js)"""
+    )
+    prev_b = "pb0"
+    for i in range(1, book_iters + 1):
+        ctes.append(
+            f"""pa{i} AS (
+      SELECT s.vid, s.j, any_value(s.sub) AS sub,
+             CAST(min({dist_b} * {kc} + b.bucket) % {kc} AS INT) AS bucket
+      FROM s JOIN {prev_b} b ON b.j = s.j GROUP BY s.vid, s.j)"""
+        )
+        ctes.append(
+            f"""pu{i} AS (
+      SELECT j, bucket, list(cv ORDER BY idx) AS cq FROM (
+        SELECT j, bucket, idx,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cv
+        FROM (SELECT j, bucket, unnest(sub) AS v,
+                     generate_subscripts(sub, 1) AS idx FROM pa{i})
+        GROUP BY j, bucket, idx)
+      GROUP BY j, bucket)"""
+        )
+        ctes.append(
+            f"""pb{i} AS (
+      SELECT * FROM pu{i}
+      UNION ALL
+      SELECT p.* FROM {prev_b} p
+      WHERE NOT EXISTS (SELECT 1 FROM pu{i} n
+                        WHERE n.j = p.j AND n.bucket = p.bucket))"""
+        )
+        prev_b = f"pb{i}"
+    ctes.append(
+        f"""codes AS (
+      SELECT s.vid, s.j, any_value(s.cell) AS cell,
+             CAST(min({dist_b} * {kc} + b.bucket) % {kc} AS INT) AS code
+      FROM s JOIN {prev_b} b ON b.j = s.j GROUP BY s.vid, s.j)"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT c.bucket FROM e, {prev_c} c WHERE e.vid = {query_id}
+      ORDER BY {dist_c}, c.bucket LIMIT {nprobe})"""
+    )
+    ctes.append(
+        f"""qr AS MATERIALIZED (
+      SELECT p.bucket AS cell,
+             list_transform(list_zip(e.eq, c.cq), z -> z[1] - z[2]) AS res
+      FROM probes p JOIN {prev_c} c ON c.bucket = p.bucket, e
+      WHERE e.vid = {query_id})"""
+    )
+    ctes.append(
+        f"""qs AS (
+      SELECT cell, js.j,
+             list_slice(res, js.j * {d} + 1, (js.j + 1) * {d}) AS sub
+      FROM qr, (SELECT unnest(generate_series(0, {m - 1})) AS j) js)"""
+    )
+    ctes.append(
+        f"""lut AS MATERIALIZED (
+      SELECT s.cell, s.j, b.bucket AS code, {dist_b} AS qdist
+      FROM qs s JOIN {prev_b} b ON b.j = s.j)"""
+    )
+    ctes.append(
+        f"""cands AS (
+      SELECT c.vid FROM codes c
+      JOIN lut ON lut.cell = c.cell AND lut.j = c.j AND lut.code = c.code
+      WHERE c.vid <> {query_id}
+      GROUP BY c.vid
+      ORDER BY CAST(sum(qdist) AS BIGINT) ASC, c.vid ASC
+      LIMIT {rescore * k})"""
+    )
+    ctes.append(
+        f"q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e"
+        f" WHERE vid = {query_id} AND nrm > 0)"
+    )
+    cos_q = (
+        "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])"
+        " / (e.nrm * q.q_nrm)"
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
     SELECT e.vid AS {id_col},
            floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
     FROM e JOIN cands USING (vid), q

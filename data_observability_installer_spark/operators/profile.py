@@ -1039,3 +1039,73 @@ def vacuum_profile_store(
     for r in drop:
         shutil.rmtree(os.path.join(store, f"run_id={r}"))
     return {"dropped": drop, "kept": kept, "rollup": rollup_run_id}
+
+
+def retain_runs(
+    spark: SparkSession,
+    store: str,
+    keep_last_n: int,
+    rollup_run_id: str,
+    merge_fn,
+) -> dict:
+    """IDEMPOTENT retention step for the continuous sinks
+    (streaming/dq.py profile_partial_sink, streaming/sketch.py
+    cm_sketch_sink): when the store holds more than ``keep_last_n``
+    ``run_id=`` partitions, MERGE the oldest surplus into one rollup
+    partition via ``merge_fn(list[DataFrame]) -> DataFrame`` (the
+    store's merge algebra: merge_partials for profile partials,
+    per-cell sums for CM sketches — associative, so the merged store
+    stays bit-identical to the unvacuumed one) and delete them.
+
+    Crash safety without vacuum_profile_store's manual-recovery rule:
+    after the rollup partition lands, a ``_sources.json`` sidecar
+    records exactly which partitions it absorbed, and only then are
+    they deleted. A replayed batch (foreachBatch is at-least-once)
+    calls this again with the SAME rollup_run_id and resumes from
+    whatever the crash left: sidecar present -> finish deleting the
+    listed sources; rollup dir without sidecar -> half-written, delete
+    and redo. ``rollup_run_id`` must sort below every retained run id
+    (use a "00000000_rollup_<batch>" shape against zero-padded batch
+    ids) so latest-run selection never sees a rollup as newest.
+
+    Returns ``{"dropped": [...], "kept": [...], "rollup": ...}``."""
+    import json as _json
+    import os
+    import shutil
+
+    if keep_last_n < 1:
+        raise ValueError("keep_last_n must be >= 1")
+    rdir = os.path.join(store, f"run_id={rollup_run_id}")
+    side = os.path.join(rdir, "_sources.json")
+    if os.path.isdir(rdir):
+        if os.path.exists(side):
+            # completed rollup from a crashed attempt: finish deletes
+            with open(side) as fh:
+                for r in _json.load(fh):
+                    p = os.path.join(store, f"run_id={r}")
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+        else:
+            shutil.rmtree(rdir)  # half-written rollup: redo from scratch
+    runs = [r for r in list_profile_runs(store) if r != rollup_run_id]
+    if len(runs) <= keep_last_n:
+        return {"dropped": [], "kept": runs, "rollup": None}
+    drop = runs[: len(runs) - keep_last_n]
+    if os.path.isdir(rdir):
+        # this attempt's id was already used and completed (sources all
+        # gone) but the store is STILL over budget — the caller passed a
+        # non-unique id; refuse rather than double-merge
+        raise ValueError(
+            f"rollup run_id {rollup_run_id!r} already exists with all "
+            "sources deleted; use a fresh id per retention attempt"
+        )
+    merged = merge_fn(
+        [spark.read.parquet(os.path.join(store, f"run_id={r}")) for r in drop]
+    )
+    write_profile(merged, store, rollup_run_id)
+    with open(side, "w") as fh:
+        _json.dump(drop, fh)
+    for r in drop:
+        shutil.rmtree(os.path.join(store, f"run_id={r}"))
+    return {"dropped": drop, "kept": runs[len(runs) - keep_last_n:],
+            "rollup": rollup_run_id}

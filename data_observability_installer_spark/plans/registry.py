@@ -3435,6 +3435,28 @@ def topk_pq_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_pq(emb, k=10, query_id=0, books=_sim.train_pq(emb, iters=2))
 
 
+@register(
+    "topk_ivfpq_trained_embeddings",
+    _sim.topk_ivfpq_trained_sql("embeddings", k=10, query_id=0),
+)
+def topk_ivfpq_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY TRAINED IVF-PQ — the production configuration of the
+    canonical billion-scale layout: coarse cells from
+    train_ivf_kmeans (2 deterministic Lloyd passes), PQ books from
+    train_pq_residuals (2 per-subspace passes over the coarse
+    RESIDUALS — residual books are what make IVF-PQ accurate), then
+    topk_ivfpq's probe + join-ADC + exact rescore over both trained
+    artifacts. The DuckDB twin unrolls BOTH trainers as CTE pairs
+    (empty cells drop, dead book centroids inherit) so the learned
+    end-to-end path is value-checked, not just its fixed-constant
+    cousin. Training: 4 Spark passes; driver state is 16x64 + 8x16x8
+    integers (the shipped-constants shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _sim.train_ivf_kmeans(emb, n_clusters=16, iters=2)
+    books = _sim.train_pq_residuals(emb, cents, n_cells=16, iters=2)
+    return _sim.topk_ivfpq(emb, k=10, query_id=0, cents=cents, books=books)
+
+
 @register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
 def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit

@@ -155,6 +155,65 @@ class LocalLinkBackend(CommitBackend):
             os.unlink(tmp)
 
 
+class LocalTmpfileBackend(CommitBackend):
+    """The other true POSIX CAS: ``O_TMPFILE`` + ``linkat(...,
+    AT_EMPTY_PATH)``. The payload is written to an ANONYMOUS inode (no
+    name exists anywhere), then given the version path in ONE syscall
+    that fails with EEXIST when the version is taken — the same
+    fully-formed-or-absent visibility as :class:`LocalLinkBackend`
+    (readers can never observe a partial manifest) with no named temp
+    file: a crash between write and link leaks nothing, the anonymous
+    inode dies with the fd. Linux-specific (``O_TMPFILE``; the
+    AT_EMPTY_PATH link needs CAP_DAC_READ_SEARCH or a /proc-based
+    linkat) — :meth:`supported` probes the running filesystem so
+    callers and the conformance suite can select it explicitly."""
+
+    _AT_EMPTY_PATH = 0x1000
+    _AT_FDCWD = -100
+
+    def _linkat(self, fd: int, dst: str) -> bool:
+        import ctypes
+        import errno as _errno
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        r = libc.linkat(
+            fd, b"", self._AT_FDCWD, os.fsencode(dst), self._AT_EMPTY_PATH
+        )
+        if r == 0:
+            return True
+        e = ctypes.get_errno()
+        if e == _errno.EEXIST:
+            return False
+        raise OSError(e, os.strerror(e), dst)
+
+    def claim_version(self, table_path: str, version: int, payload: str) -> bool:
+        d = _commit_dir(table_path)
+        os.makedirs(d, exist_ok=True)
+        fd = os.open(d, os.O_TMPFILE | os.O_WRONLY, 0o644)
+        try:
+            data = payload.encode()
+            off = 0
+            while off < len(data):
+                off += os.write(fd, data[off:])
+            return self._linkat(fd, _manifest_path(table_path, version))
+        finally:
+            os.close(fd)
+
+    @classmethod
+    def supported(cls) -> bool:
+        """True iff O_TMPFILE + AT_EMPTY_PATH linkat work on this
+        platform/filesystem (probed with a real claim in a temp dir)."""
+        if not hasattr(os, "O_TMPFILE"):
+            return False
+        import tempfile
+
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                return cls().claim_version(td, 0, "{}")
+        except OSError:
+            return False
+
+
 _DEFAULT_BACKEND: CommitBackend = LocalLinkBackend()
 
 

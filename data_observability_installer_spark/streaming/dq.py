@@ -369,6 +369,7 @@ def profile_partial_sink(
     checkpoint: str,
     table_name: str,
     columns: list[str] | None = None,
+    retain: int | None = None,
     **trigger,
 ):
     """CONTINUOUS PROFILING: every micro-batch reduces to its mergeable
@@ -386,8 +387,20 @@ def profile_partial_sink(
     with overwrite, so foreachBatch's at-least-once replays rewrite
     the same partition with the same deterministic content instead of
     double-counting. State here is ZERO (stateless agg per batch);
-    durability lives in the store."""
-    from ..operators.profile import profile_partial, write_profile
+    durability lives in the store.
+
+    ``retain``: bound the store to that many run partitions — each
+    over-budget batch folds the oldest surplus into a rollup partition
+    (profile.retain_runs: the partial algebra is associative, so the
+    merged+finalized result stays bit-identical) instead of accreting
+    one partition per micro-batch forever. Without it, schedule
+    vacuum_profile_store externally."""
+    from ..operators.profile import (
+        merge_partials,
+        profile_partial,
+        retain_runs,
+        write_profile,
+    )
 
     def commit(df: DataFrame, batch_id: int) -> None:
         write_profile(
@@ -395,6 +408,12 @@ def profile_partial_sink(
             store,
             f"{batch_id:08d}",
         )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, store, retain,
+                f"00000000_rollup_{batch_id:08d}",
+                lambda parts: merge_partials(*parts),
+            )
 
     writer = stream.writeStream.foreachBatch(commit).option(
         "checkpointLocation", checkpoint

@@ -106,6 +106,7 @@ def cm_sketch_sink(
     col: str = "w",
     width: int = 256,
     depth: int = 4,
+    retain: int | None = None,
     **trigger,
 ):
     """CONTINUOUS Count-Min: every micro-batch reduces to its own d x w
@@ -115,9 +116,25 @@ def cm_sketch_sink(
     per-cell summation, the merged store equals the one-pass sketch of
     everything ingested (parity-pinned), so a monitoring job gets
     whole-history frequency estimates without re-scanning any data.
-    State in the stream is ZERO; durability lives in the store."""
-    from ..operators.profile import write_profile
+    State in the stream is ZERO; durability lives in the store.
+
+    ``retain``: bound the store to that many run partitions — each
+    over-budget batch folds the oldest surplus into one rollup sketch
+    (per-cell sums, the whole merge algebra, so read_cm_store stays
+    cell-identical) instead of accreting a partition per micro-batch
+    forever."""
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import retain_runs, write_profile
     from ..operators.sketch import cm_sketch
+
+    def _merge_cells(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("row_id", "bucket").agg(
+            F.sum("ct").cast("long").alias("ct")
+        )
 
     def commit(df: DataFrame, batch_id: int) -> None:
         write_profile(
@@ -125,6 +142,11 @@ def cm_sketch_sink(
             store,
             f"{batch_id:08d}",
         )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, store, retain,
+                f"00000000_rollup_{batch_id:08d}", _merge_cells,
+            )
 
     writer = stream.writeStream.foreachBatch(commit).option(
         "checkpointLocation", checkpoint

@@ -1367,3 +1367,175 @@ def test_streaming_late_end_matches_batch(spark, tmp_path):
     }
     # a RUNNING event alone never discharges an END tick: day 2 started
     # on time (21:55) and still went LATE_END
+
+
+def test_profile_sink_auto_retention_bounded_and_identical(spark, tmp_path):
+    """retain= on the continuous profiling sink: N micro-batches leave
+    at most retain+1 run partitions (retained runs + one rollup), and
+    the merged+finalized profile is bit-identical to the unbounded
+    store's — the rollup is pure partial-algebra, never lossy."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.profile import (
+        finalize_profile,
+        list_profile_runs,
+        merge_partials,
+    )
+    from data_observability_installer_spark.streaming.dq import profile_partial_sink
+
+    src = tmp_path / "vals"; src.mkdir()
+    all_rows = []
+    for b in range(6):
+        rows = [{"x": float(b * 10 + i), "g": f"g{i % 3}"} for i in range(20)]
+        all_rows += rows
+        (src / f"b{b}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        _time.sleep(1.1)  # file-source order follows mtime @ 1 s
+
+    def drive(store_name, retain):
+        stream = (
+            spark.readStream.schema("x double, g string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        store = str(tmp_path / store_name)
+        q = profile_partial_sink(
+            stream, store, str(tmp_path / f"ckpt_{store_name}"), "vals",
+            retain=retain, availableNow=True,
+        )
+        q.awaitTermination(180)
+        return store
+
+    bounded = drive("bounded", retain=2)
+    unbounded = drive("unbounded", retain=None)
+
+    assert len(list_profile_runs(unbounded)) == 6
+    assert len(list_profile_runs(bounded)) <= 3  # retain + 1 rollup
+
+    def final(store):
+        parts = [
+            spark.read.parquet(f"{store}/run_id={r}")
+            for r in list_profile_runs(store)
+        ]
+        return {
+            (r.table_name, r.column_name, r.metric): (r.value, r.value_str)
+            for r in finalize_profile(
+                merge_partials(*parts), as_of="2026-01-01"
+            ).collect()
+        }
+
+    assert final(bounded) == final(unbounded)
+
+
+def test_cm_sink_auto_retention_cells_identical(spark, tmp_path):
+    """retain= on the continuous CM sink: the store stays bounded and
+    read_cm_store is CELL-identical to the unbounded store (per-cell
+    sums are the whole merge algebra)."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.profile import (
+        list_profile_runs,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        cm_sketch_sink,
+        read_cm_store,
+    )
+
+    src = tmp_path / "words"; src.mkdir()
+    for b in range(5):
+        (src / f"b{b}.json").write_text(
+            "\n".join(_json.dumps({"w": w})
+                      for w in [f"w{b}"] * 10 + ["alpha"] * 5)
+        )
+        _time.sleep(1.1)
+
+    def drive(name, retain):
+        stream = (
+            spark.readStream.schema("w string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        store = str(tmp_path / name)
+        q = cm_sketch_sink(
+            stream, store, str(tmp_path / f"ckpt_{name}"), width=16, depth=4,
+            retain=retain, availableNow=True,
+        )
+        q.awaitTermination(180)
+        return store
+
+    bounded = drive("cm_bounded", retain=2)
+    unbounded = drive("cm_unbounded", retain=None)
+    assert len(list_profile_runs(bounded)) <= 3
+    assert len(list_profile_runs(unbounded)) == 5
+
+    cells = lambda s: {  # noqa: E731
+        (r.row_id, r.bucket): r.ct for r in read_cm_store(spark, s).collect()
+    }
+    assert cells(bounded) == cells(unbounded)
+
+
+def test_retain_runs_crash_recovery(spark, tmp_path):
+    """retain_runs resumes a crashed attempt: a completed rollup whose
+    sidecar lists still-present sources finishes their deletion; a
+    half-written rollup (no sidecar) is discarded and redone. Either
+    way the merged content is identical to never having crashed."""
+    import json as _json
+    import os
+    import shutil
+
+    from data_observability_installer_spark.operators.profile import (
+        list_profile_runs,
+        retain_runs,
+        write_profile,
+    )
+
+    def seed(store):
+        for b in range(4):
+            write_profile(
+                spark.createDataFrame(
+                    [(f"r{b}", int(b))], "k string, ct int"
+                ),
+                store, f"{b:08d}",
+            )
+
+    def merge(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def content(store):
+        return sorted(
+            (r.k, r.ct)
+            for rid in list_profile_runs(store)
+            for r in spark.read.parquet(f"{store}/run_id={rid}").collect()
+        )
+
+    # reference: clean retention, no crash
+    clean = str(tmp_path / "clean"); seed(clean)
+    retain_runs(spark, clean, 2, "00000000_rollup_a", merge)
+    want = content(clean)
+    assert len(list_profile_runs(clean)) == 3  # 2 kept + rollup
+
+    # crash AFTER rollup+sidecar, BEFORE deletes: replay finishes them
+    crashed = str(tmp_path / "crashed"); seed(crashed)
+    rdir = f"{crashed}/run_id=00000000_rollup_a"
+    spark.createDataFrame(
+        [("r0", 0), ("r1", 1)], "k string, ct int"
+    ).coalesce(1).write.parquet(rdir)
+    with open(f"{rdir}/_sources.json", "w") as fh:
+        _json.dump(["00000000", "00000001"], fh)
+    retain_runs(spark, crashed, 2, "00000000_rollup_a", merge)
+    assert content(crashed) == want
+    assert not os.path.isdir(f"{crashed}/run_id=00000000")
+
+    # crash MID-rollup (no sidecar): the partial rollup is redone
+    half = str(tmp_path / "half"); seed(half)
+    hdir = f"{half}/run_id=00000000_rollup_a"
+    spark.createDataFrame([("junk", 99)], "k string, ct int").coalesce(
+        1
+    ).write.parquet(hdir)  # half-written: wrong content, no sidecar
+    retain_runs(spark, half, 2, "00000000_rollup_a", merge)
+    assert content(half) == want
+    shutil.rmtree(half)
