@@ -1770,6 +1770,192 @@ def topk_pq_sql(
     """
 
 
+def topk_pq_batch(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ serving at scale answers query BATCHES: N query LUTs build
+    from N rows' work and broadcast, the 1/64-size code table scans
+    ONCE for all of them (the per-query loop re-scans it N times), and
+    only the per-query ``rescore * k`` nominees touch the float
+    vectors. The candidate cut reuses topk_batch's two-phase top-k —
+    an Arrow-batched partial head inside the scan stage (each batch
+    emits at most queries x rescore*k rows), then one window over the
+    survivors — so shuffled bytes are independent of corpus size.
+    Per-query results are IDENTICAL to ``topk_pq`` with the same
+    budget (same min-int candidate rule, same rounded-cosine rescore;
+    parity-pinned), and with an unbinding budget equal to brute force.
+    Returns (query_id, rank, vec_id, score)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    books = books or pq_codebooks()
+    m, d = len(books), len(books[0][0])
+    eq = _quant_sql("embedding")
+    code_exprs = _pq_code_exprs("eq", books)
+    corpus = embeddings.selectExpr(
+        f"{id_col} AS vid", f"{eq} AS eq"
+    ).selectExpr(
+        "vid",
+        *[f"{ce} AS code{j}" for j, ce in enumerate(code_exprs)],
+    )
+    lut_exprs = []
+    for j in range(m):
+        sub = f"slice(eq, {j * d + 1}, {d})"
+        dists = ", ".join(_sqdist_lits_sql(sub, c) for c in books[j])
+        lut_exprs.append(f"array({dists}) AS lut{j}")
+    qluts = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .selectExpr(f"{id_col} AS query_id", f"{eq} AS eq")
+        .selectExpr("query_id", *lut_exprs)
+    )
+    adist = " + ".join(f"element_at(lut{j}, code{j} + 1)" for j in range(m))
+    scored = (
+        corpus.crossJoin(F.broadcast(qluts))
+        .filter(F.col("vid") != F.col("query_id"))
+        .selectExpr("query_id", "vid", f"({adist}) AS adist")
+    )
+    n_cand = rescore * k
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield (
+                pdf.sort_values(["query_id", "adist", "vid"])
+                .groupby("query_id", sort=False)
+                .head(n_cand)
+            )
+
+    survivors = scored.mapInPandas(
+        local_topk, "query_id bigint, vid bigint, adist bigint"
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vid"))
+    cands = (
+        survivors.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= n_cand)
+        .select("query_id", "vid")
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qfull = full.filter(
+        F.col("vid").isin(query_ids) & (F.col("nrm") > 0)
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        full.filter(F.col("nrm") > 0)
+        .join(F.broadcast(cands), "vid")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "vid",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias(id_col), "score")
+    )
+
+
+def topk_pq_batch_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    books: list[list[list[int]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`topk_pq_batch`: identical codes, per-query
+    LUTs, per-query min-int candidate windows, rounded-cosine rescore
+    windows."""
+    books = books or pq_codebooks()
+    m, d = len(books), len(books[0][0])
+    kc = len(books[0])
+
+    def lit(c: list[int]) -> str:
+        return "[" + ", ".join(str(v) for v in c) + "]::BIGINT[]"
+
+    def sqd(sub: str, c: list[int]) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({sub}, {lit(c)}), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+        )
+
+    code_cols = []
+    for j in range(m):
+        sub = f"eq[{j * d + 1}:{(j + 1) * d}]"
+        terms = ", ".join(
+            f"({sqd(sub, c)} * {kc} + {i})" for i, c in enumerate(books[j])
+        )
+        code_cols.append(f"CAST(least({terms}) % {kc} AS INT) AS code{j}")
+    lut_cols = []
+    for j in range(m):
+        sub = f"eq[{j * d + 1}:{(j + 1) * d}]"
+        dists = ", ".join(sqd(sub, c) for c in books[j])
+        lut_cols.append(f"[{dists}] AS lut{j}")
+    adist = " + ".join(f"lut.lut{j}[c.code{j} + 1]" for j in range(m))
+    ids = ", ".join(str(i) for i in query_ids)
+    cos_q = (
+        "list_inner_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[])"
+        " / (e.nrm * q.q_nrm)"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    c AS MATERIALIZED (SELECT vid, {', '.join(code_cols)} FROM e),
+    lut AS MATERIALIZED (
+      SELECT vid AS query_id, {', '.join(lut_cols)}
+      FROM e WHERE vid IN ({ids})),
+    cands AS (
+      SELECT query_id, vid FROM (
+        SELECT lut.query_id, c.vid,
+               row_number() OVER (PARTITION BY lut.query_id
+                                  ORDER BY ({adist}) ASC, c.vid ASC) AS r
+        FROM c, lut WHERE c.vid <> lut.query_id)
+      WHERE r <= {rescore * k}),
+    q AS (SELECT vid AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM e WHERE vid IN ({ids}) AND nrm > 0),
+    rescored AS (
+      SELECT q.query_id, e.vid,
+             floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+      FROM e
+      JOIN cands ON cands.vid = e.vid
+      JOIN q ON q.query_id = cands.query_id
+      WHERE e.nrm > 0)
+    SELECT query_id, CAST(rank AS INT) AS rank, vid AS {id_col}, score FROM (
+      SELECT query_id, vid, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vid ASC) AS rank
+      FROM rescored)
+    WHERE rank <= {k}
+    """
+
+
 def train_pq(
     embeddings: DataFrame,
     m: int = PQ_M,

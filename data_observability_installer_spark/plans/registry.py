@@ -3479,6 +3479,24 @@ def topk_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_batch(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=10)
 
 
+@register(
+    "topk_pq_batch_embeddings",
+    _sim.topk_pq_batch_sql("embeddings", query_ids=[0, 1, 2, 3], k=10),
+)
+def topk_pq_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving at scale answers query BATCHES: 4 query LUTs
+    broadcast, the 1/64-size code table scans ONCE for all of them
+    (topk_pq re-scans per query), partial per-query candidate top-k
+    inside the scan stage so shuffled bytes are corpus-independent,
+    floats touched only by the per-query rescore nominees. Per-query
+    output is identical to topk_pq at the same budget
+    (parity-pinned); with an unbinding budget it equals brute-force
+    topk_batch (the exactness anchor)."""
+    return _sim.topk_pq_batch(
+        load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=10
+    )
+
+
 @register("embedding_stats", _sim.embedding_stats_sql("embeddings"))
 def embedding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column quality screen: dims, NaN/zero vectors, norm

@@ -202,3 +202,39 @@ def test_pq_near_dups_max_bucket_drops_degenerate_codes(spark):
     assert [(r.id_a, r.id_b) for r in capped.collect()] == [(100, 101)]
     uncapped = pq_near_dups(df, min_band_matches=2, threshold=0.9)
     assert uncapped.count() == 190 + 1  # C(20,2) flood pairs + the pair
+
+
+def test_topk_pq_batch_matches_per_query_and_brute_force(spark, sf_correct):
+    """Batched PQ ADC: per-query rows equal topk_pq at the same budget
+    (one code-table scan must change throughput, never answers), and
+    with an UNBINDING rescore budget the batch result equals
+    brute-force topk_batch exactly — all-candidates + full rescore is
+    the exactness anchor."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_batch,
+        topk_pq,
+        topk_pq_batch,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    qids = [0, 1, 2]
+    batch = topk_pq_batch(emb, query_ids=qids, k=5).collect()
+    assert {r.query_id for r in batch} == set(qids)
+    for q in qids:
+        got = [(r.rank, r.vec_id, r.score) for r in batch if r.query_id == q]
+        want = [
+            (i + 1, r.vec_id, r.score)
+            for i, r in enumerate(topk_pq(emb, k=5, query_id=q).collect())
+        ]
+        assert got == want, f"query {q} diverged from per-query topk_pq"
+
+    n = emb.count()
+    unbound = {
+        (r.query_id, r.rank, r.vec_id, r.score)
+        for r in topk_pq_batch(emb, query_ids=qids, k=5, rescore=n).collect()
+    }
+    brute = {
+        (r.query_id, r.rank, r.vec_id, r.score)
+        for r in topk_batch(emb, query_ids=qids, k=5).collect()
+    }
+    assert unbound == brute
