@@ -967,3 +967,160 @@ def weighted_sample_sql(
     WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
     ORDER BY score_q DESC, {id_col} LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram models)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_feats(
+    df: DataFrame, text_col: str, id_col: str, target_pred: Column
+) -> DataFrame:
+    """(doc, is_t, sh): every unigram AND bigram occurrence (with
+    multiplicity — these are bag-of-ngram language models, not sets),
+    carrying the target flag through the explode so the bucket counts
+    need no corpus-sized re-join. Bigrams go through ml.feature.NGram
+    (compiled sliding window, no shuffle) with the same shorter-than-n
+    fallback as exploded_shingles."""
+    from pyspark.ml.feature import NGram
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        target_pred.alias("is_t"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("words"),
+    )
+    with_ngrams = NGram(n=2, inputCol="words", outputCol="ngrams").transform(base)
+    bigrams = F.when(F.size("words") >= 2, F.col("ngrams")).otherwise(
+        F.array(F.concat_ws(" ", F.col("words")))
+    )
+    uni = base.select("doc", "is_t", F.explode("words").alias("sh"))
+    bi = with_ngrams.select("doc", "is_t", F.explode(bigrams).alias("sh"))
+    return uni.unionAll(bi)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): per-document
+    importance weight log(p_target(x) / p_raw(x)) under hashed
+    bag-of-ngram (unigram + bigram) language models — the standard
+    cheap way to tilt a raw crawl toward a target domain before
+    training. ``target_pred`` marks the in-domain sample; the raw
+    model is the whole corpus.
+
+    Every feature hashes to one of ``n_buckets`` buckets (md5-derived,
+    engine-portable); each bucket's Laplace-smoothed log-ratio is
+    quantized ONCE to integer micro-units, so the per-document sum is
+    exact int64 arithmetic — order-independent, hence oracle-stable —
+    and the only floating step is one ln per bucket, the same idiom as
+    weighted_sample's quantized Gumbel key.
+
+    Output: (id, n_feats, logw_micro) — logw_micro/1e6 is the log
+    importance weight; feed it to weighted_sample/importance_sample
+    for the resampling step.
+
+    Scale: one explode pass (map-only) -> bucket counts (shuffle
+    bounded at n_buckets rows after map-side partial agg) -> the
+    log-ratio table BROADCASTS (n_buckets rows) -> per-(doc, bucket)
+    counts combine map-side before the doc-keyed sum. Nothing is
+    corpus-width beyond the token stream itself; the model state is
+    n_buckets integers per side, the shipped-constants shape at
+    100 TB (train once on a sample, broadcast everywhere).
+    """
+    from .lm import _bucket_col
+
+    feats = _dsir_feats(df, text_col, id_col, target_pred).select(
+        "doc", "is_t", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
+    )
+    buckets = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
+    )
+    tot = buckets.agg(
+        F.sum("n_r").alias("t_r"), F.sum("n_t").alias("t_t")
+    )
+    smooth = float(alpha * n_buckets)
+    lr = buckets.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("n_t") + alpha) / (F.col("t_t") + smooth))
+                - F.log((F.col("n_r") + alpha) / (F.col("t_r") + smooth))
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long").alias("lr_micro"),
+    )
+    docb = feats.groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        docb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("ct").alias("n_feats"),
+            F.sum(F.col("ct") * F.col("lr_micro")).alias("logw_micro"),
+        )
+        .select(F.col("doc").alias(id_col), "n_feats", "logw_micro")
+        .orderBy(id_col)
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    target_sql: str,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> str:
+    """DuckDB twin: same md5 16-bit bucket mod n_buckets, same
+    Laplace smoothing, same per-bucket micro-quantized ln ratio, same
+    exact-integer document sums."""
+    from .lm import _bucket_sql as _lm_bucket_sql
+
+    from .dedup import _shingles_sql
+
+    words = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    bigrams = _shingles_sql(text_col, 2, distinct=False)
+    smooth = float(alpha * n_buckets)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {id_col} AS doc, ({target_sql}) AS is_t,
+             {words} AS words, {bigrams} AS bigs
+      FROM {table}),
+    raw_feats AS (
+      SELECT doc, is_t, unnest(words) AS sh FROM base
+      UNION ALL
+      SELECT doc, is_t, unnest(bigs) AS sh FROM base),
+    feats AS MATERIALIZED (
+      SELECT doc, is_t, ({_lm_bucket_sql('sh')}) % {n_buckets} AS bucket
+      FROM raw_feats),
+    buckets AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM feats GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(n_r) AS BIGINT) AS t_r, CAST(sum(n_t) AS BIGINT) AS t_t
+      FROM buckets),
+    lr AS (
+      SELECT bucket,
+             CAST(floor(
+               (ln((n_t + {alpha}) / (t_t + {smooth!r}))
+                - ln((n_r + {alpha}) / (t_r + {smooth!r}))) * 1000000 + 0.5)
+               AS BIGINT) AS lr_micro
+      FROM buckets CROSS JOIN tot),
+    docb AS (
+      SELECT doc, bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM feats GROUP BY doc, bucket)
+    SELECT docb.doc AS {id_col},
+           CAST(sum(ct) AS BIGINT) AS n_feats,
+           CAST(sum(ct * lr_micro) AS BIGINT) AS logw_micro
+    FROM docb JOIN lr USING (bucket)
+    GROUP BY docb.doc
+    ORDER BY {id_col}
+    """

@@ -2870,3 +2870,144 @@ def pq_near_dups_incremental(
     else:
         _tx.write_table(spark, code_store, new, mode="append")
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to embedding-space clusters. Every vector is
+    assigned to its nearest centroid (the k-means cells double as the
+    blocking function), pairwise cosine runs ONLY inside each cell,
+    and a vector is removed when an earlier vector in its cell is
+    within ``threshold`` — the paper's greedy upper-triangular rule,
+    with rank = ascending id (the paper's keep-order is a free
+    hyperparameter; id order makes the answer engine-independent).
+
+    Returns one row per vector: (id, cell, keep, dup_of) where
+    ``dup_of`` is the smallest-id witness inside the cell (NULL for
+    kept rows). Unlike the near-dup PAIR operators this is the
+    row-level verdict a curation pipeline consumes directly.
+
+    Scale: assignment is one map pass (integer argmin against literal
+    centroids — the shipped-constants shape); the pair stage shuffles
+    on the cell id, so cost is sum(cell^2)·dim with cells ~n/K for
+    trained centroids. At 100 TB the cell id is the table's cluster
+    key and K scales with the corpus (train_ivf_kmeans); ``max_cell``
+    is the skew backstop — an over-popular cell (a degenerate corpus
+    region) leaves dedup entirely (all its members kept) rather than
+    paying cell^2, the same too-generic-key rule as max_df/max_block/
+    max_bucket. The within-cell join carries (vid, embedding) once on
+    each side; the verified-pair set is never materialized corpus-wide.
+    """
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    e = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    assigned = e.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        "nrm",
+        (-_centroid_scores("embedding", "nrm", centroids)[0]["nc"]).alias("cell"),
+    )
+    pool = assigned
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") <= max_cell)
+            .select("cell")
+        )
+        pool = assigned.join(F.broadcast(small), "cell")
+    thr_bp = int(math.floor(threshold * 10000 + 0.5))
+    a = pool.select(
+        F.col("cell"), F.col("vid").alias("vid_a"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = pool.select(
+        F.col("cell"), F.col("vid").alias("vid_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    witnesses = (
+        a.join(b, "cell")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(
+            F.floor(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+                * 10000
+                + F.lit(0.5)
+            ).cast("long")
+            >= thr_bp
+        )
+        .groupBy(F.col("vid_b").alias("vid"))
+        .agg(F.min("vid_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(witnesses, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy(id_col)
+    )
+
+
+def semdedup_sql(
+    table: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin: same literal centroids, same rounded (1e-6)
+    assignment scores with ties to the lowest cell id, same rounded-bp
+    pair verdicts, same keep-first rule."""
+    import math as _math
+
+    centroids = ivf_centroids(n_clusters=n_clusters)
+    thr_bp = int(_math.floor(threshold * 10000 + 0.5))
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in ctr)}]::DOUBLE[])"
+        for i, ctr in enumerate(centroids)
+    )
+    cos_c = (
+        "list_inner_product(e.embedding::DOUBLE[], c.vec) / "
+        "(e.nrm * sqrt(list_inner_product(c.vec, c.vec)))"
+    )
+    cos_ab = (
+        "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(a.nrm * b.nrm)"
+    )
+    return f"""
+    WITH c(cid, vec) AS (VALUES {values}),
+    e AS MATERIALIZED (
+      SELECT {id_col} AS vid, embedding,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    scored AS (
+      SELECT e.vid, c.cid, floor(({cos_c}) * 1000000 + 0.5) / 1000000 AS cs
+      FROM e, c),
+    assigned AS MATERIALIZED (
+      SELECT s.vid, s.cid AS cell, e.embedding, e.nrm
+      FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+            FROM scored) s JOIN e USING (vid) WHERE s.rn = 1),
+    witnesses AS (
+      SELECT b.vid AS vid, min(a.vid) AS dup_of
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+      WHERE CAST(floor(({cos_ab}) * 10000 + 0.5) AS BIGINT) >= {thr_bp}
+      GROUP BY b.vid)
+    SELECT f.vid AS {id_col}, f.cell, (w.dup_of IS NULL) AS keep, w.dup_of
+    FROM assigned f LEFT JOIN witnesses w ON f.vid = w.vid
+    ORDER BY {id_col}
+    """

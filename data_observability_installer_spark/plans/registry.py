@@ -3457,6 +3457,22 @@ def topk_ivfpq_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     return _sim.topk_ivfpq(emb, k=10, query_id=0, cents=cents, books=books)
 
 
+@register(
+    "semdedup_embeddings",
+    _sim.semdedup_sql("embeddings", threshold=0.35),
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    assign every vector to its nearest centroid (integer argmin over
+    literal centroids), run pairwise rounded-bp cosine ONLY inside
+    each cell, remove a vector when an earlier (lower-id) cell-mate is
+    within the threshold. Emits the row-level verdict a curation
+    pipeline consumes: (vec_id, cell, keep, dup_of). Pair cost is
+    sum(cell^2) with cells as the cluster key at scale; max_cell is
+    the skew backstop."""
+    return _sim.semdedup(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 @register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
 def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit
@@ -4395,6 +4411,22 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic downsampling (rates 0.10-0.55 across
     the 20 sources)."""
     return _cur.stratified_sample(load_table(spark, sf_dir, "documents"), _SAMPLE_RATES)
+
+
+@register(
+    "dsir_weights_documents",
+    _cur.dsir_weights_sql("documents", "lang = 'en'"),
+)
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+    log(p_target/p_raw) with English documents as the target domain —
+    the cheap pre-training corpus tilt. Bucket log-ratios quantize to
+    integer micro-units once (one ln per bucket), so document sums are
+    exact int64; the model is 2x1024 integers, broadcast-sized at any
+    corpus scale."""
+    return _cur.dsir_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
 
 
 @register("curation_filter_documents", _cur.curation_filter_sql("documents"))

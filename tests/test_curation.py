@@ -287,3 +287,83 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # changing the salt changes the draw (it's a seed, not a constant)
     c = [r.doc_id for r in weighted_sample(df, 10, "w", salt="aes-v2").collect()]
     assert 7 in c and set(c) != set(a)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_tilts_toward_target_ngrams(spark):
+    """Docs made of target-only words must out-weigh docs made of
+    raw-only words; a doc mixing both lands between."""
+    from data_observability_installer_spark.operators.llm.curation import dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", True),
+        (2, "alpha beta beta alpha beta", True),
+        (3, "gamma delta gamma delta gamma", False),
+        (4, "gamma delta delta gamma delta", False),
+        (5, "alpha beta gamma delta", False),   # mixed, raw side
+        (6, "alpha beta alpha beta", False),    # target-looking, raw side
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    from pyspark.sql import functions as F
+
+    w = {r["doc_id"]: r["logw_micro"] for r in dsir_weights(df, F.col("is_t")).collect()}
+    assert w[6] > w[5] > w[3]
+    assert w[1] > w[3] and w[2] > w[4]
+
+
+def test_dsir_weights_per_doc_sum_is_count_weighted(spark):
+    """Repeating a document's text doubles every feature count, so
+    logw_micro scales (near-)exactly with the repetition — the sum is
+    integer count x bucket ratio, no per-doc renormalization."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.curation import dsir_weights
+
+    rows = [
+        (1, "alpha beta gamma", True),
+        (2, "alpha beta gamma alpha beta gamma", False),
+        (3, "delta epsilon zeta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r for r in dsir_weights(df, F.col("is_t")).collect()}
+    # doc 2 = doc 1's text twice: unigram counts double (6 vs 3),
+    # bigrams gain the seam ('gamma alpha'), so n_feats = 2*5 + 1
+    assert out[1]["n_feats"] == 3 + 2
+    assert out[2]["n_feats"] == 2 * 5 + 1
+
+
+def test_dsir_weights_duckdb_twin_parity_inline(spark):
+    """Cross-engine pin on a tiny planted corpus (the registry oracle
+    pins the sf0.01 fixture; this pins the operator under direct
+    construction, including the shorter-than-bigram fallback)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.curation import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    rows = [
+        (1, "alpha beta alpha", "en"),
+        (2, "gamma delta", "de"),
+        (3, "single", "en"),
+        (4, "alpha gamma beta delta", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sp = [
+        (r["doc_id"], r["n_feats"], r["logw_micro"])
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    dk = con.execute(dsir_weights_sql("documents", "lang = 'en'")).fetchall()
+    assert sp == [tuple(r) for r in dk]

@@ -586,3 +586,83 @@ def test_vocab_stats_hand_computed(spark):
     assert r.ttr_bp == 3 * 10000 // 8
     assert r.hapax_share_bp == 1 * 10000 // 3
     assert r.head_mass_bp == (5 + 2) * 10000 // 8  # top-2 of 3 types
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    """64-dim planted corpus: v1 is a scaled copy of v0 (cosine 1.0),
+    v3 is a lightly-perturbed copy of v2, v4 points elsewhere."""
+    import numpy as np
+
+    rs = np.random.RandomState(5)
+    v0 = rs.uniform(-1, 1, 64)
+    v2 = rs.uniform(-1, 1, 64)
+    v4 = rs.uniform(-1, 1, 64)
+    rows = [
+        (0, [float(x) for x in v0]),
+        (1, [float(x) for x in v0 * 2.0]),
+        (2, [float(x) for x in v2]),
+        (3, [float(x) for x in v2 + rs.uniform(-0.01, 0.01, 64)]),
+        (4, [float(x) for x in v4]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_keep_first_rule_and_witness(spark):
+    from data_observability_installer_spark.operators.llm.similarity import semdedup
+
+    out = {r["vec_id"]: r for r in semdedup(_semdedup_frame(spark), threshold=0.95).collect()}
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0  # scaled copy of v0
+    assert out[2]["keep"]
+    assert not out[3]["keep"] and out[3]["dup_of"] == 2  # perturbed copy of v2
+    assert out[4]["keep"]
+    # copies share their original's cell (cosine-nearest centroid)
+    assert out[1]["cell"] == out[0]["cell"]
+    assert out[3]["cell"] == out[2]["cell"]
+
+
+def test_semdedup_cross_cell_pairs_never_compared(spark):
+    """Vectors in different cells are never candidates, whatever their
+    cosine: an exact copy placed in another cell by construction can't
+    happen (same vector -> same cell), so assert the blocking the other
+    way — every removed row's witness lives in the SAME cell."""
+    from data_observability_installer_spark.operators.llm.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = semdedup(emb, threshold=0.35).collect()
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    removed = [r for r in rows if not r["keep"]]
+    assert removed, "fixture must exercise the removal path"
+    for r in removed:
+        assert cells[r["dup_of"]] == r["cell"]
+        assert r["dup_of"] < r["vec_id"]
+
+
+def test_semdedup_max_cell_excludes_hot_cells_entirely(spark):
+    from data_observability_installer_spark.operators.llm.similarity import semdedup
+
+    df = _semdedup_frame(spark)
+    base = {r["vec_id"]: r for r in semdedup(df, threshold=0.95).collect()}
+    hot = base[1]["cell"]
+    hot_n = sum(1 for r in base.values() if r["cell"] == hot)
+    cap = hot_n - 1
+    capped = {
+        r["vec_id"]: r for r in semdedup(df, threshold=0.95, max_cell=cap).collect()
+    }
+    cell_n = {}
+    for r in base.values():
+        cell_n[r["cell"]] = cell_n.get(r["cell"], 0) + 1
+    # members of every over-cap cell are kept (the cell left dedup);
+    # under-cap cells answer exactly as before
+    assert len(capped) == len(base)
+    assert any(n > cap for n in cell_n.values())
+    for vid, r in capped.items():
+        if cell_n[r["cell"]] > cap:
+            assert r["keep"] and r["dup_of"] is None
+        else:
+            assert r["keep"] == base[vid]["keep"]
