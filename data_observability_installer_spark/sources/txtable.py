@@ -437,9 +437,52 @@ def _publish(
 
 def _schema_compatible(old_json: str, new_json: str) -> bool:
     """Append-time schema check: exact field name/type match (ordering
-    included). Widening/evolution is a deliberate non-goal — reject
-    loudly rather than silently union-by-name."""
+    included). Evolution never happens silently — it requires the
+    explicit ``merge_schema=True`` opt-in on :func:`write_table`,
+    which routes through :func:`_merge_schemas` instead."""
     return old_json == new_json
+
+
+def _merge_schemas(old_json: str, new_json: str) -> str:
+    """ADD-COLUMN schema evolution (the Delta/Iceberg ``mergeSchema``
+    contract): union-by-name of the two schemas. Shared columns must
+    match in type exactly — type widening/renames stay rejected; a
+    column present on only one side becomes nullable in the merged
+    schema (files from the other side simply lack it and read as
+    NULL). Field order: the table's existing order, new columns
+    appended in batch order — so an evolved table's schema is stable
+    across appends."""
+    old = json.loads(old_json)
+    new = json.loads(new_json)
+    old_by = {f["name"]: f for f in old["fields"]}
+    new_by = {f["name"]: f for f in new["fields"]}
+    for name, f in new_by.items():
+        prev = old_by.get(name)
+        if prev is not None and prev["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {name!r} from "
+                f"{prev['type']!r} to {f['type']!r}; only adding/"
+                "omitting nullable columns is supported"
+            )
+    fields = []
+    for f in old["fields"]:
+        g = dict(f)
+        if f["name"] not in new_by:
+            g["nullable"] = True  # new files lack it
+        else:
+            g["nullable"] = bool(f.get("nullable")) or bool(
+                new_by[f["name"]].get("nullable")
+            )
+        fields.append(g)
+    for f in new["fields"]:
+        if f["name"] not in old_by:
+            fields.append(dict(f, nullable=True))  # old files lack it
+    from pyspark.sql.types import StructType
+
+    # round-trip through StructType so the stored string is in Spark's
+    # canonical schema-JSON form — _schema_compatible compares strings,
+    # and a re-append of the now-current schema must match exactly
+    return StructType.fromJson(dict(old, fields=fields)).json()
 
 
 def _added_files(path: str, m: dict) -> list[str]:
@@ -469,6 +512,7 @@ def write_table(
     backend: CommitBackend | None = None,
     stats_cols: list[str] | None = None,
     sort_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the table. ``mode='append'`` adds its files to
     the current snapshot's list; ``mode='overwrite'`` replaces the
@@ -491,7 +535,14 @@ def write_table(
     value range — what makes the stats selective (unsorted writes give
     every file ~the full range and pruning keeps everything). The
     linear-clustering counterpart of the zorder verb, applied at
-    commit time."""
+    commit time.
+
+    ``merge_schema``: opt-in ADD-COLUMN evolution for appends. A batch
+    that adds columns (or omits existing ones) commits a union-by-name
+    manifest schema via :func:`_merge_schemas`; type changes still
+    raise. Reads are manifest-schema-driven (:func:`read_table` hands
+    the snapshot's schema to the scan), so files predating a column
+    return NULL for it — no file rewrite, the table-format contract."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if sort_by:
@@ -507,15 +558,19 @@ def write_table(
         base_stats: dict = {}
         parent_v = 0
         cols = stats_cols
+        commit_schema = schema
         if _versions(path):
             cur = read_manifest(path)
             parent_v = cur["version"]
             if mode == "append":
                 if not _schema_compatible(cur["schema"], schema):
-                    raise ValueError(
-                        "append schema does not match table schema; "
-                        "overwrite or migrate explicitly"
-                    )
+                    if not merge_schema:
+                        raise ValueError(
+                            "append schema does not match table schema; "
+                            "pass merge_schema=True for add-column "
+                            "evolution, or overwrite/migrate explicitly"
+                        )
+                    commit_schema = _merge_schemas(cur["schema"], schema)
                 base_files = cur["files"]
                 base_stats = cur.get("stats") or {}
                 if cols is None and base_stats:
@@ -527,7 +582,8 @@ def write_table(
                 _collect_file_stats(path, files, cols) if cols else {}
             )
         own_stats = own_stats_cache[key]
-        manifest = {"op": mode, "files": base_files + files, "schema": schema,
+        manifest = {"op": mode, "files": base_files + files,
+                    "schema": commit_schema,
                     "added": len(files), "added_files": files}
         if base_stats or own_stats:
             manifest["stats"] = {
@@ -559,13 +615,20 @@ def read_table(
     optimization, not a filter — rows from kept files still need the
     caller's row-level predicate (a kept file merely MIGHT contain
     matches)."""
+    from pyspark.sql.types import StructType
+
     m = read_manifest(path, version)
     files = prune_files(m, predicates) if predicates else m["files"]
+    schema = StructType.fromJson(json.loads(m["schema"]))
     if not files:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+        return spark.createDataFrame([], schema)
+    # scan with the SNAPSHOT's schema, not footer inference: pins the
+    # time-travel answer to its manifest, skips the footer-sampling
+    # pass, and makes evolved tables read union-by-name (files that
+    # predate a column return NULL for it)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
 
 
 def _appends_since(path: str, base_version: int, head_version: int) -> list[str]:
@@ -746,12 +809,17 @@ def table_changes(
                 "append-only — use snapshot_diff for rewrites"
             )
         added.extend(_added_files(path, m))
-    if not added:
-        m = read_manifest(path, to_v)
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+    schema = StructType.fromJson(json.loads(read_manifest(path, to_v)["schema"]))
+    if not added:
+        return spark.createDataFrame([], schema)
+    # the range-end manifest's schema covers every file in the range
+    # (schemas only grow, and only via explicit merge_schema appends),
+    # so an evolved range reads union-by-name like read_table
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in added]
+    )
 
 
 def commit_stream_batch(

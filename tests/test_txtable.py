@@ -723,3 +723,95 @@ def test_stream_replay_guard_survives_vacuum(spark, tmp_path):
         is not None
     )
     assert (9,) in _rows(_tx.read_table(spark, t))
+
+
+# ---------------------------------------------------------------------------
+# add-column schema evolution (merge_schema=True)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_add_column_reads_union(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    # without the opt-in the mismatch still rejects loudly
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_table(spark, t, evolved)
+    assert write_table(spark, t, evolved, merge_schema=True) == 2
+    got = read_table(spark, t)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "score"]
+    assert _rows(got) == [(1, "a", None), (2, "b", 9.5)]
+    # time travel keeps the pre-evolution schema
+    old = read_table(spark, t, version=1)
+    assert [f.name for f in old.schema.fields] == ["k", "v"]
+
+
+def test_merge_schema_missing_column_reads_null(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table(
+        spark, t, spark.createDataFrame([(1, "a", 1.0)], "k int, v string, s double")
+    )
+    narrow = spark.createDataFrame([(2, "b")], "k int, v string")
+    write_table(spark, t, narrow, merge_schema=True)
+    got = read_table(spark, t)
+    assert [f.name for f in got.schema.fields] == ["k", "v", "s"]
+    assert _rows(got) == [(1, "a", 1.0), (2, "b", None)]
+    # a later append with the ORIGINAL wide schema needs no merge flag
+    assert (
+        write_table(spark, t, spark.createDataFrame(
+            [(3, "c", 3.0)], "k int, v string, s double"))
+        == 3
+    )
+    assert _rows(read_table(spark, t)) == [
+        (1, "a", 1.0), (2, "b", None), (3, "c", 3.0)]
+
+
+def test_merge_schema_type_change_still_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    retyped = spark.createDataFrame([(1.5, "a")], "k double, v string")
+    with pytest.raises(ValueError, match="evolution cannot change"):
+        write_table(spark, t, retyped, merge_schema=True)
+
+
+def test_merge_schema_cdc_and_compact_cover_evolution(spark, tmp_path):
+    from data_observability_installer_spark.sources.txtable import table_changes
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    write_table(
+        spark, t,
+        spark.createDataFrame([(2, "b", 7)], "k int, v string, n int"),
+        merge_schema=True,
+    )
+    # CDC over the evolved range carries the union schema
+    delta = table_changes(spark, t, 0)
+    assert [f.name for f in delta.schema.fields] == ["k", "v", "n"]
+    assert _rows(delta) == [(1, "a", None), (2, "b", 7)]
+    # compact rewrites under the union schema, row-identical
+    compact(spark, t, target_partitions=1)
+    assert _rows(read_table(spark, t)) == [(1, "a", None), (2, "b", 7)]
+
+
+def test_merge_schema_data_skipping_keeps_statless_old_files(spark, tmp_path):
+    """A predicate on a column added by evolution must KEEP files that
+    predate the column (they have no stats for it) while still pruning
+    new files whose range excludes the value."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    old = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    write_table(spark, t, old.repartition(1), stats_cols=["k"])
+    new = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("int").alias("m"),
+    )
+    write_table(spark, t, new.repartition(1), merge_schema=True, stats_cols=["k", "m"])
+    got = read_table(spark, t, predicates=[("m", ">=", 500)]).filter(F.col("m") >= 500)
+    assert got.count() == 50
+    # the old (statless-for-m) file is kept in the scan; predicate on a
+    # value outside the NEW file's range prunes only the new file
+    m = read_manifest(t)
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    assert len(prune_files(m, [("m", ">=", 2000)])) == 1  # old file kept
