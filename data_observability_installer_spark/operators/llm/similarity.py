@@ -3011,3 +3011,153 @@ def semdedup_sql(
     FROM assigned f LEFT JOIN witnesses w ON f.vid = w.vid
     ORDER BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization: 1 bit/dim -> ONE int64 per 64-dim vector
+# ---------------------------------------------------------------------------
+
+
+def _bq_bits_spark(emb_sql: str, dim: int = _DIM) -> str:
+    """Spark-SQL text packing sign bits (x > 0) into one BIGINT,
+    OR-folded (never summed — bit 63 would overflow a sum). Unrolled
+    literal terms keep the whole pack inside whole-stage codegen
+    instead of an interpreted HOF lambda."""
+    terms = [
+        f"CASE WHEN {emb_sql}[{i}] > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} | {t})"
+    return out
+
+
+def _bq_bits_duck(emb_sql: str, dim: int = _DIM) -> str:
+    """DuckDB twin of :func:`_bq_bits_spark` (1-based list indexing,
+    same OR fold, same sign rule). Bit 63 is the min-int64 literal:
+    DuckDB range-checks ``1::BIGINT << 63`` while Spark's shiftleft
+    wraps — the two's-complement value is what the OR fold needs."""
+    terms = [
+        "CASE WHEN ({e})[{ix}] > 0 THEN {bit} ELSE CAST(0 AS BIGINT) END".format(
+            e=emb_sql,
+            ix=i + 1,
+            bit=(
+                "(-9223372036854775807 - 1)"
+                if i == 63
+                else f"(CAST(1 AS BIGINT) << {i})"
+            ),
+        )
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} | {t})"
+    return out
+
+
+def bq_encode(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Binary quantization: each 64-dim vector packs to ONE int64 of
+    sign bits — 1/256 of the float bytes, the most aggressive standard
+    embedding compression (sign bits preserve cosine neighborhoods
+    because cos(a,b) tracks the fraction of agreeing hyperoctant
+    coordinates). The code table is the ingest-time artifact a
+    Hamming scan serves from."""
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(_bq_bits_spark("embedding")).alias("bits"),
+    )
+
+
+def topk_hamming(
+    embeddings: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k via binary codes: candidates ranked by Hamming distance
+    (bit_count(xor) on the ONE-int64 code table — at 100 TB this scan
+    reads 8 bytes/vector and is the cheapest first pass that exists),
+    then ``rescore * k`` nominees pay the exact rounded-bp cosine
+    point-lookup. Integer end to end until the final rescore, so the
+    DuckDB twin replays candidate selection bit-for-bit; ties break to
+    the lowest id in both phases."""
+    codes = bq_encode(embeddings, id_col)
+    q = codes.filter(F.col("vid") == query_id).select(
+        F.col("bits").alias("q_bits")
+    )
+    cand = (
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(q))
+        .select(
+            "vid",
+            F.bit_count(
+                F.col("bits").bitwiseXOR(F.col("q_bits"))
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", "vid")
+        .limit(rescore * k)
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qf = full.filter(F.col("vid") == query_id).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    return (
+        cand.join(full, "vid")
+        .join(F.broadcast(qf))
+        .select(
+            F.col("vid").alias(id_col),
+            "hamming",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def topk_hamming_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin: same sign pack, same bit_count(xor) candidate rank
+    with id ties, same rounded-bp rescore."""
+    bits = _bq_bits_duck("embedding")
+    cos_q = (
+        "list_inner_product(f.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / "
+        "(f.nrm * q.q_nrm)"
+    )
+    return f"""
+    WITH codes AS MATERIALIZED (
+      SELECT {id_col} AS vid, {bits} AS bits FROM {table}),
+    qc AS (SELECT bits AS q_bits FROM codes WHERE vid = {query_id}),
+    cand AS (
+      SELECT c.vid, bit_count(xor(c.bits, qc.q_bits)) AS hamming
+      FROM codes c, qc WHERE c.vid <> {query_id}
+      ORDER BY hamming, c.vid LIMIT {rescore * k}),
+    f AS (
+      SELECT {id_col} AS vid, embedding,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM {table}),
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM f WHERE vid = {query_id})
+    SELECT cand.vid AS {id_col}, cand.hamming,
+           floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
+    FROM cand JOIN f ON cand.vid = f.vid CROSS JOIN q
+    ORDER BY score DESC, cand.vid LIMIT {k}
+    """

@@ -3473,6 +3473,20 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semdedup(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@register(
+    "topk_hamming_embeddings",
+    _sim.topk_hamming_sql("embeddings", k=10, query_id=0),
+)
+def topk_hamming_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign bits pack each 64-dim vector into ONE
+    int64 (1/256 of the float bytes), candidates rank by
+    bit_count(xor) over that 8-byte-per-vector code table — the
+    cheapest first-pass scan there is — and rescore*k nominees pay the
+    exact rounded-bp cosine. Integer end to end until the rescore, so
+    the DuckDB twin replays candidate selection bit-for-bit."""
+    return _sim.topk_hamming(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
+
+
 @register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
 def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit

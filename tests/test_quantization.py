@@ -238,3 +238,75 @@ def test_topk_pq_batch_matches_per_query_and_brute_force(spark, sf_correct):
         for r in topk_batch(emb, query_ids=qids, k=5).collect()
     }
     assert unbound == brute
+
+
+# ---------------------------------------------------------------------------
+# binary (sign) quantization + Hamming top-k
+# ---------------------------------------------------------------------------
+
+
+def test_bq_encode_packs_sign_bits(spark):
+    from data_observability_installer_spark.operators.llm.similarity import bq_encode
+
+    rows = [
+        (0, [1.0] * 64),                      # all positive -> all ones
+        (1, [-1.0] * 64),                     # all negative -> zero
+        (2, [1.0] + [-1.0] * 63),             # only bit 0
+        (3, [-1.0] * 63 + [1.0]),             # only bit 63 (sign bit)
+        (4, [0.0] * 64),                      # zeros are NOT positive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vid"]: r["bits"] for r in bq_encode(df).collect()}
+    assert got[0] == -1            # all 64 bits set (two's complement)
+    assert got[1] == 0
+    assert got[2] == 1
+    assert got[3] == -(2 ** 63)    # bit 63 alone = min int64
+    assert got[4] == 0
+
+
+def test_topk_hamming_exact_on_aligned_vectors(spark):
+    """Hamming on sign bits is exact when vectors live on the +-1
+    hypercube: distance = number of disagreeing coordinates."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_hamming,
+    )
+
+    base = [1.0] * 64
+
+    def flip(n):  # flip first n coordinates
+        v = list(base)
+        for i in range(n):
+            v[i] = -1.0
+        return v
+
+    rows = [(0, base), (1, flip(1)), (2, flip(3)), (3, flip(10)), (4, flip(32))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = topk_hamming(df, k=3, query_id=0).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 3]
+    assert [r["hamming"] for r in got] == [1, 3, 10]
+    assert got[0]["score"] > got[1]["score"] > got[2]["score"]
+
+
+def test_topk_hamming_candidate_cut_respects_rescore_budget(spark):
+    """With rescore*k smaller than the corpus, the nominee set is the
+    Hamming-closest prefix — a far vector can't enter the answer even
+    with a flattering cosine."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        bq_encode,
+        topk_hamming,
+    )
+
+    import numpy as np
+
+    rs = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rs.uniform(-1, 1, 64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {r["vid"]: r["bits"] for r in bq_encode(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    order = sorted((ham(codes[i], codes[0]), i) for i in range(1, 40))
+    nominees = {i for _, i in order[: 2 * 3]}
+    got = topk_hamming(df, k=3, query_id=0, rescore=2).collect()
+    assert {r["vec_id"] for r in got} <= nominees
