@@ -229,6 +229,14 @@ HEADLINE = [
     "pq_near_dups_embeddings",
     "topk_ivfpq_embeddings",
     "cm_sketch_documents",
+    # round-10 additions
+    "a3_late_tz_starts",
+    "topk_ivfpq_trained_embeddings",
+    "topk_pq_batch_embeddings",
+    "semdedup_embeddings",
+    "dsir_weights_documents",
+    "topk_hamming_embeddings",
+    "hll_distinct_documents",
 ]
 
 

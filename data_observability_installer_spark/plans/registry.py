@@ -3338,6 +3338,41 @@ from ..operators.sketch import cm_sketch_report_sql as _cm_sql  # noqa: E402
 ORACLES["cm_sketch_documents"] = _cm_sql("documents")
 
 
+@register(
+    "hll_distinct_documents",
+    None,  # oracle attached below
+)
+def hll_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token report: 256 max-rank registers built
+    in ONE pass (shuffle bounded at m rows, never the vocabulary),
+    harmonic-mean estimate with the paper's linear-counting small-range
+    branch, compared against the exact distinct count. Registers merge
+    by MAX — idempotent, so replays can't corrupt the count — and the
+    literal polynomial hash makes register CONTENT (and hence the
+    estimate) value-checkable on DuckDB, unlike engine-native
+    approx_count_distinct whose sketch is opaque."""
+    from ..operators.llm.lm import _tokens
+    from ..operators.sketch import hll_estimate, hll_sketch
+
+    words = _tokens(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("w")
+    est = hll_estimate(hll_sketch(words))
+    exact = words.agg(F.countDistinct("w").cast("long").alias("exact_ct"))
+    return est.crossJoin(F.broadcast(exact)).selectExpr(
+        "v_zero",
+        "est_ct",
+        "exact_ct",
+        "CAST(floor(abs(est_ct - exact_ct) * 10000.0 / exact_ct) AS BIGINT)"
+        " AS err_bp",
+    )
+
+
+from ..operators.sketch import hll_report_sql as _hll_sql  # noqa: E402
+
+ORACLES["hll_distinct_documents"] = _hll_sql("documents")
+
+
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

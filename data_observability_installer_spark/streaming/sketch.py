@@ -168,3 +168,64 @@ def read_cm_store(spark, store: str) -> DataFrame:
         .groupBy("row_id", "bucket")
         .agg(F.sum("ct").cast("long").alias("ct"))
     )
+
+
+def hll_sketch_sink(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    col: str = "w",
+    m: int | None = None,
+    retain: int | None = None,
+    **trigger,
+):
+    """CONTINUOUS distinct counting: every micro-batch reduces to its
+    own HLL register table (ONE aggregation, <= m rows) and lands under
+    ``run_id=<batch_id>``. Registers merge by MAX — idempotent as well
+    as associative/commutative — so unlike the CM sink's per-cell sums,
+    a replayed or double-ingested batch cannot even in principle skew
+    the merged count; overwrite-per-batch is belt over braces here.
+    ``retain`` bounds the store exactly as in cm_sketch_sink (rollup =
+    per-register max, the same merge algebra)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import retain_runs, write_profile
+    from ..operators.sketch import HLL_M, hll_sketch
+
+    m_eff = m or HLL_M
+
+    def _merge_regs(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        write_profile(
+            hll_sketch(df, col=col, m=m_eff), store, f"{batch_id:08d}"
+        )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, store, retain,
+                f"00000000_rollup_{batch_id:08d}", _merge_regs,
+            )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_hll_store(spark, store: str) -> DataFrame:
+    """Merge every stored per-batch register table into the
+    whole-history one: a metadata-sized MAX over m*n_batches rows;
+    feed the result to operators.sketch.hll_estimate."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )

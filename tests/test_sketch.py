@@ -230,3 +230,58 @@ def test_cm_sketch_multibyte_parity_with_duckdb_twin(spark):
 
     exact = Counter(words)
     assert all(est[w] >= c for w, c in exact.items())
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct counter
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_and_exact_duplicate_invariance(spark):
+    """The sketch sees only hashes, so duplicates change NOTHING
+    (register profile identical), and the estimate lands within the
+    ~6.5% band for m=256 on a 1000-distinct corpus."""
+    from data_observability_installer_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    words = [f"tok{i}" for i in range(1000)]
+    df1 = spark.createDataFrame([(w,) for w in words], "w string")
+    df2 = spark.createDataFrame([(w,) for w in words * 3], "w string")
+    sk1 = sorted(map(tuple, hll_sketch(df1).collect()))
+    sk2 = sorted(map(tuple, hll_sketch(df2).collect()))
+    assert sk1 == sk2
+    est = hll_estimate(hll_sketch(df1)).collect()[0]["est_ct"]
+    assert abs(est - 1000) / 1000 < 0.2
+
+
+def test_hll_merge_is_idempotent_and_equals_union_sketch(spark):
+    from data_observability_installer_spark.operators.sketch import (
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], "w string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)], "w string")
+    sa, sb = hll_sketch(a), hll_sketch(b)
+    union_sketch = sorted(map(tuple, hll_sketch(a.unionAll(b)).collect()))
+    merged = sorted(map(tuple, hll_merge(sa, sb).collect()))
+    assert merged == union_sketch
+    # idempotence: merging a sketch with itself is a no-op
+    self_merged = sorted(map(tuple, hll_merge(sa, sa).collect()))
+    assert self_merged == sorted(map(tuple, sa.collect()))
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    """With 5 distinct items in 256 registers the raw estimator is
+    biased; the linear-counting branch must fire and land dead-on."""
+    from data_observability_installer_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], "w string")
+    r = hll_estimate(hll_sketch(df)).collect()[0]
+    assert r["v_zero"] >= 251
+    assert abs(r["est_ct"] - 5) <= 1

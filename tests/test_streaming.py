@@ -1539,3 +1539,51 @@ def test_retain_runs_crash_recovery(spark, tmp_path):
     retain_runs(spark, half, 2, "00000000_rollup_a", merge)
     assert content(half) == want
     shutil.rmtree(half)
+
+
+def test_hll_sketch_sink_merged_store_equals_one_pass(spark, tmp_path):
+    """Continuous HLL: the merged per-batch register store must be
+    REGISTER-identical to the one-pass sketch over everything ingested
+    (max is the whole merge algebra), estimates come straight off the
+    merged store, and re-merging the store with itself changes nothing
+    (idempotence — the property sums don't have)."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        hll_sketch_sink,
+        read_hll_store,
+    )
+
+    b1 = [f"a{i}" for i in range(300)] + ["dup"] * 50
+    b2 = [f"b{i}" for i in range(200)] + ["dup"] * 20
+    src = tmp_path / "words"; src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps({"w": w}) for w in b1))
+    _time.sleep(1.1)
+    (src / "b.json").write_text("\n".join(_json.dumps({"w": w}) for w in b2))
+
+    store = str(tmp_path / "hll_store")
+    stream = (
+        spark.readStream.schema("w string").option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = hll_sketch_sink(stream, store, str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(120)
+
+    merged = sorted(map(tuple, read_hll_store(spark, store).collect()))
+    one_pass = sorted(
+        map(
+            tuple,
+            hll_sketch(
+                spark.createDataFrame([(w,) for w in b1 + b2], "w string")
+            ).collect(),
+        )
+    )
+    assert merged == one_pass
+
+    est = hll_estimate(read_hll_store(spark, store)).collect()[0]["est_ct"]
+    assert abs(est - 501) / 501 < 0.2
