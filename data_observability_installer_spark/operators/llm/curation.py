@@ -1033,20 +1033,57 @@ def dsir_weights(
     n_buckets integers per side, the shipped-constants shape at
     100 TB (train once on a sample, broadcast everywhere).
     """
+    model = dsir_model(df, target_pred, n_buckets, text_col, id_col)
+    return dsir_score(df, model, n_buckets, text_col, id_col, alpha)
+
+
+def dsir_model(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR MODEL half: per-bucket (n_r, n_t) feature counts — the
+    state :func:`dsir_score` weighs documents against. Plain integer
+    sums per bucket, so models MERGE by summation: per-partition,
+    per-day, or per-micro-batch models (streaming.sketch.
+    dsir_model_sink) fold into the one-pass model exactly."""
     from .lm import _bucket_col
 
     feats = _dsir_feats(df, text_col, id_col, target_pred).select(
-        "doc", "is_t", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
+        "is_t", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
     )
-    buckets = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
+    return feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("n_t"),
     )
-    tot = buckets.agg(
-        F.sum("n_r").alias("t_r"), F.sum("n_t").alias("t_t")
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """The DSIR SCORE half: weigh ``df``'s documents against a given
+    (bucket, n_r, n_t) model — the serving shape when the model was
+    trained elsewhere (a sample, an accumulated stream). Buckets the
+    model never saw score with the pure smoothing ratio, exactly as if
+    their counts were zero."""
+    from .lm import _bucket_col
+
+    feats = _dsir_feats(df, text_col, id_col, F.lit(False)).select(
+        "doc", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
+    )
+    tot = model.agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).alias("t_r"),
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("t_t"),
     )
     smooth = float(alpha * n_buckets)
-    lr = buckets.crossJoin(F.broadcast(tot)).select(
+    lr = model.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.floor(
             (
@@ -1057,13 +1094,28 @@ def dsir_weights(
             + F.lit(0.5)
         ).cast("long").alias("lr_micro"),
     )
+    # a bucket absent from the model: counts are zero, so the ratio is
+    # ln((0+a)/(t_t+aB)) - ln((0+a)/(t_r+aB)) = ln(t_r+aB) - ln(t_t+aB)
+    default_lr = tot.select(
+        F.floor(
+            (
+                F.log(F.lit(float(alpha)) / (F.col("t_t") + smooth))
+                - F.log(F.lit(float(alpha)) / (F.col("t_r") + smooth))
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long").alias("default_lr")
+    )
     docb = feats.groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("ct"))
     return (
-        docb.join(F.broadcast(lr), "bucket")
+        docb.join(F.broadcast(lr), "bucket", "left")
+        .crossJoin(F.broadcast(default_lr))
         .groupBy("doc")
         .agg(
             F.sum("ct").alias("n_feats"),
-            F.sum(F.col("ct") * F.col("lr_micro")).alias("logw_micro"),
+            F.sum(
+                F.col("ct") * F.coalesce(F.col("lr_micro"), F.col("default_lr"))
+            ).alias("logw_micro"),
         )
         .select(F.col("doc").alias(id_col), "n_feats", "logw_micro")
         .orderBy(id_col)

@@ -229,3 +229,71 @@ def read_hll_store(spark, store: str) -> DataFrame:
         .groupBy("register")
         .agg(F.max("max_rank").alias("max_rank"))
     )
+
+
+def dsir_model_sink(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    target_pred,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    retain: int | None = None,
+    **trigger,
+):
+    """CONTINUOUS DSIR model: every micro-batch of documents reduces to
+    its own (bucket, n_r, n_t) feature-count model (ONE aggregation,
+    <= n_buckets rows) under ``run_id=<batch_id>`` — replay-idempotent
+    via overwrite. Counts merge by summation, so the merged store
+    equals the one-pass model over everything ingested (parity-pinned)
+    and operators.llm.curation.dsir_score serves importance weights
+    against a model that tracks the corpus as it grows — the streaming
+    face of train-once-broadcast-everywhere."""
+    from pyspark.sql import functions as F
+
+    from ..operators.llm.curation import dsir_model
+    from ..operators.profile import retain_runs, write_profile
+
+    def _merge_models(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("bucket").agg(
+            F.sum("n_r").cast("long").alias("n_r"),
+            F.sum("n_t").cast("long").alias("n_t"),
+        )
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        write_profile(
+            dsir_model(df, target_pred, n_buckets, text_col, id_col),
+            store,
+            f"{batch_id:08d}",
+        )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, store, retain,
+                f"00000000_rollup_{batch_id:08d}", _merge_models,
+            )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_dsir_model(spark, store: str) -> DataFrame:
+    """Merge every stored per-batch model into the whole-history model:
+    one metadata-sized summation over n_buckets*n_batches rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_r").cast("long").alias("n_r"),
+            F.sum("n_t").cast("long").alias("n_t"),
+        )
+    )

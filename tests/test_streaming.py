@@ -1587,3 +1587,64 @@ def test_hll_sketch_sink_merged_store_equals_one_pass(spark, tmp_path):
 
     est = hll_estimate(read_hll_store(spark, store)).collect()[0]["est_ct"]
     assert abs(est - 501) / 501 < 0.2
+
+
+def test_dsir_model_sink_merged_store_equals_one_pass(spark, tmp_path):
+    """Continuous DSIR: the merged per-batch model must be
+    BUCKET-identical to the one-pass model over everything ingested,
+    and scoring a probe corpus against the streamed model must equal
+    scoring against the batch-built model (exact integers after the
+    per-bucket quantized ln)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.curation import (
+        dsir_model,
+        dsir_score,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        dsir_model_sink,
+        read_dsir_model,
+    )
+
+    b1 = [(1, "alpha beta alpha", "en"), (2, "gamma delta", "de")]
+    b2 = [(3, "alpha beta beta", "en"), (4, "epsilon zeta", "fr")]
+    src = tmp_path / "docs"; src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        _json.dumps({"doc_id": d, "text": t, "lang": g}) for d, t, g in b1))
+    _time.sleep(1.1)
+    (src / "b.json").write_text("\n".join(
+        _json.dumps({"doc_id": d, "text": t, "lang": g}) for d, t, g in b2))
+
+    store = str(tmp_path / "dsir_store")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = dsir_model_sink(
+        stream, store, str(tmp_path / "ckpt"), F.col("lang") == "en",
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string, lang string")
+    streamed = sorted(map(tuple, read_dsir_model(spark, store).collect()))
+    one_pass = sorted(
+        map(tuple, dsir_model(all_docs, F.col("lang") == "en").collect())
+    )
+    assert streamed == one_pass
+
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma"), (10, "zeta unseen_token")],
+        "doc_id long, text string",
+    )
+    via_stream = sorted(
+        map(tuple, dsir_score(probe, read_dsir_model(spark, store)).collect())
+    )
+    via_batch = sorted(
+        map(tuple, dsir_score(
+            probe, dsir_model(all_docs, F.col("lang") == "en")).collect())
+    )
+    assert via_stream == via_batch

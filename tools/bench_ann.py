@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""ANN quality/cost evidence: recall@k vs exact brute force and warm
+wall-clock for every ANN family, over many queries, at sf0.1. Writes
+``ANN_BENCH.json``.
+
+Every ANN variant here trades scan bytes for recall; a number for one
+query proves nothing (recall variance across queries is large), so this
+measures MEAN recall over N_QUERIES probes plus per-family timing (one
+representative probe, warm code — min of 2 trials, same convention as
+SCALE_BENCH). "bytes_at_rest" records each family's candidate-scan
+payload per vector, the thing the recall is traded FOR:
+
+- bruteforce: 256 B (64 x float32) — recall 1.0 by definition
+- int8:      64 B quantized scan, float rescore of nominees
+- lsh:       signature route, float re-rank inside the Hamming ball
+- ivf/ivfpq: cell-pruned scan (nprobe/n_cells of the table)
+- pq:        8 B codes + ADC, float rescore of nominees
+- hamming:   8 B (one int64 of sign bits), float rescore of nominees
+
+Usage: python tools/bench_ann.py  (writes ANN_BENCH.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from data_observability_installer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+N_QUERIES = 20
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm import similarity as sim
+
+    spark = get_spark("bench-ann", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
+    trained_books = sim.train_pq(emb, iters=2)  # once; shipped-constants shape
+
+    families = {
+        "bruteforce": dict(fn=lambda q: sim.topk_bruteforce(emb, k=K, query_id=q),
+                           bytes_at_rest=256),
+        "int8": dict(fn=lambda q: sim.topk_int8(emb, k=K, query_id=q),
+                     bytes_at_rest=64),
+        "lsh_multiprobe": dict(fn=lambda q: sim.topk_lsh(emb, k=K, query_id=q),
+                               bytes_at_rest=256),
+        "ivf_fixed": dict(fn=lambda q: sim.topk_ivf_fixed(emb, k=K, query_id=q),
+                          bytes_at_rest=256),
+        "ivf_trained": dict(fn=lambda q: sim.topk_ivf(emb, k=K, query_id=q),
+                            bytes_at_rest=256),
+        "pq": dict(fn=lambda q: sim.topk_pq(emb, k=K, query_id=q),
+                   bytes_at_rest=8),
+        "pq_trained": dict(
+            fn=lambda q: sim.topk_pq(emb, k=K, query_id=q, books=trained_books),
+            bytes_at_rest=8),
+        "ivfpq": dict(fn=lambda q: sim.topk_ivfpq(emb, k=K, query_id=q),
+                      bytes_at_rest=9),
+        "hamming": dict(fn=lambda q: sim.topk_hamming(emb, k=K, query_id=q),
+                        bytes_at_rest=8),
+    }
+
+    # ground truth once per query
+    truth: dict[int, set] = {}
+    for q in qids:
+        truth[q] = {r["vec_id"] for r in families["bruteforce"]["fn"](q).collect()}
+
+    results: dict[str, dict] = {}
+    for name, fam in families.items():
+        fn = fam["fn"]
+        hits = 0
+        for q in qids:
+            got = {r["vec_id"] for r in fn(q).collect()}
+            hits += len(got & truth[q])
+        recall = hits / (K * len(qids))
+        # warm timing: one untimed compile probe already ran above;
+        # min of 2 trials on a fresh query id
+        trials = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(qids[0]).collect()
+            trials.append(time.monotonic() - t0)
+        results[name] = {
+            "recall_at_10": round(recall, 3),
+            "warm_s": round(min(trials), 3),
+            "bytes_at_rest_per_vector": fam["bytes_at_rest"],
+            "n_queries": len(qids),
+        }
+        print(name, results[name])
+
+    spark.stop()
+    out = Path(__file__).resolve().parent.parent / "ANN_BENCH.json"
+    out.write_text(json.dumps(
+        {"sf": SF_DIR, "k": K, "families": results}, indent=2))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
