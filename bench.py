@@ -237,6 +237,8 @@ HEADLINE = [
     "dsir_weights_documents",
     "topk_hamming_embeddings",
     "hll_distinct_documents",
+    "gopher_rules_documents",
+    "c4_clean_documents",
 ]
 
 

@@ -800,3 +800,236 @@ def bpe_compression_sql(
              AS chars_per_token_bp
     FROM per_doc GROUP BY slice_key ORDER BY slice_key
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix A):
+# the named rule set production corpus filters start from. Every rule
+# is exact integer arithmetic (cross-multiplied ratios, no floats), so
+# the verdicts replay bit-for-bit on DuckDB.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^[\s]*[-*•]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)[\s]*$"
+_SYMBOL_RE = r"(#|\.\.\.|…)"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document verdicts for the seven Gopher quality rules:
+    word-count band, mean word length in [3, 10] chars, symbol-to-word
+    ratio <= 0.1, <= 10% bullet-started lines, <= 30% ellipsis-ended
+    lines, >= 80% of words containing an alphabetic char, and >=
+    ``min_stopwords`` distinct Gopher stopwords (paper threshold 2;
+    parameterized because a corpus' stopword density is the one
+    corpus-dependent knob in the set). ``pass`` is the conjunction.
+    One scan,
+    all map-side regex/integer arithmetic inside codegen — the filter
+    chain shape of curation_filter with the published thresholds."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    w = F.size(words).cast("long")
+    # total word chars = the text minus its whitespace
+    wchars = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long")
+    symbols = _count_re(text_col, _SYMBOL_RE).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(_BULLET_RE))
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike(_ELLIPSIS_END_RE))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(words, lambda t: F.lower(t)),
+                lambda t: t.isin(*GOPHER_STOPWORDS),
+            )
+        )
+    ).cast("long")
+    r_word_count = (w >= min_words) & (w <= max_words)
+    r_mean_wlen = (wchars >= 3 * w) & (wchars <= 10 * w)
+    r_symbols = symbols * 10 <= w
+    r_bullets = bullet * 10 <= n_lines
+    r_ellipsis = ellipsis * 10 <= 3 * n_lines
+    r_alpha = alpha_words * 5 >= 4 * w
+    r_stopwords = stop_hits >= min_stopwords
+    return df.select(
+        id_col,
+        w.alias("word_ct"),
+        r_word_count.alias("r_word_count"),
+        r_mean_wlen.alias("r_mean_word_len"),
+        r_symbols.alias("r_symbol_ratio"),
+        r_bullets.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count & r_mean_wlen & r_symbols & r_bullets & r_ellipsis
+            & r_alpha & r_stopwords
+        ).alias("pass"),
+    ).orderBy(id_col)
+
+
+def gopher_rules_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> str:
+    """DuckDB twin: identical splits, identical cross-multiplied
+    integer rules."""
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT {id_col},
+             regexp_split_to_array(trim({text_col}), '\\s+') AS words,
+             regexp_split_to_array({text_col}, '\\n') AS lines,
+             CAST(length(regexp_replace({text_col}, '\\s+', '', 'g')) AS BIGINT)
+               AS wchars,
+             CAST({_count_re_sql(text_col, _SYMBOL_RE)} AS BIGINT) AS symbols
+      FROM {table}),
+    m AS (
+      SELECT {id_col},
+             CAST(len(words) AS BIGINT) AS w,
+             wchars,
+             symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               ln -> regexp_matches(ln, '^[\\s]*[-*•]'))) AS BIGINT)
+               AS bullet,
+             CAST(len(list_filter(lines,
+               ln -> regexp_matches(ln, '(\\.\\.\\.|…)[\\s]*$'))) AS BIGINT)
+               AS ellipsis,
+             CAST(len(list_filter(words,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_distinct(list_filter(
+               list_transform(words, t -> lower(t)),
+               t -> t IN ({stop_list})))) AS BIGINT) AS stop_hits
+      FROM b)
+    SELECT {id_col},
+           w AS word_ct,
+           (w >= {min_words} AND w <= {max_words}) AS r_word_count,
+           (wchars >= 3 * w AND wchars <= 10 * w) AS r_mean_word_len,
+           (symbols * 10 <= w) AS r_symbol_ratio,
+           (bullet * 10 <= n_lines) AS r_bullet_lines,
+           (ellipsis * 10 <= 3 * n_lines) AS r_ellipsis_lines,
+           (alpha_words * 5 >= 4 * w) AS r_alpha_words,
+           (stop_hits >= {min_stopwords}) AS r_stopwords,
+           ((w >= {min_words} AND w <= {max_words})
+            AND (wchars >= 3 * w AND wchars <= 10 * w)
+            AND (symbols * 10 <= w)
+            AND (bullet * 10 <= n_lines)
+            AND (ellipsis * 10 <= 3 * n_lines)
+            AND (alpha_words * 5 >= 4 * w)
+            AND (stop_hits >= {min_stopwords})) AS pass
+    FROM m ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+# the line-level keep rules + page-level drops of the canonical
+# web-corpus pipeline.
+# ---------------------------------------------------------------------------
+
+_C4_TERMINAL_RE = r"""[.!?]["']?\s*$"""
+_C4_PAGE_BAD_RE = r"(lorem ipsum|\{)"
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    require_terminal: bool = True,
+) -> DataFrame:
+    """Per-page C4 cleaning verdicts: a line survives when it ends in
+    terminal punctuation (paper rule; ``require_terminal=False`` for
+    punctuation-free corpora), has >= ``min_line_words`` words, and
+    does not mention javascript; the PAGE drops when it contains
+    'lorem ipsum' or '{' (reason='boilerplate') or when fewer than
+    ``min_lines`` lines survive (reason='too_few_lines'). Returns
+    (id, n_lines, n_kept, dropped, reason, clean_text) with clean_text
+    NULL on dropped pages — one map-only scan, codegen end to end."""
+    lines = F.split(F.col(text_col), r"\n")
+    term = (
+        (lambda ln: ln.rlike(_C4_TERMINAL_RE))
+        if require_terminal
+        else (lambda ln: F.lit(True))
+    )
+    keep_line = lambda ln: (  # noqa: E731
+        term(ln)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    page_bad = F.lower(F.col(text_col)).rlike(_C4_PAGE_BAD_RE)
+    n_kept = F.size(kept)
+    dropped = page_bad | (n_kept < min_lines)
+    reason = (
+        F.when(page_bad, F.lit("boilerplate"))
+        .when(n_kept < min_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        dropped.alias("dropped"),
+        reason.alias("reason"),
+        F.when(~dropped, F.array_join(kept, "\n")).alias("clean_text"),
+    ).orderBy(id_col)
+
+
+def c4_clean_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    require_terminal: bool = True,
+) -> str:
+    """DuckDB twin: identical splits, line rules, page drops."""
+    term = (
+        "regexp_matches(ln, '[.!?][\"'']?\\s*$') AND "
+        if require_terminal
+        else ""
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT {id_col},
+             regexp_split_to_array({text_col}, '\\n') AS lines,
+             regexp_matches(lower({text_col}), '(lorem ipsum|\\{{)') AS page_bad
+      FROM {table}),
+    k AS (
+      SELECT {id_col}, page_bad,
+             CAST(len(lines) AS INT) AS n_lines,
+             list_filter(lines, ln ->
+               {term}len(regexp_split_to_array(trim(ln), '\\s+'))
+                 >= {min_line_words}
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM b)
+    SELECT {id_col}, n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           (page_bad OR len(kept) < {min_lines}) AS dropped,
+           CASE WHEN page_bad THEN 'boilerplate'
+                WHEN len(kept) < {min_lines} THEN 'too_few_lines'
+                ELSE NULL END AS reason,
+           CASE WHEN NOT (page_bad OR len(kept) < {min_lines})
+                THEN array_to_string(kept, chr(10)) ELSE NULL END AS clean_text
+    FROM k ORDER BY {id_col}
+    """

@@ -3112,6 +3112,47 @@ def quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_rules_documents",
+    _text.gopher_rules_sql("documents", min_words=20, min_stopwords=1),
+)
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A): per-document
+    verdicts for the seven published filters in exact cross-multiplied
+    integer arithmetic — one map-only scan. Word-count and stopword
+    thresholds calibrated to the fixture's short synthetic docs
+    (min_words=20, min_stopwords=1; paper defaults 50/2) so both
+    branches of every discriminating rule are exercised (73% pass);
+    rule SEMANTICS are the paper's."""
+    return _text.gopher_rules(
+        load_table(spark, sf_dir, "documents"), min_words=20, min_stopwords=1
+    )
+
+
+@register(
+    "c4_clean_documents",
+    _text.c4_clean_sql(
+        "(SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text "
+        "FROM documents)",
+        min_line_words=4,
+        min_lines=2,
+    ),
+)
+def c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2): line-level keeps
+    (terminal punctuation, >= N words, no javascript) + page-level
+    drops (lorem ipsum/'{' boilerplate, too few surviving lines),
+    emitting verdicts, reasons and the cleaned text. The fixture's
+    synthetic docs are single-line and unpunctuated, so the query runs
+    over a DERIVED multi-line input (every ' table ' becomes '.\\n' —
+    a plain literal replace both engines share) which exercises both
+    branches: 289/500 drop, 211 keep."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " table ", ".\n")
+    )
+    return _text.c4_clean(docs, min_line_words=4, min_lines=2)
+
+
+@register(
     "lang_mix_documents",
     f"""
     WITH lang AS ({_text.language_id_sql("documents")}),

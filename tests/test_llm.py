@@ -666,3 +666,77 @@ def test_semdedup_max_cell_excludes_hot_cells_entirely(spark):
             assert r["keep"] and r["dup_of"] is None
         else:
             assert r["keep"] == base[vid]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
+    from data_observability_installer_spark.operators.llm.text import gopher_rules
+
+    good = ("the quick brown fox jumps over with lazy dogs and that "
+            "have been seen out here today again now then soon "
+            "maybe later tonight tomorrow always never somewhere") # 27 words
+    rows = [
+        (0, good),
+        (1, "the with"),                                    # too few words
+        (2, good.replace("the quick", "a b c d e f g")),    # mean wlen < 3... maybe
+        (3, good + " # # # # # # # # # # # # # # # # # # # # # # # # # # # #"),  # symbols
+        (4, "\n".join(["- bullet item with the that"] * 10)),            # bullets
+        (5, "\n".join([f"line {i} with the that trailing dots..." for i in range(10)])),  # ellipsis
+        (6, good.replace("fox", "123 456 789 101 112 131 415")),         # non-alpha words
+        (7, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=8).collect()}
+    assert out[0]["pass"]
+    assert not out[1]["r_word_count"]
+    assert not out[3]["r_symbol_ratio"]
+    assert not out[4]["r_bullet_lines"]
+    assert not out[5]["r_ellipsis_lines"]
+    assert not out[6]["r_alpha_words"]
+    assert not out[7]["r_stopwords"]
+    for vid in (1, 3, 4, 5, 6, 7):
+        assert not out[vid]["pass"]
+
+
+def test_gopher_rules_mean_word_length_band(spark):
+    from data_observability_installer_spark.operators.llm.text import gopher_rules
+
+    short = " ".join(["ab"] * 60)                       # mean 2 < 3
+    longw = " ".join(["abcdefghijklmno"] * 60)          # mean 15 > 10
+    mid = " ".join(["middle"] * 60) + " the of"         # mean ~6
+    df = spark.createDataFrame(
+        [(1, short), (2, longw), (3, mid)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_stopwords=0).collect()}
+    assert not out[1]["r_mean_word_len"]
+    assert not out[2]["r_mean_word_len"]
+    assert out[3]["r_mean_word_len"]
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from data_observability_installer_spark.operators.llm.text import c4_clean
+
+    rows = [
+        (0, "Good first sentence here today.\nAnother fine long sentence follows now.\nShort one too but this line also ends well."),
+        (1, "no terminal punctuation on this line at all\nthis one neither sadly for it"),
+        (2, "This page mentions lorem ipsum somewhere in it.\nOtherwise it would be fine indeed."),
+        (3, "This has a curly { brace in it.\nOtherwise plenty of words to survive."),
+        (4, "Enable javascript to view this page properly.\nA real sentence with enough words here.\nAnother real sentence with enough words too."),
+        (5, "Tiny line.\nAlso small."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df, min_line_words=5, min_lines=2).collect()}
+    assert not out[0]["dropped"] and out[0]["n_kept"] == 3
+    assert out[0]["clean_text"].count("\n") == 2
+    assert out[1]["dropped"] and out[1]["reason"] == "too_few_lines"
+    assert out[2]["dropped"] and out[2]["reason"] == "boilerplate"
+    assert out[3]["dropped"] and out[3]["reason"] == "boilerplate"
+    # javascript line removed, the two real sentences survive
+    assert not out[4]["dropped"] and out[4]["n_kept"] == 2
+    assert "javascript" not in out[4]["clean_text"]
+    # lines with < 5 words fail even with terminal punctuation
+    assert out[5]["dropped"] and out[5]["n_kept"] == 0

@@ -71,6 +71,22 @@ def main() -> None:
                       bytes_at_rest=9),
         "hamming": dict(fn=lambda q: sim.topk_hamming(emb, k=K, query_id=q),
                         bytes_at_rest=8),
+        # the rescore knob measured: same code scans, 16k instead of 4k
+        # float point-lookups — recall is bought with nominee rescores,
+        # not with wider scans
+        "pq_rescore16": dict(
+            fn=lambda q: sim.topk_pq(emb, k=K, query_id=q, rescore=16),
+            bytes_at_rest=8),
+        "pq_trained_rescore16": dict(
+            fn=lambda q: sim.topk_pq(
+                emb, k=K, query_id=q, rescore=16, books=trained_books),
+            bytes_at_rest=8),
+        "ivfpq_rescore16": dict(
+            fn=lambda q: sim.topk_ivfpq(emb, k=K, query_id=q, rescore=16),
+            bytes_at_rest=9),
+        "hamming_rescore16": dict(
+            fn=lambda q: sim.topk_hamming(emb, k=K, query_id=q, rescore=16),
+            bytes_at_rest=8),
     }
 
     # ground truth once per query

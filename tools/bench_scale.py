@@ -413,6 +413,18 @@ def topk_ivfpq_op(spark, path: str) -> None:
     topk_ivfpq(spark.read.parquet(path), k=10, query_id=0).collect()
 
 
+def topk_hamming_op(spark, path: str) -> None:
+    """Round-10 claim: the Hamming candidate scan reads ONE int64 per
+    vector (1/256 of the float bytes) and the rescore touches
+    rescore*k rows — the curve must track the (tiny) code scan."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        topk_hamming,
+    )
+
+    spark.catalog.clearCache()
+    topk_hamming(spark.read.parquet(path), k=10, query_id=0).collect()
+
+
 def txtable_skipping_op(spark, path: str) -> None:
     """Round-9 data-skipping claim: a NEEDLE query's cost must be
     independent of table size. The txtable is seeded once per factor
@@ -565,6 +577,7 @@ OPS = {
     "topk_ivfpq_embeddings": ("embeddings", topk_ivfpq_op),
     "txtable_skipping_lineitem": ("lineitem", txtable_skipping_op),
     "pq_near_dups_embeddings": ("embeddings_rot", pq_near_dups_op),
+    "topk_hamming_embeddings": ("embeddings", topk_hamming_op),
 }
 
 

@@ -628,6 +628,72 @@ def main() -> None:
     }
     shutil.rmtree(growth_root, ignore_errors=True)
     shutil.rmtree(sink_root2, ignore_errors=True)
+
+    # round-10: continuous HLL distinct counter — per-batch register
+    # tables (<= 256 rows each), merged store == one-pass sketch; items
+    # are the same skewed word mix as the heavy-hitters row
+    from data_observability_installer_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        dsir_model_sink,
+        hll_sketch_sink,
+        read_dsir_model,
+        read_hll_store,
+    )
+
+    sink_root3 = _tf.mkdtemp(prefix="stream_bench_hll_")
+    q = hll_sketch_sink(
+        hh_items(read_stream()),
+        os.path.join(sink_root3, "hll"),
+        os.path.join(sink_root3, "ckpt_hll"),
+        availableNow=True,
+    )
+    ops["hll_sketch_sink"] = _drain(
+        q,
+        lambda: read_hll_store(spark, os.path.join(sink_root3, "hll")).count(),
+    )
+    ops["hll_sketch_sink"]["est_distinct"] = int(
+        hll_estimate(read_hll_store(spark, os.path.join(sink_root3, "hll")))
+        .collect()[0]["est_ct"]
+    )
+    ops["hll_sketch_sink"]["batch_twin_s"] = timed_batch(
+        lambda: hll_sketch(hh_items(batch_df)).count()
+    )
+
+    # round-10: continuous DSIR model — per-batch (bucket, n_r, n_t)
+    # counts; documents synthesized from the event stream (text = the
+    # same 3-word mix, target = ERROR-status events)
+    from data_observability_installer_spark.operators.llm.curation import dsir_model
+
+    def as_docs(df):
+        return df.select(
+            F.col("event_id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.col("status"),
+                F.col("pipeline_key"),
+                F.concat(F.lit("tok_"), F.pmod("event_id", F.lit(5000))),
+            ).alias("text"),
+            F.col("status").alias("status"),
+        )
+
+    q = dsir_model_sink(
+        as_docs(read_stream()),
+        os.path.join(sink_root3, "dsir"),
+        os.path.join(sink_root3, "ckpt_dsir"),
+        F.col("status") == "ERROR",
+        availableNow=True,
+    )
+    ops["dsir_model_sink"] = _drain(
+        q,
+        lambda: read_dsir_model(spark, os.path.join(sink_root3, "dsir")).count(),
+    )
+    ops["dsir_model_sink"]["batch_twin_s"] = timed_batch(
+        lambda: dsir_model(as_docs(batch_df), F.col("status") == "ERROR").count()
+    )
+    shutil.rmtree(sink_root3, ignore_errors=True)
     shutil.rmtree(sink_root, ignore_errors=True)
 
     result = {
