@@ -239,6 +239,7 @@ HEADLINE = [
     "hll_distinct_documents",
     "gopher_rules_documents",
     "c4_clean_documents",
+    "semdedup_trained_embeddings",
 ]
 
 

@@ -459,21 +459,16 @@ def topk_ivf(
     )
 
 
-def topk_ivf_sql(
-    table: str,
-    k: int = 10,
-    query_id: int = 0,
-    n_clusters: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    iters: int = 3,
-) -> str:
-    """DuckDB twin of :func:`topk_ivf`: the SAME deterministic Lloyd
-    iterations, unrolled as CTE pairs (a{i} assignment, c{i} centroid
-    update) from the same literal integer init. Every training step is
+def _ivf_train_ctes(
+    table: str, id_col: str, n_clusters: int, iters: int
+) -> tuple[list[str], str, str]:
+    """Shared trainer unrolling for the learned-centroid DuckDB twins:
+    CTEs c0 (literal integer init), e (quantized + normed corpus),
+    a{i}/c{i} (one Lloyd assignment/update per iteration), and af (the
+    final trained assignment carrying vid/embedding/nrm/bucket).
+    Returns (ctes, final_centroid_cte_name, dist_sql). Every step is
     exact int64 arithmetic or the identical IEEE double division, so
-    the learned centroids — and therefore the probe set and result —
-    match the Spark path bit-for-bit."""
+    the learned centroids match train_ivf_kmeans bit-for-bit."""
     init = ivf_centroids(n_clusters=n_clusters)
     cvalues = ", ".join(
         f"({b}, [{', '.join(str(int(math.floor(v * IVF_SCALE + 0.5))) for v in row)}]::BIGINT[])"
@@ -515,6 +510,23 @@ def topk_ivf_sql(
              CAST(min({dist} * {enc} + c.bucket) % {enc} AS INT) AS bucket
       FROM e, {prev} c GROUP BY e.vid)"""
     )
+    return ctes, prev, dist
+
+
+def topk_ivf_sql(
+    table: str,
+    k: int = 10,
+    query_id: int = 0,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of :func:`topk_ivf`: the SAME deterministic Lloyd
+    iterations, unrolled as CTE pairs via :func:`_ivf_train_ctes`, so
+    the learned centroids — and therefore the probe set and result —
+    match the Spark path bit-for-bit."""
+    ctes, prev, dist = _ivf_train_ctes(table, id_col, n_clusters, iters)
     ctes.append(
         f"""probes AS (
       SELECT c.bucket FROM e, {prev} c WHERE e.vid = {query_id}
@@ -2883,6 +2895,7 @@ def semdedup(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     max_cell: int | None = None,
+    cents: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication scoped to embedding-space clusters. Every vector is
@@ -2909,15 +2922,23 @@ def semdedup(
     max_bucket. The within-cell join carries (vid, embedding) once on
     each side; the verified-pair set is never materialized corpus-wide.
     """
-    centroids = ivf_centroids(n_clusters=n_clusters)
     e = embeddings.withColumn(
         "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
+    if cents is not None:
+        # TRAINED cells (train_ivf_kmeans): exact-int L2 argmin, the
+        # production assignment (same routing as topk_ivf/topk_ivfpq)
+        cell_expr = F.expr(
+            _argmin_bucket_sql(_quant_sql("embedding"), cents, n_clusters)
+        )
+    else:
+        centroids = ivf_centroids(n_clusters=n_clusters)
+        cell_expr = -_centroid_scores("embedding", "nrm", centroids)[0]["nc"]
     assigned = e.select(
         F.col(id_col).alias("vid"),
         "embedding",
         "nrm",
-        (-_centroid_scores("embedding", "nrm", centroids)[0]["nc"]).alias("cell"),
+        cell_expr.alias("cell"),
     )
     pool = assigned
     if max_cell is not None:
@@ -3160,4 +3181,40 @@ def topk_hamming_sql(
            floor(({cos_q}) * 10000 + 0.5) / 10000 AS score
     FROM cand JOIN f ON cand.vid = f.vid CROSS JOIN q
     ORDER BY score DESC, cand.vid LIMIT {k}
+    """
+
+
+def semdedup_trained_sql(
+    table: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of semdedup over TRAINED cells: the shared
+    :func:`_ivf_train_ctes` unrolling (bit-equal centroids), the same
+    exact-int argmin assignment, then the same within-cell rounded-bp
+    pair verdicts and keep-first rule as :func:`semdedup_sql`."""
+    import math as _math
+
+    thr_bp = int(_math.floor(threshold * 10000 + 0.5))
+    ctes, _prev, _dist = _ivf_train_ctes(table, id_col, n_clusters, iters)
+    cos_ab = (
+        "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(a.nrm * b.nrm)"
+    )
+    ctes.append(
+        f"""witnesses AS (
+      SELECT b.vid AS vid, min(a.vid) AS dup_of
+      FROM af a JOIN af b ON a.bucket = b.bucket AND a.vid < b.vid
+      WHERE CAST(floor(({cos_ab}) * 10000 + 0.5) AS BIGINT) >= {thr_bp}
+      GROUP BY b.vid)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.vid AS {id_col}, f.bucket AS cell,
+           (w.dup_of IS NULL) AS keep, w.dup_of
+    FROM af f LEFT JOIN witnesses w ON f.vid = w.vid
+    ORDER BY {id_col}
     """

@@ -3550,6 +3550,24 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_trained_embeddings",
+    _sim.semdedup_trained_sql("embeddings", threshold=0.35, iters=2),
+)
+def semdedup_trained_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED cells — the production configuration:
+    train_ivf_kmeans's deterministic Lloyd cells (2 passes) route
+    vectors via the exact-int argmin, then the same within-cell
+    rounded-bp keep-first verdicts. The DuckDB twin unrolls the SAME
+    training as CTE pairs (shared with topk_ivf's twin), so the
+    learned variant carries the same oracle strength as the fixed one
+    — trained cells are what keep cell sizes ~n/K balanced at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.semdedup(
+        emb, threshold=0.35, cents=_sim.train_ivf_kmeans(emb, iters=2)
+    )
+
+
+@register(
     "topk_hamming_embeddings",
     _sim.topk_hamming_sql("embeddings", k=10, query_id=0),
 )

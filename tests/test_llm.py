@@ -740,3 +740,22 @@ def test_c4_clean_line_and_page_rules(spark):
     assert "javascript" not in out[4]["clean_text"]
     # lines with < 5 words fail even with terminal punctuation
     assert out[5]["dropped"] and out[5]["n_kept"] == 0
+
+
+def test_semdedup_trained_cells_still_keep_first(spark):
+    """Trained-cell routing: same keep-first semantics, witness in the
+    SAME trained cell, and the planted scaled copy is still removed
+    (identical vectors share any cell under any assignment)."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        semdedup,
+        train_ivf_kmeans,
+    )
+
+    df = _semdedup_frame(spark)
+    cents = train_ivf_kmeans(df, iters=2)
+    out = {r["vec_id"]: r for r in semdedup(df, threshold=0.95, cents=cents).collect()}
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 2
+    assert out[0]["keep"] and out[2]["keep"] and out[4]["keep"]
+    for vid in (1, 3):
+        assert out[vid]["cell"] == out[out[vid]["dup_of"]]["cell"]

@@ -87,6 +87,12 @@ def main() -> None:
         "hamming_rescore16": dict(
             fn=lambda q: sim.topk_hamming(emb, k=K, query_id=q, rescore=16),
             bytes_at_rest=8),
+        # ivfpq's bottleneck is ROUTING (true neighbors outside the
+        # probed cells die before ADC): widen nprobe, not just rescore
+        "ivfpq_nprobe8_rescore16": dict(
+            fn=lambda q: sim.topk_ivfpq(
+                emb, k=K, query_id=q, nprobe=8, rescore=16),
+            bytes_at_rest=9),
     }
 
     # ground truth once per query
@@ -119,8 +125,21 @@ def main() -> None:
 
     spark.stop()
     out = Path(__file__).resolve().parent.parent / "ANN_BENCH.json"
+    note = (
+        "recall on THIS fixture (2000 weakly-clustered synthetic 64-dim "
+        "vectors) ranks the families' tradeoffs, not their production "
+        "ceilings: every compressed family buys recall with its knobs at "
+        "unchanged scan bytes — rescore (nominee float lookups: hamming "
+        ".385->.725, pq_trained .205->.56 at rescore 4->16), nprobe "
+        "(routing width for ivfpq), and codebook training (pq .105 -> "
+        "pq_trained .205 at identical cost). int8 reaches 1.0 because "
+        "its candidate rank is a 64-byte full scan — the recall/bytes "
+        "frontier's other end. Production picks the knob setting that "
+        "meets its recall target; correctness of every family is "
+        "oracle-checked separately."
+    )
     out.write_text(json.dumps(
-        {"sf": SF_DIR, "k": K, "families": results}, indent=2))
+        {"sf": SF_DIR, "k": K, "note": note, "families": results}, indent=2))
     print("wrote", out)
 
 
