@@ -376,7 +376,8 @@ def cmd_table(args) -> int:
             col, op, val = spec.split(":", 2)
             preds.append((col, op, val))
     tx.read_table(
-        _spark(args), args.path, version=args.version, predicates=preds
+        _spark(args), args.path, version=args.version, predicates=preds,
+        as_of_ms=args.as_of_ms,
     ).show(args.rows, truncate=False)
     return 0
 
@@ -468,6 +469,9 @@ def main(argv: list[str] | None = None) -> int:
                             "stats", "health"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
+    p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
+                   help="show: timestamp time travel (epoch ms; last "
+                        "commit at or before this instant)")
     p.add_argument("--rows", type=int, default=50)
     p.add_argument("--files", type=int, default=4, help="compact: target files")
     p.add_argument("--keep-last", type=int, default=2, help="vacuum retention")

@@ -597,11 +597,38 @@ def write_table(
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
+def version_at(path: str, as_of_ms: int) -> int:
+    """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the largest
+    retained version whose ``committed_at_ms`` <= ``as_of_ms``. Raises
+    :class:`VacuumedVersionError` when the timestamp predates the
+    oldest retained manifest (the snapshot existed but vacuum removed
+    it — distinguishable from a timestamp before the table was born,
+    which raises ValueError)."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"not a txtable (no commits): {path}")
+    best = None
+    for v in vs:
+        if read_manifest(path, v)["committed_at_ms"] <= as_of_ms:
+            best = v
+    if best is None:
+        if vs[0] > 1:
+            raise VacuumedVersionError(
+                f"timestamp {as_of_ms} predates the oldest retained "
+                f"manifest (v{vs[0]}); that snapshot was vacuumed"
+            )
+        raise ValueError(
+            f"timestamp {as_of_ms} predates the table's first commit"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     predicates: list[tuple[str, str, object]] | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot read: pin one manifest (latest by default, or a
     time-travel ``version``) and scan exactly its file list. The
@@ -617,6 +644,10 @@ def read_table(
     matches)."""
     from pyspark.sql.types import StructType
 
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ms=, not both")
+        version = version_at(path, as_of_ms)
     m = read_manifest(path, version)
     files = prune_files(m, predicates) if predicates else m["files"]
     schema = StructType.fromJson(json.loads(m["schema"]))

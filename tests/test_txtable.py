@@ -815,3 +815,33 @@ def test_merge_schema_data_skipping_keeps_statless_old_files(spark, tmp_path):
     from data_observability_installer_spark.sources.txtable import prune_files
 
     assert len(prune_files(m, [("m", ">=", 2000)])) == 1  # old file kept
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    from data_observability_installer_spark.sources.txtable import version_at
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1,)], "k int"))
+    _time.sleep(0.02)
+    write_table(spark, t, spark.createDataFrame([(2,)], "k int"))
+    ts1 = read_manifest(t, 1)["committed_at_ms"]
+    ts2 = read_manifest(t, 2)["committed_at_ms"]
+    assert ts2 > ts1
+    assert version_at(t, ts1) == 1
+    assert version_at(t, ts2 - 1) == 1  # between the commits -> earlier snapshot
+    assert version_at(t, ts2) == 2
+    assert _rows(read_table(spark, t, as_of_ms=ts1)) == [(1,)]
+    assert _rows(read_table(spark, t, as_of_ms=ts2 + 10_000)) == [(1,), (2,)]
+    with pytest.raises(ValueError, match="first commit"):
+        version_at(t, ts1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, t, version=1, as_of_ms=ts1)
+    # vacuumed horizon: drop v1's manifest, its timestamp now raises the
+    # NAMED retention error instead of silently answering from v2
+    _time.sleep(0.02)
+    write_table(spark, t, spark.createDataFrame([(3,)], "k int"))
+    vacuum(t, keep_last=2)
+    with pytest.raises(VacuumedVersionError):
+        version_at(t, ts1)

@@ -87,8 +87,10 @@ def main() -> None:
         "hamming_rescore16": dict(
             fn=lambda q: sim.topk_hamming(emb, k=K, query_id=q, rescore=16),
             bytes_at_rest=8),
-        # ivfpq's bottleneck is ROUTING (true neighbors outside the
-        # probed cells die before ADC): widen nprobe, not just rescore
+        # ivfpq with the routing knob widened too — measured FLAT vs
+        # nprobe=4 (.175 vs .18), so on this fixture the binding
+        # constraint is the fixed residual books' discrimination, not
+        # routing; training the books is the production lever
         "ivfpq_nprobe8_rescore16": dict(
             fn=lambda q: sim.topk_ivfpq(
                 emb, k=K, query_id=q, nprobe=8, rescore=16),
@@ -131,8 +133,10 @@ def main() -> None:
         "ceilings: every compressed family buys recall with its knobs at "
         "unchanged scan bytes — rescore (nominee float lookups: hamming "
         ".385->.725, pq_trained .205->.56 at rescore 4->16), nprobe "
-        "(routing width for ivfpq), and codebook training (pq .105 -> "
-        "pq_trained .205 at identical cost). int8 reaches 1.0 because "
+        "(routing width for ivfpq — measured flat here, so its binding "
+        "constraint is the untrained residual books), and codebook "
+        "training (pq .105 -> pq_trained .205 at identical cost). "
+        "int8 reaches 1.0 because "
         "its candidate rank is a 64-byte full scan — the recall/bytes "
         "frontier's other end. Production picks the knob setting that "
         "meets its recall target; correctness of every family is "
