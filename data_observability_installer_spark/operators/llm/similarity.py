@@ -3218,3 +3218,77 @@ def semdedup_trained_sql(
     FROM af f LEFT JOIN witnesses w ON f.vid = w.vid
     ORDER BY {id_col}
     """
+
+
+def topk_pq_store(
+    spark,
+    code_store: str,
+    query_id: int,
+    k: int = 10,
+    rescore: int = 4,
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Serve PQ top-k from the PERSISTED code store (the txtable the
+    ingest path — pq_near_dups_incremental / pq_near_dup_sink — has
+    been accumulating): the corpus is NEVER re-encoded; the only
+    encode at query time is the query row's own 8x16 LUT (one row's
+    work, broadcast), the ADC is PQ_M lookups on the STORED codes
+    array, and only the rescore*k nominees touch the float column.
+    This is the encode-once-at-ingest / serve-many split every
+    docstring in the PQ family promises, as an executable operator:
+    at 100 TB the store's code column is the scan (1/64 bytes) and the
+    query cost is independent of ingest history shape (compactions,
+    replays) because the snapshot read pins one manifest."""
+    from ...sources import txtable as _tx
+
+    books = books or pq_codebooks()
+    m, d = len(books), len(books[0][0])
+    store = _tx.read_table(spark, code_store)
+    eq = _quant_sql("embedding")
+    lut_exprs = []
+    for j in range(m):
+        sub = f"slice(eq, {j * d + 1}, {d})"
+        dists = ", ".join(_sqdist_lits_sql(sub, c) for c in books[j])
+        lut_exprs.append(f"array({dists}) AS lut{j}")
+    qlut = (
+        store.filter(F.col("vid") == query_id)
+        .selectExpr(f"{eq} AS eq")
+        .selectExpr(*lut_exprs)
+    )
+    adist = " + ".join(f"element_at(lut{j}, codes[{j}] + 1)" for j in range(m))
+    cands = (
+        store.filter(F.col("vid") != query_id)
+        .crossJoin(F.broadcast(qlut))
+        .selectExpr("vid", f"({adist}) AS adist")
+        .orderBy(F.asc("adist"), F.asc("vid"))
+        .limit(rescore * k)
+        .select("vid")
+    )
+    full = store.select(
+        "vid",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qfull = full.filter((F.col("vid") == query_id) & (F.col("nrm") > 0)).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    return (
+        full.filter(F.col("nrm") > 0)
+        .join(F.broadcast(cands), "vid")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vid",
+            (
+                F.floor(
+                    _dot(F.col("embedding"), F.col("q_emb"))
+                    / (F.col("nrm") * F.col("q_nrm"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vid"))
+        .limit(k)
+        .select(F.col("vid").alias("vec_id"), "score")
+    )

@@ -310,3 +310,28 @@ def test_topk_hamming_candidate_cut_respects_rescore_budget(spark):
     nominees = {i for _, i in order[: 2 * 3]}
     got = topk_hamming(df, k=3, query_id=0, rescore=2).collect()
     assert {r["vec_id"] for r in got} <= nominees
+
+
+def test_topk_pq_store_serves_identically_to_in_call_encode(spark, tmp_path):
+    """The persisted-code-table serving path must answer EXACTLY like
+    topk_pq over the same vectors: build the store with two incremental
+    ingest batches (plus a compaction, to prove the snapshot read is
+    ingest-shape-independent), then compare."""
+    from data_observability_installer_spark.operators.llm.similarity import (
+        pq_near_dups_incremental,
+        topk_pq,
+        topk_pq_store,
+    )
+    from data_observability_installer_spark.sources.txtable import compact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "codes")
+    pq_near_dups_incremental(spark, store, b1, batch_id=0).count()
+    pq_near_dups_incremental(spark, store, b2, batch_id=1).count()
+    compact(spark, store, target_partitions=1)
+
+    served = [tuple(r) for r in topk_pq_store(spark, store, query_id=0).collect()]
+    direct = [tuple(r) for r in topk_pq(emb, k=10, query_id=0).collect()]
+    assert served == direct
