@@ -336,6 +336,15 @@ def cmd_table(args) -> int:
         for h in tx.history(args.path):
             print(h)
         return 0
+    if args.action == "clone":
+        if not args.dest:
+            print("clone requires --dest", file=sys.stderr)
+            return 2
+        v = tx.clone_table(
+            args.path, args.dest, version=args.version, as_of_ms=args.as_of_ms
+        )
+        print(f"cloned to {args.dest} at v{v}")
+        return 0
     if args.action == "compact":
         sort_by = args.sort_by.split(",") if args.sort_by else None
         v = tx.compact(
@@ -466,7 +475,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table")
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
-                            "stats", "health"])
+                            "stats", "health", "clone"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -480,6 +489,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sort-by", default=None, dest="sort_by",
                    help="compact: re-cluster on these comma-separated "
                         "columns during the rewrite (restores skipping)")
+    p.add_argument("--dest", default=None,
+                   help="clone: destination path for the shallow clone")
     p.add_argument("--prune", action="append", default=None,
                    metavar="COL:OP:VALUE",
                    help="show: data-skipping predicate(s), e.g. "

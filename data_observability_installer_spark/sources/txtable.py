@@ -979,3 +979,52 @@ def table_health(path: str, version: int | None = None) -> dict:
         "stats_coverage": round(len(stats) / len(m["files"]), 2) if m["files"] else 1.0,
         "clustering_depth": depth,
     }
+
+
+def clone_table(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+    backend: CommitBackend | None = None,
+) -> int:
+    """SHALLOW CLONE (the Delta feature): materialize one snapshot of
+    ``src`` as a brand-new table at ``dst`` without rewriting data —
+    each data file is hard-linked (same inode, zero bytes copied;
+    copy-fallback across filesystems), and the clone gets its OWN
+    commit log starting at v1 carrying the snapshot's schema and
+    footer stats. The tables then evolve independently: appends/
+    compactions on either side never touch the other, and because
+    hard links pin inodes, vacuuming the SOURCE cannot invalidate the
+    clone (tested) — the exact dev/test-against-prod-snapshot workflow
+    shallow clones exist for. On object stores the link step becomes a
+    server-side copy of the object reference (S3 CopyObject), same
+    manifest shape."""
+    import shutil as _shutil
+
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ms=, not both")
+        version = version_at(src, as_of_ms)
+    m = read_manifest(src, version)
+    if _versions(dst):
+        raise ValueError(f"clone destination already a txtable: {dst}")
+    for f in m["files"]:
+        s = os.path.join(src, f)
+        d = os.path.join(dst, f)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:
+            _shutil.copy2(s, d)  # cross-device: pay the copy
+    manifest = {
+        "op": "clone",
+        "files": list(m["files"]),
+        "schema": m["schema"],
+        "added": len(m["files"]),
+        "added_files": list(m["files"]),
+        "cloned_from": {"path": src, "version": m["version"]},
+    }
+    if m.get("stats"):
+        manifest["stats"] = dict(m["stats"])
+    return _publish(dst, manifest, 0, backend)

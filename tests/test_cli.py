@@ -182,3 +182,25 @@ def test_cli_table_health(spark, tmp_path, capsys):
     assert main(["table", "health", t]) == 0
     out = capsys.readouterr().out
     assert '"n_files"' in out and '"clustering_depth"' in out
+
+
+def test_cli_table_clone(spark, tmp_path):
+    import subprocess
+    import sys
+
+    from data_observability_installer_spark.sources.txtable import (
+        read_table,
+        write_table,
+    )
+
+    src = str(tmp_path / "src")
+    write_table(spark, src, spark.createDataFrame([(1, "a")], "k int, v string"))
+    dst = str(tmp_path / "dst")
+    out = subprocess.run(
+        [sys.executable, "-m", "data_observability_installer_spark",
+         "table", "clone", src, "--dest", dst],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "cloned" in out.stdout
+    assert [tuple(r) for r in read_table(spark, dst).collect()] == [(1, "a")]

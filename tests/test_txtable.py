@@ -845,3 +845,50 @@ def test_timestamp_time_travel(spark, tmp_path):
     vacuum(t, keep_last=2)
     with pytest.raises(VacuumedVersionError):
         version_at(t, ts1)
+
+
+def test_clone_table_shallow_snapshot(spark, tmp_path):
+    from data_observability_installer_spark.sources.txtable import clone_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_table(spark, src, spark.createDataFrame([(1,)], "k int"))
+    write_table(spark, src, spark.createDataFrame([(2,)], "k int"))
+    assert clone_table(src, dst) == 1
+    assert _rows(read_table(spark, dst)) == [(1,), (2,)]
+    # version-pinned clone
+    dst_v1 = str(tmp_path / "dst_v1")
+    clone_table(src, dst_v1, version=1)
+    assert _rows(read_table(spark, dst_v1)) == [(1,)]
+    # independent evolution
+    write_table(spark, dst, spark.createDataFrame([(3,)], "k int"))
+    assert _rows(read_table(spark, dst)) == [(1,), (2,), (3,)]
+    assert _rows(read_table(spark, src)) == [(1,), (2,)]
+    assert history(dst)[0]["op"] == "clone"
+    with pytest.raises(ValueError, match="already a txtable"):
+        clone_table(src, dst)
+
+
+def test_clone_survives_source_vacuum_and_carries_stats(spark, tmp_path):
+    """Hard links pin inodes: vacuuming the SOURCE's old files must not
+    invalidate the clone's snapshot; footer stats ride the clone so
+    data skipping keeps working on it."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.txtable import (
+        clone_table,
+        prune_files,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    li = spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+    write_table(spark, src, li.filter("k < 50").repartition(1), stats_cols=["k"])
+    write_table(spark, src, li.filter("k >= 50").repartition(1))
+    clone_table(src, dst, version=2)
+    # rewrite + vacuum the source past the cloned snapshot
+    write_table(spark, src, spark.createDataFrame([(999,)], "k int"),
+                mode="overwrite")
+    vacuum(src, keep_last=1)
+    got = read_table(spark, dst)
+    assert got.count() == 100
+    m = read_manifest(dst)
+    assert len(prune_files(m, [("k", ">=", 50)])) == 1  # stats carried
