@@ -456,7 +456,8 @@ def hll_report_sql(
     SELECT CAST(v_zero AS BIGINT) AS v_zero,
            CAST(floor(e + 0.5) AS BIGINT) AS est_ct,
            exact_ct,
-           CAST(floor(abs(floor(e + 0.5) - exact_ct) * 10000.0 / exact_ct)
-                AS BIGINT) AS err_bp
+           CASE WHEN exact_ct = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(floor(abs(floor(e + 0.5) - exact_ct) * 10000.0 / exact_ct)
+                  AS BIGINT) END AS err_bp
     FROM est CROSS JOIN exact
     """

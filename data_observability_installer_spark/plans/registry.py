@@ -3404,8 +3404,11 @@ def hll_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_zero",
         "est_ct",
         "exact_ct",
-        "CAST(floor(abs(est_ct - exact_ct) * 10000.0 / exact_ct) AS BIGINT)"
-        " AS err_bp",
+        # empty corpus: exact_ct = 0 -> error is 0 by definition, and the
+        # division must not run (ANSI division-by-zero)
+        "CASE WHEN exact_ct = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(floor(abs(est_ct - exact_ct) * 10000.0 / exact_ct) AS BIGINT) "
+        "END AS err_bp",
     )
 
 
