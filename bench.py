@@ -240,6 +240,7 @@ HEADLINE = [
     "gopher_rules_documents",
     "c4_clean_documents",
     "semdedup_trained_embeddings",
+    "topk_pq_opq_embeddings",
 ]
 
 

@@ -3292,3 +3292,94 @@ def topk_pq_store(
         .limit(k)
         .select(F.col("vid").alias("vec_id"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: variance-balanced dimension permutation for PQ (the
+# parametric initialization of Ge et al. 2013's Optimized Product
+# Quantization — full OPQ learns a rotation; the permutation variant
+# balances per-subspace variance at zero query-time cost, since a
+# permutation commutes with the dot product).
+# ---------------------------------------------------------------------------
+
+
+def train_pq_perm(
+    embeddings: DataFrame, m: int = PQ_M, id_col: str = "vec_id"
+) -> list[int]:
+    """ONE pass computes every dimension's variance key in EXACT
+    integer arithmetic over the quantized components (key =
+    n*sum(v^2) - sum(v)^2 — order-independent int64, so the ranking is
+    engine-independent; exact below ~60k rows at IVF_SCALE=1e6, beyond
+    which production computes the key in doubles and ships the perm as
+    a constant, the same shipped-constants shape as every trainer
+    here). Dims argsort by (key DESC, dim ASC) and snake-assign to the
+    m subspaces, so each subspace receives an even mix of high- and
+    low-variance dims — the imbalance that starves some codebooks of
+    signal is what the permutation removes. Returns ``perm`` where
+    output position p reads input dim perm[p]; positions j*d..j*d+d-1
+    form subspace j, dims ascending within a subspace."""
+    stats = (
+        embeddings.selectExpr(f"{_quant_sql('embedding')} AS eq")
+        .selectExpr("posexplode(eq) AS (idx, v)")
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+        .collect()
+    )
+    keys = {
+        int(r["idx"]): int(r["n"]) * int(r["ss"]) - int(r["s"]) * int(r["s"])
+        for r in stats
+    }
+    order = sorted(keys, key=lambda i: (-keys[i], i))
+    groups: list[list[int]] = [[] for _ in range(m)]
+    for r, dim in enumerate(order):
+        pas, pos = divmod(r, m)
+        j = pos if pas % 2 == 0 else m - 1 - pos
+        groups[j].append(dim)
+    return [d for g in groups for d in sorted(g)]
+
+
+def permute_embedding(
+    df: DataFrame, perm: list[int], emb_col: str = "embedding"
+) -> DataFrame:
+    """Reorder the embedding dims by ``perm`` (a map-only projection).
+    Permutations preserve every dot product and norm, so cosine
+    scores — and therefore exact rescored answers — are unchanged;
+    only the PQ subspace split sees a different world."""
+    return df.withColumn(
+        emb_col, F.array(*[F.col(emb_col).getItem(i) for i in perm])
+    )
+
+
+def pq_perm_table_sql(table: str, m: int = PQ_M, id_col: str = "vec_id") -> str:
+    """DuckDB subquery producing ``table`` with its embedding dims
+    permuted by the SAME variance-balanced training: exact-int variance
+    keys, (key DESC, dim ASC) rank, snake assignment — computed in SQL
+    so the learned permutation is value-checked end to end."""
+    return f"""(
+    WITH e0 AS MATERIALIZED (
+      SELECT {id_col}, embedding,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {IVF_SCALE}.0 + 0.5) AS BIGINT)) AS eq
+      FROM {table}),
+    st AS (
+      SELECT idx, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+      FROM (SELECT unnest(eq) AS v, generate_subscripts(eq, 1) - 1 AS idx FROM e0)
+      GROUP BY idx),
+    rk AS (
+      SELECT idx,
+             row_number() OVER (ORDER BY (n * ss - s * s) DESC, idx) - 1 AS r
+      FROM st),
+    asg AS (
+      SELECT idx,
+             CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+                  ELSE {m} - 1 - (r % {m}) END AS j
+      FROM rk),
+    perm AS (SELECT list(idx + 1 ORDER BY j, idx) AS p FROM asg)
+    SELECT e0.{id_col}, list_select(e0.embedding, perm.p) AS embedding
+    FROM e0, perm
+    )"""

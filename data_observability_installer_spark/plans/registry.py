@@ -3584,6 +3584,25 @@ def topk_hamming_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_hamming(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)
 
 
+@register(
+    "topk_pq_opq_embeddings",
+    _sim.topk_pq_sql(_sim.pq_perm_table_sql("embeddings"), k=10, query_id=0),
+)
+def topk_pq_opq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite PQ (Ge et al. 2013's parametric initialization):
+    variance-balanced dimension PERMUTATION trained in one exact-int
+    pass (key = n*sumsq - sum^2, order-independent), snake-assigned so
+    every subspace gets an even variance mix, then the standard PQ
+    ADC + rescore over the permuted vectors. Permutations commute with
+    the dot product, so exact scores are unchanged — only the codes
+    see a different subspace split. The DuckDB twin computes the SAME
+    permutation in SQL, so the learned reordering is value-checked end
+    to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    perm = _sim.train_pq_perm(emb)
+    return _sim.topk_pq(_sim.permute_embedding(emb, perm), k=10, query_id=0)
+
+
 @register("topk_pq_embeddings", _sim.topk_pq_sql("embeddings", k=10, query_id=0))
 def topk_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN: vectors encode as PQ_M=8 sub-codes (4-bit

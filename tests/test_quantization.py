@@ -335,3 +335,41 @@ def test_topk_pq_store_serves_identically_to_in_call_encode(spark, tmp_path):
     served = [tuple(r) for r in topk_pq_store(spark, store, query_id=0).collect()]
     direct = [tuple(r) for r in topk_pq(emb, k=10, query_id=0).collect()]
     assert served == direct
+
+
+def test_train_pq_perm_balances_variance_and_preserves_scores(spark):
+    """The permutation must (a) be a permutation, (b) spread the
+    high-variance dims across subspaces instead of letting them pool,
+    and (c) leave exact cosine answers unchanged (dot products commute
+    with permutations)."""
+    import numpy as np
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        PQ_M,
+        permute_embedding,
+        topk_bruteforce,
+        train_pq_perm,
+    )
+
+    rs = np.random.RandomState(3)
+    # dims 0..7 high-variance, the rest near-constant: untrained PQ
+    # would give subspace 0 all the signal
+    rows = []
+    for i in range(200):
+        v = rs.uniform(-0.01, 0.01, 64)
+        v[:8] = rs.uniform(-1, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    perm = train_pq_perm(df)
+    assert sorted(perm) == list(range(64))
+    d = 64 // PQ_M
+    # each subspace must hold EXACTLY one of the 8 high-variance dims
+    for j in range(PQ_M):
+        sub = perm[j * d:(j + 1) * d]
+        assert sum(1 for x in sub if x < 8) == 1
+    direct = [tuple(r) for r in topk_bruteforce(df, k=5, query_id=0).collect()]
+    permuted = [
+        tuple(r)
+        for r in topk_bruteforce(permute_embedding(df, perm), k=5, query_id=0).collect()
+    ]
+    assert direct == permuted

@@ -50,6 +50,8 @@ def main() -> None:
     qids = [r["vec_id"] for r in
             emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
     trained_books = sim.train_pq(emb, iters=2)  # once; shipped-constants shape
+    perm = sim.train_pq_perm(emb)               # OPQ-lite permutation, once
+    emb_perm = sim.permute_embedding(emb, perm).localCheckpoint(eager=True)
 
     families = {
         "bruteforce": dict(fn=lambda q: sim.topk_bruteforce(emb, k=K, query_id=q),
@@ -66,6 +68,9 @@ def main() -> None:
                    bytes_at_rest=8),
         "pq_trained": dict(
             fn=lambda q: sim.topk_pq(emb, k=K, query_id=q, books=trained_books),
+            bytes_at_rest=8),
+        "pq_opq_perm": dict(
+            fn=lambda q: sim.topk_pq(emb_perm, k=K, query_id=q),
             bytes_at_rest=8),
         "ivfpq": dict(fn=lambda q: sim.topk_ivfpq(emb, k=K, query_id=q),
                       bytes_at_rest=9),
