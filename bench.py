@@ -241,6 +241,7 @@ HEADLINE = [
     "c4_clean_documents",
     "semdedup_trained_embeddings",
     "topk_pq_opq_embeddings",
+    "hll_distinct_by_lang_documents",
 ]
 
 

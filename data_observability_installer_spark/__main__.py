@@ -336,6 +336,10 @@ def cmd_table(args) -> int:
         for h in tx.history(args.path):
             print(h)
         return 0
+    if args.action == "restore":
+        v = tx.restore_table(args.path, version=args.version, as_of_ms=args.as_of_ms)
+        print(f"restored as v{v}")
+        return 0
     if args.action == "clone":
         if not args.dest:
             print("clone requires --dest", file=sys.stderr)
@@ -475,7 +479,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table")
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
-                            "stats", "health", "clone"])
+                            "stats", "health", "clone", "restore"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",

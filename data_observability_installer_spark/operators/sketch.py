@@ -461,3 +461,99 @@ def hll_report_sql(
                   AS BIGINT) END AS err_bp
     FROM est CROSS JOIN exact
     """
+
+
+def hll_sketch_by(
+    items: DataFrame, key_col: str, col: str = "w", m: int = HLL_M
+) -> DataFrame:
+    """GROUPED register tables: (key, register, max_rank) in one pass —
+    shuffle bounded at m rows PER KEY (the grouped approximate-distinct
+    workload: distinct users per day, distinct tokens per language).
+    Same merge algebra as the global sketch: MAX per (key, register),
+    so per-key sketches fold across partitions/days idempotently."""
+    poly = _cm_poly_sql(col)
+    register, rank = _hll_cell_exprs(col, m)
+    return (
+        items.selectExpr(f"{key_col} AS k", f"{poly} AS _poly")
+        .selectExpr("k", f"{register} AS register", f"{rank} AS rank")
+        .groupBy("k", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(sketch: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Per-key estimates from a grouped register table — the same
+    harmonic-mean + linear-counting arithmetic as :func:`hll_estimate`
+    applied per key; one metadata-sized aggregation (<= m rows/key)."""
+    agg = sketch.groupBy("k").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), max_rank) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    s = zeros.cast("double") + F.coalesce(F.col("s_present"), F.lit(0.0))
+    e_raw = F.lit(HLL_ALPHA * m * m) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        "k",
+        zeros.cast("long").alias("v_zero"),
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_ct"),
+    )
+
+
+def hll_by_report_sql(
+    table: str, key_col: str, text_col: str = "text", m: int = HLL_M
+) -> str:
+    """DuckDB twin of the per-key distinct-token report (sketch +
+    estimate + exact per key)."""
+    a1, b1 = HLL_IDX
+    a2, b2 = HLL_RANK
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "generate_series(CAST(1 AS BIGINT), CAST(length(w) AS BIGINT))), "
+        f"(acc, i) -> (acc * 131 + ascii(substr(w, CAST(i AS INT), 1))) % {CM_P})"
+    )
+    sq = f"((_poly * _poly) % {CM_P})"
+    h2 = f"(({a2} * {sq} + {b2}) % {CM_P})"
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {key_col} AS k,
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+      FROM {table}),
+    hp AS MATERIALIZED (SELECT k, w, {poly} AS _poly FROM t),
+    cells AS (
+      SELECT k, CAST(({a1} * {sq} + {b1}) % {CM_P} % {m} AS INT) AS register,
+             CASE WHEN {h2} = 0 THEN {HLL_RANK_CAP}
+                  ELSE bit_count(({h2} & -{h2}) - 1) + 1 END AS rank
+      FROM hp),
+    sk AS (SELECT k, register, max(rank) AS max_rank FROM cells GROUP BY k, register),
+    agg AS (
+      SELECT k, count(*) AS present,
+             sum(1.0 / (CAST(1 AS BIGINT) << max_rank)) AS s_present
+      FROM sk GROUP BY k),
+    est AS (
+      SELECT k, ({m} - present) AS v_zero,
+             CASE WHEN ({HLL_ALPHA * m * m!r} /
+                        (({m} - present) + coalesce(s_present, 0.0)))
+                       <= {2.5 * m!r}
+                   AND ({m} - present) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - present))
+                  ELSE {HLL_ALPHA * m * m!r} /
+                       (({m} - present) + coalesce(s_present, 0.0))
+             END AS e
+      FROM agg),
+    exact AS (SELECT k, CAST(count(DISTINCT w) AS BIGINT) AS exact_ct FROM t GROUP BY k)
+    SELECT est.k AS {key_col},
+           CAST(v_zero AS BIGINT) AS v_zero,
+           CAST(floor(e + 0.5) AS BIGINT) AS est_ct,
+           exact_ct,
+           CASE WHEN exact_ct = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(floor(abs(floor(e + 0.5) - exact_ct) * 10000.0 / exact_ct)
+                  AS BIGINT) END AS err_bp
+    FROM est JOIN exact USING (k)
+    ORDER BY est.k
+    """

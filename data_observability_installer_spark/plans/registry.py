@@ -3417,6 +3417,49 @@ from ..operators.sketch import hll_report_sql as _hll_sql  # noqa: E402
 ORACLES["hll_distinct_documents"] = _hll_sql("documents")
 
 
+@register(
+    "hll_distinct_by_lang_documents",
+    None,  # oracle attached below
+)
+def hll_distinct_by_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED approximate distinct — distinct tokens per language via
+    per-key HLL register tables (one pass, <= m rows per key), the
+    distinct-users-per-day workload shape. Registers merge by MAX per
+    (key, register), so per-partition/per-day sketches fold
+    idempotently; estimates and the exact comparison are value-checked
+    per key on DuckDB."""
+    from ..operators.sketch import hll_estimate_by, hll_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize carrying the key inline — no corpus re-join for the key
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    est = hll_estimate_by(hll_sketch_by(toks, "lang"))
+    exact = toks.groupBy(F.col("lang").alias("k")).agg(
+        F.countDistinct("w").cast("long").alias("exact_ct")
+    )
+    return (
+        est.join(exact, "k")
+        .selectExpr(
+            "k AS lang",
+            "v_zero",
+            "est_ct",
+            "exact_ct",
+            "CASE WHEN exact_ct = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(floor(abs(est_ct - exact_ct) * 10000.0 / exact_ct) AS BIGINT) "
+            "END AS err_bp",
+        )
+        .orderBy("lang")
+    )
+
+
+from ..operators.sketch import hll_by_report_sql as _hll_by_sql  # noqa: E402
+
+ORACLES["hll_distinct_by_lang_documents"] = _hll_by_sql("documents", "lang")
+
+
 @register("topk_bruteforce_embeddings", _sim.topk_bruteforce_sql("embeddings", k=10, query_id=0))
 def topk_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10, query_id=0)

@@ -1028,3 +1028,58 @@ def clone_table(
     if m.get("stats"):
         manifest["stats"] = dict(m["stats"])
     return _publish(dst, manifest, 0, backend)
+
+
+def restore_table(
+    path: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+    backend: CommitBackend | None = None,
+) -> int:
+    """RESTORE (the Delta feature): make an old snapshot the new HEAD
+    as a NEW commit (op='restore') — no data rewrite, history intact
+    (the in-between versions stay time-travelable until vacuum), and
+    readers pinned to the pre-restore head keep their snapshot. The
+    target's file list, schema and footer stats are carried verbatim;
+    a target past the vacuum horizon raises
+    :class:`VacuumedVersionError` (read_manifest), and a target whose
+    data files were vacuumed is refused with the same named error
+    rather than committing a head that cannot be scanned."""
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ms=, not both")
+        version = version_at(path, as_of_ms)
+    if version is None:
+        raise ValueError("restore_table requires version= or as_of_ms=")
+    vs = _versions(path)
+    if version not in vs:
+        raise VacuumedVersionError(
+            f"version {version} is not retained (oldest: {vs[0] if vs else None})"
+        )
+    target = read_manifest(path, version)
+    missing = [f for f in target["files"]
+               if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise VacuumedVersionError(
+            f"cannot restore v{version}: {len(missing)} of its data files "
+            f"were vacuumed (first: {missing[0]})"
+        )
+    for _ in range(_RETRIES):
+        head = read_manifest(path)
+        if head["version"] == version:
+            return version  # restoring the head is a no-op
+        manifest = {
+            "op": "restore",
+            "files": list(target["files"]),
+            "schema": target["schema"],
+            "added": 0,
+            "added_files": [],
+            "restored_from": version,
+        }
+        if target.get("stats"):
+            manifest["stats"] = dict(target["stats"])
+        try:
+            return _publish(path, manifest, head["version"], backend)
+        except VersionClaimedError:
+            continue  # restore content is head-independent; just re-base
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")

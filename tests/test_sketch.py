@@ -285,3 +285,37 @@ def test_hll_small_range_linear_counting_branch(spark):
     r = hll_estimate(hll_sketch(df)).collect()[0]
     assert r["v_zero"] >= 251
     assert abs(r["est_ct"] - 5) <= 1
+
+
+def test_hll_sketch_by_grouped_estimates_and_merge(spark):
+    """Per-key registers: keys are independent (a key's estimate equals
+    the global sketch over just its items), and per-partition grouped
+    sketches merge by MAX per (key, register)."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_sketch,
+        hll_sketch_by,
+    )
+
+    rows = [("a", f"x{i}") for i in range(400)] + [("b", f"y{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, w string")
+    by = {r["k"]: r for r in hll_estimate_by(hll_sketch_by(df, "k")).collect()}
+    for key, n in (("a", 400), ("b", 40)):
+        solo = hll_estimate(
+            hll_sketch(df.filter(F.col("k") == key))
+        ).collect()[0]["est_ct"]
+        assert by[key]["est_ct"] == solo
+        assert abs(by[key]["est_ct"] - n) / n < 0.25
+    # grouped merge: two half-sketches fold to the full one
+    h1 = hll_sketch_by(df.filter("w like '%0'"), "k")
+    h2 = hll_sketch_by(df.filter("w not like '%0'"), "k")
+    merged = (
+        h1.unionByName(h2).groupBy("k", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hll_sketch_by(df, "k").collect())
+    )

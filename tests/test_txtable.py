@@ -892,3 +892,36 @@ def test_clone_survives_source_vacuum_and_carries_stats(spark, tmp_path):
     assert got.count() == 100
     m = read_manifest(dst)
     assert len(prune_files(m, [("k", ">=", 50)])) == 1  # stats carried
+
+
+def test_restore_table_rolls_head_back_keeping_history(spark, tmp_path):
+    from data_observability_installer_spark.sources.txtable import restore_table
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1,)], "k int"))
+    write_table(spark, t, spark.createDataFrame([(2,)], "k int"))
+    write_table(spark, t, spark.createDataFrame([(3,)], "k int"), mode="overwrite")
+    assert restore_table(t, version=2) == 4
+    assert _rows(read_table(spark, t)) == [(1,), (2,)]
+    # in-between snapshots still time-travelable; history shows the op
+    assert _rows(read_table(spark, t, version=3)) == [(3,)]
+    assert [h["op"] for h in history(t)] == [
+        "append", "append", "overwrite", "restore"]
+    # life goes on: a normal append lands on the restored head
+    write_table(spark, t, spark.createDataFrame([(9,)], "k int"))
+    assert _rows(read_table(spark, t)) == [(1,), (2,), (9,)]
+    # restoring the current head is a no-op (no empty commit)
+    assert restore_table(t, version=5) == 5
+    assert len(history(t)) == 5
+
+
+def test_restore_refuses_vacuumed_targets(spark, tmp_path):
+    from data_observability_installer_spark.sources.txtable import restore_table
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1,)], "k int"))
+    write_table(spark, t, spark.createDataFrame([(2,)], "k int"), mode="overwrite")
+    write_table(spark, t, spark.createDataFrame([(3,)], "k int"))
+    vacuum(t, keep_last=2)  # v1's manifest (and its orphaned file) gone
+    with pytest.raises(VacuumedVersionError):
+        restore_table(t, version=1)
