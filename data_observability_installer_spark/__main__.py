@@ -336,7 +336,16 @@ def cmd_table(args) -> int:
         for h in tx.history(args.path):
             print(h)
         return 0
+    if args.action in ("restore", "show") and (
+        args.version is not None and args.as_of_ms is not None
+    ):
+        print(f"{args.action}: pass --version OR --as-of-ms, not both",
+              file=sys.stderr)
+        return 2
     if args.action == "restore":
+        if args.version is None and args.as_of_ms is None:
+            print("restore requires --version or --as-of-ms", file=sys.stderr)
+            return 2
         v = tx.restore_table(args.path, version=args.version, as_of_ms=args.as_of_ms)
         print(f"restored as v{v}")
         return 0

@@ -3308,10 +3308,12 @@ def train_pq_perm(
 ) -> list[int]:
     """ONE pass computes every dimension's variance key in EXACT
     integer arithmetic over the quantized components (key =
-    n*sum(v^2) - sum(v)^2 — order-independent int64, so the ranking is
-    engine-independent; exact below ~60k rows at IVF_SCALE=1e6, beyond
-    which production computes the key in doubles and ships the perm as
-    a constant, the same shipped-constants shape as every trainer
+    n*sum(v^2) - sum(v)^2 — order-independent, computed in Python
+    arbitrary-precision / DuckDB HUGEINT so the key never overflows;
+    the int64 aggregates beneath it stay exact while sum(v^2) fits
+    int64, ~9e6 unit-scale rows at IVF_SCALE=1e6, beyond which
+    production computes the key in doubles and ships the perm as a
+    constant, the same shipped-constants shape as every trainer
     here). Dims argsort by (key DESC, dim ASC) and snake-assign to the
     m subspaces, so each subspace receives an even mix of high- and
     low-variance dims — the imbalance that starves some codebooks of
@@ -3372,7 +3374,9 @@ def pq_perm_table_sql(table: str, m: int = PQ_M, id_col: str = "vec_id") -> str:
       GROUP BY idx),
     rk AS (
       SELECT idx,
-             row_number() OVER (ORDER BY (n * ss - s * s) DESC, idx) - 1 AS r
+             row_number() OVER (ORDER BY
+               (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+                - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) DESC, idx) - 1 AS r
       FROM st),
     asg AS (
       SELECT idx,

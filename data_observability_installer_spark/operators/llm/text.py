@@ -825,7 +825,7 @@ def gopher_rules(
 ) -> DataFrame:
     """Per-document verdicts for the seven Gopher quality rules:
     word-count band, mean word length in [3, 10] chars, symbol-to-word
-    ratio <= 0.1, <= 10% bullet-started lines, <= 30% ellipsis-ended
+    ratio <= 0.1, <= 90% bullet-started lines, <= 30% ellipsis-ended
     lines, >= 80% of words containing an alphabetic char, and >=
     ``min_stopwords`` distinct Gopher stopwords (paper threshold 2;
     parameterized because a corpus' stopword density is the one
@@ -860,7 +860,7 @@ def gopher_rules(
     r_word_count = (w >= min_words) & (w <= max_words)
     r_mean_wlen = (wchars >= 3 * w) & (wchars <= 10 * w)
     r_symbols = symbols * 10 <= w
-    r_bullets = bullet * 10 <= n_lines
+    r_bullets = bullet * 10 <= 9 * n_lines
     r_ellipsis = ellipsis * 10 <= 3 * n_lines
     r_alpha = alpha_words * 5 >= 4 * w
     r_stopwords = stop_hits >= min_stopwords
@@ -924,14 +924,14 @@ def gopher_rules_sql(
            (w >= {min_words} AND w <= {max_words}) AS r_word_count,
            (wchars >= 3 * w AND wchars <= 10 * w) AS r_mean_word_len,
            (symbols * 10 <= w) AS r_symbol_ratio,
-           (bullet * 10 <= n_lines) AS r_bullet_lines,
+           (bullet * 10 <= 9 * n_lines) AS r_bullet_lines,
            (ellipsis * 10 <= 3 * n_lines) AS r_ellipsis_lines,
            (alpha_words * 5 >= 4 * w) AS r_alpha_words,
            (stop_hits >= {min_stopwords}) AS r_stopwords,
            ((w >= {min_words} AND w <= {max_words})
             AND (wchars >= 3 * w AND wchars <= 10 * w)
             AND (symbols * 10 <= w)
-            AND (bullet * 10 <= n_lines)
+            AND (bullet * 10 <= 9 * n_lines)
             AND (ellipsis * 10 <= 3 * n_lines)
             AND (alpha_words * 5 >= 4 * w)
             AND (stop_hits >= {min_stopwords})) AS pass

@@ -91,6 +91,7 @@ the package is available.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import time
@@ -1015,7 +1016,15 @@ def clone_table(
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
-        except OSError:
+        except FileExistsError:
+            # a clone retried after failing mid-link: an identical
+            # existing link is already-done; anything else is a real
+            # destination conflict
+            if not os.path.samefile(s, d):
+                raise
+        except OSError as e:
+            if e.errno != errno.EXDEV:
+                raise  # EPERM/ENOSPC etc. are real failures, not fallbacks
             _shutil.copy2(s, d)  # cross-device: pay the copy
     manifest = {
         "op": "clone",

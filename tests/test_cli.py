@@ -204,3 +204,50 @@ def test_cli_table_clone(spark, tmp_path):
     assert out.returncode == 0, out.stderr
     assert "cloned" in out.stdout
     assert [tuple(r) for r in read_table(spark, dst).collect()] == [(1, "a")]
+
+
+def test_cli_table_restore_flag_validation(spark, tmp_path, capsys):
+    """restore with neither/both selector flags is a clean exit-2 CLI
+    error (not a raw ValueError traceback), mirroring clone --dest."""
+    from data_observability_installer_spark.sources.txtable import write_table
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    assert main(["table", "restore", t]) == 2
+    assert "requires" in capsys.readouterr().err
+    assert main(["table", "restore", t, "--version", "1",
+                 "--as-of-ms", "5"]) == 2
+    assert "not both" in capsys.readouterr().err
+    assert main(["table", "show", t, "--version", "1",
+                 "--as-of-ms", "5"]) == 2
+    assert "not both" in capsys.readouterr().err
+
+
+def test_clone_retry_after_partial_link_converges(spark, tmp_path):
+    """A clone that died mid-link (some dest files already hard-linked)
+    converges when retried: identical existing links are treated as
+    already-done instead of raising SameFileError via the copy path."""
+    import os
+
+    from data_observability_installer_spark.sources.txtable import (
+        clone_table,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    src = str(tmp_path / "src")
+    write_table(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    dst = str(tmp_path / "dst")
+    # simulate the interrupted first attempt: link one data file only,
+    # no manifest published
+    f = read_manifest(src)["files"][0]
+    os.makedirs(os.path.dirname(os.path.join(dst, f)), exist_ok=True)
+    os.link(os.path.join(src, f), os.path.join(dst, f))
+
+    assert clone_table(src, dst) == 1
+    got = sorted(tuple(r) for r in read_table(spark, dst).collect())
+    assert got == [(1, "a"), (2, "b")]
