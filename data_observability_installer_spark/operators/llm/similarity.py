@@ -2889,6 +2889,37 @@ def pq_near_dups_incremental(
 # ---------------------------------------------------------------------------
 
 
+def _semdedup_assigned(
+    embeddings: DataFrame,
+    n_clusters: int,
+    cents: dict[int, list[int]] | None,
+    id_col: str,
+) -> DataFrame:
+    """Cell assignment shared by semdedup and semdedup_incremental:
+    (vid, embedding, nrm, cell), cell = nearest centroid — exact-int L2
+    argmin for trained centroids, rounded-cosine argmax for the fixed
+    literal set. Deterministic and frozen per (n_clusters, cents), so
+    batch and incremental assignments always agree."""
+    e = embeddings.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    if cents is not None:
+        # TRAINED cells (train_ivf_kmeans): exact-int L2 argmin, the
+        # production assignment (same routing as topk_ivf/topk_ivfpq)
+        cell_expr = F.expr(
+            _argmin_bucket_sql(_quant_sql("embedding"), cents, n_clusters)
+        )
+    else:
+        centroids = ivf_centroids(n_clusters=n_clusters)
+        cell_expr = -_centroid_scores("embedding", "nrm", centroids)[0]["nc"]
+    return e.select(
+        F.col(id_col).alias("vid"),
+        "embedding",
+        "nrm",
+        cell_expr.alias("cell"),
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -2922,24 +2953,7 @@ def semdedup(
     max_bucket. The within-cell join carries (vid, embedding) once on
     each side; the verified-pair set is never materialized corpus-wide.
     """
-    e = embeddings.withColumn(
-        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    )
-    if cents is not None:
-        # TRAINED cells (train_ivf_kmeans): exact-int L2 argmin, the
-        # production assignment (same routing as topk_ivf/topk_ivfpq)
-        cell_expr = F.expr(
-            _argmin_bucket_sql(_quant_sql("embedding"), cents, n_clusters)
-        )
-    else:
-        centroids = ivf_centroids(n_clusters=n_clusters)
-        cell_expr = -_centroid_scores("embedding", "nrm", centroids)[0]["nc"]
-    assigned = e.select(
-        F.col(id_col).alias("vid"),
-        "embedding",
-        "nrm",
-        cell_expr.alias("cell"),
-    )
+    assigned = _semdedup_assigned(embeddings, n_clusters, cents, id_col)
     pool = assigned
     if max_cell is not None:
         small = (
@@ -3032,6 +3046,138 @@ def semdedup_sql(
     FROM assigned f LEFT JOIN witnesses w ON f.vid = w.vid
     ORDER BY {id_col}
     """
+
+
+def semdedup_incremental(
+    spark,
+    store: str,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    cents: dict[int, list[int]] | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup: score a NEW batch of vectors against the
+    accumulated cell store (a txtable of (vid, embedding, nrm, cell))
+    and append the batch — per-batch work is |batch| x the store's
+    same-cell rows plus the batch's own within-cell pairs, never a
+    store self-join, so an unbounded ingest pays sum(cell x batch_cell)
+    per arrival instead of re-paying sum(cell^2) per batch (the
+    SemDeDup face of pq_near_dups_incremental).
+
+    Emits WITNESS rows, not final verdicts: one (vid, dup_of) per batch
+    per affected vector, where dup_of is that batch's smallest same-cell
+    witness below ``vid`` at >= ``threshold`` cosine. The cumulative
+    verdict is min(dup_of) over all emitted rows per vid
+    (:func:`semdedup_verdicts`) — min-of-mins is associative,
+    commutative and IDEMPOTENT, so verdicts are exact for ANY arrival
+    order (a small-id vector arriving late corrects earlier keeps) and
+    replays cannot corrupt them. ``batch_id`` makes the store append
+    exactly-once under foreachBatch replays
+    (:func:`sources.txtable.commit_stream_batch`); a replay whose rows
+    already landed recomputes ROW-identical witnesses (vid dedup keeps
+    the batch's own store copy from pairing with itself).
+
+    Returns the witness frame (vid, dup_of), dup_of < vid always."""
+    import os as _os
+
+    from ...sources import txtable as _tx
+
+    assigned = (
+        _semdedup_assigned(batch, n_clusters, cents, id_col)
+        .dropDuplicates(["vid"])
+        .localCheckpoint(eager=True)  # one assignment; feeds join + commit
+    )
+    have_store = bool(_os.path.isdir(_os.path.join(store, "_commits")))
+    pool = (
+        _tx.read_table(spark, store).unionByName(assigned)
+        .dropDuplicates(["vid"])
+        if have_store
+        else assigned
+    )
+    thr_bp = int(math.floor(threshold * 10000 + 0.5))
+    x = assigned.select(
+        "cell", F.col("vid").alias("vid_x"),
+        F.col("embedding").alias("emb_x"), F.col("nrm").alias("nrm_x"),
+    )
+    y = pool.select(
+        "cell", F.col("vid").alias("vid_y"),
+        F.col("embedding").alias("emb_y"), F.col("nrm").alias("nrm_y"),
+    )
+    witnesses = (
+        x.join(y, "cell")
+        .filter(F.col("vid_x") != F.col("vid_y"))
+        .filter(
+            F.floor(
+                _dot(F.col("emb_x"), F.col("emb_y"))
+                / (F.col("nrm_x") * F.col("nrm_y"))
+                * 10000
+                + F.lit(0.5)
+            ).cast("long")
+            >= thr_bp
+        )
+        .select(
+            F.greatest("vid_x", "vid_y").alias("vid"),
+            F.least("vid_x", "vid_y").alias("dup_of"),
+        )
+        .groupBy("vid")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .orderBy("vid")
+        .localCheckpoint(eager=True)  # pin BEFORE the commit moves the store head
+    )
+    if batch_id is not None:
+        _tx.commit_stream_batch(store, assigned, batch_id)
+    else:
+        _tx.write_table(spark, store, assigned, mode="append")
+    return witnesses
+
+
+def semdedup_verdicts(
+    spark,
+    store: str,
+    witness_store: str,
+    id_col: str = "vec_id",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Cumulative read face of the incremental SemDeDup sink: fold the
+    per-batch witness rows by min(dup_of) per vid and left-join onto
+    the cell store — the result is IDENTICAL (row for row) to the
+    full-corpus :func:`semdedup` over everything ingested, for any
+    batch split and any arrival order (parity-tested). ``max_cell``
+    applies the batch operator's hot-cell exemption at READ time
+    against the store's cumulative cell sizes, matching batch
+    semantics exactly (a cell that crossed the cap mid-ingest is
+    exempted as a whole — its witnesses are dropped, all members
+    kept); the sink itself keeps emitting witnesses for such cells,
+    so the cap here is the verdict rule, not the cost bound."""
+    from ...sources import txtable as _tx
+
+    pool = _tx.read_table(spark, store).select("vid", "cell")
+    try:
+        w = spark.read.parquet(witness_store).select("vid", "dup_of")
+    except Exception:  # noqa: BLE001 — no batch produced witnesses yet
+        w = spark.createDataFrame([], "vid long, dup_of long")
+    verd = w.groupBy("vid").agg(F.min("dup_of").alias("dup_of"))
+    if max_cell is not None:
+        hot = (
+            pool.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") > max_cell)
+            .select("cell")
+        )
+        exempt = pool.join(F.broadcast(hot), "cell").select("vid")
+        verd = verd.join(exempt, "vid", "left_anti")
+    return (
+        pool.join(verd, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------

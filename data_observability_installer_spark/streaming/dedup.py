@@ -132,3 +132,54 @@ def pq_near_dup_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def semdedup_sink(
+    stream: DataFrame,
+    store: str,
+    witness_store: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    cents: dict[int, list[int]] | None = None,
+    **trigger,
+):
+    """Streaming SemDeDup over an embedding ingest: each micro-batch is
+    cell-assigned against FROZEN centroids (pass trained ``cents`` in
+    production — train once, serve many), joined within-cell against
+    the txtable-backed cell store (per-batch cost = batch x store
+    same-cell rows, never the full-corpus sum(cell^2) the batch
+    operator re-pays per run), its witness rows written under
+    ``witness_store/batch_id=N`` (overwrite => replay-idempotent), and
+    its vectors appended exactly-once (batch_id-stamped commit).
+
+    Verdicts fold by min(dup_of), so the cumulative result
+    (:func:`operators.llm.similarity.semdedup_verdicts`) is row-identical
+    to full-corpus semdedup over everything ingested, for any batch
+    split or arrival order (parity-tested in test_streaming.py).
+
+    Returns the started StreamingQuery."""
+    from ..operators.llm.similarity import semdedup_incremental
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        witnesses = semdedup_incremental(
+            df.sparkSession,
+            store,
+            df,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            cents=cents,
+            batch_id=batch_id,
+        )
+        witnesses.coalesce(1).write.mode("overwrite").parquet(
+            f"{witness_store}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1648,3 +1648,110 @@ def test_dsir_model_sink_merged_store_equals_one_pass(spark, tmp_path):
             probe, dsir_model(all_docs, F.col("lang") == "en")).collect())
     )
     assert via_stream == via_batch
+
+
+def test_semdedup_sink_cumulative_parity_out_of_order_and_replay(spark, tmp_path):
+    """Incremental streaming SemDeDup: folding the per-batch witness
+    rows by min(dup_of) must reproduce the full-corpus semdedup
+    verdicts ROW for ROW — including when a SMALLER id arrives in a
+    later batch (it retroactively becomes the keeper and flips earlier
+    keeps, since verdicts fold by min, not by arrival) — and a replayed
+    micro-batch changes nothing (exactly-once store commits +
+    idempotent witness partitions + min idempotence)."""
+    import json as _json
+    import time as _time
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        semdedup,
+        semdedup_incremental,
+        semdedup_verdicts,
+    )
+    from data_observability_installer_spark.sources import txtable as _tx
+    from data_observability_installer_spark.streaming.dedup import semdedup_sink
+
+    rs = np.random.RandomState(7)
+    v0 = rs.uniform(-1, 1, 64)
+    v2 = rs.uniform(-1, 1, 64)
+    v4 = rs.uniform(-1, 1, 64)
+
+    def fl(a):
+        return [float(x) for x in a]
+
+    b1 = [(10, fl(v0)), (11, fl(v0 * 2.0)), (30, fl(v2))]
+    # batch 2 carries vid 5 ~ v0: SMALLER than batch 1's 10/11, so the
+    # cumulative verdict must flip 10 from keep to dup_of=5
+    b2 = [
+        (31, fl(v2 + rs.uniform(-0.01, 0.01, 64))),
+        (40, fl(v4)),
+        (41, fl(v4 * 0.5)),
+        (5, fl(v0 * 1.5)),
+    ]
+
+    src = tmp_path / "emb_stream"; src.mkdir()
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"vec_id": i, "embedding": e}) for i, e in rows)
+        )
+    dump(b1, "a.json"); _time.sleep(1.1); dump(b2, "b.json")
+
+    store = str(tmp_path / "cells")
+    witness_store = str(tmp_path / "witnesses")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = semdedup_sink(
+        stream, store, witness_store, str(tmp_path / "ckpt"),
+        threshold=0.95, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    full_df = spark.createDataFrame(b1 + b2, "vec_id long, embedding array<float>")
+    want = sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup(full_df, threshold=0.95).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup_verdicts(spark, store, witness_store).collect()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[5][2] and by_id[5][3] is None          # late small id keeps
+    assert not by_id[10][2] and by_id[10][3] == 5       # retro-corrected
+    assert not by_id[11][2] and by_id[11][3] == 5
+    assert not by_id[31][2] and by_id[31][3] == 30      # cross-batch witness
+    assert not by_id[41][2] and by_id[41][3] == 40      # in-batch witness
+
+    # hot-cell exemption parity at the read face
+    cap = 2
+    want_cap = sorted(
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semdedup(full_df, threshold=0.95, max_cell=cap).collect()
+    )
+    got_cap = sorted(
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semdedup_verdicts(
+            spark, store, witness_store, max_cell=cap
+        ).collect()
+    )
+    assert got_cap == want_cap
+
+    # replay the LAST batch: store unchanged (exactly-once) and the
+    # witness output ROW-identical even though its vectors already
+    # landed in the store (vid dedup keeps self-pairs out)
+    n_versions = len(_tx.history(store))
+    replay_df = spark.createDataFrame(b2, "vec_id long, embedding array<float>")
+    w = semdedup_incremental(
+        spark, store, replay_df, threshold=0.95, batch_id=1
+    )
+    assert len(_tx.history(store)) == n_versions
+    replay_rows = sorted((r.vid, r.dup_of) for r in w.collect())
+    first_rows = sorted(
+        (r.vid, r.dup_of)
+        for r in spark.read.parquet(f"{witness_store}/batch_id=1").collect()
+    )
+    assert replay_rows == first_rows

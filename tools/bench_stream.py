@@ -629,6 +629,80 @@ def main() -> None:
     shutil.rmtree(growth_root, ignore_errors=True)
     shutil.rmtree(sink_root2, ignore_errors=True)
 
+    # round-11: incremental SemDeDup sink — per-batch cell assignment
+    # against frozen centroids + within-cell join against the
+    # accumulated txtable cell store; witnesses fold by min(dup_of).
+    from data_observability_installer_spark.operators.llm.similarity import (
+        semdedup,
+        semdedup_incremental,
+    )
+    from data_observability_installer_spark.streaming.dedup import semdedup_sink
+
+    sink_root_sd = _tf.mkdtemp(prefix="stream_bench_semdedup_")
+    q = semdedup_sink(
+        synth_emb(read_stream()).drop("event_timestamp"),
+        os.path.join(sink_root_sd, "cells"),
+        os.path.join(sink_root_sd, "witnesses"),
+        os.path.join(sink_root_sd, "ckpt"),
+        threshold=0.9,
+        availableNow=True,
+    )
+    ops["semdedup_sink"] = _drain(
+        q,
+        lambda: spark.read.parquet(
+            os.path.join(sink_root_sd, "witnesses")
+        ).count(),
+    )
+    ops["semdedup_sink"]["cell_store_commits"] = len(
+        _tx2.history(os.path.join(sink_root_sd, "cells"))
+    )
+    ops["semdedup_sink"]["batch_twin_s"] = timed_batch(
+        lambda: semdedup(
+            synth_emb(batch_df).drop("event_timestamp"), threshold=0.9
+        ).count()
+    )
+    # store-growth curve: constant batches against an accumulating cell
+    # store. The batch x store within-cell join grows linearly in store
+    # size per batch (the whole point vs re-running full-corpus
+    # semdedup, which re-pays sum(cell^2) over EVERYTHING per run); a
+    # super-linear step here would mean the store self-joins.
+    growth_root_sd = _tf.mkdtemp(prefix="stream_bench_semdedup_growth_")
+    gstore_sd = os.path.join(growth_root_sd, "cells")
+    growth_sd = []
+    for b in range(n_growth_batches):
+        bdf = (
+            spark.range(b * gbatch, (b + 1) * gbatch)
+            .select(
+                F.col("id").cast("int").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(0, 63), i -> "
+                    "CAST(pmod(abs(hash(pmod(id, 15000), i)), 1001)"
+                    " AS DOUBLE) / 500.0 - 1.0)"
+                ).cast("array<float>").alias("embedding"),
+            )
+        )
+        t0 = time.monotonic()
+        semdedup_incremental(
+            spark, gstore_sd, bdf, threshold=0.9, batch_id=b
+        ).count()
+        growth_sd.append(round(time.monotonic() - t0, 3))
+    ops["semdedup_sink"]["store_growth"] = {
+        "batch_rows": gbatch,
+        "per_batch_s": growth_sd,
+        "store_rows_final": n_growth_batches * gbatch,
+        "last_vs_first_ratio": round(growth_sd[-1] / max(growth_sd[0], 1e-9), 2),
+        "note": (
+            "constant-size batches against an accumulating txtable cell "
+            "store; per-batch cost is batch x same-cell store rows "
+            "(linear in store size at fixed K), vs full-corpus semdedup "
+            "re-paying sum(cell^2) over everything ingested per run — "
+            "at 100 TB pass trained cents (K scaling with the corpus) "
+            "so cell occupancy stays bounded"
+        ),
+    }
+    shutil.rmtree(growth_root_sd, ignore_errors=True)
+    shutil.rmtree(sink_root_sd, ignore_errors=True)
+
     # round-10: continuous HLL distinct counter — per-batch register
     # tables (<= 256 rows each), merged store == one-pass sketch; items
     # are the same skewed word mix as the heavy-hitters row
