@@ -242,6 +242,8 @@ HEADLINE = [
     "semdedup_trained_embeddings",
     "topk_pq_opq_embeddings",
     "hll_distinct_by_lang_documents",
+    # round-11 additions
+    "a3_late_end_runs",
 ]
 
 

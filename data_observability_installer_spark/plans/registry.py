@@ -1374,6 +1374,62 @@ def a3_late_tz_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3_late_end_runs",
+    f"""
+    WITH runs AS ({_RUNS_SQL}),
+    ticks AS (
+      -- America/New_York 15:00 wall-clock: EST (UTC-5) in January puts
+      -- every tick at 20:00 UTC
+      SELECT 'pipeline-' || CAST(p.range AS VARCHAR) AS component_key, g.tick AS tick_ts
+      FROM range(5) p,
+           generate_series(TIMESTAMP '2024-01-01 20:00:00',
+                           TIMESTAMP '2024-01-30 20:00:00',
+                           INTERVAL '1 day') g(tick)),
+    matched AS (
+      SELECT DISTINCT t.component_key, t.tick_ts
+      FROM runs r JOIN ticks t ON r.pipeline_key = t.component_key
+       AND r.final_status <> 'RUNNING'
+       AND r.end_ts >= t.tick_ts AND r.end_ts <= t.tick_ts + INTERVAL '1800 seconds')
+    SELECT t.component_key, strftime(t.tick_ts, '%Y-%m-%d %H:%M:%S') AS tick_ts,
+           1800 AS margin_s, 'LATE_END' AS alert_type
+    FROM ticks t ANTI JOIN matched m
+      ON m.component_key = t.component_key AND m.tick_ts = t.tick_ts
+    """,
+)
+def a3_late_end_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's SECOND expectation, value-checked: every pipeline must have
+    ENDED a run (terminal status — a still-RUNNING rollup has not
+    ended) within 30 min of its daily 15:00 America/New_York tick
+    (demo_helper.py:1067-1073 declares BATCH_PIPELINE_END_TIME next to
+    START); misses are LATE_END alerts. Exercises late_runs' end_ts
+    expectation switch (operators/obs/schedules.py:88) that START's two
+    oracle rows never touch, timezone-aware like the reference's own
+    schedule payloads."""
+    import datetime as dt
+
+    from ..operators.obs.schedules import expected_ticks, late_runs
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events")).filter(
+        F.col("final_status") != "RUNNING"
+    )
+    schedules = [
+        {"component_key": f"pipeline-{i}", "expectation": "BATCH_PIPELINE_END_TIME",
+         "schedule": "0 15 * * *", "margin_s": 1800,
+         "timezone": "America/New_York"}
+        for i in range(5)
+    ]
+    ticks = expected_ticks(
+        spark, schedules, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31)
+    )
+    return late_runs(runs, ticks).select(
+        "component_key",
+        F.date_format("tick_ts", _TS_FMT_SPARK).alias("tick_ts"),
+        "margin_s",
+        "alert_type",
+    )
+
+
+@register(
     "ontime_scoreboard_events",
     f"""
     WITH runs AS ({_RUNS_SQL}),
