@@ -349,6 +349,20 @@ def cmd_table(args) -> int:
         v = tx.restore_table(args.path, version=args.version, as_of_ms=args.as_of_ms)
         print(f"restored as v{v}")
         return 0
+    if args.action == "rename-col":
+        if not args.col or not args.to:
+            print("rename-col requires --col and --to", file=sys.stderr)
+            return 2
+        v = tx.rename_column(args.path, args.col, args.to)
+        print(f"renamed {args.col} -> {args.to} as v{v} (no data rewritten)")
+        return 0
+    if args.action == "drop-col":
+        if not args.col:
+            print("drop-col requires --col", file=sys.stderr)
+            return 2
+        v = tx.drop_column(args.path, args.col)
+        print(f"dropped {args.col} as v{v} (no data rewritten)")
+        return 0
     if args.action == "clone":
         if not args.dest:
             print("clone requires --dest", file=sys.stderr)
@@ -488,7 +502,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table")
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
-                            "stats", "health", "clone", "restore"])
+                            "stats", "health", "clone", "restore",
+                            "rename-col", "drop-col"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -504,6 +519,10 @@ def main(argv: list[str] | None = None) -> int:
                         "columns during the rewrite (restores skipping)")
     p.add_argument("--dest", default=None,
                    help="clone: destination path for the shallow clone")
+    p.add_argument("--col", default=None,
+                   help="rename-col/drop-col: the column to evolve")
+    p.add_argument("--to", default=None,
+                   help="rename-col: the new column name")
     p.add_argument("--prune", action="append", default=None,
                    metavar="COL:OP:VALUE",
                    help="show: data-skipping predicate(s), e.g. "

@@ -13,6 +13,17 @@ files), re-derived from first principles:
     _commits/v00000001.json   -- manifest: files, added_files, schema, op
     data/part-<uuid>.parquet  -- immutable data files``
 
+Schema evolution: add-column via ``merge_schema=True`` appends, and
+rename/drop via field-id COLUMN MAPPING (:func:`rename_column`,
+:func:`drop_column` — the Delta/Iceberg mechanism): each manifest can
+carry ``fields`` (logical name -> stable field id), ``field_log``
+(per-id physical-name history keyed by ``schema_epoch``, a counter
+that bumps on every schema change) and ``file_eras`` (the epoch each
+data file was written under). Renames and drops are metadata-only
+commits — zero data rewritten; readers resolve every file's physical
+parquet names through the mapping by its write epoch, and a re-added
+name after a drop mints a fresh id so stale bytes never resurrect.
+
 Commit protocol (single-table optimistic concurrency):
 
 1. data files are written FIRST, to unique names under ``data/`` —
@@ -420,11 +431,25 @@ def _publish(
     # stream_appends) so the exactly-once replay guard survives vacuum:
     # retained manifests may no longer include the commit that carried a
     # given batch_id, but the head always carries the max ever committed
-    inherited = (
-        read_manifest(path, parent_version).get("max_batch_id")
-        if parent_version
-        else None
-    )
+    pm = read_manifest(path, parent_version) if parent_version else {}
+    inherited = pm.get("max_batch_id")
+    # column mapping (rename/drop evolution) rides along on EVERY
+    # commit once active: logical-name -> field-id, per-id physical
+    # name history keyed by schema_epoch, and per-file write epochs —
+    # added files are stamped with the commit's (carried or own)
+    # epoch so readers resolve their physical column names forever
+    if "fields" in manifest or "fields" in pm:
+        for k in ("fields", "field_log", "schema_epoch"):
+            if k not in manifest and k in pm:
+                manifest[k] = pm[k]
+        if "file_eras" not in manifest:
+            prev_eras = pm.get("file_eras") or {}
+            epoch = manifest.get("schema_epoch") or 0
+            added = set(manifest.get("added_files") or ())
+            manifest["file_eras"] = {
+                f: (epoch if f in added else prev_eras.get(f, 0))
+                for f in manifest["files"]
+            }
     own = manifest.get("batch_id")
     hw = max((x for x in (inherited, own) if x is not None), default=None)
     if hw is not None:
@@ -484,6 +509,129 @@ def _merge_schemas(old_json: str, new_json: str) -> str:
     # canonical schema-JSON form — _schema_compatible compares strings,
     # and a re-append of the now-current schema must match exactly
     return StructType.fromJson(dict(old, fields=fields)).json()
+
+
+def _bootstrap_mapping(m: dict) -> tuple[dict, dict, int]:
+    """Current (fields, field_log, schema_epoch) of a manifest,
+    synthesizing them for a table that has never evolved: field ids
+    1..n in schema order, each id's name history starting at epoch 0
+    (meaning "since ever" — pre-mapping files default to era 0).
+    Returns copies safe to mutate."""
+    if "fields" in m:
+        return (
+            dict(m["fields"]),
+            {k: [list(e) for e in v] for k, v in m["field_log"].items()},
+            int(m.get("schema_epoch") or 0),
+        )
+    names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    fields = {n: i + 1 for i, n in enumerate(names)}
+    log = {str(i + 1): [[0, n]] for i, n in enumerate(names)}
+    return fields, log, 0
+
+
+def rename_column(
+    path: str, old: str, new: str, backend: CommitBackend | None = None
+) -> int:
+    """RENAME a column WITHOUT rewriting any data (Delta/Iceberg
+    column mapping): a metadata-only commit (op='rename_column') that
+    renames the field in the snapshot schema, appends the new physical
+    name to the field-id's epoch-keyed name history, and re-keys the
+    footer stats — so data skipping keeps pruning through the rename.
+    Files written before the rename keep their old parquet field name;
+    :func:`read_table` resolves each file's physical names through the
+    mapping by its write epoch. Time travel to pre-rename versions
+    reads the old name (each manifest pins its own schema AND its own
+    mapping). Appends after the rename must use the new name (schema
+    check is against the head snapshot's logical schema)."""
+    for _ in range(_RETRIES):
+        m = read_manifest(path)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        fields, log, epoch = _bootstrap_mapping(m)
+        epoch += 1
+        fid = fields.pop(old)
+        fields[new] = fid
+        log[str(fid)].append([epoch, new])
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType.fromJson(
+            dict(schema, fields=[
+                dict(f, name=new) if f["name"] == old else f
+                for f in schema["fields"]
+            ])
+        ).json()
+        manifest = {
+            "op": "rename_column", "files": m["files"], "schema": new_schema,
+            "added": 0, "added_files": [],
+            "fields": fields, "field_log": log, "schema_epoch": epoch,
+            "renamed": {"from": old, "to": new},
+        }
+        if m.get("stats"):
+            # stats are keyed by LOGICAL name: re-key so predicates on
+            # the new name keep skipping files written under the old one
+            manifest["stats"] = {
+                fn: {(new if c == old else c): v for c, v in s.items()}
+                for fn, s in m["stats"].items()
+            }
+        try:
+            return _publish(path, manifest, m["version"], backend)
+        except VersionClaimedError:
+            continue  # metadata-only: rebuild from the racer's head
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
+
+
+def drop_column(
+    path: str, col: str, backend: CommitBackend | None = None
+) -> int:
+    """DROP a column WITHOUT rewriting any data: a metadata-only commit
+    (op='drop_column') that removes the field from the snapshot schema,
+    retires its field id, and drops its stats entries. The bytes stay
+    in the parquet files (old snapshots still read them; compaction
+    eventually sheds them), but no current-era read references the
+    column. A LATER add of the same name (merge_schema append) mints a
+    FRESH field id born at a later epoch, so files that predate the
+    re-add resolve it to NULL instead of resurrecting stale data — the
+    exact hazard field-id mapping exists to prevent."""
+    for _ in range(_RETRIES):
+        m = read_manifest(path)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col not in names:
+            raise ValueError(f"no such column: {col!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        fields, log, epoch = _bootstrap_mapping(m)
+        epoch += 1
+        fields.pop(col)
+        # the retired id KEEPS its log entry: no logical field references
+        # it anymore, but retaining it prevents field-id reuse (a fresh
+        # same-named column must mint a fresh id or old files resurrect
+        # stale bytes)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType.fromJson(
+            dict(schema, fields=[f for f in schema["fields"] if f["name"] != col])
+        ).json()
+        manifest = {
+            "op": "drop_column", "files": m["files"], "schema": new_schema,
+            "added": 0, "added_files": [],
+            "fields": fields, "field_log": log, "schema_epoch": epoch,
+            "dropped": col,
+        }
+        if m.get("stats"):
+            manifest["stats"] = {
+                fn: {c: v for c, v in s.items() if c != col}
+                for fn, s in m["stats"].items()
+            }
+        try:
+            return _publish(path, manifest, m["version"], backend)
+        except VersionClaimedError:
+            continue
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
 def _added_files(path: str, m: dict) -> list[str]:
@@ -560,6 +708,7 @@ def write_table(
         parent_v = 0
         cols = stats_cols
         commit_schema = schema
+        evo: dict | None = None
         if _versions(path):
             cur = read_manifest(path)
             parent_v = cur["version"]
@@ -572,11 +721,46 @@ def write_table(
                             "evolution, or overwrite/migrate explicitly"
                         )
                     commit_schema = _merge_schemas(cur["schema"], schema)
+                if "fields" in cur and commit_schema != cur["schema"]:
+                    # add-column under active column mapping: each new
+                    # column mints a FRESH field id born at a new epoch,
+                    # so pre-add files (including ones carrying a
+                    # dropped column's stale bytes under the same name)
+                    # resolve it to NULL, never to old data
+                    fields, log, epoch = _bootstrap_mapping(cur)
+                    epoch += 1
+                    next_id = max(
+                        [int(k) for k in log] + list(fields.values())
+                    ) + 1
+                    for fld in json.loads(commit_schema)["fields"]:
+                        if fld["name"] not in fields:
+                            fields[fld["name"]] = next_id
+                            log[str(next_id)] = [[epoch, fld["name"]]]
+                            next_id += 1
+                    evo = {"fields": fields, "field_log": log,
+                           "schema_epoch": epoch}
                 base_files = cur["files"]
                 base_stats = cur.get("stats") or {}
                 if cols is None and base_stats:
                     # keep tracking whatever the table already tracks
                     cols = sorted({c for s in base_stats.values() for c in s})
+            elif "fields" in cur:
+                # overwrite under active column mapping: the old file
+                # list (and possibly the old schema) is gone, so the
+                # mapping RESETS — fresh ids for the new schema at a new
+                # epoch; pre-overwrite snapshots keep their own mapping
+                _, log_old, epoch = _bootstrap_mapping(cur)
+                epoch += 1
+                next_id = max(int(k) for k in log_old) + 1
+                names = [f["name"] for f in json.loads(schema)["fields"]]
+                evo = {
+                    "fields": {n: next_id + i for i, n in enumerate(names)},
+                    "field_log": {
+                        str(next_id + i): [[epoch, n]]
+                        for i, n in enumerate(names)
+                    },
+                    "schema_epoch": epoch,
+                }
         key = tuple(sorted(cols or ()))
         if key not in own_stats_cache:
             own_stats_cache[key] = (
@@ -586,6 +770,8 @@ def write_table(
         manifest = {"op": mode, "files": base_files + files,
                     "schema": commit_schema,
                     "added": len(files), "added_files": files}
+        if evo:
+            manifest.update(evo)
         if base_stats or own_stats:
             manifest["stats"] = {
                 **{f: s for f, s in base_stats.items() if f in set(base_files)},
@@ -654,6 +840,10 @@ def read_table(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
+    if "fields" in m:
+        # rename/drop evolution active: resolve each file's PHYSICAL
+        # column names through the snapshot's field-id mapping
+        return _read_mapped(spark, path, m, files, schema)
     # scan with the SNAPSHOT's schema, not footer inference: pins the
     # time-travel answer to its manifest, skips the footer-sampling
     # pass, and makes evolved tables read union-by-name (files that
@@ -661,6 +851,56 @@ def read_table(
     return spark.read.schema(schema).parquet(
         *[os.path.join(path, f) for f in files]
     )
+
+
+def _read_mapped(spark, path: str, m: dict, files: list[str], schema):
+    """Column-mapping scan: each file reads with the physical field
+    names of its WRITE epoch (the last name each field id had at or
+    before the file's era; a field born later resolves to a sentinel
+    that binds to nothing and reads NULL), then renames positionally to
+    the snapshot's logical names. Files group by resolved name-tuple —
+    one scan per schema era actually present, not per file — and the
+    groups union by position. Logical-plan cost: eras are few (one per
+    rename/drop burst), and within a group Spark still gets pushdown,
+    pruning and one multi-file FileScan, so at 100 TB the rename costs
+    one extra scan NODE, zero data rewrite."""
+    from pyspark.sql.types import StructField, StructType
+
+    eras = m.get("file_eras") or {}
+    fields = m["fields"]
+    log = m["field_log"]
+
+    def physical(fid, era: int) -> str:
+        name = None
+        for ep, nm in log[str(fid)]:
+            if ep <= era:
+                name = nm
+        return name if name is not None else f"__absent_{fid}"
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(
+            physical(fields[fld.name], int(eras.get(f, 0)))
+            for fld in schema.fields
+        )
+        groups.setdefault(key, []).append(f)
+    logical = [fld.name for fld in schema.fields]
+    parts = []
+    for phys, fs in sorted(groups.items()):
+        gschema = StructType([
+            StructField(p, fld.dataType,
+                        bool(fld.nullable) or p.startswith("__absent_"))
+            for p, fld in zip(phys, schema.fields)
+        ])
+        parts.append(
+            spark.read.schema(gschema)
+            .parquet(*[os.path.join(path, f) for f in fs])
+            .toDF(*logical)
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def _appends_since(path: str, base_version: int, head_version: int) -> list[str]:
@@ -1036,6 +1276,13 @@ def clone_table(
     }
     if m.get("stats"):
         manifest["stats"] = dict(m["stats"])
+    # column mapping travels with the snapshot: the clone's files keep
+    # their physical names and write epochs (epochs are a schema-change
+    # counter independent of version numbers, so the clone's own future
+    # evolution continues from the copied value without collisions)
+    for k in ("fields", "field_log", "schema_epoch", "file_eras"):
+        if k in m:
+            manifest[k] = m[k]
     return _publish(dst, manifest, 0, backend)
 
 
@@ -1087,6 +1334,21 @@ def restore_table(
         }
         if target.get("stats"):
             manifest["stats"] = dict(target["stats"])
+        # restore pins the TARGET's column mapping, not the head's —
+        # a restore across a rename must read the old names again
+        for k in ("fields", "field_log", "schema_epoch", "file_eras"):
+            if k in target:
+                manifest[k] = target[k]
+        if "fields" not in target and "fields" in head:
+            # target predates the mapping but the head carries one:
+            # without an explicit mapping _publish would inherit the
+            # head's (whose names no longer match the restored schema) —
+            # bootstrap a fresh identity mapping from the target instead
+            fields, log, epoch = _bootstrap_mapping(target)
+            manifest.update({
+                "fields": fields, "field_log": log, "schema_epoch": epoch,
+                "file_eras": {f: 0 for f in target["files"]},
+            })
         try:
             return _publish(path, manifest, head["version"], backend)
         except VersionClaimedError:

@@ -925,3 +925,193 @@ def test_restore_refuses_vacuumed_targets(spark, tmp_path):
     vacuum(t, keep_last=2)  # v1's manifest (and its orphaned file) gone
     with pytest.raises(VacuumedVersionError):
         restore_table(t, version=1)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename/drop evolution with zero data rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_reads_both_eras_without_rewrite(spark, tmp_path):
+    """Files written before AND after a rename read under the new
+    logical name — metadata-only commit, no data files touched."""
+    from data_observability_installer_spark.sources.txtable import (
+        read_manifest as rm,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    pre_files = set(rm(t)["files"])
+    v = rename_column(t, "v", "val")
+    assert v == 2
+    m = rm(t)
+    assert set(m["files"]) == pre_files          # zero data rewritten
+    assert m["op"] == "rename_column" and m["added"] == 0
+    # post-rename append uses the NEW name
+    write_table(spark, t, spark.createDataFrame(
+        [(3, "c")], "k int, val string"))
+    got = _rows(read_table(spark, t))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert read_table(spark, t).columns == ["k", "val"]
+    # the OLD name is rejected on append now
+    with pytest.raises(ValueError):
+        write_table(spark, t, spark.createDataFrame(
+            [(4, "d")], "k int, v string"))
+
+
+def test_rename_time_travel_reads_both_eras_correctly(spark, tmp_path):
+    """Time travel ACROSS the rename: pre-rename versions read the old
+    name, post-rename versions the new — each snapshot pins its own
+    schema and mapping."""
+    from data_observability_installer_spark.sources.txtable import rename_column
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    rename_column(t, "v", "val")
+    write_table(spark, t, spark.createDataFrame([(2, "b")], "k int, val string"))
+    old = read_table(spark, t, version=1)
+    assert old.columns == ["k", "v"] and _rows(old) == [(1, "a")]
+    mid = read_table(spark, t, version=2)
+    assert mid.columns == ["k", "val"] and _rows(mid) == [(1, "a")]
+    head = read_table(spark, t)
+    assert head.columns == ["k", "val"]
+    assert _rows(head) == [(1, "a"), (2, "b")]
+
+
+def test_rename_preserves_data_skipping_stats(spark, tmp_path):
+    """Footer stats re-key at rename time: predicates on the NEW name
+    keep pruning files written under the OLD name."""
+    from data_observability_installer_spark.sources.txtable import (
+        prune_files,
+        read_manifest as rm,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        write_table(
+            spark, t,
+            spark.createDataFrame([(lo + i,) for i in range(10)], "k int"),
+            stats_cols=["k"],
+        )
+    rename_column(t, "k", "key")
+    m = rm(t)
+    kept = prune_files(m, [("key", ">=", 200)])
+    assert 0 < len(kept) < len(m["files"])
+    pruned = read_table(spark, t, predicates=[("key", ">=", 200)]).filter(
+        "key >= 200"
+    )
+    assert pruned.count() == 10
+    # appends after the rename collect stats under the new name and
+    # prune together with re-keyed old files
+    write_table(spark, t, spark.createDataFrame([(300 + i,) for i in range(10)], "key int"))
+    m2 = rm(t)
+    kept2 = prune_files(m2, [("key", ">=", 300)])
+    assert kept2 and set(kept2) == set(m2["added_files"])  # old eras all pruned
+
+
+def test_drop_column_and_same_name_readd_reads_null_not_stale(spark, tmp_path):
+    """Drop retires the field id; re-adding the same name mints a FRESH
+    id born at a later epoch, so files predating the re-add resolve it
+    to NULL — never to the dropped column's stale bytes."""
+    from data_observability_installer_spark.sources.txtable import (
+        drop_column,
+        read_manifest as rm,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, "secret"), (2, "old")], "k int, v string"))
+    pre_files = set(rm(t)["files"])
+    drop_column(t, "v")
+    assert set(rm(t)["files"]) == pre_files       # zero data rewritten
+    assert read_table(spark, t).columns == ["k"]
+    assert _rows(read_table(spark, t)) == [(1,), (2,)]
+    # re-add the same name via merge_schema: old files MUST read NULL
+    write_table(
+        spark, t,
+        spark.createDataFrame([(3, "new")], "k int, v string"),
+        merge_schema=True,
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: "new"}
+    # renaming the re-added column still never touches the stale bytes
+    rename_column(t, "v", "w")
+    got = {r["k"]: r["w"] for r in read_table(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: "new"}
+    with pytest.raises(ValueError):
+        drop_column(t, "nope")
+
+
+def test_rename_then_compact_and_restore_across_rename(spark, tmp_path):
+    """Compaction after a rename rewrites into the current era (and
+    keeps answers identical); restore to a pre-rename version reads the
+    OLD schema again; restore back forward reads the new one."""
+    from data_observability_installer_spark.sources.txtable import (
+        rename_column,
+        restore_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    write_table(spark, t, spark.createDataFrame([(2, "b")], "k int, v string"))
+    rename_column(t, "v", "val")                                   # v3
+    write_table(spark, t, spark.createDataFrame([(3, "c")], "k int, val string"))
+    compact(spark, t, target_partitions=1)                         # v5
+    head = read_table(spark, t)
+    assert head.columns == ["k", "val"]
+    assert _rows(head) == [(1, "a"), (2, "b"), (3, "c")]
+    restore_table(t, version=2)                                    # v6
+    back = read_table(spark, t)
+    assert back.columns == ["k", "v"]
+    assert _rows(back) == [(1, "a"), (2, "b")]
+    restore_table(t, version=5)                                    # v7
+    fwd = read_table(spark, t)
+    assert fwd.columns == ["k", "val"]
+    assert _rows(fwd) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_clone_carries_column_mapping(spark, tmp_path):
+    """A shallow clone of a renamed table resolves old-era files through
+    the copied mapping, and evolves independently afterwards."""
+    from data_observability_installer_spark.sources.txtable import (
+        clone_table,
+        rename_column,
+    )
+
+    src = str(tmp_path / "src")
+    write_table(spark, src, spark.createDataFrame([(1, "a")], "k int, v string"))
+    rename_column(src, "v", "val")
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst)
+    c = read_table(spark, dst)
+    assert c.columns == ["k", "val"] and _rows(c) == [(1, "a")]
+    # clone evolves independently: rename there, source unchanged
+    rename_column(dst, "val", "value")
+    write_table(spark, dst, spark.createDataFrame([(2, "z")], "k int, value string"))
+    assert read_table(spark, dst).columns == ["k", "value"]
+    assert _rows(read_table(spark, dst)) == [(1, "a"), (2, "z")]
+    assert read_table(spark, src).columns == ["k", "val"]
+
+
+def test_rename_cli_and_changes_guard(spark, tmp_path, capsys):
+    """CLI rename-col/drop-col verbs; CDC reads refuse ranges that
+    contain a rename commit (append-only contract)."""
+    from data_observability_installer_spark.__main__ import main
+    from data_observability_installer_spark.sources.txtable import rename_column
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    assert main(["table", "rename-col", t, "--col", "v", "--to", "val"]) == 0
+    assert "renamed" in capsys.readouterr().out
+    assert read_table(spark, t).columns == ["k", "val"]
+    assert main(["table", "rename-col", t]) == 2
+    assert main(["table", "drop-col", t]) == 2
+    write_table(spark, t, spark.createDataFrame([(2, "b")], "k int, val string"))
+    with pytest.raises(ValueError):
+        table_changes(spark, t, 1).collect()
+    # a range NOT containing the rename still works
+    assert _rows(table_changes(spark, t, 2)) == [(2, "b")]
