@@ -244,6 +244,7 @@ HEADLINE = [
     "hll_distinct_by_lang_documents",
     # round-11 additions
     "a3_late_end_runs",
+    "dsir_resample_documents",
 ]
 
 

@@ -1122,6 +1122,83 @@ def dsir_score(
     )
 
 
+def dsir_resample(
+    df: DataFrame,
+    target_pred: Column,
+    k: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR end to end — the actual SELECTION step of Xie et al. 2023:
+    importance weights (:func:`dsir_weights`) feed exactly-k weighted
+    sampling without replacement, weight = exp(logw_micro/1e6), via the
+    same quantized Efraimidis-Spirakis key as :func:`weighted_sample`
+    (rank = floor(ln(u)/w * 1e9), u = 60 salted md5 bits of the id —
+    deterministic, engine-portable). Importance weights are strictly
+    positive by construction (exp), so no rows are excluded; target-like
+    documents land in the sample at a super-proportional rate (the tilt
+    is the point — enrichment is pytest-pinned).
+
+    Output: (id, logw_micro, score_q) for the k selected documents —
+    integer columns only, so the oracle comparison never touches a raw
+    transcendental double.
+
+    Scale: everything dsir_weights costs (shuffles bounded at n_buckets
+    and doc-keyed partial sums) plus ONE map pass and a TakeOrdered(k)
+    — per-partition heaps merge k rows at the driver; the corpus never
+    re-shuffles for the selection."""
+    w = dsir_weights(df, target_pred, n_buckets, text_col, id_col, alpha)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    score = F.floor(
+        F.log(u) / F.exp(F.col("logw_micro").cast("double") / 1000000.0)
+        * 1000000000
+    ).cast("long")
+    return (
+        w.select(F.col(id_col), "logw_micro", score.alias("score_q"))
+        .orderBy(F.desc("score_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_resample_sql(
+    table: str,
+    target_sql: str,
+    k: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    salt: str = "dsir-v1",
+) -> str:
+    """DuckDB twin of :func:`dsir_resample`: the dsir_weights twin as a
+    CTE, same md5-derived u, same rounded rank key."""
+    u = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15))::UBIGINT"
+        f" / CAST({float(2**60)!r} AS DOUBLE))"
+    )
+    weights = dsir_weights_sql(table, target_sql, n_buckets, text_col, id_col, alpha)
+    return f"""
+    WITH dsir_w AS MATERIALIZED ({weights})
+    SELECT {id_col}, logw_micro,
+           CAST(floor(ln({u}) / exp(CAST(logw_micro AS DOUBLE) / 1000000.0)
+                      * 1000000000) AS BIGINT) AS score_q
+    FROM dsir_w
+    ORDER BY score_q DESC, {id_col} LIMIT {k}
+    """
+
+
 def dsir_weights_sql(
     table: str,
     target_sql: str,

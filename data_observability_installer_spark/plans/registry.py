@@ -4658,6 +4658,21 @@ def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_resample_documents",
+    _cur.dsir_resample_sql("documents", "lang = 'en'", k=120),
+)
+def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end to end (Xie et al. 2023) — weights AND the selection
+    step the paper exists for: exactly-120 weighted sampling without
+    replacement over exp(logw), quantized Efraimidis-Spirakis key, so
+    English-like documents are super-proportionally selected. Integer
+    output columns only (logw_micro, score_q)."""
+    return _cur.dsir_resample(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en", k=120
+    )
+
+
 @register("curation_filter_documents", _cur.curation_filter_sql("documents"))
 def curation_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop chain: length -> quality -> language -> PII; one scan,

@@ -367,3 +367,38 @@ def test_dsir_weights_duckdb_twin_parity_inline(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
     dk = con.execute(dsir_weights_sql("documents", "lang = 'en'")).fetchall()
     assert sp == [tuple(r) for r in dk]
+
+
+def test_dsir_resample_enriches_target_like_docs(spark):
+    """The selection step: sampling k of a corpus where target-like
+    docs are a planted minority must overrepresent them well beyond
+    their corpus share (the importance tilt is the whole point)."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.curation import (
+        dsir_resample,
+    )
+
+    # 20 target-language seed docs, 80 target-LIKE raw docs, 320
+    # off-domain raw docs: target-like share of the raw pool = 20%
+    rows = []
+    for i in range(20):
+        rows.append((i, f"alpha beta alpha gamma beta tok{i % 7}", True))
+    for i in range(80):
+        rows.append((100 + i, f"alpha beta gamma alpha beta tok{i % 7}", False))
+    for i in range(320):
+        rows.append((1000 + i, f"omega psi chi phi upsilon tok{i % 11}", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    k = 50
+    picked = dsir_resample(df, F.col("is_t"), k=k).collect()
+    assert len(picked) == k
+    ids = {r["doc_id"] for r in picked}
+    target_like = sum(1 for d in ids if d < 1000)
+    # 100/420 ~ 24% of the corpus is target/target-like; the resample
+    # must at least double that share (observed: ~all of the top-k)
+    assert target_like >= k // 2
+    # determinism: same salt, same answer
+    again = {r["doc_id"] for r in dsir_resample(df, F.col("is_t"), k=k).collect()}
+    assert again == ids
+    # weights ride along as exact integers
+    assert all(isinstance(r["logw_micro"], int) for r in picked)
