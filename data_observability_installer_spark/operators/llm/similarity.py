@@ -308,21 +308,53 @@ def _sqdist_lits_sql(eq_sql: str, cq: list[int]) -> str:
     )
 
 
+_ARGMIN_UNROLL_MAX = 24
+
+
 def _argmin_bucket_sql(eq_sql: str, cents: dict[int, list[int]], n_enc: int) -> str:
-    """Assignment as ONE parsed expression: least() over the per-
-    centroid encoded values dist*n_enc + bucket — pure int64
-    arithmetic, so the argmin (ties to the LOWEST bucket id) is
-    identical on every engine, no floats anywhere."""
-    terms = [
-        f"({_sqdist_lits_sql(eq_sql, cq)} * {n_enc} + {b})"
-        for b, cq in sorted(cents.items())
-    ]
-    inner = terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
-    return f"CAST(pmod({inner}, {n_enc}) AS INT)"
+    """Assignment as ONE parsed expression: the encoded argmin
+    min(dist*n_enc + bucket) — pure int64 arithmetic, so the argmin
+    (ties to the LOWEST bucket id) is identical on every engine, no
+    floats anywhere. Two value-identical forms by K:
+
+    - K <= _ARGMIN_UNROLL_MAX: fully unrolled least() over per-centroid
+      squared distances — stays inside whole-stage codegen, the fastest
+      shape for the oracle-checked small-K operators;
+    - larger K: centroids become ONE constant-folded array-of-arrays
+      literal and the scan is aggregate(zip_with(...)) — expression
+      size is O(1) in K, because the unrolled form grows O(K*dim) and
+      falls off the JIT's 64 KB method cliff around K~50-64 (measured:
+      semdedup_trained 7.7 s -> 178 s between K=45 and K=64 on
+      identical data; the array form removes the cliff)."""
+    items = sorted(cents.items())
+    if len(items) <= _ARGMIN_UNROLL_MAX:
+        terms = [
+            f"({_sqdist_lits_sql(eq_sql, cq)} * {n_enc} + {b})"
+            for b, cq in items
+        ]
+        inner = terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
+        return f"CAST(pmod({inner}, {n_enc}) AS INT)"
+    ids = ", ".join(str(b) for b, _ in items)
+    rows = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in cq) + ")" for _, cq in items
+    )
+    # min over encoded values with strict <: ties keep the first-seen
+    # (ids are sorted ascending), exactly the least() tie rule
+    return (
+        "CAST(pmod(aggregate("
+        f"zip_with(array({ids}), array({rows}), (b, c) -> "
+        f"aggregate(zip_with({eq_sql}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (a, v) -> a + v) * {n_enc} + b), "
+        f"9223372036854775807L, (m, t) -> IF(t < m, t, m)), {n_enc}) AS INT)"
+    )
 
 
 def train_ivf_kmeans(
-    embeddings: DataFrame, n_clusters: int = 16, iters: int = 3
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    init: str = "fixed",
+    id_col: str = "vec_id",
 ) -> dict[int, list[int]]:
     """Seeded, cross-engine-DETERMINISTIC Lloyd training: fixed literal
     init (:func:`ivf_centroids`), fixed iteration count, and every
@@ -343,13 +375,40 @@ def train_ivf_kmeans(
     at 100 TB centroids are trained once and shipped to the query
     layer as constants.
 
+    ``init``: ``"fixed"`` (default) seeds from the literal
+    :func:`ivf_centroids` table — the oracle-twinnable shape every
+    value-checked trained query unrolls. ``"sample"`` seeds from K
+    corpus vectors picked by salted-md5 rank of their ids —
+    deterministic and engine-independent, and REQUIRED at larger K:
+    uniform-random literal seeds don't cover a real data manifold in
+    64-d, so Lloyd collapses (measured on the rotated bench fixture:
+    K=64 fixed-init left 5 live cells with one holding 80% of the
+    corpus — sum(cell^2) 669M vs 36M at K=45 — while sample-init keeps
+    occupancy balanced). Standard k-means practice (Forgy/k-means||
+    sample the data), made deterministic.
+
     Returns {bucket_id: integer centroid in IVF_SCALE units}."""
-    init = ivf_centroids(n_clusters=n_clusters)
-    dim = len(init[0])
-    cents = {
-        b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
-        for b, row in enumerate(init)
-    }
+    if init == "sample":
+        seeds = (
+            embeddings.select(
+                F.md5(
+                    F.concat(F.lit("ivf-init:"), F.col(id_col).cast("string"))
+                ).alias("_rk"),
+                F.expr(_quant_sql("embedding")).alias("eq"),
+            )
+            .orderBy("_rk")
+            .limit(n_clusters)
+            .collect()
+        )
+        cents = {b: [int(v) for v in r["eq"]] for b, r in enumerate(seeds)}
+        dim = len(cents[0])
+    else:
+        lits = ivf_centroids(n_clusters=n_clusters)
+        dim = len(lits[0])
+        cents = {
+            b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
+            for b, row in enumerate(lits)
+        }
     eq = embeddings.select(F.expr(_quant_sql("embedding")).alias("eq"))
     for _ in range(iters):
         assigned = eq.select(

@@ -656,10 +656,13 @@ def main() -> None:
     ops["semdedup_sink"]["cell_store_commits"] = len(
         _tx2.history(os.path.join(sink_root_sd, "cells"))
     )
+    # NOTE: .count() alone would let Catalyst eliminate the left join
+    # onto the witness aggregate (and the whole pair stage with it);
+    # filtering on the witness column forces the real work
     ops["semdedup_sink"]["batch_twin_s"] = timed_batch(
         lambda: semdedup(
             synth_emb(batch_df).drop("event_timestamp"), threshold=0.9
-        ).count()
+        ).filter(F.col("dup_of").isNotNull()).count()
     )
     # store-growth curve: constant batches against an accumulating cell
     # store. The batch x store within-cell join grows linearly in store
