@@ -373,3 +373,47 @@ def test_train_pq_perm_balances_variance_and_preserves_scores(spark):
         for r in topk_bruteforce(permute_embedding(df, perm), k=5, query_id=0).collect()
     ]
     assert direct == permuted
+
+
+def test_argmin_bucket_forms_agree_and_sample_init_covers(spark):
+    """(a) The unrolled least() argmin and the array-literal aggregate
+    argmin (used above _ARGMIN_UNROLL_MAX, where the unrolled form falls
+    off the JIT method-size cliff) must agree cell for cell, including
+    the ties-to-lowest-id rule. (b) sample init must seed every
+    requested centroid FROM THE DATA (fixed uniform literals collapse on
+    real manifolds at larger K — measured 5 live cells of 64)."""
+    import numpy as np
+
+    from data_observability_installer_spark.operators.llm import similarity as sim
+    from pyspark.sql import functions as F
+
+    rs = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rs.uniform(-1, 1, 64)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = sim.train_ivf_kmeans(df, n_clusters=30, iters=1, init="sample")
+    assert len(cents) == 30  # every seed came from a data vector
+    eq = sim._quant_sql("embedding")
+    old = sim._ARGMIN_UNROLL_MAX
+    try:
+        sim._ARGMIN_UNROLL_MAX = 1000
+        unrolled = df.select(
+            "vec_id", F.expr(sim._argmin_bucket_sql(eq, cents, 64)).alias("b")
+        ).collect()
+        sim._ARGMIN_UNROLL_MAX = 1
+        arrayed = df.select(
+            "vec_id", F.expr(sim._argmin_bucket_sql(eq, cents, 64)).alias("b")
+        ).collect()
+    finally:
+        sim._ARGMIN_UNROLL_MAX = old
+    assert sorted(map(tuple, unrolled)) == sorted(map(tuple, arrayed))
+    # tie rule: a duplicated centroid must always lose to its lower id
+    dup = dict(cents)
+    dup[29] = list(dup[0])
+    try:
+        sim._ARGMIN_UNROLL_MAX = 1
+        got = df.select(
+            F.expr(sim._argmin_bucket_sql(eq, dup, 64)).alias("b")
+        ).groupBy("b").count().collect()
+    finally:
+        sim._ARGMIN_UNROLL_MAX = old
+    assert all(r["b"] != 29 for r in got)
