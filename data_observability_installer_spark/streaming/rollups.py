@@ -215,7 +215,19 @@ def correlate_streams(
     tolerance horizon — the canonical bounded-state stream-stream join.
     Inner-join matches emit as soon as both sides arrive (the watermark
     only gates state cleanup), so a replay produces exactly the batch
-    join's rows."""
+    join's rows.
+
+    Sizing note (measured, STREAM_BENCH): a stream-stream join keeps
+    FOUR state stores per shuffle partition, and each store pays a
+    commit per micro-batch — at low per-batch input rates that fixed
+    cost dominates (24k replay rows: 229 rows/s at the session's 32
+    shuffle partitions vs 1545 rows/s at 4, identical output and
+    state). Set ``spark.sql.shuffle.partitions`` BEFORE the query's
+    first start to size state partitions to the stream's rate (the
+    count is pinned by the checkpoint thereafter); at production rates
+    (millions of rows per trigger) wide partitioning amortizes and the
+    same join scales out — the knob trades per-batch constant cost
+    against peak parallelism."""
     l = left.withWatermark("event_timestamp", watermark).select(
         F.col(key).alias("l_key"),
         F.col("event_timestamp").alias("l_ts"),

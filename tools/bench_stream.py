@@ -223,8 +223,31 @@ def main() -> None:
         lambda: session_rollup_stream(batch_df).count()
     )
 
-    ops["interval_join"] = run_streaming(
-        spark, correlate_streams(*split(read_stream())), "append", "sb_join"
+    # Stream-stream joins keep 4 state stores PER SHUFFLE PARTITION and
+    # each pays a commit every micro-batch; at this replay's low rate
+    # that fixed cost dominates, so the honest measurement sizes state
+    # partitions to the stream (r10 verdict #8: was 333 rows/s at the
+    # session's 32 partitions). Both rows are recorded — the unsized
+    # one documents the knob's cost, not a different operator.
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ops["interval_join_unsized_parts32"] = run_streaming(
+        spark, correlate_streams(*split(read_stream())), "append", "sb_join32"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ops["interval_join"] = run_streaming(
+            spark, correlate_streams(*split(read_stream())), "append", "sb_join"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+    ops["interval_join"]["state_partitions"] = 4
+    ops["interval_join"]["note"] = (
+        "state partitions sized to the stream's rate (4): a "
+        "stream-stream join commits 4 state stores per partition per "
+        "micro-batch, so partition count is a constant-cost-vs-"
+        "parallelism knob pinned at the query's first start; the "
+        "_unsized_parts32 row is the same operator at the session "
+        "default for comparison"
     )
     ops["interval_join"]["batch_twin_s"] = timed_batch(
         lambda: correlate_streams(*split(batch_df)).count()
