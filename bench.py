@@ -245,6 +245,7 @@ HEADLINE = [
     # round-11 additions
     "a3_late_end_runs",
     "dsir_resample_documents",
+    "qsketch_quantiles_lineitem",
 ]
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def mg_summarize_partition(counts, batch_counts, capacity: int):
@@ -556,4 +556,277 @@ def hll_by_report_sql(
                   AS BIGINT) END AS err_bp
     FROM est JOIN exact USING (k)
     ORDER BY est.k
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch (q-digest family, Shrivastava et al. 2004
+# "Medians and Beyond") — the MERGEABLE quantile summary completing the
+# sketch suite (MG = heavy hitters, CM = point frequency, HLL =
+# distinct, this = rank/quantile). Unlike the classic q-digest's
+# iterative bottom-up compression (and unlike randomized KLL /
+# t-digest), construction here is a CLOSED FORM over exact integer
+# counts, so it is order-independent, engine-independent, and
+# expressible as plain SQL — the repo's oracle contract:
+#
+#   bucket   = dyadic-quantized value in [0, 2^log_u)
+#   kept     = every tree node whose subtree count * k > n
+#   sketch   = each value's count assigned to its DEEPEST kept ancestor
+#
+# Kept nodes number < k per level (their counts sum to n), so the
+# sketch holds <= (log_u+1) * (k-1) rows no matter the data; rank
+# queries err by at most ~2 * log_u * n / k (at a query point, one
+# straddling node per level, each holding <= two light child subtrees).
+# Merging SUMS residuals per node: each part's values only ever sit at
+# ancestors of their true leaf, a property unions preserve, so the
+# merged sketch obeys the same bound with n = sum(n_i) — bound-
+# preserving rather than bit-identical to a one-pass build (true of
+# the published q-digest merge as well, and the honest contract for
+# the streaming sink).
+# ---------------------------------------------------------------------------
+
+
+def _q_bucket_sql(col_sql: str, lo: int, hi: int, log_u: int) -> str:
+    """Integer dyadic bucket in [0, 2^log_u): exact cross-multiplied
+    quantization of [lo, hi] (values outside clamp to the edges)."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    return (
+        f"CAST(greatest(0, least({u - 1}, "
+        f"(CAST({col_sql} AS BIGINT) - {lo}) * {u} DIV {span})) AS BIGINT)"
+    )
+
+
+def qsketch(
+    df: DataFrame,
+    col: str,
+    lo: int,
+    hi: int,
+    k: int = 64,
+    log_u: int = 16,
+) -> DataFrame:
+    """Build the sketch: (level, idx, cnt) rows, level 0 = root,
+    ``log_u`` = leaves. ONE pass over the data (the bucket groupBy);
+    every later shuffle is bounded by the 2^log_u bucket space, never
+    by the row count, and the result is <= (log_u+1)*(k-1) rows — the
+    shape that lets a 100 TB column ship its quantile summary as a
+    broadcast table. All arithmetic is exact int64."""
+    u = 1 << log_u
+    leaves = (
+        df.selectExpr(f"{_q_bucket_sql(col, lo, hi, log_u)} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=True)  # one corpus pass feeds 3 consumers
+    total = leaves.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
+    nodes = (
+        leaves.select(lvl, "bucket", "c")
+        .select(
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "c",
+        )
+        .groupBy("level", "idx")
+        .agg(F.sum("c").alias("sub"))
+    )
+    kept = (
+        nodes.crossJoin(F.broadcast(total))
+        .filter(F.col("sub") * k > F.col("n"))
+        .select("level", "idx")
+    )
+    deepest = (
+        leaves.select(lvl, "bucket", "c")
+        .select(
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "bucket",
+            "c",
+        )
+        .join(kept, ["level", "idx"])
+        .groupBy("bucket")
+        .agg(F.max("level").alias("level"), F.max("c").alias("c"))
+    )
+    return (
+        deepest.select(
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "c",
+        )
+        .groupBy("level", "idx")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge by per-node residual sums. Values sit at ancestors of
+    their true leaves in every part, a property unions preserve, so
+    the merged sketch answers rank queries within the same error bound
+    at n = sum(n_i); size is bounded by the union of kept nodes
+    (re-tighten with :func:`qsketch_rethin` when parts accumulate)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("level", "idx").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def qsketch_rethin(sketch: DataFrame, k: int = 64, log_u: int = 16) -> DataFrame:
+    """Re-tighten an accumulated (merged) sketch to <= (log_u+1)*(k-1)
+    rows with the SAME closed form used at build time: recompute each
+    node's subtree total from the residuals, keep the heavy nodes, and
+    push every residual up to its deepest kept ancestor (at or above
+    its own level — counts only ever move UP, so the error bound is
+    preserved). Runs entirely on sketch-sized inputs."""
+    rows = sketch.select("level", "idx", "cnt").localCheckpoint(eager=True)
+    total = rows.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
+    anc = rows.select(
+        F.explode(F.sequence(F.lit(0), F.col("level"))).alias("alevel"),
+        "level",
+        "idx",
+        "cnt",
+    ).select(
+        F.col("alevel"),
+        F.expr("shiftright(idx, level - alevel)").alias("aidx"),
+        "cnt",
+    )
+    kept = (
+        anc.groupBy(F.col("alevel").alias("level"), F.col("aidx").alias("idx"))
+        .agg(F.sum("cnt").alias("sub"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("sub") * k > F.col("n"))
+        .select("level", "idx")
+    )
+    deepest = (
+        rows.select(
+            F.explode(F.sequence(F.lit(0), F.col("level"))).alias("alevel"),
+            "level",
+            "idx",
+            "cnt",
+        )
+        .select(
+            "alevel",
+            F.expr("shiftright(idx, level - alevel)").alias("aidx"),
+            "level",
+            "idx",
+            "cnt",
+        )
+        .join(
+            kept,
+            (F.col("alevel") == kept["level"]) & (F.col("aidx") == kept["idx"]),
+        )
+        .drop(kept["level"]).drop(kept["idx"])
+        .groupBy(F.col("level").alias("olevel"), F.col("idx").alias("oidx"))
+        .agg(F.max("alevel").alias("dlevel"), F.max("cnt").alias("cnt"))
+    )
+    return (
+        deepest.select(
+            F.col("dlevel").alias("level"),
+            F.expr("shiftright(oidx, olevel - dlevel)").alias("idx"),
+            "cnt",
+        )
+        .groupBy("level", "idx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    q_bps: list[int],
+    lo: int,
+    hi: int,
+    log_u: int = 16,
+) -> DataFrame:
+    """Quantile estimates from the sketch alone: for each q (basis
+    points), rank r = ceil(q*n/10000), nodes scanned in increasing
+    range-upper-bound order (ties: deeper/smaller ranges first — the
+    canonical q-digest query order), answer = the upper value edge of
+    the first node where the running count reaches r. Exact integer
+    arithmetic end to end; cost is sketch-sized, not data-sized."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    n_col = sketch.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
+    ordered = sketch.crossJoin(F.broadcast(n_col)).select(
+        "cnt",
+        "n",
+        # hi bucket of the node's range, and the tie-break level
+        F.expr(f"(idx + 1) * shiftleft(1L, {log_u} - level) - 1").alias("hib"),
+        "level",
+    )
+    w = Window.orderBy(F.col("hib").asc(), F.col("level").desc())
+    cum = ordered.select(
+        "hib", "n", F.sum("cnt").over(w).alias("cum")
+    )
+    qs = ordered.sparkSession.createDataFrame(
+        [(int(q),) for q in q_bps], "q_bp int"
+    )
+    ranked = qs.crossJoin(F.broadcast(cum)).filter(
+        F.col("cum") * 10000 >= F.col("q_bp") * F.col("n")
+    )
+    return (
+        ranked.groupBy("q_bp", "n")
+        .agg(F.min("hib").alias("hib"))
+        .select(
+            "q_bp",
+            "n",
+            F.expr(
+                f"CAST({lo} + ((hib + 1) * {span}) DIV {u} - 1 AS BIGINT)"
+            ).alias("est"),
+        )
+        .orderBy("q_bp")
+    )
+
+
+def qsketch_report_sql(
+    table: str,
+    col_sql: str,
+    lo: int,
+    hi: int,
+    q_bps: list[int],
+    k: int = 64,
+    log_u: int = 16,
+) -> str:
+    """DuckDB twin of qsketch + qsketch_quantiles: identical integer
+    quantization, identical closed-form heavy-node keep rule, identical
+    deepest-kept-ancestor assignment and query scan order — the sketch
+    pipeline is value-checked end to end, not just its error bound."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    qs_rows = ", ".join(f"({int(q)})" for q in q_bps)
+    return f"""
+    WITH src AS (
+      SELECT greatest(0, least({u - 1},
+               (CAST({col_sql} AS BIGINT) - {lo}) * {u} // {span})) AS bucket
+      FROM {table}),
+    leaves AS MATERIALIZED (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY bucket),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM leaves),
+    lv AS (SELECT unnest(generate_series(0, {log_u})) AS level),
+    nodes AS (
+      SELECT level, bucket >> ({log_u} - level) AS idx,
+             CAST(sum(c) AS BIGINT) AS sub
+      FROM leaves, lv GROUP BY 1, 2),
+    kept AS (
+      SELECT level, idx FROM nodes, tot WHERE sub * {k} > n),
+    deepest AS (
+      SELECT l.bucket, max(kp.level) AS dlevel, max(l.c) AS c
+      FROM leaves l JOIN kept kp
+        ON kp.idx = l.bucket >> ({log_u} - kp.level)
+      GROUP BY l.bucket),
+    sk AS (
+      SELECT dlevel AS level, bucket >> ({log_u} - dlevel) AS idx,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM deepest GROUP BY 1, 2),
+    ordered AS (
+      SELECT (idx + 1) * (CAST(1 AS BIGINT) << ({log_u} - level)) - 1 AS hib,
+             level, cnt
+      FROM sk),
+    cum AS (
+      SELECT hib, sum(cnt) OVER (ORDER BY hib ASC, level DESC) AS cum
+      FROM ordered),
+    qs(q_bp) AS (VALUES {qs_rows}),
+    sel AS (
+      SELECT q_bp, n, min(hib) AS hib
+      FROM qs, cum, tot WHERE cum * 10000 >= q_bp * n GROUP BY 1, 2)
+    SELECT CAST(q_bp AS INT) AS q_bp, n,
+           CAST({lo} + ((hib + 1) * {span}) // {u} - 1 AS BIGINT) AS est
+    FROM sel ORDER BY q_bp
     """

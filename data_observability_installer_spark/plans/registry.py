@@ -3434,6 +3434,40 @@ from ..operators.sketch import cm_sketch_report_sql as _cm_sql  # noqa: E402
 
 ORACLES["cm_sketch_documents"] = _cm_sql("documents")
 
+_QS_CENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_QS_BPS = [2500, 5000, 7500, 9000, 9900]
+
+
+@register(
+    "qsketch_quantiles_lineitem",
+    None,  # oracle attached below
+)
+def qsketch_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic quantile sketch (q-digest family, Shrivastava et al.
+    2004) over l_extendedprice in integer cents: the mergeable
+    quantile summary completing the sketch suite (MG/CM/HLL/this).
+    Construction is a CLOSED FORM over exact integer counts — every
+    value's count assigned to its deepest ancestor whose subtree
+    exceeds n/k — so unlike randomized KLL/t-digest the sketch content
+    AND the quantile answers are value-checked on DuckDB. One corpus
+    pass; every later shuffle bounded by the 2^16 bucket space; the
+    sketch itself is <= 17*63 rows at any data size (rank error <=
+    ~2*log_u*n/k, pytest-pinned with the merge and re-thin faces)."""
+    from ..operators.sketch import qsketch, qsketch_quantiles
+
+    cents = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_QS_CENTS} AS cv"
+    )
+    sk = qsketch(cents, "cv", lo=0, hi=(1 << 24) - 1, k=64, log_u=16)
+    return qsketch_quantiles(sk, _QS_BPS, lo=0, hi=(1 << 24) - 1, log_u=16)
+
+
+from ..operators.sketch import qsketch_report_sql as _qs_sql  # noqa: E402
+
+ORACLES["qsketch_quantiles_lineitem"] = _qs_sql(
+    "lineitem", _QS_CENTS, lo=0, hi=(1 << 24) - 1, q_bps=_QS_BPS
+)
+
 
 @register(
     "hll_distinct_documents",

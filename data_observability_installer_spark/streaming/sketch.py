@@ -297,3 +297,72 @@ def read_dsir_model(spark, store: str) -> DataFrame:
             F.sum("n_t").cast("long").alias("n_t"),
         )
     )
+
+
+def qsketch_sink(
+    stream: DataFrame,
+    store: str,
+    checkpoint: str,
+    col: str = "v",
+    lo: int = 0,
+    hi: int = (1 << 24) - 1,
+    k: int = 64,
+    log_u: int = 16,
+    retain: int | None = None,
+    **trigger,
+):
+    """CONTINUOUS quantiles: every micro-batch reduces to its own
+    dyadic quantile sketch (<= (log_u+1)*(k-1) rows — ONE bounded
+    aggregation, never the batch's values) under ``run_id=<batch_id>``,
+    replay-idempotent via overwrite. Node residuals merge by summation
+    and every part's counts sit at ancestors of their true leaves, so
+    the merged store answers rank queries within the q-digest bound at
+    n = total ingested — quantiles over an unbounded stream with
+    bounded state, the face run_duration_sla percentiles need when the
+    run log never fits a batch. Stream state is ZERO; durability lives
+    in the store; ``retain`` folds surplus partitions through
+    qsketch_rethin-compatible summation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.profile import retain_runs, write_profile
+    from ..operators.sketch import qsketch
+
+    def _merge_nodes(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("level", "idx").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        write_profile(
+            qsketch(df, col, lo=lo, hi=hi, k=k, log_u=log_u),
+            store,
+            f"{batch_id:08d}",
+        )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, store, retain,
+                f"00000000_rollup_{batch_id:08d}", _merge_nodes,
+            )
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_qsketch_store(spark, store: str) -> DataFrame:
+    """Merge every stored per-batch sketch into the whole-history
+    sketch (node-residual sums — sketch-sized, never data-sized); feed
+    to qsketch_quantiles / qsketch_rethin."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(store)
+        .groupBy("level", "idx")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -319,3 +319,120 @@ def test_hll_sketch_by_grouped_estimates_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, hll_sketch_by(df, "k").collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch (q-digest family)
+# ---------------------------------------------------------------------------
+
+
+def _qs_fixture(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(2)
+    vals = np.concatenate([
+        rs.randint(0, 1000, 5000),       # dense low mode
+        rs.randint(50000, 65000, 3000),  # high mode
+        [65535] * 200,                   # point mass at the edge
+    ])
+    return vals, spark.createDataFrame([(int(v),) for v in vals], "v long")
+
+
+def test_qsketch_size_bound_and_rank_error(spark):
+    """Sketch holds <= (log_u+1)*(k-1) rows whatever the data, counts
+    are conserved exactly, and every quantile estimate's rank error is
+    within the 2*log_u*n/k bound (comfortably — the bound is loose)."""
+    import math
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch,
+        qsketch_quantiles,
+    )
+
+    vals, df = _qs_fixture(spark)
+    k, log_u = 64, 16
+    sk = qsketch(df, "v", lo=0, hi=65535, k=k, log_u=log_u)
+    rows = sk.collect()
+    n = sum(r["cnt"] for r in rows)
+    assert n == len(vals)                       # counts conserved exactly
+    assert len(rows) <= (log_u + 1) * (k - 1)   # hard size bound
+    exact = np.sort(vals)
+    for r in qsketch_quantiles(sk, [2500, 5000, 7500, 9900], 0, 65535, log_u).collect():
+        target = math.ceil(r["q_bp"] / 10000 * n)
+        rank_lo = int(np.searchsorted(exact, r["est"], "left"))
+        rank_hi = int(np.searchsorted(exact, r["est"], "right"))
+        err = min(abs(rank_lo - target), abs(rank_hi - target))
+        assert err <= 2 * log_u * n / k, (r["q_bp"], err)
+
+
+def test_qsketch_merge_and_rethin_preserve_bound(spark):
+    """Merging part sketches by node sums keeps counts exact and rank
+    error within the bound at n = sum(n_i); re-thinning an accumulated
+    sketch restores the hard size bound without moving any count DOWN
+    the tree (error bound preserved, n unchanged)."""
+    import math
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch,
+        qsketch_merge,
+        qsketch_quantiles,
+        qsketch_rethin,
+    )
+
+    vals, _ = _qs_fixture(spark)
+    k, log_u = 64, 16
+    parts = [
+        spark.createDataFrame([(int(v),) for v in chunk], "v long")
+        for chunk in (vals[:3000], vals[3000:6000], vals[6000:])
+    ]
+    merged = qsketch_merge(
+        *[qsketch(p, "v", 0, 65535, k, log_u) for p in parts]
+    )
+    n = len(vals)
+    exact = np.sort(vals)
+    for r in qsketch_quantiles(merged, [5000, 9000], 0, 65535, log_u).collect():
+        assert r["n"] == n
+        target = math.ceil(r["q_bp"] / 10000 * n)
+        rank_lo = int(np.searchsorted(exact, r["est"], "left"))
+        rank_hi = int(np.searchsorted(exact, r["est"], "right"))
+        # merged bound: sum of part bounds = 2*log_u*n/k
+        assert min(abs(rank_lo - target), abs(rank_hi - target)) <= 2 * log_u * n / k
+    thin = qsketch_rethin(merged, k, log_u)
+    rows = thin.collect()
+    assert sum(r["cnt"] for r in rows) == n
+    assert len(rows) <= (log_u + 1) * (k - 1)
+    # counts only moved UP: every re-thinned node existed as an
+    # ancestor-or-self of some merged node
+    merged_nodes = {(r["level"], r["idx"]) for r in merged.collect()}
+    for r in rows:
+        assert any(
+            lvl >= r["level"] and (idx >> (lvl - r["level"])) == r["idx"]
+            for lvl, idx in merged_nodes
+        )
+    p50_m = qsketch_quantiles(merged, [5000], 0, 65535, log_u).collect()[0]["est"]
+    p50_t = qsketch_quantiles(thin, [5000], 0, 65535, log_u).collect()[0]["est"]
+    target = math.ceil(0.5 * n)
+    for est in (p50_m, p50_t):
+        rank = int(np.searchsorted(exact, est, "right"))
+        assert abs(rank - target) <= 2 * log_u * n / k
+
+
+def test_qsketch_edge_values_and_empty(spark):
+    """Domain edges clamp (values at/past hi land in the last bucket),
+    and an empty input yields an empty sketch with n=0 quantile rows."""
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch,
+        qsketch_quantiles,
+    )
+
+    df = spark.createDataFrame([(0,), (99,), (100,), (200,)], "v long")
+    sk = qsketch(df, "v", lo=0, hi=99, k=4, log_u=4)
+    assert sum(r["cnt"] for r in sk.collect()) == 4  # 100/200 clamped in
+    empty = spark.createDataFrame([], "v long")
+    sk0 = qsketch(empty, "v", lo=0, hi=99, k=4, log_u=4)
+    assert sk0.count() == 0
+    assert qsketch_quantiles(sk0, [5000], 0, 99, 4).count() == 0

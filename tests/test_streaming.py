@@ -1755,3 +1755,56 @@ def test_semdedup_sink_cumulative_parity_out_of_order_and_replay(spark, tmp_path
         for r in spark.read.parquet(f"{witness_store}/batch_id=1").collect()
     )
     assert replay_rows == first_rows
+
+
+def test_qsketch_sink_merged_store_within_bound(spark, tmp_path):
+    """Continuous quantile sketch: the merged per-batch store must
+    answer rank queries within the q-digest bound over EVERYTHING
+    ingested (merges are bound-preserving, not bit-identical — the
+    published structure's contract), conserve counts exactly, and stay
+    sketch-sized."""
+    import json as _json
+    import math
+    import time as _time
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch_quantiles,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        qsketch_sink,
+        read_qsketch_store,
+    )
+
+    rs = np.random.RandomState(6)
+    b1 = [int(v) for v in rs.randint(0, 5000, 4000)]
+    b2 = [int(v) for v in rs.randint(40000, 65536, 2500)]
+    src = tmp_path / "vals"; src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps({"v": v}) for v in b1))
+    _time.sleep(1.1)
+    (src / "b.json").write_text("\n".join(_json.dumps({"v": v}) for v in b2))
+
+    store = str(tmp_path / "qs_store")
+    stream = (
+        spark.readStream.schema("v long").option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    k, log_u = 64, 16
+    q = qsketch_sink(
+        stream, store, str(tmp_path / "ckpt"), col="v",
+        lo=0, hi=65535, k=k, log_u=log_u, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    merged = read_qsketch_store(spark, store)
+    rows = merged.collect()
+    n = sum(r["cnt"] for r in rows)
+    assert n == len(b1) + len(b2)                 # counts conserved
+    assert len(rows) <= 2 * (log_u + 1) * (k - 1)  # <= sum of part bounds
+    exact = np.sort(np.array(b1 + b2))
+    for r in qsketch_quantiles(merged, [2500, 5000, 9000], 0, 65535, log_u).collect():
+        target = math.ceil(r["q_bp"] / 10000 * n)
+        rank_lo = int(np.searchsorted(exact, r["est"], "left"))
+        rank_hi = int(np.searchsorted(exact, r["est"], "right"))
+        assert min(abs(rank_lo - target), abs(rank_hi - target)) <= 2 * log_u * n / k
