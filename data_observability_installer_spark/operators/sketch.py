@@ -830,3 +830,184 @@ def qsketch_report_sql(
            CAST({lo} + ((hib + 1) * {span}) // {u} - 1 AS BIGINT) AS est
     FROM sel ORDER BY q_bp
     """
+
+
+def qsketch_by(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    lo: int,
+    hi: int,
+    k: int = 64,
+    log_u: int = 16,
+) -> DataFrame:
+    """GROUPED quantile sketches: (k_key, level, idx, cnt) — the same
+    closed form as :func:`qsketch` applied per key, with the heavy-node
+    rule evaluated against EACH key's own n (a hot pipeline and a quiet
+    one both get <= (log_u+1)*(k-1) rows). One pass over the data; all
+    later shuffles bounded by keys x the bucket space. The per-key SLA
+    percentile workload (run-duration p95 per pipeline over an
+    unbounded log) at bounded state."""
+    u = 1 << log_u
+    leaves = (
+        df.selectExpr(
+            f"{key_col} AS k_key",
+            f"{_q_bucket_sql(col, lo, hi, log_u)} AS bucket",
+        )
+        .groupBy("k_key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
+    totals = leaves.groupBy("k_key").agg(F.sum("c").cast("long").alias("n"))
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
+    nodes = (
+        leaves.select("k_key", lvl, "bucket", "c")
+        .select(
+            "k_key",
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "c",
+        )
+        .groupBy("k_key", "level", "idx")
+        .agg(F.sum("c").alias("sub"))
+    )
+    kept = (
+        nodes.join(F.broadcast(totals), "k_key")
+        .filter(F.col("sub") * k > F.col("n"))
+        .select("k_key", "level", "idx")
+    )
+    deepest = (
+        leaves.select("k_key", lvl, "bucket", "c")
+        .select(
+            "k_key",
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "bucket",
+            "c",
+        )
+        .join(kept, ["k_key", "level", "idx"])
+        .groupBy("k_key", "bucket")
+        .agg(F.max("level").alias("level"), F.max("c").alias("c"))
+    )
+    return (
+        deepest.select(
+            "k_key",
+            "level",
+            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
+            "c",
+        )
+        .groupBy("k_key", "level", "idx")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def qsketch_quantiles_by(
+    sketch: DataFrame,
+    q_bps: list[int],
+    lo: int,
+    hi: int,
+    log_u: int = 16,
+) -> DataFrame:
+    """Per-key quantile estimates from a grouped sketch: the q-digest
+    scan order (range upper bound ASC, deeper first) evaluated inside
+    each key's partition — sketch-sized work per key."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    totals = sketch.groupBy("k_key").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n")
+    )
+    ordered = sketch.join(F.broadcast(totals), "k_key").select(
+        "k_key",
+        "cnt",
+        "n",
+        F.expr(f"(idx + 1) * shiftleft(1L, {log_u} - level) - 1").alias("hib"),
+        "level",
+    )
+    w = Window.partitionBy("k_key").orderBy(
+        F.col("hib").asc(), F.col("level").desc()
+    )
+    cum = ordered.select(
+        "k_key", "hib", "n", F.sum("cnt").over(w).alias("cum")
+    )
+    qs = ordered.sparkSession.createDataFrame(
+        [(int(q),) for q in q_bps], "q_bp int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 10000 >= F.col("q_bp") * F.col("n"))
+        .groupBy("k_key", "q_bp", "n")
+        .agg(F.min("hib").alias("hib"))
+        .select(
+            "k_key",
+            "q_bp",
+            "n",
+            F.expr(
+                f"CAST({lo} + ((hib + 1) * {span}) DIV {u} - 1 AS BIGINT)"
+            ).alias("est"),
+        )
+        .orderBy("k_key", "q_bp")
+    )
+
+
+def qsketch_by_report_sql(
+    table_sql: str,
+    key_col: str,
+    col_sql: str,
+    lo: int,
+    hi: int,
+    q_bps: list[int],
+    k: int = 64,
+    log_u: int = 16,
+) -> str:
+    """DuckDB twin of qsketch_by + qsketch_quantiles_by — the grouped
+    closed form, value-checked per key."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    qs_rows = ", ".join(f"({int(q)})" for q in q_bps)
+    return f"""
+    WITH src AS (
+      SELECT {key_col} AS k_key,
+             greatest(0, least({u - 1},
+               (CAST({col_sql} AS BIGINT) - {lo}) * {u} // {span})) AS bucket
+      FROM {table_sql}),
+    leaves AS MATERIALIZED (
+      SELECT k_key, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM src GROUP BY 1, 2),
+    tot AS (SELECT k_key, CAST(sum(c) AS BIGINT) AS n FROM leaves GROUP BY 1),
+    lv AS (SELECT unnest(generate_series(0, {log_u})) AS level),
+    nodes AS (
+      SELECT k_key, level, bucket >> ({log_u} - level) AS idx,
+             CAST(sum(c) AS BIGINT) AS sub
+      FROM leaves, lv GROUP BY 1, 2, 3),
+    kept AS (
+      SELECT nodes.k_key, level, idx
+      FROM nodes JOIN tot ON nodes.k_key = tot.k_key
+      WHERE sub * {k} > n),
+    deepest AS (
+      SELECT l.k_key, l.bucket, max(kp.level) AS dlevel, max(l.c) AS c
+      FROM leaves l JOIN kept kp
+        ON kp.k_key = l.k_key
+       AND kp.idx = l.bucket >> ({log_u} - kp.level)
+      GROUP BY 1, 2),
+    sk AS (
+      SELECT k_key, dlevel AS level, bucket >> ({log_u} - dlevel) AS idx,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM deepest GROUP BY 1, 2, 3),
+    ordered AS (
+      SELECT k_key,
+             (idx + 1) * (CAST(1 AS BIGINT) << ({log_u} - level)) - 1 AS hib,
+             level, cnt
+      FROM sk),
+    cum AS (
+      SELECT k_key, hib,
+             sum(cnt) OVER (PARTITION BY k_key
+                            ORDER BY hib ASC, level DESC) AS cum
+      FROM ordered),
+    qs(q_bp) AS (VALUES {qs_rows}),
+    sel AS (
+      SELECT cum.k_key, q_bp, n, min(hib) AS hib
+      FROM qs, cum JOIN tot ON cum.k_key = tot.k_key
+      WHERE cum * 10000 >= q_bp * n GROUP BY 1, 2, 3)
+    SELECT k_key, CAST(q_bp AS INT) AS q_bp, n,
+           CAST({lo} + ((hib + 1) * {span}) // {u} - 1 AS BIGINT) AS est
+    FROM sel ORDER BY k_key, q_bp
+    """

@@ -3468,6 +3468,51 @@ ORACLES["qsketch_quantiles_lineitem"] = _qs_sql(
     "lineitem", _QS_CENTS, lo=0, hi=(1 << 24) - 1, q_bps=_QS_BPS
 )
 
+_QSB_BPS = [5000, 9000, 9900]
+_QSB_HI = (1 << 17) - 1
+
+
+@register(
+    "qsketch_sla_events",
+    None,  # oracle attached below
+)
+def qsketch_sla_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pipeline run-duration quantiles from GROUPED dyadic quantile
+    sketches — the sketch face of run_duration_sla_events: p50/p90/p99
+    of user-day run durations per pipeline, each key holding its own
+    <= (log_u+1)(k-1)-row summary (the shape that answers SLA
+    percentiles over an unbounded run log at bounded state). Duration
+    in whole seconds via unix_micros (cross-engine-exact; plain
+    unix_timestamp truncates differently than DuckDB's epoch())."""
+    from ..operators.sketch import qsketch_by, qsketch_quantiles_by
+
+    runs = _events_run_rollup(load_table(spark, sf_dir, "events"))
+    dur = runs.selectExpr(
+        "pipeline_key",
+        "(unix_micros(end_ts) - unix_micros(start_ts)) DIV 1000000 AS dur_s",
+    )
+    sk = qsketch_by(dur, "pipeline_key", "dur_s", lo=0, hi=_QSB_HI)
+    return qsketch_quantiles_by(sk, _QSB_BPS, lo=0, hi=_QSB_HI).select(
+        F.col("k_key").alias("pipeline_key"), "q_bp", "n", "est"
+    )
+
+
+from ..operators.sketch import qsketch_by_report_sql as _qsb_sql  # noqa: E402
+
+ORACLES["qsketch_sla_events"] = (
+    "SELECT k_key AS pipeline_key, q_bp, n, est FROM ("
+    + _qsb_sql(
+        f"(SELECT pipeline_key, (epoch_us(end_ts) - epoch_us(start_ts)) // 1000000"
+        f" AS dur_s FROM ({_RUNS_SQL}))",
+        "pipeline_key",
+        "dur_s",
+        lo=0,
+        hi=_QSB_HI,
+        q_bps=_QSB_BPS,
+    )
+    + ") ORDER BY pipeline_key, q_bp"
+)
+
 
 @register(
     "hll_distinct_documents",
