@@ -436,3 +436,57 @@ def test_qsketch_edge_values_and_empty(spark):
     sk0 = qsketch(empty, "v", lo=0, hi=99, k=4, log_u=4)
     assert sk0.count() == 0
     assert qsketch_quantiles(sk0, [5000], 0, 99, 4).count() == 0
+
+
+def test_qsketch_by_per_key_isolation_and_bounds(spark):
+    """Grouped sketches: each key's heavy-node rule uses ITS OWN n (a
+    hot key cannot evict a quiet key's detail), counts conserve per
+    key, sizes bound per key, and per-key estimates match the
+    single-key operator run on that key's slice."""
+    import math
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch,
+        qsketch_by,
+        qsketch_quantiles,
+        qsketch_quantiles_by,
+    )
+
+    rs = np.random.RandomState(8)
+    rows = [("hot", int(v)) for v in rs.randint(0, 60000, 6000)]
+    rows += [("quiet", int(v)) for v in rs.randint(20000, 30000, 300)]
+    df = spark.createDataFrame(rows, "k_col string, v long")
+    k, log_u = 64, 16
+    sk = qsketch_by(df, "k_col", "v", lo=0, hi=65535, k=k, log_u=log_u)
+    per_key = {}
+    for r in sk.collect():
+        per_key.setdefault(r["k_key"], []).append(r)
+    assert set(per_key) == {"hot", "quiet"}
+    assert sum(r["cnt"] for r in per_key["hot"]) == 6000
+    assert sum(r["cnt"] for r in per_key["quiet"]) == 300
+    for key in per_key:
+        assert len(per_key[key]) <= (log_u + 1) * (k - 1)
+    got = {
+        (r["k_key"], r["q_bp"]): (r["n"], r["est"])
+        for r in qsketch_quantiles_by(sk, [5000, 9000], 0, 65535, log_u).collect()
+    }
+    # per-key result == single-key operator on the slice (same closed
+    # form, same n) — grouping changes nothing about any one key
+    for key in ("hot", "quiet"):
+        solo = qsketch(
+            df.filter(F.col("k_col") == key).select("v"), "v", 0, 65535, k, log_u
+        )
+        for r in qsketch_quantiles(solo, [5000, 9000], 0, 65535, log_u).collect():
+            assert got[(key, r["q_bp"])] == (r["n"], r["est"])
+    # error bound holds per key
+    exact = {
+        "hot": np.sort([v for kk, v in rows if kk == "hot"]),
+        "quiet": np.sort([v for kk, v in rows if kk == "quiet"]),
+    }
+    for (key, q_bp), (n, est) in got.items():
+        target = math.ceil(q_bp / 10000 * n)
+        lo_r = int(np.searchsorted(exact[key], est, "left"))
+        hi_r = int(np.searchsorted(exact[key], est, "right"))
+        assert min(abs(lo_r - target), abs(hi_r - target)) <= 2 * log_u * n / k
