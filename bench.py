@@ -246,6 +246,7 @@ HEADLINE = [
     "a3_late_end_runs",
     "dsir_resample_documents",
     "qsketch_quantiles_lineitem",
+    "qsketch_sla_events",
 ]
 
 
