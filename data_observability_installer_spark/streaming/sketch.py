@@ -309,6 +309,7 @@ def qsketch_sink(
     k: int = 64,
     log_u: int = 16,
     retain: int | None = None,
+    key_col: str | None = None,
     **trigger,
 ):
     """CONTINUOUS quantiles: every micro-batch reduces to its own
@@ -321,26 +322,31 @@ def qsketch_sink(
     bounded state, the face run_duration_sla percentiles need when the
     run log never fits a batch. Stream state is ZERO; durability lives
     in the store; ``retain`` folds surplus partitions through
-    qsketch_rethin-compatible summation."""
+    qsketch_rethin-compatible summation. ``key_col`` switches to
+    GROUPED sketches (qsketch_by) — the continuous per-pipeline SLA
+    percentile store, each key bounded independently."""
     from pyspark.sql import functions as F
 
     from ..operators.profile import retain_runs, write_profile
-    from ..operators.sketch import qsketch
+    from ..operators.sketch import qsketch, qsketch_by
+
+    keys = (["k_key"] if key_col else []) + ["level", "idx"]
 
     def _merge_nodes(parts):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.groupBy("level", "idx").agg(
+        return out.groupBy(*keys).agg(
             F.sum("cnt").cast("long").alias("cnt")
         )
 
     def commit(df: DataFrame, batch_id: int) -> None:
-        write_profile(
-            qsketch(df, col, lo=lo, hi=hi, k=k, log_u=log_u),
-            store,
-            f"{batch_id:08d}",
+        sk = (
+            qsketch_by(df, key_col, col, lo=lo, hi=hi, k=k, log_u=log_u)
+            if key_col
+            else qsketch(df, col, lo=lo, hi=hi, k=k, log_u=log_u)
         )
+        write_profile(sk, store, f"{batch_id:08d}")
         if retain is not None:
             retain_runs(
                 df.sparkSession, store, retain,
@@ -355,14 +361,16 @@ def qsketch_sink(
     return writer.start()
 
 
-def read_qsketch_store(spark, store: str) -> DataFrame:
+def read_qsketch_store(spark, store: str, grouped: bool = False) -> DataFrame:
     """Merge every stored per-batch sketch into the whole-history
     sketch (node-residual sums — sketch-sized, never data-sized); feed
-    to qsketch_quantiles / qsketch_rethin."""
+    to qsketch_quantiles / qsketch_rethin (``grouped=True`` for stores
+    written with ``key_col=`` → qsketch_quantiles_by)."""
     from pyspark.sql import functions as F
 
+    keys = (["k_key"] if grouped else []) + ["level", "idx"]
     return (
         spark.read.parquet(store)
-        .groupBy("level", "idx")
+        .groupBy(*keys)
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )

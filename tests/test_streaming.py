@@ -1808,3 +1808,67 @@ def test_qsketch_sink_merged_store_within_bound(spark, tmp_path):
         rank_lo = int(np.searchsorted(exact, r["est"], "left"))
         rank_hi = int(np.searchsorted(exact, r["est"], "right"))
         assert min(abs(rank_lo - target), abs(rank_hi - target)) <= 2 * log_u * n / k
+
+
+def test_qsketch_sink_grouped_per_key_bounds(spark, tmp_path):
+    """Grouped continuous quantiles: per-key merged sketches conserve
+    each key's count, stay per-key bounded, and answer per-key ranks
+    within the bound — the always-on per-pipeline SLA percentile
+    store."""
+    import json as _json
+    import math
+    import time as _time
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch_quantiles_by,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        qsketch_sink,
+        read_qsketch_store,
+    )
+
+    rs = np.random.RandomState(3)
+    b1 = [("a", int(v)) for v in rs.randint(0, 8000, 2000)]
+    b1 += [("b", int(v)) for v in rs.randint(30000, 40000, 500)]
+    b2 = [("a", int(v)) for v in rs.randint(8000, 16000, 1500)]
+    src = tmp_path / "vals"; src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"pipe": p, "v": v}) for p, v in b1))
+    _time.sleep(1.1)
+    (src / "b.json").write_text(
+        "\n".join(_json.dumps({"pipe": p, "v": v}) for p, v in b2))
+
+    store = str(tmp_path / "qs_store")
+    stream = (
+        spark.readStream.schema("pipe string, v long")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    k, log_u = 64, 16
+    q = qsketch_sink(
+        stream, store, str(tmp_path / "ckpt"), col="v",
+        lo=0, hi=65535, k=k, log_u=log_u, key_col="pipe",
+        availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    merged = read_qsketch_store(spark, store, grouped=True)
+    per_key = {}
+    for r in merged.collect():
+        per_key.setdefault(r["k_key"], []).append(r)
+    all_vals = b1 + b2
+    for key in ("a", "b"):
+        want_n = sum(1 for p, _ in all_vals if p == key)
+        assert sum(r["cnt"] for r in per_key[key]) == want_n
+        assert len(per_key[key]) <= 2 * (log_u + 1) * (k - 1)
+    exact = {
+        key: np.sort([v for p, v in all_vals if p == key]) for key in ("a", "b")
+    }
+    for r in qsketch_quantiles_by(merged, [5000, 9000], 0, 65535, log_u).collect():
+        n = r["n"]
+        target = math.ceil(r["q_bp"] / 10000 * n)
+        ex = exact[r["k_key"]]
+        lo_r = int(np.searchsorted(ex, r["est"], "left"))
+        hi_r = int(np.searchsorted(ex, r["est"], "right"))
+        assert min(abs(lo_r - target), abs(hi_r - target)) <= 2 * log_u * n / k

@@ -1115,3 +1115,37 @@ def test_rename_cli_and_changes_guard(spark, tmp_path, capsys):
         table_changes(spark, t, 1).collect()
     # a range NOT containing the rename still works
     assert _rows(table_changes(spark, t, 2)) == [(2, "b")]
+
+
+def test_merge_cdc_and_stream_commit_after_rename(spark, tmp_path):
+    """Rewriting commits composed with column mapping: a CDC merge
+    after a rename reads old-era files through the mapping, writes the
+    merged snapshot under the NEW names, and the mapping keeps riding
+    (a later second rename still works); a stream_append after a rename
+    also lands at the current epoch."""
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    rename_column(t, "v", "val")
+    # exactly-once stream append in the new era
+    commit_stream_batch(
+        t, spark.createDataFrame([(3, "c")], "k int, val string"), batch_id=0
+    )
+    assert commit_stream_batch(
+        t, spark.createDataFrame([(3, "dup")], "k int, val string"), batch_id=0
+    ) is None
+    merge_cdc(
+        spark, t,
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k int, val string"),
+        ["k"],
+    )
+    got = _rows(read_table(spark, t))
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    rename_column(t, "val", "value")
+    assert read_table(spark, t).columns == ["k", "value"]
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
