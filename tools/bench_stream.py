@@ -762,6 +762,47 @@ def main() -> None:
         lambda: hll_sketch(hh_items(batch_df)).count()
     )
 
+    # round-11: continuous quantile sketch — per-batch dyadic sketches
+    # of metric_value (milli-units), merged store answers whole-history
+    # percentiles; grouped by pipeline for the per-key SLA shape
+    from data_observability_installer_spark.operators.sketch import (
+        qsketch_by,
+        qsketch_quantiles_by,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        qsketch_sink,
+        read_qsketch_store,
+    )
+
+    def qs_vals(df):
+        return df.filter(F.col("metric_value").isNotNull()).select(
+            "pipeline_key",
+            F.expr("CAST(floor(metric_value * 1000 + 0.5) AS BIGINT)").alias("mv"),
+        )
+
+    q = qsketch_sink(
+        qs_vals(read_stream()),
+        os.path.join(sink_root3, "qs"),
+        os.path.join(sink_root3, "ckpt_qs"),
+        col="mv", lo=0, hi=(1 << 20) - 1, key_col="pipeline_key",
+        availableNow=True,
+    )
+    ops["qsketch_sink"] = _drain(
+        q,
+        lambda: read_qsketch_store(
+            spark, os.path.join(sink_root3, "qs"), grouped=True
+        ).count(),
+    )
+    ops["qsketch_sink"]["p50_p99_keys"] = qsketch_quantiles_by(
+        read_qsketch_store(spark, os.path.join(sink_root3, "qs"), grouped=True),
+        [5000, 9900], lo=0, hi=(1 << 20) - 1,
+    ).count()
+    ops["qsketch_sink"]["batch_twin_s"] = timed_batch(
+        lambda: qsketch_by(
+            qs_vals(batch_df), "pipeline_key", "mv", lo=0, hi=(1 << 20) - 1
+        ).count()
+    )
+
     # round-10: continuous DSIR model — per-batch (bucket, n_r, n_t)
     # counts; documents synthesized from the event stream (text = the
     # same 3-word mix, target = ERROR-status events)
