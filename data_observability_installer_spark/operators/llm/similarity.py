@@ -3116,6 +3116,7 @@ def semdedup_incremental(
     id_col: str = "vec_id",
     cents: dict[int, list[int]] | None = None,
     batch_id: int | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL SemDeDup: score a NEW batch of vectors against the
     accumulated cell store (a txtable of (vid, embedding, nrm, cell))
@@ -3138,6 +3139,15 @@ def semdedup_incremental(
     already landed recomputes ROW-identical witnesses (vid dedup keeps
     the batch's own store copy from pairing with itself).
 
+    ``max_cell`` bounds PER-BATCH cost: cells whose cumulative pool
+    (store + batch) exceeds the cap emit no witnesses this batch.
+    This is PARITY-SAFE against :func:`semdedup_verdicts` at the SAME
+    cap — cell counts only grow, so any cell that ever skipped is
+    over-cap at read time and the read face exempts it wholesale
+    (dropping whatever witnesses it had); a cell that finishes under
+    cap never skipped, so its witness set is complete. Exactness per
+    cell, bounded cost per batch (tested).
+
     Returns the witness frame (vid, dup_of), dup_of < vid always."""
     import os as _os
 
@@ -3155,6 +3165,14 @@ def semdedup_incremental(
         if have_store
         else assigned
     )
+    if max_cell is not None:
+        small = (
+            pool.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") <= max_cell)
+            .select("cell")
+        )
+        pool = pool.join(F.broadcast(small), "cell")
     thr_bp = int(math.floor(threshold * 10000 + 0.5))
     x = assigned.select(
         "cell", F.col("vid").alias("vid_x"),

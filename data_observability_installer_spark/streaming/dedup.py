@@ -143,6 +143,7 @@ def semdedup_sink(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     cents: dict[int, list[int]] | None = None,
+    max_cell: int | None = None,
     **trigger,
 ):
     """Streaming SemDeDup over an embedding ingest: each micro-batch is
@@ -158,6 +159,9 @@ def semdedup_sink(
     (:func:`operators.llm.similarity.semdedup_verdicts`) is row-identical
     to full-corpus semdedup over everything ingested, for any batch
     split or arrival order (parity-tested in test_streaming.py).
+    ``max_cell`` bounds per-batch cost by skipping cumulative-over-cap
+    cells — parity-safe when semdedup_verdicts reads with the SAME cap
+    (counts only grow; see semdedup_incremental).
 
     Returns the started StreamingQuery."""
     from ..operators.llm.similarity import semdedup_incremental
@@ -172,6 +176,7 @@ def semdedup_sink(
             id_col=id_col,
             cents=cents,
             batch_id=batch_id,
+            max_cell=max_cell,
         )
         witnesses.coalesce(1).write.mode("overwrite").parquet(
             f"{witness_store}/batch_id={batch_id}"

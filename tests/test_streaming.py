@@ -1872,3 +1872,78 @@ def test_qsketch_sink_grouped_per_key_bounds(spark, tmp_path):
         lo_r = int(np.searchsorted(ex, r["est"], "left"))
         hi_r = int(np.searchsorted(ex, r["est"], "right"))
         assert min(abs(lo_r - target), abs(hi_r - target)) <= 2 * log_u * n / k
+
+
+def test_semdedup_sink_max_cell_cap_is_parity_safe(spark, tmp_path):
+    """The per-batch cost cap: a cell whose cumulative pool crosses
+    max_cell stops emitting witnesses mid-stream, yet the read face at
+    the SAME cap stays ROW-identical to batch semdedup(max_cell=cap) —
+    counts only grow, so every cell that ever skipped is over-cap at
+    read time and exempted wholesale; under-cap cells never skipped."""
+    import json as _json
+    import time as _time
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        semdedup,
+        semdedup_verdicts,
+    )
+    from data_observability_installer_spark.streaming.dedup import semdedup_sink
+
+    rs = np.random.RandomState(11)
+    v0 = rs.uniform(-1, 1, 64)   # the hot direction
+    v2 = rs.uniform(-1, 1, 64)   # a quiet direction
+
+    def fl(a):
+        return [float(x) for x in a]
+
+    # hot cell: 6 scaled copies of v0 split across batches (all land in
+    # v0's cell; pool crosses cap=4 inside batch 2)
+    b1 = [(i, fl(v0 * (1.0 + 0.1 * i))) for i in range(3)]
+    b1 += [(100, fl(v2))]
+    b2 = [(i, fl(v0 * (2.0 + 0.1 * i))) for i in range(3, 6)]
+    b2 += [(101, fl(v2 * 1.5))]  # quiet-cell dup pair stays exact
+
+    src = tmp_path / "emb_stream"; src.mkdir()
+    def dump(rows, name):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"vec_id": i, "embedding": e}) for i, e in rows)
+        )
+    dump(b1, "a.json"); _time.sleep(1.1); dump(b2, "b.json")
+
+    store = str(tmp_path / "cells")
+    witness_store = str(tmp_path / "witnesses")
+    cap = 4
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = semdedup_sink(
+        stream, store, witness_store, str(tmp_path / "ckpt"),
+        threshold=0.95, max_cell=cap, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    full_df = spark.createDataFrame(b1 + b2, "vec_id long, embedding array<float>")
+    want = sorted(
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semdedup(full_df, threshold=0.95, max_cell=cap).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semdedup_verdicts(
+            spark, store, witness_store, max_cell=cap
+        ).collect()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # the hot cell crossed the cap -> exempted wholesale (all kept)
+    for vid in range(6):
+        assert by_id[vid][1] and by_id[vid][2] is None
+    # the quiet cell stayed exact
+    assert not by_id[101][1] and by_id[101][2] == 100
+    # and the cap actually FIRED: batch 2 emitted no hot-cell witnesses
+    w2 = spark.read.parquet(f"{witness_store}/batch_id=1").collect()
+    assert all(r.vid > 6 or r.vid in (101,) for r in w2) or not w2
