@@ -247,6 +247,7 @@ HEADLINE = [
     "dsir_resample_documents",
     "qsketch_quantiles_lineitem",
     "qsketch_sla_events",
+    "qsketch_merged_lineitem",
 ]
 
 

@@ -775,23 +775,15 @@ def qsketch_quantiles(
     )
 
 
-def qsketch_report_sql(
-    table: str,
-    col_sql: str,
-    lo: int,
-    hi: int,
-    q_bps: list[int],
-    k: int = 64,
-    log_u: int = 16,
+def _qsketch_nodes_sql(
+    table: str, col_sql: str, lo: int, hi: int, k: int, log_u: int
 ) -> str:
-    """DuckDB twin of qsketch + qsketch_quantiles: identical integer
-    quantization, identical closed-form heavy-node keep rule, identical
-    deepest-kept-ancestor assignment and query scan order — the sketch
-    pipeline is value-checked end to end, not just its error bound."""
+    """Subquery producing ONE sketch's (level, idx, cnt) rows from
+    ``table`` — the build half of the twin, composable so merge-path
+    oracles can union several of these before the quantile scan."""
     u = 1 << log_u
     span = hi - lo + 1
-    qs_rows = ", ".join(f"({int(q)})" for q in q_bps)
-    return f"""
+    return f"""(
     WITH src AS (
       SELECT greatest(0, least({u - 1},
                (CAST({col_sql} AS BIGINT) - {lo}) * {u} // {span})) AS bucket
@@ -810,11 +802,24 @@ def qsketch_report_sql(
       SELECT l.bucket, max(kp.level) AS dlevel, max(l.c) AS c
       FROM leaves l JOIN kept kp
         ON kp.idx = l.bucket >> ({log_u} - kp.level)
-      GROUP BY l.bucket),
-    sk AS (
-      SELECT dlevel AS level, bucket >> ({log_u} - dlevel) AS idx,
-             CAST(sum(c) AS BIGINT) AS cnt
-      FROM deepest GROUP BY 1, 2),
+      GROUP BY l.bucket)
+    SELECT dlevel AS level, bucket >> ({log_u} - dlevel) AS idx,
+           CAST(sum(c) AS BIGINT) AS cnt
+    FROM deepest GROUP BY 1, 2
+    )"""
+
+
+def _qsketch_quantiles_sql(
+    nodes_sql: str, q_bps: list[int], lo: int, hi: int, log_u: int
+) -> str:
+    """Quantile scan over a (level, idx, cnt) node subquery — the query
+    half of the twin (same scan order as qsketch_quantiles)."""
+    u = 1 << log_u
+    span = hi - lo + 1
+    qs_rows = ", ".join(f"({int(q)})" for q in q_bps)
+    return f"""
+    WITH sk AS MATERIALIZED (SELECT * FROM {nodes_sql}),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
     ordered AS (
       SELECT (idx + 1) * (CAST(1 AS BIGINT) << ({log_u} - level)) - 1 AS hib,
              level, cnt
@@ -830,6 +835,48 @@ def qsketch_report_sql(
            CAST({lo} + ((hib + 1) * {span}) // {u} - 1 AS BIGINT) AS est
     FROM sel ORDER BY q_bp
     """
+
+
+def qsketch_report_sql(
+    table: str,
+    col_sql: str,
+    lo: int,
+    hi: int,
+    q_bps: list[int],
+    k: int = 64,
+    log_u: int = 16,
+) -> str:
+    """DuckDB twin of qsketch + qsketch_quantiles: identical integer
+    quantization, identical closed-form heavy-node keep rule, identical
+    deepest-kept-ancestor assignment and query scan order — the sketch
+    pipeline is value-checked end to end, not just its error bound."""
+    return _qsketch_quantiles_sql(
+        _qsketch_nodes_sql(table, col_sql, lo, hi, k, log_u),
+        q_bps, lo, hi, log_u,
+    )
+
+
+def qsketch_merge_report_sql(
+    part_tables: list[str],
+    col_sql: str,
+    lo: int,
+    hi: int,
+    q_bps: list[int],
+    k: int = 64,
+    log_u: int = 16,
+) -> str:
+    """DuckDB twin of the MERGE path: one sketch per part, node sums,
+    then the shared quantile scan — value-checks the merge algebra
+    itself, not just the one-pass build."""
+    parts = " UNION ALL ".join(
+        f"SELECT * FROM {_qsketch_nodes_sql(t, col_sql, lo, hi, k, log_u)}"
+        for t in part_tables
+    )
+    merged = (
+        f"(SELECT level, idx, CAST(sum(cnt) AS BIGINT) AS cnt "
+        f"FROM ({parts}) GROUP BY 1, 2)"
+    )
+    return _qsketch_quantiles_sql(merged, q_bps, lo, hi, log_u)
 
 
 def qsketch_by(

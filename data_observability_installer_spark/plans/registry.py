@@ -3468,6 +3468,46 @@ ORACLES["qsketch_quantiles_lineitem"] = _qs_sql(
     "lineitem", _QS_CENTS, lo=0, hi=(1 << 24) - 1, q_bps=_QS_BPS
 )
 
+@register(
+    "qsketch_merged_lineitem",
+    None,  # oracle attached below
+)
+def qsketch_merged_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch MERGE algebra value-checked cross-engine (not just
+    pytest-bounded): two partial sketches built over disjoint halves of
+    lineitem (even/odd l_linenumber — the per-day/per-partition shape
+    a distributed build produces), merged by node-residual sums, then
+    queried. Must agree with DuckDB running the identical two builds +
+    sum + scan."""
+    from ..operators.sketch import qsketch, qsketch_merge, qsketch_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_QS_CENTS} AS cv", "l_linenumber"
+    )
+    parts = [
+        qsketch(
+            li.filter(F.col("l_linenumber") % 2 == p).select("cv"),
+            "cv", lo=0, hi=(1 << 24) - 1, k=64, log_u=16,
+        )
+        for p in (0, 1)
+    ]
+    merged = qsketch_merge(*parts)
+    return qsketch_quantiles(merged, _QS_BPS, lo=0, hi=(1 << 24) - 1, log_u=16)
+
+
+from ..operators.sketch import qsketch_merge_report_sql as _qsm_sql  # noqa: E402
+
+ORACLES["qsketch_merged_lineitem"] = _qsm_sql(
+    [
+        "(SELECT * FROM lineitem WHERE l_linenumber % 2 = 0)",
+        "(SELECT * FROM lineitem WHERE l_linenumber % 2 = 1)",
+    ],
+    _QS_CENTS,
+    lo=0,
+    hi=(1 << 24) - 1,
+    q_bps=_QS_BPS,
+)
+
 _QSB_BPS = [5000, 9000, 9900]
 _QSB_HI = (1 << 17) - 1
 
