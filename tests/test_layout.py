@@ -149,11 +149,20 @@ def test_zorder_scan_reads_fewer_rows_than_lexicographic(spark, tmp_path):
         ((F.col("id") * 7919) % 1000).cast("double").alias("b"),
     )
     zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
-    zorder_by(df, ["a", "b"], bits=10, n_files=16).write.parquet(zpath)
+    # pin row-group granularity: with default 128 MB block size each
+    # file is a single row group and pruning works only at FILE level,
+    # where an unlucky range-sampling layout can tie the two copies
+    # (observed as an under-load flake); a small fixed block size gives
+    # both copies many row groups, so the z-vs-lex gap is structural
+    bs = str(32 * 1024)
+    zorder_by(df, ["a", "b"], bits=10, n_files=16).write.option(
+        "parquet.block.size", bs
+    ).parquet(zpath)
     (
         df.repartitionByRange(16, F.col("a"), F.col("b"))
         .sortWithinPartitions("a", "b")
-        .write.parquet(lpath)
+        .write.option("parquet.block.size", bs)
+        .parquet(lpath)
     )
     box = (F.col("a").between(100, 199)) & (F.col("b").between(100, 199))
     z = scan_metrics(spark.read.parquet(zpath).filter(box))
