@@ -384,6 +384,19 @@ def cmd_table(args) -> int:
         n = tx.vacuum(args.path, keep_last=args.keep_last)
         print(f"removed {n} data files")
         return 0
+    if args.action == "delete":
+        if not args.where:
+            print("delete requires --where", file=sys.stderr)
+            return 2
+        preds = None
+        if args.prune:
+            preds = []
+            for spec in args.prune:
+                col, op, val = spec.split(":", 2)
+                preds.append((col, op, val))
+        n = tx.delete_rows(_spark(args), args.path, args.where, prune=preds)
+        print(f"deleted {n} rows via deletion vectors (no data rewritten)")
+        return 0
     if args.action == "changes":
         tx.table_changes(_spark(args), args.path, args.from_version).show(
             args.rows, truncate=False
@@ -503,7 +516,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
                             "stats", "health", "clone", "restore",
-                            "rename-col", "drop-col"])
+                            "rename-col", "drop-col", "delete"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -525,8 +538,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="rename-col: the new column name")
     p.add_argument("--prune", action="append", default=None,
                    metavar="COL:OP:VALUE",
-                   help="show: data-skipping predicate(s), e.g. "
+                   help="show/delete: data-skipping predicate(s), e.g. "
                         "l_shipdate:>=:2001-01-01T00:00:00 (repeatable)")
+    p.add_argument("--where", default=None,
+                   help="delete: SQL condition selecting the rows to "
+                        "remove (committed as deletion vectors)")
     p = sub.add_parser("profile-store")
     p.add_argument("action", choices=["runs", "vacuum"])
     p.add_argument("path")

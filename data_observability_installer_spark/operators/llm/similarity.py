@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -389,6 +390,13 @@ def train_ivf_kmeans(
 
     Returns {bucket_id: integer centroid in IVF_SCALE units}."""
     if init == "sample":
+        # DISTINCT quantized vectors, each ranked by the best (minimum)
+        # salted-md5 rank among its rows: identical to a plain ranked
+        # limit when the top-K rows are all distinct (the common case),
+        # but a corpus with duplicate vectors among the seeds no longer
+        # silently yields dead duplicate centroids (round-11 advice),
+        # and the count check turns an empty/too-small corpus into a
+        # clear error instead of an opaque KeyError
         seeds = (
             embeddings.select(
                 F.md5(
@@ -396,10 +404,18 @@ def train_ivf_kmeans(
                 ).alias("_rk"),
                 F.expr(_quant_sql("embedding")).alias("eq"),
             )
+            .groupBy("eq")
+            .agg(F.min("_rk").alias("_rk"))
             .orderBy("_rk")
             .limit(n_clusters)
             .collect()
         )
+        if len(seeds) < n_clusters:
+            raise ValueError(
+                f"init='sample' needs {n_clusters} distinct embedding "
+                f"vectors to seed {n_clusters} cells; corpus has "
+                f"{len(seeds)}"
+            )
         cents = {b: [int(v) for v in r["eq"]] for b, r in enumerate(seeds)}
         dim = len(cents[0])
     else:
@@ -3233,7 +3249,14 @@ def semdedup_verdicts(
     pool = _tx.read_table(spark, store).select("vid", "cell")
     try:
         w = spark.read.parquet(witness_store).select("vid", "dup_of")
-    except Exception:  # noqa: BLE001 — no batch produced witnesses yet
+    except AnalysisException as e:
+        # ONLY the store-not-created-yet shapes mean "no witnesses":
+        # a transient IO/permission/corruption error must propagate,
+        # never silently turn into keep=True for everything (round-11
+        # advice)
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
         w = spark.createDataFrame([], "vid long, dup_of long")
     verd = w.groupBy("vid").agg(F.min("dup_of").alias("dup_of"))
     if max_cell is not None:

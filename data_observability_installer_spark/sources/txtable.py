@@ -93,11 +93,26 @@ itself is one O(1) driver CAS. Readers never pay a directory listing
 of ``data/`` — the manifest IS the file index (the same reason real
 table formats beat Hive-style listing at scale). A lost race never
 rewrites data files — append/compact/stream retries merge MANIFESTS
-only; only ``merge_cdc`` rewrites, because its row content depends on
-the snapshot it merged into. What this deliberately does NOT
-implement: multi-table transactions, column mapping, deletion
-vectors — swap in Delta/Iceberg via this module's API surface when
-the package is available.
+only; ``merge_cdc`` and ``delete_rows`` re-derive, because their row
+content depends on the snapshot they read.
+
+Row-level deletes WITHOUT rewrite (deletion vectors): a GDPR-delete of
+a handful of rows on a 100 TB table must not re-pay whole files, so
+:func:`delete_rows` commits POSITIONAL-DELETE sidecars (op='delete'):
+parquet files of ``(file, pos)`` pairs under ``_dv/<uuid>/``, written
+distributed by Spark, with the manifest carrying a per-data-file
+``dv`` entry pointing at its current sidecar. Readers anti-apply DVs
+at scan time through the parquet ``_metadata.row_index`` hidden
+column; a file whose every row is deleted leaves the file list
+entirely. Compaction materializes DVs away (the rewrite reads through
+them), time travel pins each snapshot's own DV set, restore/clone
+carry the target's, and vacuum collects sidecars exactly like data
+files. The same mechanism as Delta deletion vectors / Iceberg
+positional deletes, re-derived over the row_index metadata column.
+
+What this deliberately does NOT implement: multi-table transactions —
+swap in Delta/Iceberg via this module's API surface when the package
+is available.
 """
 
 from __future__ import annotations
@@ -112,6 +127,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _COMMITS = "_commits"
 _DATA = "data"
+_DV = "_dv"
+
+#: broadcast the deletion-vector side of the read anti-join while the
+#: snapshot's total deleted-row count stays under this (a (file, pos)
+#: row is ~100 bytes; 4M rows ≈ a few hundred MB of executor memory,
+#: well under a sensible driver/executor budget). Bigger DV sets fall
+#: back to a shuffle join, which AQE is free to re-plan.
+_DV_BROADCAST_ROWS = 4_000_000
 
 #: operation-level optimistic-concurrency retry budget: each retry
 #: re-reads the head and rebuilds the manifest, so the loop converges
@@ -450,6 +473,22 @@ def _publish(
                 f: (epoch if f in added else prev_eras.get(f, 0))
                 for f in manifest["files"]
             }
+    # deletion vectors ride along the same way: any commit that does not
+    # explicitly set its own "dv" map inherits the parent's entries for
+    # the data files it KEEPS (appends/renames/stream batches carry
+    # them; compact/merge/overwrite replace the files, so nothing
+    # matches and the DVs are materialized/retired). Operations that
+    # must pin a specific DV set (restore, clone, delete itself) set
+    # "dv" explicitly — an explicit empty dict suppresses inheritance.
+    if "dv" not in manifest and pm.get("dv"):
+        added = set(manifest.get("added_files") or ())
+        carried = {
+            f: e
+            for f, e in pm["dv"].items()
+            if f in set(manifest["files"]) and f not in added
+        }
+        if carried:
+            manifest["dv"] = carried
     own = manifest.get("batch_id")
     hw = max((x for x in (inherited, own) if x is not None), default=None)
     if hw is not None:
@@ -828,7 +867,16 @@ def read_table(
     are dropped from the scan BEFORE Spark plans it. Pruning is an
     optimization, not a filter — rows from kept files still need the
     caller's row-level predicate (a kept file merely MIGHT contain
-    matches)."""
+    matches).
+
+    Files carrying deletion vectors (``delete_rows``) are scanned with
+    the parquet ``_metadata.row_index`` column and anti-joined against
+    their snapshot's (file, pos) sidecars — broadcast while the
+    snapshot's total deleted-row count stays under
+    ``_DV_BROADCAST_ROWS``, a shuffle join (AQE re-plannable) beyond.
+    Files WITHOUT DVs keep the plain scan: a table that never deletes
+    pays nothing, and after a delete only the touched files pay the
+    join."""
     from pyspark.sql.types import StructType
 
     if as_of_ms is not None:
@@ -840,32 +888,57 @@ def read_table(
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
+    dv = m.get("dv") or {}
+    plain = [f for f in files if f not in dv]
+    dved = [f for f in files if f in dv]
+    parts = []
+    if plain:
+        parts.append(_scan_plain(spark, path, m, plain, schema))
+    if dved:
+        from pyspark.sql import functions as F
+
+        scanned = _scan_with_pos(spark, path, m, dved, schema)
+        dvdf = _dv_frame(spark, path, dv, dved)
+        if sum(dv[f]["count"] for f in dved) <= _DV_BROADCAST_ROWS:
+            dvdf = F.broadcast(dvdf)
+        parts.append(
+            scanned.join(
+                dvdf,
+                (scanned["__file"] == dvdf["file"])
+                & (scanned["__pos"] == dvdf["pos"]),
+                "left_anti",
+            ).drop("__file", "__pos")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scan_plain(spark, path: str, m: dict, files: list[str], schema):
+    """DV-free scan of ``files`` under manifest ``m``: column-mapping
+    resolution when active, else one plain multi-file parquet scan with
+    the SNAPSHOT's schema (not footer inference) — pins the time-travel
+    answer to its manifest, skips the footer-sampling pass, and makes
+    evolved tables read union-by-name (files that predate a column
+    return NULL for it)."""
     if "fields" in m:
-        # rename/drop evolution active: resolve each file's PHYSICAL
-        # column names through the snapshot's field-id mapping
         return _read_mapped(spark, path, m, files, schema)
-    # scan with the SNAPSHOT's schema, not footer inference: pins the
-    # time-travel answer to its manifest, skips the footer-sampling
-    # pass, and makes evolved tables read union-by-name (files that
-    # predate a column return NULL for it)
     return spark.read.schema(schema).parquet(
         *[os.path.join(path, f) for f in files]
     )
 
 
-def _read_mapped(spark, path: str, m: dict, files: list[str], schema):
-    """Column-mapping scan: each file reads with the physical field
-    names of its WRITE epoch (the last name each field id had at or
-    before the file's era; a field born later resolves to a sentinel
-    that binds to nothing and reads NULL), then renames positionally to
-    the snapshot's logical names. Files group by resolved name-tuple —
-    one scan per schema era actually present, not per file — and the
-    groups union by position. Logical-plan cost: eras are few (one per
-    rename/drop burst), and within a group Spark still gets pushdown,
-    pruning and one multi-file FileScan, so at 100 TB the rename costs
-    one extra scan NODE, zero data rewrite."""
-    from pyspark.sql.types import StructField, StructType
-
+def _era_groups(m: dict, files: list[str], schema) -> dict[tuple, list[str]]:
+    """Group ``files`` by the tuple of PHYSICAL column names their
+    write epoch resolves to under the manifest's column mapping (the
+    last name each field id had at or before the file's era; a field
+    born later resolves to a unique ``__absent_<id>`` sentinel that
+    binds to nothing and reads NULL). Identity grouping when no mapping
+    is active. Eras are few — one per rename/drop burst — so readers
+    get one scan node per era actually present, not per file."""
+    if "fields" not in m:
+        return {tuple(fld.name for fld in schema.fields): list(files)}
     eras = m.get("file_eras") or {}
     fields = m["fields"]
     log = m["field_log"]
@@ -884,9 +957,20 @@ def _read_mapped(spark, path: str, m: dict, files: list[str], schema):
             for fld in schema.fields
         )
         groups.setdefault(key, []).append(f)
+    return groups
+
+
+def _read_mapped(spark, path: str, m: dict, files: list[str], schema):
+    """Column-mapping scan: each era group reads with its physical
+    field names, renames positionally to the snapshot's logical names,
+    and the groups union by position. Within a group Spark still gets
+    pushdown, pruning and one multi-file FileScan, so at 100 TB a
+    rename costs one extra scan NODE, zero data rewrite."""
+    from pyspark.sql.types import StructField, StructType
+
     logical = [fld.name for fld in schema.fields]
     parts = []
-    for phys, fs in sorted(groups.items()):
+    for phys, fs in sorted(_era_groups(m, files, schema).items()):
         gschema = StructType([
             StructField(p, fld.dataType,
                         bool(fld.nullable) or p.startswith("__absent_"))
@@ -901,6 +985,189 @@ def _read_mapped(spark, path: str, m: dict, files: list[str], schema):
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+def _scan_with_pos(spark, path: str, m: dict, files: list[str], schema):
+    """Scan ``files`` with the snapshot's logical columns PLUS the row
+    identity the deletion-vector machinery keys on: ``__file`` (the
+    file's table-relative path, recovered from the hidden
+    ``_metadata.file_path`` — data files always live exactly three
+    path components deep, ``data/<uuid>/part-*.parquet``) and ``__pos``
+    (the hidden ``_metadata.row_index``). Column mapping applies per
+    era group like :func:`_read_mapped`. Both metadata columns are
+    generated by the parquet reader itself — no shuffle, no windowing,
+    stable under split planning — which is what makes positional
+    deletes exact at any scan parallelism."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    parts = []
+    for phys, fs in sorted(_era_groups(m, files, schema).items()):
+        gschema = StructType([
+            StructField(p, fld.dataType,
+                        bool(fld.nullable) or p.startswith("__absent_"))
+            for p, fld in zip(phys, schema.fields)
+        ])
+        parts.append(
+            spark.read.schema(gschema)
+            .parquet(*[os.path.join(path, f) for f in fs])
+            .select(
+                *[
+                    F.col(p).alias(fld.name)
+                    for p, fld in zip(phys, schema.fields)
+                ],
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -3
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _dv_frame(spark, path: str, dv: dict, files: list[str]):
+    """The deleted (file, pos) pairs of ``files``, scanned from the DV
+    sidecar parquet directories their manifest entries point at. One
+    scan per distinct sidecar (a delete commit writes ONE sidecar
+    carrying the full position union for every file it touched, so
+    exactly one sidecar is ever consulted per file)."""
+    from pyspark.sql import functions as F
+
+    by_dir: dict[str, list[str]] = {}
+    for f in files:
+        by_dir.setdefault(dv[f]["dv"], []).append(f)
+    parts = []
+    for d, fs in sorted(by_dir.items()):
+        parts.append(
+            spark.read.parquet(os.path.join(path, d))
+            .where(F.col("file").isin(fs))
+            .select("file", "pos")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: list[tuple[str, str, object]] | None = None,
+    backend: CommitBackend | None = None,
+) -> int:
+    """Row-level DELETE without rewriting any data file (Delta deletion
+    vectors / Iceberg positional deletes): find the live rows matching
+    ``condition`` (a Spark SQL boolean expression over the table's
+    logical columns), write their (file, row-position) pairs as a
+    parquet sidecar under ``_dv/``, and commit op='delete' whose
+    manifest points each touched file at the sidecar. Data files are
+    untouched — a 10-row GDPR erasure on a 100 TB table writes KBs, not
+    whole files. Returns the number of rows deleted (0 = no match, no
+    commit).
+
+    ``prune``: optional ``[(col, op, value)]`` stats predicates that
+    narrow WHICH FILES are scanned for matches (the same planning-time
+    skipping ``read_table`` uses) — with per-file stats on the
+    predicate column a needle delete scans one file, not the table.
+    Pruning is safe here for the same reason it is safe on reads: it
+    only drops files PROVABLY containing no match; ``condition`` is
+    still what decides row membership. Callers must ensure ``prune``
+    is implied by ``condition`` (rows outside the pruned files are not
+    deleted).
+
+    Semantics and interplay:
+
+    - already-deleted rows never re-count (the match scan anti-applies
+      existing DVs), and a repeat of the same delete is a no-op;
+    - a second delete touching an already-vectored file commits the
+      UNION of old and new positions as one fresh sidecar, so readers
+      consult exactly one sidecar per file;
+    - a file whose every row is now deleted leaves the manifest file
+      list entirely (footer row-count check) — no scan, no join;
+    - time travel pins each snapshot's own DV set; compaction reads
+      through DVs and therefore materializes them away; vacuum
+      collects unreferenced sidecars like data files;
+    - column mapping composes: the match scan resolves physical names
+      per era, and positions are name-independent, so deletes work
+      unchanged across renames (and vice versa);
+    - a lost commit race RE-DERIVES the whole delete from the new head
+      (like merge_cdc — the matched set depends on the snapshot read);
+      concurrent compact/overwrite invalidate positions, which the
+      re-derive makes correct by construction.
+    """
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    for _ in range(_RETRIES):
+        m = read_manifest(path)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        dv = dict(m.get("dv") or {})
+        candidates = prune_files(m, prune) if prune else m["files"]
+        if not candidates:
+            return 0
+        scanned = _scan_with_pos(spark, path, m, candidates, schema)
+        hits = scanned.filter(F.expr(condition)).select("__file", "__pos")
+        already = [f for f in candidates if f in dv]
+        if already:
+            old = _dv_frame(spark, path, dv, already)
+            hits = hits.join(
+                old,
+                (hits["__file"] == old["file"]) & (hits["__pos"] == old["pos"]),
+                "left_anti",
+            )
+        # metadata-sized collect: one (file, count) row per touched FILE
+        per_file = {
+            r["__file"]: r["n"]
+            for r in hits.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return 0  # nothing (newly) matched: no commit
+        touched = sorted(per_file)
+        # one fresh sidecar carrying the FULL position union for every
+        # touched file; untouched files keep pointing at their old ones
+        new_dv = hits.select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        old_touched = [f for f in touched if f in dv]
+        if old_touched:
+            new_dv = new_dv.unionByName(_dv_frame(spark, path, dv, old_touched))
+        sub = os.path.join(_DV, uuid.uuid4().hex)
+        new_dv.write.mode("error").parquet(os.path.join(path, sub))
+        files_out = list(m["files"])
+        for f in touched:
+            total = (dv[f]["count"] if f in dv else 0) + int(per_file[f])
+            dv[f] = {"dv": sub, "count": total}
+        for f in touched:
+            # fully-deleted file: drop it from the snapshot entirely
+            nrows = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            if dv[f]["count"] >= nrows:
+                dv.pop(f)
+                files_out.remove(f)
+        n = int(sum(per_file.values()))
+        manifest = {
+            "op": "delete", "files": files_out, "schema": m["schema"],
+            "added": 0, "added_files": [], "dv": dv,
+            "predicate": condition, "deleted_rows": n,
+        }
+        if m.get("stats"):
+            keep = set(files_out)
+            manifest["stats"] = {
+                f: s for f, s in m["stats"].items() if f in keep
+            }
+        try:
+            _publish(path, manifest, m["version"], backend)
+            return n
+        except VersionClaimedError:
+            continue  # snapshot basis stale: re-derive the whole delete
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
 def _appends_since(path: str, base_version: int, head_version: int) -> list[str]:
@@ -988,20 +1255,38 @@ def vacuum(path: str, keep_last: int = 2) -> int:
     makes. CDC reads over retained versions keep working (added_files
     is embedded per manifest); ranges reaching past the horizon raise
     :class:`VacuumedVersionError`."""
+    import shutil as _shutil
+
     vs = _versions(path)
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in keep:
-        live.update(read_manifest(path, v)["files"])
+        km = read_manifest(path, v)
+        live.update(km["files"])
+        live_dv.update(e["dv"] for e in (km.get("dv") or {}).values())
     removed = 0
+    dead_dv: set[str] = set()
     for v in drop:
-        for f in read_manifest(path, v)["files"]:
+        dm = read_manifest(path, v)
+        for f in dm["files"]:
             if f not in live:
                 full = os.path.join(path, f)
                 if os.path.exists(full):
                     os.unlink(full)
                     removed += 1
+        # DV sidecars follow the same retention rule as data files:
+        # referenced only by dropped manifests -> collected
+        dead_dv.update(
+            e["dv"] for e in (dm.get("dv") or {}).values()
+            if e["dv"] not in live_dv
+        )
         os.unlink(_manifest_path(path, v))
+    for d in dead_dv:
+        full = os.path.join(path, d)
+        if os.path.isdir(full):
+            _shutil.rmtree(full)
+            removed += 1
     return removed
 
 
@@ -1114,20 +1399,38 @@ def commit_stream_batch(
     from its parent — so a replay of a batch whose own manifest vacuum
     dropped still publishes nothing. This leans on foreachBatch's
     contract that batch ids are monotone per stream; callers feeding
-    out-of-order ids must not vacuum past them."""
+    out-of-order ids must not vacuum past them.
+
+    Schema discipline matches :func:`write_table`'s append path: the
+    batch schema must equal the head snapshot's logical schema, checked
+    BEFORE any data lands (round-11 advice: a stream still writing
+    pre-rename column names would otherwise commit a snapshot whose
+    schema contradicts the column mapping and break every later
+    read)."""
     files: list[str] | None = None
     schema = ""
+    batch_schema = df.schema.json()
     for _ in range(_RETRIES):
         vs = _versions(path)
         if batch_id in {read_manifest(path, v).get("batch_id") for v in vs}:
             return None  # replay of an already-committed micro-batch
-        if vs:
-            hw = read_manifest(path).get("max_batch_id")
+        head = read_manifest(path) if vs else None
+        if head is not None:
+            hw = head.get("max_batch_id")
             if hw is not None and batch_id <= hw:
                 return None  # committed before the vacuum horizon
+            if not _schema_compatible(head["schema"], batch_schema):
+                # checked on every retry: the racing winner may have
+                # evolved the schema (rename/drop/add) out from under
+                # this stream
+                raise ValueError(
+                    "stream batch schema does not match the table's "
+                    "current logical schema; restart the stream with "
+                    "the evolved schema (column-mapping renames/drops "
+                    "apply to writers immediately)"
+                )
         if files is None:
             files, schema = _write_data_files(df, path)
-        head = read_manifest(path) if vs else None
         head_stats = (head.get("stats") or {}) if head else {}
         cols = sorted({c for s in head_stats.values() for c in s})
         manifest = {"op": "stream_append",
@@ -1211,6 +1514,7 @@ def table_health(path: str, version: int | None = None) -> dict:
             probes += 1
             covered += sum(1 for lo2, hi2 in ranges if lo2 <= mid <= hi2)
         depth[c] = round(covered / probes, 2) if probes else None
+    dvm = m.get("dv") or {}
     return {
         "version": m["version"],
         "n_files": len(m["files"]),
@@ -1219,6 +1523,11 @@ def table_health(path: str, version: int | None = None) -> dict:
         "file_bytes_max": sizes[-1] if sizes else None,
         "stats_coverage": round(len(stats) / len(m["files"]), 2) if m["files"] else 1.0,
         "clustering_depth": depth,
+        # DV pressure: files paying the read-time anti-join and the rows
+        # it filters — high values say "run compact" (which materializes
+        # the deletes away), the OPTIMIZE signal Delta exposes for DVs
+        "dv_files": len(dvm),
+        "dv_rows": sum(e["count"] for e in dvm.values()),
     }
 
 
@@ -1250,18 +1559,36 @@ def clone_table(
     m = read_manifest(src, version)
     if _versions(dst):
         raise ValueError(f"clone destination already a txtable: {dst}")
-    for f in m["files"]:
+    # DV sidecar parquet files clone exactly like data files (the dv
+    # entries reference them by the same table-relative paths)
+    to_link = list(m["files"])
+    for d in sorted({e["dv"] for e in (m.get("dv") or {}).values()}):
+        to_link.extend(
+            os.path.join(d, f)
+            for f in sorted(os.listdir(os.path.join(src, d)))
+            if f.endswith(".parquet")
+        )
+    for f in to_link:
         s = os.path.join(src, f)
         d = os.path.join(dst, f)
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
         except FileExistsError:
-            # a clone retried after failing mid-link: an identical
-            # existing link is already-done; anything else is a real
-            # destination conflict
+            # a clone retried after failing mid-clone. Same inode ==
+            # the link already happened: done. A DIFFERENT inode is a
+            # prior attempt's cross-device copy (possibly partial) —
+            # _versions(dst) was empty, so nothing can reference d yet;
+            # overwrite and resume rather than raising (round-11
+            # advice: retries must stay resumable across devices too)
             if not os.path.samefile(s, d):
-                raise
+                os.unlink(d)
+                try:
+                    os.link(s, d)
+                except OSError as e:
+                    if e.errno != errno.EXDEV:
+                        raise
+                    _shutil.copy2(s, d)
         except OSError as e:
             if e.errno != errno.EXDEV:
                 raise  # EPERM/ENOSPC etc. are real failures, not fallbacks
@@ -1276,11 +1603,12 @@ def clone_table(
     }
     if m.get("stats"):
         manifest["stats"] = dict(m["stats"])
-    # column mapping travels with the snapshot: the clone's files keep
-    # their physical names and write epochs (epochs are a schema-change
-    # counter independent of version numbers, so the clone's own future
-    # evolution continues from the copied value without collisions)
-    for k in ("fields", "field_log", "schema_epoch", "file_eras"):
+    # column mapping and deletion vectors travel with the snapshot: the
+    # clone's files keep their physical names, write epochs AND deleted
+    # positions (epochs are a schema-change counter independent of
+    # version numbers, so the clone's own future evolution continues
+    # from the copied value without collisions)
+    for k in ("fields", "field_log", "schema_epoch", "file_eras", "dv"):
         if k in m:
             manifest[k] = m[k]
     return _publish(dst, manifest, 0, backend)
@@ -1313,12 +1641,17 @@ def restore_table(
             f"version {version} is not retained (oldest: {vs[0] if vs else None})"
         )
     target = read_manifest(path, version)
+    target_dv = target.get("dv") or {}
     missing = [f for f in target["files"]
                if not os.path.exists(os.path.join(path, f))]
+    missing += [
+        e["dv"] for e in target_dv.values()
+        if not os.path.isdir(os.path.join(path, e["dv"]))
+    ]
     if missing:
         raise VacuumedVersionError(
             f"cannot restore v{version}: {len(missing)} of its data files "
-            f"were vacuumed (first: {missing[0]})"
+            f"or DV sidecars were vacuumed (first: {missing[0]})"
         )
     for _ in range(_RETRIES):
         head = read_manifest(path)
@@ -1334,6 +1667,11 @@ def restore_table(
         }
         if target.get("stats"):
             manifest["stats"] = dict(target["stats"])
+        # restore pins the TARGET's deletion vectors, not the head's —
+        # restoring to a pre-delete snapshot must resurrect the rows,
+        # and the EXPLICIT (possibly empty) dict suppresses _publish's
+        # carry of the head's DVs
+        manifest["dv"] = dict(target_dv)
         # restore pins the TARGET's column mapping, not the head's —
         # a restore across a rename must read the old names again
         for k in ("fields", "field_log", "schema_epoch", "file_eras"):

@@ -251,3 +251,34 @@ def test_clone_retry_after_partial_link_converges(spark, tmp_path):
     assert clone_table(src, dst) == 1
     got = sorted(tuple(r) for r in read_table(spark, dst).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_cli_table_delete(spark, tmp_path, capsys):
+    """table delete commits deletion vectors through the CLI: rows
+    gone, no data file rewritten; missing --where is a clean exit 2."""
+    from data_observability_installer_spark.sources.txtable import (
+        read_manifest,
+        write_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_table(
+        spark, t,
+        spark.createDataFrame([(i, i % 3) for i in range(30)], "id int, k int"),
+    )
+    pre_files = read_manifest(t)["files"]
+
+    assert main(["table", "delete", t]) == 2  # --where required
+    assert "requires --where" in capsys.readouterr().err
+
+    assert main(["table", "delete", t, "--where", "k = 1"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted 10 rows" in out and "no data rewritten" in out
+    m = read_manifest(t)
+    assert m["op"] == "delete" and m["files"] == pre_files
+
+    assert main(["table", "show", t, "--rows", "50"]) == 0
+    shown = capsys.readouterr().out
+    import re as _re
+
+    assert len(_re.findall(r"\|1\s*\|$", shown, _re.M)) == 0

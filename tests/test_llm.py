@@ -759,3 +759,37 @@ def test_semdedup_trained_cells_still_keep_first(spark):
     assert out[0]["keep"] and out[2]["keep"] and out[4]["keep"]
     for vid in (1, 3):
         assert out[vid]["cell"] == out[out[vid]["dup_of"]]["cell"]
+
+
+def test_train_ivf_kmeans_sample_init_guards(spark):
+    """Round-11 advice on init='sample': an empty corpus and a corpus
+    with fewer distinct vectors than n_clusters raise a clear
+    ValueError (not an opaque KeyError); duplicate vectors among the
+    md5-ranked seeds are skipped so every seeded cell is distinct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        train_ivf_kmeans,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="distinct embedding"):
+        train_ivf_kmeans(empty, n_clusters=4, iters=1, init="sample")
+
+    # 8 rows but only 2 distinct vectors: can't seed 4 cells
+    dup = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="corpus has 2"):
+        train_ivf_kmeans(dup, n_clusters=4, iters=1, init="sample")
+
+    # duplicates present but >= K distinct: all K seeds distinct
+    mixed = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_kmeans(mixed, n_clusters=4, iters=0, init="sample")
+    assert len(cents) == 4
+    assert len({tuple(c) for c in cents.values()}) == 4

@@ -1149,3 +1149,280 @@ def test_merge_cdc_and_stream_commit_after_rename(spark, tmp_path):
     rename_column(t, "val", "value")
     assert read_table(spark, t).columns == ["k", "value"]
     assert _rows(read_table(spark, t)) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: row-level delete WITHOUT rewriting data files
+# (sources/txtable.py delete_rows — positional-delete sidecars applied
+# through the parquet _metadata.row_index column at scan time)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_rows_no_rewrite_and_idempotent(spark, tmp_path):
+    """A delete removes exactly the matching rows, touches ZERO data
+    files (same manifest file list, same bytes on disk), and a repeat
+    of the same predicate is a no-op that publishes nothing."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 10 as k")
+    write_table(spark, t, df.filter("id < 50").repartition(2))
+    write_table(spark, t, df.filter("id >= 50").repartition(2))
+    pre = read_manifest(t)
+    sizes = {
+        f: os.path.getsize(os.path.join(t, f)) for f in pre["files"]
+    }
+    assert delete_rows(spark, t, "k = 3") == 10
+    m = read_manifest(t)
+    assert m["op"] == "delete" and m["deleted_rows"] == 10
+    assert m["files"] == pre["files"]  # no data file added or removed
+    for f, sz in sizes.items():  # ...and none rewritten
+        assert os.path.getsize(os.path.join(t, f)) == sz
+    got = read_table(spark, t)
+    assert got.count() == 90 and got.filter("k = 3").count() == 0
+    # already-deleted rows never re-count: no-op, no commit
+    v = m["version"]
+    assert delete_rows(spark, t, "k = 3") == 0
+    assert read_manifest(t)["version"] == v
+
+
+def test_delete_union_and_full_file_drop(spark, tmp_path):
+    """A second delete touching an already-vectored file commits the
+    UNION of positions (one fresh sidecar per file); a file whose every
+    row is deleted leaves the manifest file list entirely."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    df = spark.range(40).selectExpr("id", "id % 4 as k")
+    write_table(spark, t, df.filter("id < 20").coalesce(1))
+    write_table(spark, t, df.filter("id >= 20").coalesce(1))
+    assert delete_rows(spark, t, "id < 10") == 10
+    assert delete_rows(spark, t, "id < 15") == 5  # union with the first
+    m = read_manifest(t)
+    [(f, e)] = list(m["dv"].items())
+    assert e["count"] == 15
+    assert read_table(spark, t).count() == 25
+    # finish off the first file: it must LEAVE the file list
+    assert delete_rows(spark, t, "id < 20") == 5
+    m = read_manifest(t)
+    assert len(m["files"]) == 1 and not m.get("dv")
+    assert _rows(read_table(spark, t).selectExpr("min(id)")) == [(20,)]
+
+
+def test_delete_time_travel_restore_and_health(spark, tmp_path):
+    """Pre-delete snapshots read the full rows (each manifest pins its
+    own DV set); restore to a pre-delete version resurrects them and
+    restore forward re-applies them; table_health reports DV pressure."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        restore_table,
+        table_health,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(30).selectExpr("id", "id % 3 as k"))
+    assert delete_rows(spark, t, "k = 1") == 10
+    v_del = read_manifest(t)["version"]
+    assert read_table(spark, t, version=1).count() == 30  # time travel
+    assert read_table(spark, t).count() == 20
+    h = table_health(t)
+    assert h["dv_rows"] == 10 and h["dv_files"] >= 1
+    restore_table(t, version=1)
+    assert read_table(spark, t).count() == 30  # rows resurrected
+    restore_table(t, version=v_del)
+    got = read_table(spark, t)
+    assert got.count() == 20 and got.filter("k = 1").count() == 0
+
+
+def test_delete_compact_materializes_dvs_away(spark, tmp_path):
+    """Compaction reads THROUGH the DVs, so the rewritten snapshot
+    carries no dv entries and reads row-identically."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(50).selectExpr("id", "id % 5 as k"))
+    delete_rows(spark, t, "k = 0")
+    before = _rows(read_table(spark, t))
+    compact(spark, t, target_partitions=2)
+    m = read_manifest(t)
+    assert not m.get("dv")
+    assert _rows(read_table(spark, t)) == before
+
+
+def test_delete_race_mid_publish_rederives(spark, tmp_path):
+    """A delete whose CAS loses to a concurrent append RE-DERIVES the
+    whole match from the new head — the racer's matching rows are
+    deleted too, and its non-matching rows survive (merge_cdc-style
+    snapshot-basis retry)."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, 0), (2, 1)], "id int, k int"))
+    racer_df = spark.createDataFrame([(3, 1), (4, 0)], "id int, k int")
+    backend = _RacerMidPublish(lambda: write_table(spark, t, racer_df))
+    n = delete_rows(spark, t, "k = 1", backend=backend)
+    assert backend.fired
+    assert n == 2  # row 2 AND the racer's row 3
+    assert _rows(read_table(spark, t).select("id")) == [(1,), (4,)]
+
+
+def test_delete_prune_narrows_the_match_scan(spark, tmp_path):
+    """With per-file stats, prune= drops out-of-range files from the
+    match scan (the sidecar references only in-range files) while the
+    result is exactly the condition's rows."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 10 as k")
+    for lo in (0, 25, 50, 75):
+        write_table(
+            spark, t,
+            df.filter(f"id >= {lo} and id < {lo + 25}").coalesce(1),
+            stats_cols=["id"],
+        )
+    n_files = len(read_manifest(t)["files"])
+    assert n_files == 4
+    assert delete_rows(spark, t, "id >= 90", prune=[("id", ">=", 90)]) == 10
+    m = read_manifest(t)
+    assert len(m["dv"]) < n_files  # only in-range files were vectored
+    assert read_table(spark, t).count() == 90
+    # pruning also applies on the READ side: skipping + DVs compose
+    got = read_table(spark, t, predicates=[("id", ">=", 80)])
+    assert got.filter("id >= 80").count() == 10
+
+
+def test_delete_composes_with_column_mapping(spark, tmp_path):
+    """DV + rename in both orders: delete by the NEW name over files
+    written under the old physical name, and rename after a delete —
+    positions are name-independent, so verdicts survive both."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(20).selectExpr("id", "id % 2 as flag"))
+    rename_column(t, "flag", "parity")
+    assert delete_rows(spark, t, "parity = 1") == 10  # old-era files
+    assert read_table(spark, t).count() == 10
+    rename_column(t, "parity", "par2")  # rename AFTER the delete
+    got = read_table(spark, t)
+    assert got.columns == ["id", "par2"]
+    assert got.count() == 10 and got.filter("par2 = 1").count() == 0
+    # time travel across BOTH: pre-delete, pre-rename snapshot intact
+    assert read_table(spark, t, version=1).columns == ["id", "flag"]
+    assert read_table(spark, t, version=1).count() == 20
+
+
+def test_delete_vacuum_collects_dead_sidecars_keeps_live(spark, tmp_path):
+    """Vacuum treats DV sidecars like data files: dirs referenced only
+    by dropped manifests are removed, the live head keeps reading."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(30).selectExpr("id", "id % 3 as k"))
+    delete_rows(spark, t, "k = 0")   # sidecar A (superseded next)
+    delete_rows(spark, t, "k = 1")   # sidecar B: union, re-points k=0 file too
+    dv_dirs = sorted(os.listdir(os.path.join(t, "_dv")))
+    assert len(dv_dirs) == 2
+    vacuum(t, keep_last=1)
+    left = sorted(os.listdir(os.path.join(t, "_dv")))
+    assert len(left) == 1  # superseded sidecar collected, live one kept
+    got = read_table(spark, t)
+    assert got.count() == 10 and got.filter("k < 2").count() == 0
+
+
+def test_delete_clone_carries_dvs_and_survives_source_vacuum(spark, tmp_path):
+    """A shallow clone of a post-delete snapshot reproduces its
+    verdicts (sidecars hard-linked like data files) and keeps working
+    after the source vacuums."""
+    from data_observability_installer_spark.sources.txtable import (
+        clone_table,
+        delete_rows,
+    )
+
+    t = str(tmp_path / "t")
+    c = str(tmp_path / "clone")
+    write_table(spark, t, spark.range(30).selectExpr("id", "id % 3 as k"))
+    delete_rows(spark, t, "k = 2")
+    clone_table(t, c)
+    assert read_table(spark, c).count() == 20
+    write_table(spark, t, spark.range(100, 110).selectExpr("id", "id % 3 as k"))
+    compact(spark, t, target_partitions=1)
+    vacuum(t, keep_last=1)
+    got = read_table(spark, c)
+    assert got.count() == 20 and got.filter("k = 2").count() == 0
+
+
+def test_delete_stream_append_carries_dvs_and_changes_guard(spark, tmp_path):
+    """A stream batch committed after a delete carries the DV entries
+    forward (verdicts persist); table_changes over a range containing
+    the delete commit raises the append-only guard."""
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        delete_rows,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(20).selectExpr("id", "id % 2 as k"))
+    delete_rows(spark, t, "k = 1")
+    commit_stream_batch(t, spark.range(100, 105).selectExpr("id", "id % 2 as k"), 0)
+    m = read_manifest(t)
+    assert m["dv"]  # carried through the stream commit
+    got = read_table(spark, t)
+    assert got.count() == 15
+    with pytest.raises(ValueError, match="append-only"):
+        table_changes(spark, t, 1)  # range covers the delete commit
+
+
+def test_delete_everything_reads_empty_with_schema(spark, tmp_path):
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(10).selectExpr("id", "id % 2 as k"))
+    assert delete_rows(spark, t, "TRUE") == 10
+    m = read_manifest(t)
+    assert m["files"] == [] and not m.get("dv")
+    got = read_table(spark, t)
+    assert got.count() == 0 and got.columns == ["id", "k"]
+
+
+def test_stream_commit_rejects_schema_mismatch_before_writing(spark, tmp_path):
+    """Round-11 advice: a stream still writing pre-rename column names
+    must be rejected (write_table's append discipline), not commit a
+    snapshot whose schema contradicts the column mapping."""
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+    rename_column(t, "v", "val")
+    stale = spark.createDataFrame([(2, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="logical schema"):
+        commit_stream_batch(t, stale, batch_id=7)
+    # nothing landed: same head, and a correct batch still commits
+    assert read_manifest(t)["op"] == "rename_column"
+    commit_stream_batch(
+        t, spark.createDataFrame([(2, "b")], "k int, val string"), batch_id=7
+    )
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "b")]
+
+
+def test_clone_retry_resumes_over_partial_cross_device_copy(spark, tmp_path):
+    """Round-11 advice: a clone retry that finds a DIFFERENT-inode file
+    at the destination (a prior attempt's cross-device copy, possibly
+    partial) overwrites and resumes instead of raising."""
+    from data_observability_installer_spark.sources.txtable import clone_table
+
+    t = str(tmp_path / "t")
+    c = str(tmp_path / "clone")
+    write_table(spark, t, spark.createDataFrame([(1,), (2,)], "k int"))
+    f = read_manifest(t)["files"][0]
+    dst = os.path.join(c, f)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    with open(dst, "wb") as fh:
+        fh.write(b"partial copy from a crashed cross-device clone")
+    clone_table(t, c)
+    assert _rows(read_table(spark, c)) == [(1,), (2,)]
