@@ -13,8 +13,11 @@ files), re-derived from first principles:
     _commits/v00000001.json   -- manifest: files, added_files, schema, op
     data/part-<uuid>.parquet  -- immutable data files``
 
-Schema evolution: add-column via ``merge_schema=True`` appends, and
-rename/drop via field-id COLUMN MAPPING (:func:`rename_column`,
+Schema evolution: add-column AND type widening (int->long,
+float->double, date->timestamp_ntz, ...) via ``merge_schema=True``
+appends — old files' narrower pages promote inside the parquet scan,
+zero rewrite — and rename/drop via field-id COLUMN MAPPING
+(:func:`rename_column`,
 :func:`drop_column` — the Delta/Iceberg mechanism): each manifest can
 carry ``fields`` (logical name -> stable field id), ``field_log``
 (per-id physical-name history keyed by ``schema_epoch``, a counter
@@ -508,26 +511,61 @@ def _schema_compatible(old_json: str, new_json: str) -> bool:
     return old_json == new_json
 
 
+#: TYPE WIDENING whitelist (the Delta 4.x type-widening set, restricted
+#: to promotions Spark 4's parquet reader performs NATIVELY when handed
+#: a wider read schema — verified: int32 pages read as long/double,
+#: float as double, date as timestamp_ntz — so a widened table needs
+#: zero data rewritten and zero per-era cast plumbing: the snapshot
+#: schema read_table already pins does the promotion inside the scan).
+#: Values are every type the key may widen TO.
+_WIDEN: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+
+
+def _widens_to(frm, to) -> bool:
+    """True iff a column of (schema-JSON) type ``frm`` may evolve to
+    ``to`` — primitive string types only; complex types never widen."""
+    return (
+        isinstance(frm, str)
+        and isinstance(to, str)
+        and to in _WIDEN.get(frm, ())
+    )
+
+
 def _merge_schemas(old_json: str, new_json: str) -> str:
-    """ADD-COLUMN schema evolution (the Delta/Iceberg ``mergeSchema``
-    contract): union-by-name of the two schemas. Shared columns must
-    match in type exactly — type widening/renames stay rejected; a
+    """ADD-COLUMN + TYPE-WIDENING schema evolution (the Delta/Iceberg
+    ``mergeSchema`` contract): union-by-name of the two schemas. A
     column present on only one side becomes nullable in the merged
     schema (files from the other side simply lack it and read as
-    NULL). Field order: the table's existing order, new columns
-    appended in batch order — so an evolved table's schema is stable
-    across appends."""
+    NULL). Shared columns must match in type exactly OR differ by a
+    whitelisted widening (``_WIDEN``) in either direction — the merged
+    type is the WIDER one, old files' narrower pages promote inside
+    the parquet scan, no rewrite. Narrowing and renames stay rejected
+    (renames are :func:`rename_column`'s job). Field order: the
+    table's existing order, new columns appended in batch order — so
+    an evolved table's schema is stable across appends."""
     old = json.loads(old_json)
     new = json.loads(new_json)
     old_by = {f["name"]: f for f in old["fields"]}
     new_by = {f["name"]: f for f in new["fields"]}
     for name, f in new_by.items():
         prev = old_by.get(name)
-        if prev is not None and prev["type"] != f["type"]:
+        if (
+            prev is not None
+            and prev["type"] != f["type"]
+            and not _widens_to(prev["type"], f["type"])
+            and not _widens_to(f["type"], prev["type"])
+        ):
             raise ValueError(
                 f"schema evolution cannot change column {name!r} from "
                 f"{prev['type']!r} to {f['type']!r}; only adding/"
-                "omitting nullable columns is supported"
+                "omitting nullable columns and widening "
+                f"({', '.join(sorted(_WIDEN))} -> wider) are supported"
             )
     fields = []
     for f in old["fields"]:
@@ -535,8 +573,11 @@ def _merge_schemas(old_json: str, new_json: str) -> str:
         if f["name"] not in new_by:
             g["nullable"] = True  # new files lack it
         else:
+            nf = new_by[f["name"]]
+            if nf["type"] != g["type"] and _widens_to(g["type"], nf["type"]):
+                g["type"] = nf["type"]  # widen; narrower batches keep old
             g["nullable"] = bool(f.get("nullable")) or bool(
-                new_by[f["name"]].get("nullable")
+                nf.get("nullable")
             )
         fields.append(g)
     for f in new["fields"]:
@@ -725,12 +766,16 @@ def write_table(
     linear-clustering counterpart of the zorder verb, applied at
     commit time.
 
-    ``merge_schema``: opt-in ADD-COLUMN evolution for appends. A batch
-    that adds columns (or omits existing ones) commits a union-by-name
-    manifest schema via :func:`_merge_schemas`; type changes still
-    raise. Reads are manifest-schema-driven (:func:`read_table` hands
-    the snapshot's schema to the scan), so files predating a column
-    return NULL for it — no file rewrite, the table-format contract."""
+    ``merge_schema``: opt-in ADD-COLUMN / TYPE-WIDENING evolution for
+    appends. A batch that adds columns (or omits existing ones)
+    commits a union-by-name manifest schema via :func:`_merge_schemas`;
+    a batch whose shared column differs by a whitelisted widening
+    (int->long, float->double, date->timestamp_ntz, ... — ``_WIDEN``)
+    widens the table's type; narrowing and other changes still raise.
+    Reads are manifest-schema-driven (:func:`read_table` hands the
+    snapshot's schema to the scan), so files predating a column return
+    NULL for it and narrower pages promote inside the scan — no file
+    rewrite, the table-format contract."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if sort_by:
@@ -780,6 +825,41 @@ def write_table(
                            "schema_epoch": epoch}
                 base_files = cur["files"]
                 base_stats = cur.get("stats") or {}
+                if commit_schema != cur["schema"] and base_stats:
+                    # a date -> timestamp widening changes the STRING
+                    # form of the column's footer stats ('YYYY-MM-DD'
+                    # vs 'YYYY-MM-DDTHH:MM:SS'); pad the carried date
+                    # stats to midnight so lexicographic pruning stays
+                    # chronological against timestamp predicates
+                    # (numeric widenings need nothing: JSON ints and
+                    # floats compare consistently across widths)
+                    old_t = {
+                        f["name"]: f["type"]
+                        for f in json.loads(cur["schema"])["fields"]
+                    }
+                    new_t = {
+                        f["name"]: f["type"]
+                        for f in json.loads(commit_schema)["fields"]
+                    }
+                    pad = {
+                        c for c, t in old_t.items()
+                        if t == "date" and new_t.get(c, t) != t
+                    }
+                    if pad:
+                        base_stats = {
+                            fn: {
+                                c: [
+                                    v + "T00:00:00"
+                                    if c in pad
+                                    and isinstance(v, str)
+                                    and len(v) == 10
+                                    else v
+                                    for v in rng
+                                ]
+                                for c, rng in s.items()
+                            }
+                            for fn, s in base_stats.items()
+                        }
                 if cols is None and base_stats:
                     # keep tracking whatever the table already tracks
                     cols = sorted({c for s in base_stats.values() for c in s})

@@ -1752,7 +1752,7 @@ def test_semdedup_sink_cumulative_parity_out_of_order_and_replay(spark, tmp_path
     replay_rows = sorted((r.vid, r.dup_of) for r in w.collect())
     first_rows = sorted(
         (r.vid, r.dup_of)
-        for r in spark.read.parquet(f"{witness_store}/batch_id=1").collect()
+        for r in spark.read.parquet(f"{witness_store}/run_id=00000001").collect()
     )
     assert replay_rows == first_rows
 
@@ -1945,5 +1945,118 @@ def test_semdedup_sink_max_cell_cap_is_parity_safe(spark, tmp_path):
     # the quiet cell stayed exact
     assert not by_id[101][1] and by_id[101][2] == 100
     # and the cap actually FIRED: batch 2 emitted no hot-cell witnesses
-    w2 = spark.read.parquet(f"{witness_store}/batch_id=1").collect()
+    w2 = spark.read.parquet(f"{witness_store}/run_id=00000001").collect()
     assert all(r.vid > 6 or r.vid in (101,) for r in w2) or not w2
+
+
+def test_semdedup_sink_retain_bounds_witness_store_bit_identical(spark, tmp_path):
+    """retain= folds over-budget witness partitions into a
+    min(dup_of)-per-vid rollup (round-11 verdict What's wrong #2):
+    the store stays bounded, the verdicts stay BIT-identical to the
+    unbounded store's (min is associative/commutative/idempotent),
+    a replayed last batch changes nothing, and a crash that left a
+    half-written rollup dir is redone cleanly by the sidecar protocol."""
+    import json as _json
+    import os
+    import shutil
+    import time as _time
+
+    import numpy as np
+
+    from data_observability_installer_spark.operators.llm.similarity import (
+        semdedup,
+        semdedup_incremental,
+        semdedup_verdicts,
+    )
+    from data_observability_installer_spark.operators.profile import retain_runs
+    from data_observability_installer_spark.streaming.dedup import semdedup_sink
+    from pyspark.sql import functions as F
+
+    rs = np.random.RandomState(11)
+    base = [rs.uniform(-1, 1, 64) for _ in range(4)]
+
+    def fl(a):
+        return [float(x) for x in a]
+
+    # 5 batches; duplicates span batches (scaled copies share cosine=1)
+    batches = [
+        [(10 * b + j, fl(base[(b + j) % 4] * (1.0 + 0.5 * j)))
+         for j in range(3)]
+        for b in range(5)
+    ]
+    src = tmp_path / "emb"; src.mkdir()
+    for b, rows in enumerate(batches):
+        (src / f"{b}.json").write_text(
+            "\n".join(_json.dumps({"vec_id": i, "embedding": e}) for i, e in rows)
+        )
+        _time.sleep(0.15)
+
+    store = str(tmp_path / "cells")
+    witness_store = str(tmp_path / "wit")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = semdedup_sink(
+        stream, store, witness_store, str(tmp_path / "ckpt"),
+        threshold=0.95, retain=2, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    parts = sorted(os.listdir(witness_store))
+    runs = [p for p in parts if p.startswith("run_id=")]
+    plain = [r for r in runs if "rollup" not in r]
+    assert len(plain) <= 2  # bounded: surplus folded, not accreted
+    assert any("rollup" in r for r in runs)
+
+    full_df = spark.createDataFrame(
+        [r for b in batches for r in b], "vec_id long, embedding array<float>"
+    )
+    want = sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup(full_df, threshold=0.95).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup_verdicts(spark, store, witness_store).collect()
+    )
+    assert got == want
+
+    # replay of the last batch: exactly-once store commit + overwrite
+    # witness partition + retain early-return => nothing changes
+    replay_df = spark.createDataFrame(
+        batches[-1], "vec_id long, embedding array<float>"
+    )
+    w = semdedup_incremental(spark, store, replay_df, threshold=0.95, batch_id=4)
+    w.coalesce(1).write.mode("overwrite").parquet(
+        f"{witness_store}/run_id=00000004"
+    )
+    retain_runs(
+        spark, witness_store, 2, "00000000_rollup_00000004",
+        lambda ps: ps[0],
+    )
+    assert sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup_verdicts(spark, store, witness_store).collect()
+    ) == want
+
+    # crash mid-rollup: a half-written rollup dir (no _sources.json)
+    # must be discarded and redone without changing verdicts
+    def fold(ps):
+        out = ps[0]
+        for p in ps[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("vid").agg(F.min("dup_of").alias("dup_of"))
+
+    half = os.path.join(witness_store, "run_id=00000000_rollup_crash")
+    os.makedirs(half)
+    spark.createDataFrame([(999, 1)], "vid long, dup_of long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(half)
+    shutil.rmtree(os.path.join(half, "_SUCCESS"), ignore_errors=True)
+    retain_runs(spark, witness_store, 1, "00000000_rollup_crash", fold)
+    assert sorted(
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in semdedup_verdicts(spark, store, witness_store).collect()
+    ) == want

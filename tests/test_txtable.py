@@ -766,12 +766,103 @@ def test_merge_schema_missing_column_reads_null(spark, tmp_path):
         (1, "a", 1.0), (2, "b", None), (3, "c", 3.0)]
 
 
-def test_merge_schema_type_change_still_rejected(spark, tmp_path):
+def test_merge_schema_non_widening_type_change_rejected(spark, tmp_path):
+    """Widening is whitelisted; everything else (string->int, and
+    NARROWING like long->int when the table is already wide... which
+    silently keeps the wide type) stays governed: a change outside the
+    whitelist raises."""
     t = str(tmp_path / "t")
     write_table(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
-    retyped = spark.createDataFrame([(1.5, "a")], "k double, v string")
+    retyped = spark.createDataFrame([("x", "a")], "k string, v string")
     with pytest.raises(ValueError, match="evolution cannot change"):
         write_table(spark, t, retyped, merge_schema=True)
+    # double -> float is a NARROWING of a shared column: also rejected
+    write_table(spark, t, spark.createDataFrame([(1, "b")], "k int, v string"))
+    wide = spark.createDataFrame([(2.5, "c")], "k double, v string")
+    write_table(spark, t, wide, merge_schema=True)  # widens int -> double
+    with pytest.raises(ValueError, match="evolution cannot change"):
+        write_table(
+            spark, t,
+            spark.createDataFrame([(1, "d")], "k string, v string"),
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_type_widening_reads_promote_in_scan(spark, tmp_path):
+    """int->long / float->double / date->timestamp_ntz widening via
+    merge_schema: the table's type widens, OLD narrower files read
+    through the wide snapshot schema (promotion happens inside the
+    parquet scan — zero rewrite), time travel pins the pre-widen type,
+    and a post-widen NARROW batch still appends (the wide type wins)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        TimestampNTZType,
+    )
+
+    t = str(tmp_path / "t")
+    narrow = spark.createDataFrame(
+        [(1, 1.5, "2024-01-02")], "a int, b float, c string"
+    ).selectExpr("a", "b", "cast(c as date) as c")
+    write_table(spark, t, narrow)
+    pre_files = set(read_manifest(t)["files"])
+    wide = spark.createDataFrame(
+        [(2**40, 2.5, "2024-03-04T05:06:07")],
+        "a long, b double, c string",
+    ).selectExpr("a", "b", "cast(c as timestamp_ntz) as c")
+    write_table(spark, t, wide, merge_schema=True)
+    m = read_manifest(t)
+    assert pre_files <= set(m["files"])  # old files untouched
+    got = read_table(spark, t)
+    types = {f.name: type(f.dataType) for f in got.schema.fields}
+    assert types == {"a": LongType, "b": DoubleType, "c": TimestampNTZType}
+    rows = _rows(got.selectExpr("a", "b", "cast(c as string) as c"))
+    assert rows == [
+        (1, 1.5, "2024-01-02 00:00:00"),
+        (2**40, 2.5, "2024-03-04 05:06:07"),
+    ]
+    # time travel pins the PRE-widen type
+    old = read_table(spark, t, version=1)
+    assert type(old.schema["a"].dataType).__name__ == "IntegerType"
+    # a later NARROW batch appends under the wide table type
+    write_table(
+        spark, t,
+        spark.createDataFrame([(3, 3.5, "2024-05-06")], "a int, b float, c string")
+        .selectExpr("a", "b", "cast(c as date) as c"),
+        merge_schema=True,
+    )
+    assert read_table(spark, t).count() == 3
+    assert read_table(spark, t).selectExpr("sum(a)").collect()[0][0] == 2**40 + 4
+
+
+def test_merge_schema_widening_keeps_data_skipping_correct(spark, tmp_path):
+    """Skipping on a widened column: carried date stats are padded to
+    midnight so lexicographic pruning stays chronological against
+    timestamp predicates, and numeric int stats prune long/double
+    predicates. The equality-at-midnight case is exactly the one a
+    naive 'YYYY-MM-DD' vs 'YYYY-MM-DDT00:00:00' compare gets wrong."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    t = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, "2024-01-02")], "a int, c string").selectExpr(
+        "a", "cast(c as date) as c"
+    )
+    write_table(spark, t, d1, stats_cols=["a", "c"])
+    wide = spark.createDataFrame(
+        [(2**40, "2024-03-04T05:06:07")], "a long, c string"
+    ).selectExpr("a", "cast(c as timestamp_ntz) as c")
+    write_table(spark, t, wide, merge_schema=True)
+    m = read_manifest(t)
+    # the old file's date stats were padded at the widening commit
+    old_file = next(f for f in m["files"] if m["stats"][f]["a"][1] == 1)
+    assert m["stats"][old_file]["c"] == ["2024-01-02T00:00:00"] * 2
+    # equality at midnight must KEEP the old file
+    kept = prune_files(m, [("c", "=", "2024-01-02T00:00:00")])
+    assert old_file in kept and len(kept) == 1
+    # and a long-range predicate prunes it numerically
+    assert old_file not in prune_files(m, [("a", ">", 10)])
+    got = read_table(spark, t, predicates=[("c", "=", "2024-01-02T00:00:00")])
+    assert got.filter("c = timestamp_ntz'2024-01-02 00:00:00'").count() == 1
 
 
 def test_merge_schema_cdc_and_compact_cover_evolution(spark, tmp_path):
