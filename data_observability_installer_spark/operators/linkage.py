@@ -48,6 +48,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_score_sql(
+    cat_cols: list[str],
+    num_cols: list[tuple[str, int]],
+    name_weight: int,
+    cat_weight: int,
+    num_weight: int,
+) -> tuple[str, str]:
+    """The Fellegi–Sunter-shaped integer-bp scoring expressions over a
+    joined candidate row carrying ``name_a/name_b`` and per-evidence
+    ``{col}_a/{col}_b`` columns. Shared by the batch self-join and the
+    incremental batch-vs-store join so the two faces score
+    bit-identically. Returns (name_sim_sql, score_sql)."""
+    name_sim = (
+        "coalesce(10000L - CAST(levenshtein(name_a, name_b) AS BIGINT) * 10000L"
+        " DIV greatest(length(name_a), length(name_b), 1L), 0L)"
+    )
+    terms = [f"{name_weight}L * ({name_sim})"]
+    total_w = name_weight
+    for c in cat_cols:
+        terms.append(
+            f"{cat_weight}L * coalesce(CASE WHEN {c}_a = {c}_b"
+            f" THEN 10000L ELSE 0L END, 0L)"
+        )
+        total_w += cat_weight
+    for c, scale in num_cols:
+        terms.append(
+            f"{num_weight}L * coalesce(10000L - least(CAST(abs({c}_a - {c}_b)"
+            f" AS BIGINT) * 10000L DIV {int(scale)}L, 10000L), 0L)"
+        )
+        total_w += num_weight
+    return name_sim, f"({' + '.join(terms)}) DIV {total_w}L"
+
+
 def entity_match(
     df: DataFrame,
     id_col: str,
@@ -100,25 +133,9 @@ def entity_match(
         sides["a"] = sides["a"].join(keep, "blk")
     j = sides["a"].join(sides["b"], "blk").filter(F.col("id_a") < F.col("id_b"))
 
-    name_sim = (
-        "coalesce(10000L - CAST(levenshtein(name_a, name_b) AS BIGINT) * 10000L"
-        " DIV greatest(length(name_a), length(name_b), 1L), 0L)"
+    name_sim, score = _pair_score_sql(
+        cat_cols, num_cols, name_weight, cat_weight, num_weight
     )
-    terms = [f"{name_weight}L * ({name_sim})"]
-    total_w = name_weight
-    for c in cat_cols:
-        terms.append(
-            f"{cat_weight}L * coalesce(CASE WHEN {c}_a = {c}_b"
-            f" THEN 10000L ELSE 0L END, 0L)"
-        )
-        total_w += cat_weight
-    for c, scale in num_cols:
-        terms.append(
-            f"{num_weight}L * coalesce(10000L - least(CAST(abs({c}_a - {c}_b)"
-            f" AS BIGINT) * 10000L DIV {int(scale)}L, 10000L), 0L)"
-        )
-        total_w += num_weight
-    score = f"({' + '.join(terms)}) DIV {total_w}L"
     return (
         j.withColumn("name_sim_bp", F.expr(name_sim))
         .withColumn("score_bp", F.expr(score))
@@ -185,3 +202,157 @@ def entity_match_sql(
     WHERE score_bp >= {threshold_bp}
     ORDER BY score_bp DESC, id_a, id_b LIMIT {limit}
     """
+
+
+def entity_match_incremental(
+    spark,
+    store: str,
+    batch: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_prefix: int = 16,
+    cat_cols: list[str] | None = None,
+    num_cols: list[tuple[str, int]] | None = None,
+    name_weight: int = 4,
+    cat_weight: int = 2,
+    num_weight: int = 1,
+    threshold_bp: int = 6000,
+    max_block: int | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL entity matching: score a NEW batch of records
+    against the accumulated reference store (a txtable of normalized
+    ``(eid, name, blk, evidence...)`` rows) and append the batch —
+    per-batch work is |batch| x the store's SAME-BLOCK rows, never a
+    store self-join, so a continuous identity-resolution ingest pays
+    each arrival once instead of re-paying the full blocked join per
+    refresh (round-11 verdict, Next round #5; the linkage face of
+    pq_near_dups_incremental / semdedup_incremental).
+
+    Every unordered pair is generated exactly once — in the batch of
+    its LATER-arriving member (in-batch pairs appear from both join
+    directions and fold on the normalized (least, greatest) ids) — so
+    the union of all batches' pairs equals the full-corpus
+    :func:`entity_match` candidate set, scored by the SAME shared
+    expressions (:func:`_pair_score_sql`), bit for bit. Read the
+    cumulative result with :func:`entity_match_pairs`.
+
+    ``max_block`` bounds PER-BATCH cost: batch rows whose prefix block
+    exceeds the cap in the CUMULATIVE corpus (store + batch) generate
+    no candidates. Block sizes only grow, so re-applying the same cap
+    at read time (entity_match_pairs ``max_block=``) makes the final
+    verdicts exactly the batch operator's — the same parity-safe
+    cap rule as semdedup's hot-cell exemption.
+
+    ``batch_id`` makes the store append exactly-once under
+    foreachBatch replays (commit_stream_batch); a replayed batch
+    recomputes ROW-identical pairs even when its rows already landed
+    (the pool dedups by eid and equal ids never pair). Record ids are
+    assumed unique across the stream (ingest contract).
+
+    Returns the pair frame (id_a, id_b, name_sim_bp, score_bp, blk)."""
+    import os as _os
+
+    from ..functions.pin import pin
+    from ..sources import txtable as _tx
+
+    cat_cols = cat_cols or []
+    num_cols = num_cols or []
+    ev = [*cat_cols, *[c for c, _ in num_cols]]
+    new = pin(
+        batch.select(
+            F.col(id_col).alias("eid"),
+            F.col(name_col).alias("name"),
+            F.substring(F.col(name_col), 1, block_prefix).alias("blk"),
+            *[F.col(c) for c in ev],
+        ).dropDuplicates(["eid"])
+    )  # one normalization; feeds the join AND the store commit
+    have_store = bool(_os.path.isdir(_os.path.join(store, "_commits")))
+    pool = (
+        _tx.read_table(spark, store).unionByName(new).dropDuplicates(["eid"])
+        if have_store
+        else new
+    )
+    newside = new
+    if max_block is not None:
+        keep = (
+            pool.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") <= max_block)
+            .select("blk")
+        )
+        newside = new.join(F.broadcast(keep), "blk")
+    x = newside.select(
+        F.col("eid").alias("id_x"), F.col("name").alias("name_a"), "blk",
+        *[F.col(c).alias(f"{c}_a") for c in ev],
+    )
+    y = pool.select(
+        F.col("eid").alias("id_y"), F.col("name").alias("name_b"), "blk",
+        *[F.col(c).alias(f"{c}_b") for c in ev],
+    )
+    name_sim, score = _pair_score_sql(
+        cat_cols, num_cols, name_weight, cat_weight, num_weight
+    )
+    pairs = (
+        x.join(y, "blk")
+        .filter(F.col("id_x") != F.col("id_y"))
+        # every scoring term is symmetric (levenshtein + greatest-len,
+        # equality, |a-b|), so the a/b roles may come out in either
+        # join direction without changing the score
+        .withColumn("name_sim_bp", F.expr(name_sim))
+        .withColumn("score_bp", F.expr(score))
+        .filter(F.col("score_bp") >= threshold_bp)
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "name_sim_bp", "score_bp", "blk",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # materialize BEFORE the commit moves the store head (the snapshot
+    # read is manifest-pinned, so even a persist-mode recompute after
+    # the commit re-reads the same immutable files)
+    pairs = pin(pairs)
+    if batch_id is not None:
+        _tx.commit_stream_batch(store, new, batch_id)
+    else:
+        _tx.write_table(spark, store, new, mode="append")
+    return pairs
+
+
+def entity_match_pairs(
+    spark,
+    pairs_store: str,
+    store: str | None = None,
+    threshold_bp: int = 6000,
+    limit: int = 200,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Cumulative read face of the incremental matcher: union the
+    per-batch pair partitions, optionally re-apply the hot-block rule
+    against the reference store's CUMULATIVE block sizes (block counts
+    only grow, so a block that crossed ``max_block`` mid-ingest is
+    excluded as a whole — exactly :func:`entity_match`'s semantics),
+    and return the deterministic scored head. Row-identical to batch
+    ``entity_match`` over everything ingested, for any batch split
+    (parity-tested); pass the SAME ``max_block`` the sink used."""
+    from ..sources import txtable as _tx
+
+    pairs = spark.read.parquet(pairs_store)
+    if max_block is not None:
+        if store is None:
+            raise ValueError("max_block= needs store= for the block sizes")
+        hot = (
+            _tx.read_table(spark, store)
+            .groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .filter(F.col("_ct") > max_block)
+            .select("blk")
+        )
+        pairs = pairs.join(F.broadcast(hot), "blk", "left_anti")
+    return (
+        pairs.filter(F.col("score_bp") >= threshold_bp)
+        .select("id_a", "id_b", "name_sim_bp", "score_bp")
+        .orderBy(F.desc("score_bp"), "id_a", "id_b")
+        .limit(limit)
+    )

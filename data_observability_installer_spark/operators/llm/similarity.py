@@ -28,6 +28,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ...functions.pin import pin
+
 N_PLANES = 8
 _DIM = 64
 
@@ -3169,11 +3171,10 @@ def semdedup_incremental(
 
     from ...sources import txtable as _tx
 
-    assigned = (
+    assigned = pin(
         _semdedup_assigned(batch, n_clusters, cents, id_col)
         .dropDuplicates(["vid"])
-        .localCheckpoint(eager=True)  # one assignment; feeds join + commit
-    )
+    )  # one assignment; feeds join + commit (functions/pin.py seam)
     have_store = bool(_os.path.isdir(_os.path.join(store, "_commits")))
     pool = (
         _tx.read_table(spark, store).unionByName(assigned)
@@ -3217,8 +3218,11 @@ def semdedup_incremental(
         .groupBy("vid")
         .agg(F.min("dup_of").alias("dup_of"))
         .orderBy("vid")
-        .localCheckpoint(eager=True)  # pin BEFORE the commit moves the store head
     )
+    # pin (materialize) BEFORE the commit moves the store head; the
+    # snapshot read is manifest-pinned so even a persist-mode
+    # recompute after the commit re-reads the SAME immutable files
+    witnesses = pin(witnesses)
     if batch_id is not None:
         _tx.commit_stream_batch(store, assigned, batch_id)
     else:

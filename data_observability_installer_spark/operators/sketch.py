@@ -40,6 +40,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.pin import pin
+
 def mg_summarize_partition(counts, batch_counts, capacity: int):
     """Merge exact per-batch counts into a Misra–Gries summary held as
     a pandas Series (index = item, value = lower-bound counter),
@@ -616,7 +618,11 @@ def qsketch(
         df.selectExpr(f"{_q_bucket_sql(col, lo, hi, log_u)} AS bucket")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ).localCheckpoint(eager=True)  # one corpus pass feeds 3 consumers
+    )
+    # one corpus pass feeds 3 consumers; pin() is the lost-executor
+    # seam (functions/pin.py): localCheckpoint locally, persist or a
+    # reliable checkpoint dir on clusters where executors can vanish
+    leaves = pin(leaves)
     total = leaves.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
     lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
     nodes = (
@@ -676,7 +682,7 @@ def qsketch_rethin(sketch: DataFrame, k: int = 64, log_u: int = 16) -> DataFrame
     push every residual up to its deepest kept ancestor (at or above
     its own level — counts only ever move UP, so the error bound is
     preserved). Runs entirely on sketch-sized inputs."""
-    rows = sketch.select("level", "idx", "cnt").localCheckpoint(eager=True)
+    rows = pin(sketch.select("level", "idx", "cnt"))  # feeds 3 consumers
     total = rows.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
     anc = rows.select(
         F.explode(F.sequence(F.lit(0), F.col("level"))).alias("alevel"),
@@ -903,7 +909,8 @@ def qsketch_by(
         )
         .groupBy("k_key", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ).localCheckpoint(eager=True)
+    )
+    leaves = pin(leaves)  # one corpus pass feeds 3 consumers
     totals = leaves.groupBy("k_key").agg(F.sum("c").cast("long").alias("n"))
     lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
     nodes = (

@@ -490,3 +490,57 @@ def test_qsketch_by_per_key_isolation_and_bounds(spark):
         lo_r = int(np.searchsorted(exact[key], est, "left"))
         hi_r = int(np.searchsorted(exact[key], est, "right"))
         assert min(abs(lo_r - target), abs(hi_r - target)) <= 2 * log_u * n / k
+
+
+def test_pin_seam_modes_agree_and_release(spark, tmp_path):
+    """The multi-consumer pin seam (functions/pin.py, round-11 verdict
+    What's wrong #3): qsketch under persist and reliable modes returns
+    exactly the localCheckpoint default's rows — the knob trades
+    lost-executor behavior, never results — and unpin releases persist
+    state without touching the frame's validity."""
+    from data_observability_installer_spark.functions.pin import (
+        PIN_DIR_CONF,
+        PIN_MODE_CONF,
+        pin,
+        unpin,
+    )
+    from data_observability_installer_spark.operators.sketch import qsketch
+
+    df = spark.range(5000).selectExpr("CAST(id % 997 AS LONG) AS v")
+
+    def run():
+        return sorted(
+            map(tuple, qsketch(df, "v", lo=0, hi=1024, k=16).collect())
+        )
+
+    base = run()
+    assert base  # sanity: the sketch is non-empty
+    try:
+        spark.conf.set(PIN_MODE_CONF, "persist")
+        assert run() == base
+        spark.conf.set(PIN_MODE_CONF, "reliable")
+        spark.conf.set(PIN_DIR_CONF, str(tmp_path / "ckpt"))
+        assert run() == base
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+        spark.conf.unset(PIN_DIR_CONF)
+
+    # unpin: persist-mode release keeps the frame queryable (lineage
+    # is kept, so dropped blocks just recompute) and never raises
+    spark.conf.set(PIN_MODE_CONF, "persist")
+    try:
+        pinned = pin(df.selectExpr("v * 2 AS w"))
+        assert pinned.count() == 5000
+        unpin(pinned)
+        assert pinned.count() == 5000
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)
+
+    import pytest
+
+    spark.conf.set(PIN_MODE_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="local|persist|reliable"):
+            pin(df)
+    finally:
+        spark.conf.unset(PIN_MODE_CONF)

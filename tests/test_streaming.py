@@ -2060,3 +2060,130 @@ def test_semdedup_sink_retain_bounds_witness_store_bit_identical(spark, tmp_path
         (r.vec_id, r.cell, r.keep, r.dup_of)
         for r in semdedup_verdicts(spark, store, witness_store).collect()
     ) == want
+
+
+def test_entity_match_sink_cumulative_parity_and_replay(spark, tmp_path):
+    """Incremental identity resolution: the union of per-batch pair
+    partitions, read through entity_match_pairs, must be ROW-identical
+    to batch entity_match over everything ingested — including the
+    hot-block rule when a block crosses max_block MID-stream (counts
+    only grow, so the read-time cap exclusion matches the batch
+    operator exactly) — and a replayed micro-batch changes nothing
+    (exactly-once store commit + idempotent pair partitions)."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.operators.linkage import (
+        entity_match,
+        entity_match_incremental,
+        entity_match_pairs,
+    )
+    from data_observability_installer_spark.sources import txtable as _tx
+    from data_observability_installer_spark.streaming.linkage import (
+        entity_match_sink,
+    )
+
+    b1 = [(1, "smith global inc", "london", 1000),
+          (2, "smith global incx", "london", 1010),
+          (3, "acme widgets ltd", "paris", 5000),
+          (4, "zeta systems", "berlin", 700)]
+    b2 = [(11, "smith global inc.", "london", 1005),
+          (12, "acme widgets ltd", "paris", 5002),
+          (13, "acme widgets co", "paris", 5100)]
+    # batch 3 pushes the "acme w" block over max_block=4
+    b3 = [(21, "zeta systems gmbh", "berlin", 703),
+          (22, "acme widgets ltd.", "paris", 5003),
+          (23, "acme widgets intl", "rome", 5200)]
+    batches = [b1, b2, b3]
+    kw = dict(
+        block_prefix=6,
+        cat_cols=["city"],
+        num_cols=[("cents", 1000)],
+        threshold_bp=5000,
+    )
+
+    src = tmp_path / "records"; src.mkdir()
+    for i, rows in enumerate(batches):
+        (src / f"{i}.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"rid": r[0], "name": r[1], "city": r[2], "cents": r[3]}
+                )
+                for r in rows
+            )
+        )
+        _time.sleep(0.15)
+
+    store = str(tmp_path / "store")
+    pairs_store = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("rid long, name string, city string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = entity_match_sink(
+        stream, store, pairs_store, str(tmp_path / "ckpt"),
+        id_col="rid", name_col="name", max_block=4, availableNow=True,
+        **kw,
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "rid long, name string, city string, cents long",
+    )
+    want_capped = sorted(
+        map(tuple, entity_match(full, "rid", "name", max_block=4, **kw).collect())
+    )
+    got_capped = sorted(
+        map(
+            tuple,
+            entity_match_pairs(
+                spark, pairs_store, store=store,
+                threshold_bp=5000, max_block=4,
+            ).collect(),
+        )
+    )
+    assert got_capped == want_capped
+    # the cap actually BIT: the acme block crossed it, so its pairs are
+    # excluded even though some were emitted while the block was small
+    assert not any("acme" in str(t) for t in got_capped)
+    assert len(want_capped) >= 2  # smith + zeta matches survive
+
+    # UNcapped incremental parity on a second store (manual batches)
+    store2 = str(tmp_path / "store2")
+    pairs2 = str(tmp_path / "pairs2")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "rid long, name string, city string, cents long"
+        )
+        p = entity_match_incremental(
+            spark, store2, df, "rid", "name", batch_id=i, **kw
+        )
+        p.coalesce(1).write.mode("overwrite").parquet(
+            f"{pairs2}/run_id={i:08d}"
+        )
+    want = sorted(map(tuple, entity_match(full, "rid", "name", **kw).collect()))
+    got = sorted(
+        map(
+            tuple,
+            entity_match_pairs(spark, pairs2, threshold_bp=5000).collect(),
+        )
+    )
+    assert got == want and len(want) > len(want_capped)  # acme pairs back
+
+    # replay of the LAST batch: store unchanged (exactly-once) and the
+    # recomputed pairs ROW-identical to the stored partition
+    n_versions = len(_tx.history(store2))
+    replay = spark.createDataFrame(
+        b3, "rid long, name string, city string, cents long"
+    )
+    p = entity_match_incremental(
+        spark, store2, replay, "rid", "name", batch_id=2, **kw
+    )
+    assert len(_tx.history(store2)) == n_versions
+    assert sorted(map(tuple, p.collect())) == sorted(
+        map(tuple, spark.read.parquet(f"{pairs2}/run_id=00000002")
+            .select("id_a", "id_b", "name_sim_bp", "score_bp", "blk")
+            .collect())
+    )

@@ -668,6 +668,7 @@ def main() -> None:
         os.path.join(sink_root_sd, "witnesses"),
         os.path.join(sink_root_sd, "ckpt"),
         threshold=0.9,
+        retain=4,  # r12: production shape — witness store stays bounded
         availableNow=True,
     )
     ops["semdedup_sink"] = _drain(
@@ -679,6 +680,13 @@ def main() -> None:
     ops["semdedup_sink"]["cell_store_commits"] = len(
         _tx2.history(os.path.join(sink_root_sd, "cells"))
     )
+    # r12 (retain=4): the witness read fan-in is BOUNDED — at most
+    # retain plain partitions + rollups, not one per micro-batch
+    # forever; min(dup_of) folding keeps verdicts bit-identical
+    ops["semdedup_sink"]["witness_partitions_final"] = len([
+        d for d in os.listdir(os.path.join(sink_root_sd, "witnesses"))
+        if d.startswith("run_id=")
+    ])
     # NOTE: .count() alone would let Catalyst eliminate the left join
     # onto the witness aggregate (and the whole pair stage with it);
     # filtering on the witness column forces the real work
@@ -728,6 +736,105 @@ def main() -> None:
     }
     shutil.rmtree(growth_root_sd, ignore_errors=True)
     shutil.rmtree(sink_root_sd, ignore_errors=True)
+
+    # round-12: incremental entity matching — per-batch prefix-block
+    # join against the accumulating txtable reference store (never a
+    # store self-join); pairs land per-batch, read face re-applies the
+    # hot-block cap. Store-growth curve: constant batches, block sizes
+    # grow with the store, so per-batch cost grows linearly in store
+    # size (the blocked-join floor), vs batch entity_match re-paying
+    # the FULL sum(block^2) self-join per refresh.
+    from data_observability_installer_spark.operators.linkage import (
+        entity_match,
+        entity_match_incremental,
+    )
+    from data_observability_installer_spark.streaming.linkage import (
+        entity_match_sink,
+    )
+
+    def synth_records(df, id_col="event_id"):
+        # near-duplicate corporate names keyed off the stream's unique
+        # event id: ~1/8 of rows carry a typo suffix; block = the
+        # 12-char name prefix (one block per base id, sizes grow with
+        # the store — the honest incremental-cost driver)
+        i = F.col(id_col).cast("long")
+        return df.select(
+            i.alias("rid"),
+            F.concat(
+                F.lit("entity "),
+                F.lpad(F.pmod(i, F.lit(3000)).cast("string"), 5, "0"),
+                F.when(F.pmod(i, F.lit(8)) == 0, F.lit(" xco"))
+                .otherwise(F.lit(" inc")),
+            ).alias("name"),
+            F.pmod(i, F.lit(17)).cast("string").alias("region"),
+            (F.pmod(i, F.lit(3000)) * 100).alias("cents"),
+        )
+
+    em_kw = dict(
+        block_prefix=12,
+        cat_cols=["region"],
+        num_cols=[("cents", 10000)],
+        threshold_bp=6000,
+    )
+    sink_root_em = _tf.mkdtemp(prefix="stream_bench_entitymatch_")
+    q = entity_match_sink(
+        synth_records(read_stream()),
+        os.path.join(sink_root_em, "store"),
+        os.path.join(sink_root_em, "pairs"),
+        os.path.join(sink_root_em, "ckpt"),
+        id_col="rid",
+        name_col="name",
+        max_block=64,
+        availableNow=True,
+        **em_kw,
+    )
+    ops["entity_match_sink"] = _drain(
+        q,
+        lambda: spark.read.parquet(
+            os.path.join(sink_root_em, "pairs")
+        ).count(),
+    )
+    ops["entity_match_sink"]["store_commits"] = len(
+        _tx2.history(os.path.join(sink_root_em, "store"))
+    )
+    em_batch = synth_records(batch_df)
+    ops["entity_match_sink"]["batch_twin_s"] = timed_batch(
+        lambda: entity_match(
+            em_batch, "rid", "name", max_block=64, limit=10**9, **em_kw
+        ).count()
+    )
+    growth_root_em = _tf.mkdtemp(prefix="stream_bench_em_growth_")
+    gstore_em = os.path.join(growth_root_em, "store")
+    growth_em = []
+    for b in range(n_growth_batches):
+        bdf = synth_records(
+            spark.range(b * gbatch, (b + 1) * gbatch), id_col="id"
+        )
+        t0 = time.monotonic()
+        entity_match_incremental(
+            spark, gstore_em, bdf, "rid", "name",
+            max_block=10**6, batch_id=b, **em_kw,
+        ).count()
+        growth_em.append(round(time.monotonic() - t0, 3))
+    ops["entity_match_sink"]["store_growth"] = {
+        "batch_rows": gbatch,
+        "per_batch_s": growth_em,
+        "store_rows_final": n_growth_batches * gbatch,
+        "last_vs_first_ratio": round(
+            growth_em[-1] / max(growth_em[0], 1e-9), 2
+        ),
+        "note": (
+            "constant-size batches against an accumulating txtable "
+            "reference store; per-batch cost = batch x same-block "
+            "store rows, linear in store size with bounded blocks — "
+            "vs batch entity_match re-paying the full blocked "
+            "self-join (sum(block^2)) every refresh; max_block bounds "
+            "the hot-block tail and the read face re-applies it "
+            "parity-safely"
+        ),
+    }
+    shutil.rmtree(growth_root_em, ignore_errors=True)
+    shutil.rmtree(sink_root_em, ignore_errors=True)
 
     # round-10: continuous HLL distinct counter — per-batch register
     # tables (<= 256 rows each), merged store == one-pass sketch; items
