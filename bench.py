@@ -251,6 +251,38 @@ HEADLINE = [
 ]
 
 
+#: A/B knob for the drift investigation: SPARK_BENCH_RELEASE=0 skips the
+#: per-query state release so the accumulated-state hypothesis can be
+#: tested against the same binary on the same machine.
+RELEASE_PINS = os.environ.get("SPARK_BENCH_RELEASE", "1") != "0"
+
+
+def _release_pins(spark) -> None:
+    """Free the executor state the previous query left behind: SQL-
+    cached relations and EVERY persisted/localCheckpointed RDD block.
+    Round-11 verdict (What's wrong #1): the 206-query single-session
+    common-set total crept +4-7% per round with zero code change to
+    the drifting queries; eager ``localCheckpoint`` blocks — which
+    nothing unpersists until the ContextCleaner notices the RDD is
+    garbage, i.e. possibly never inside one long session — were the
+    prime suspect. Explicit release makes each query's measurement
+    independent of how many queries ran before it."""
+    import gc
+
+    if not RELEASE_PINS:
+        return
+    spark.catalog.clearCache()
+    try:
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            try:
+                jrdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — release must never fail the bench
+                pass
+    except Exception:  # noqa: BLE001
+        pass
+    gc.collect()  # drop py4j refs so JVM-side RDD objects can also go
+
+
 def main() -> None:
     # the engine's tuned session (AQE, broadcast threshold, Arrow,
     # file-split sizing) — bench must measure the config users get
@@ -321,6 +353,7 @@ def main() -> None:
         # totals directly comparable round over round (round-8 verdict,
         # What's wrong #3).
         registry.clear_caches()
+        _release_pins(spark)
         t0 = time.monotonic()
         try:
             fn(spark, SF_DIR).collect()
@@ -333,6 +366,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             continue
         registry.clear_caches()
+        _release_pins(spark)
         t0 = time.monotonic()
         try:
             fn(spark, SF_DIR).collect()
@@ -350,6 +384,7 @@ def main() -> None:
         while prev is not None and dt > 1.5 * prev and retries < 2:
             retries += 1
             registry.clear_caches()
+            _release_pins(spark)
             t0 = time.monotonic()
             try:
                 fn(spark, SF_DIR).collect()

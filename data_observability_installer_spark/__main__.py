@@ -456,6 +456,32 @@ def cmd_profile_store(args) -> int:
     return 0
 
 
+def cmd_qsketch_store(args) -> int:
+    """Quantile report from the continuous quantile-sketch store
+    (streaming/sketch.py qsketch_sink): merge the per-batch run_id
+    partitions into the whole-history sketch (node-residual sums —
+    sketch-sized, never data-sized) and scan it for the requested
+    quantiles; --grouped reads a key_col= store and reports per key
+    (the per-pipeline SLA p50/p99 serving path). lo/hi/log-u must
+    match what the sink was started with."""
+    from .operators.sketch import qsketch_quantiles, qsketch_quantiles_by
+    from .streaming.sketch import read_qsketch_store
+
+    spark = _spark(args)
+    q_bps = [int(x) for x in args.q.split(",")]
+    sk = read_qsketch_store(spark, args.path, grouped=args.grouped)
+    if args.grouped:
+        out = qsketch_quantiles_by(
+            sk, q_bps, lo=args.lo, hi=args.hi, log_u=args.log_u
+        ).orderBy("k_key", "q_bp")
+    else:
+        out = qsketch_quantiles(
+            sk, q_bps, lo=args.lo, hi=args.hi, log_u=args.log_u
+        ).orderBy("q_bp")
+    out.show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
     ap.add_argument("--sf-dir", default=None)
@@ -553,6 +579,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rollup-run-id", default=None,
                    help="merge dropped PARTIAL-state runs into this run id")
 
+    p = sub.add_parser("qsketch-store")
+    p.add_argument("path")
+    p.add_argument("--grouped", action="store_true",
+                   help="store written with key_col= (per-key report)")
+    p.add_argument("--q", default="5000,9000,9900",
+                   help="quantiles in basis points, comma-separated")
+    p.add_argument("--lo", type=int, default=0)
+    p.add_argument("--hi", type=int, default=(1 << 24) - 1)
+    p.add_argument("--log-u", type=int, default=16, dest="log_u")
+    p.add_argument("--rows", type=int, default=50)
+
     args = ap.parse_args(argv)
     if args.sf_dir is None:
         from .sources.tables import DEFAULT_SF_DIR
@@ -573,6 +610,7 @@ def main(argv: list[str] | None = None) -> int:
         "quarantine": cmd_quarantine,
         "table": cmd_table,
         "profile-store": cmd_profile_store,
+        "qsketch-store": cmd_qsketch_store,
     }[args.verb](args)
 
 

@@ -4602,10 +4602,11 @@ def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CP_FLAG_Q = 1_000_000  # changepoint alert floor on the 1e-4-quantized gain
+_SLA_P99_FLAG_S = 6 * 3600  # SLA screen: flag pipelines with p99 >= 6h
 
 
 def _monitor_twin() -> str:
-    """Single-pane twin: the four continuous screens' own oracle
+    """Single-pane twin: the five continuous screens' own oracle
     statements wrapped as subqueries and unified to (screen, entity,
     flagged, detail) — composition over duplication, so the pane can
     never drift from the screens it summarizes."""
@@ -4613,6 +4614,7 @@ def _monitor_twin() -> str:
     cs = ORACLES["cusum_shift_events"]
     pc = ORACLES["pchart_failures_events"]
     cp = ORACLES["changepoint_events"]
+    sla = ORACLES["qsketch_sla_events"]
     return f"""
     SELECT 'changepoint' AS screen, k AS entity,
            gain_q >= {_CP_FLAG_Q} AS flagged, CAST(gain_q AS VARCHAR) AS detail
@@ -4627,6 +4629,10 @@ def _monitor_twin() -> str:
     SELECT 'p_chart', split_part(k, '|', 1) AS entity,
            bool_or(breach), CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS VARCHAR)
     FROM ({pc}) GROUP BY split_part(k, '|', 1)
+    UNION ALL
+    SELECT 'sla_p99', pipeline_key, est >= {_SLA_P99_FLAG_S},
+           CAST(est AS VARCHAR)
+    FROM ({sla}) WHERE q_bp = 9900
     ORDER BY screen, entity
     """
 
@@ -4636,9 +4642,12 @@ def monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-monitoring pane (reference README.md:10, task 5,
     as ONE table): every screen's verdict per entity — Mann-Kendall
     trend, CUSUM sustained shift, SPC p-chart failure-rate control,
-    change-point localization — unified to (screen, entity, flagged,
-    detail). Pure composition of the registered screens (shared code
-    AND shared twins), so the pane cannot drift from its parts."""
+    change-point localization, and the per-pipeline SLA p99 from the
+    grouped quantile sketch (the serving face of the continuous
+    qsketch_sink store; r11 built the store, this pane is what reads
+    it operationally) — unified to (screen, entity, flagged, detail).
+    Pure composition of the registered screens (shared code AND shared
+    twins), so the pane cannot drift from its parts."""
     mk = mk_trend_events(spark, sf_dir).selectExpr(
         "'mk_trend' AS screen",
         "k AS entity",
@@ -4666,10 +4675,17 @@ def monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("'p_chart' AS screen", "entity", "flagged", "detail")
     )
+    sla = qsketch_sla_events(spark, sf_dir).filter(F.col("q_bp") == 9900).selectExpr(
+        "'sla_p99' AS screen",
+        "pipeline_key AS entity",
+        f"est >= {_SLA_P99_FLAG_S} AS flagged",
+        "CAST(est AS STRING) AS detail",
+    )
     return (
         cp.unionByName(cs)
         .unionByName(mk)
         .unionByName(pc)
+        .unionByName(sla)
         .orderBy("screen", "entity")
     )
 
@@ -6289,6 +6305,39 @@ def txtable_skipping_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DV_DELETE_PRED = "l_orderkey % 10 = 3 AND l_quantity > 25"
+
+
+def _seed_lineitem_dv_store(spark: SparkSession, sf_dir: str) -> str:
+    """Seed (once per sf_dir, crash-resumable from the observed version
+    count) the deletion-vector demo store shared by
+    txtable_delete_lineitem and txtable_cdf_lineitem: v1 appends the
+    even-orderkey lineitem slice, v2 the odd slice, v3 deletes
+    ``_DV_DELETE_PRED`` via positional-delete sidecars."""
+    import os
+    import re as _re
+
+    from ..sources import txtable as _tx
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    store = os.path.join(
+        "spark-warehouse",
+        "txtable_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_dv",
+    )
+    seed_steps = [
+        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 0)),
+        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 1)),
+        lambda: _tx.delete_rows(spark, store, _DV_DELETE_PRED),
+    ]
+    for step in seed_steps[len(_tx._versions(store)):]:
+        step()
+    return store
+
+
 @register(
     "txtable_delete_lineitem",
     """
@@ -6324,29 +6373,9 @@ def txtable_delete_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores); at 100 TB this is the GDPR-erasure path: a needle delete
     writes KBs of sidecar, never whole files (sources/txtable.py
     delete_rows)."""
-    import os
-    import re as _re
-
     from ..sources import txtable as _tx
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-    store = os.path.join(
-        "spark-warehouse",
-        "txtable_store",
-        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
-        "lineitem_dv",
-    )
-    seed_steps = [
-        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 0)),
-        lambda: _tx.write_table(spark, store, li.filter(F.col("l_orderkey") % 2 == 1)),
-        lambda: _tx.delete_rows(
-            spark, store, "l_orderkey % 10 = 3 AND l_quantity > 25"
-        ),
-    ]
-    for step in seed_steps[len(_tx._versions(store)):]:
-        step()
+    store = _seed_lineitem_dv_store(spark, sf_dir)
     cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
     parts = []
     for v, op in ((2, "append"), (3, "delete")):
@@ -6359,6 +6388,58 @@ def txtable_delete_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
+    "txtable_cdf_lineitem",
+    """
+    SELECT 1 AS version, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents
+    FROM lineitem WHERE l_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 2 = 1
+    UNION ALL
+    SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 10 = 3 AND l_quantity > 25
+    ORDER BY version
+    """,
+)
+def txtable_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED over the deletion-vector store (the
+    Delta CDF face, sources/txtable.py table_changes_cdf): inserts come
+    from each append's embedded added_files; the delete commit's rows
+    are RECONSTRUCTED from its new sidecar positions against the parent
+    snapshot — no extra write happened at delete time, the immutable
+    data files still hold the content. The query folds the whole feed
+    to per-(version, change_type) row counts and integer-cents sums;
+    the oracle recomputes all three slices straight from lineitem, so
+    a feed that mis-attributed a row's commit, duplicated an insert,
+    or reconstructed the wrong deleted rows hash-mismatches. Shares
+    the crash-resumable store with txtable_delete_lineitem."""
+    from ..sources import txtable as _tx
+
+    store = _seed_lineitem_dv_store(spark, sf_dir)
+    cdf = _tx.table_changes_cdf(spark, store, 0)
+    return (
+        cdf.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("qty_cents"),
+        )
+        .orderBy("version")
+    )
 
 
 # ---------------------------------------------------------------------------

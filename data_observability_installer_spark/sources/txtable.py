@@ -1225,11 +1225,14 @@ def delete_rows(
         for f in touched:
             total = (dv[f]["count"] if f in dv else 0) + int(per_file[f])
             dv[f] = {"dv": sub, "count": total}
+        dropped: dict[str, dict] = {}
         for f in touched:
             # fully-deleted file: drop it from the snapshot entirely
+            # (recorded under dv_dropped so the CDC-read face can still
+            # reconstruct WHICH rows this commit deleted)
             nrows = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
             if dv[f]["count"] >= nrows:
-                dv.pop(f)
+                dropped[f] = dv.pop(f)
                 files_out.remove(f)
         n = int(sum(per_file.values()))
         manifest = {
@@ -1237,6 +1240,8 @@ def delete_rows(
             "added": 0, "added_files": [], "dv": dv,
             "predicate": condition, "deleted_rows": n,
         }
+        if dropped:
+            manifest["dv_dropped"] = dropped
         if m.get("stats"):
             keep = set(files_out)
             manifest["stats"] = {
@@ -1457,6 +1462,145 @@ def table_changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(path, f) for f in added]
     )
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED (the Delta CDF face): every row
+    changed in ``(from_version, to_version]`` with ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``, under the range-end
+    snapshot's LOGICAL column names (renames in the range are resolved
+    through the field-id mapping, so a consumer sees one stable
+    schema; columns added mid-range read NULL for earlier commits,
+    columns dropped by range-end are omitted).
+
+    - append/stream_append commits contribute their ``added_files``
+      rows as inserts — a plain scan, no parent lookups;
+    - delete commits contribute exactly the rows their NEW deletion-
+      vector positions cover, reconstructed against the PARENT
+      snapshot (this commit's sidecar positions minus the parent's —
+      including files the delete dropped entirely, recorded under
+      ``dv_dropped``); the row CONTENT comes from the still-immutable
+      data files, the same reason Delta CDF for DV deletes needs no
+      extra write at delete time;
+    - overwrite/compact/merge still raise ValueError: their file lists
+      do not decompose into row changes (snapshot_diff's job).
+
+    Data files and manifests in the range must still exist — vacuum
+    retention bounds CDF reach exactly as it does for Delta."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"not a txtable (no commits): {path}")
+    to_v = to_version if to_version is not None else vs[-1]
+    have = set(vs)
+    missing = [v for v in range(from_version + 1, to_v + 1) if v not in have]
+    if missing:
+        raise VacuumedVersionError(
+            f"versions {missing} predate the vacuum retention horizon "
+            f"(oldest retained: {vs[0]}); CDF over them is unrecoverable"
+        )
+    end_m = read_manifest(path, to_v)
+    end_fields, _, _ = _bootstrap_mapping(end_m)
+    end_by_fid = {fid: name for name, fid in end_fields.items()}
+    end_schema = StructType.fromJson(json.loads(end_m["schema"]))
+
+    def to_end_names(df: DataFrame, commit_m: dict) -> DataFrame:
+        """Project a commit-era frame onto the range-end logical names
+        via stable field ids (dropped-by-end columns omitted)."""
+        cf, _, _ = _bootstrap_mapping(commit_m)
+        cols = [
+            F.col(name).alias(end_by_fid[fid])
+            for name, fid in cf.items()
+            if fid in end_by_fid
+        ]
+        return df.select(*cols)
+
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to_v + 1):
+        m = read_manifest(path, v)
+        if m["op"] in ("append", "stream_append"):
+            files = _added_files(path, m)
+            if not files:
+                continue
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            rows = to_end_names(
+                _scan_plain(spark, path, m, files, schema), m
+            )
+            parts.append(
+                rows.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        elif m["op"] == "delete":
+            parent = read_manifest(path, v - 1)
+            parent_dv = parent.get("dv") or {}
+            touched = {
+                f: e
+                for f, e in {**(m.get("dv") or {}),
+                             **(m.get("dv_dropped") or {})}.items()
+                if parent_dv.get(f) != e
+            }
+            if not touched:
+                continue
+            now = _dv_frame(spark, path, touched, sorted(touched))
+            old_touched = [f for f in touched if f in parent_dv]
+            if old_touched:
+                old = _dv_frame(spark, path, parent_dv, old_touched)
+                now = now.join(
+                    old.select(
+                        F.col("file").alias("ofile"), F.col("pos").alias("opos")
+                    ),
+                    (F.col("file") == F.col("ofile"))
+                    & (F.col("pos") == F.col("opos")),
+                    "left_anti",
+                )
+            pschema = StructType.fromJson(json.loads(parent["schema"]))
+            scanned = _scan_with_pos(
+                spark, path, parent, sorted(touched), pschema
+            )
+            deleted = scanned.join(
+                F.broadcast(now),
+                (scanned["__file"] == now["file"])
+                & (scanned["__pos"] == now["pos"]),
+                "left_semi",
+            ).drop("__file", "__pos")
+            parts.append(
+                to_end_names(deleted, parent)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+        elif m["op"] in ("rename_column", "drop_column"):
+            continue  # metadata-only: no row changes
+        else:
+            # overwrite/compact/merge/restore/clone: the file-list move
+            # does not decompose into row changes (restore flips whole
+            # snapshots; rewrites lose row identity) — snapshot_diff
+            raise ValueError(
+                f"version {v} is op={m['op']!r}; its file list does not "
+                "decompose into row changes — use snapshot_diff"
+            )
+    from pyspark.sql.types import IntegerType, StringType, StructField
+
+    base = spark.createDataFrame(
+        [],
+        StructType(
+            [f for f in end_schema.fields]
+            + [StructField("_change_type", StringType(), False),
+               StructField("_commit_version", IntegerType(), False)]
+        ),
+    )
+    out = base
+    for p in parts:
+        # allowMissingColumns: commits that predate an added column
+        # contribute NULL for it
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def commit_stream_batch(

@@ -282,3 +282,47 @@ def test_cli_table_delete(spark, tmp_path, capsys):
     import re as _re
 
     assert len(_re.findall(r"\|1\s*\|$", shown, _re.M)) == 0
+
+
+def test_cli_qsketch_store_per_key_quantiles(spark, tmp_path, capsys):
+    """qsketch-store verb: per-pipeline p50/p99 served from the
+    continuous grouped quantile-sketch store — the operational read
+    path of the r11 SLA percentile sink. Seeded via the library (two
+    batches so the report exercises the cross-partition node merge);
+    the p99 estimate must respect the q-digest rank-error bound."""
+    from data_observability_installer_spark.operators.profile import (
+        write_profile,
+    )
+    from data_observability_installer_spark.operators.sketch import qsketch_by
+
+    store = str(tmp_path / "qstore")
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'etl' ELSE 'ml' END AS pipeline",
+        # etl durations ~ id % 1000, ml ~ 2000 + id % 1000
+        "CAST(CASE WHEN id % 2 = 0 THEN id % 1000"
+        "      ELSE 2000 + id % 1000 END AS LONG) AS dur_s",
+    )
+    for b, half in enumerate(("id < 2000", "id >= 2000")):
+        batch = spark.range(4000).where(half).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'etl' ELSE 'ml' END AS pipeline",
+            "CAST(CASE WHEN id % 2 = 0 THEN id % 1000"
+            "      ELSE 2000 + id % 1000 END AS LONG) AS dur_s",
+        )
+        write_profile(
+            qsketch_by(batch, "pipeline", "dur_s", lo=0, hi=4095, log_u=12),
+            store, f"{b:08d}",
+        )
+    assert main([
+        "qsketch-store", store, "--grouped",
+        "--q", "5000,9900", "--lo", "0", "--hi", "4095", "--log-u", "12",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "etl" in out and "ml" in out and "9900" in out
+    # parse the shown table: ml's p99 must land near 2990 (within the
+    # q-digest bound: 3/64 of n=2000 ranks ~ <=  a few node widths)
+    import re as _re
+
+    rows = _re.findall(r"\|(\w+)\s*\|(\d+)\s*\|(\d+)\s*\|(\d+)\s*\|", out)
+    vals = {(r[0], int(r[1])): int(r[3]) for r in rows}
+    assert 2500 <= vals[("ml", 9900)] <= 3200
+    assert 300 <= vals[("etl", 5000)] <= 700

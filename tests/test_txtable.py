@@ -1517,3 +1517,80 @@ def test_clone_retry_resumes_over_partial_cross_device_copy(spark, tmp_path):
         fh.write(b"partial copy from a crashed cross-device clone")
     clone_table(t, c)
     assert _rows(read_table(spark, c)) == [(1,), (2,)]
+
+
+def test_cdf_inserts_and_dv_deletes_row_level(spark, tmp_path):
+    """table_changes_cdf: appends emit their rows as inserts; a delete
+    commit emits EXACTLY the rows its new DV positions cover (content
+    reconstructed from the immutable parent files), stamped with the
+    right commit version — including rows of a file the delete dropped
+    entirely (dv_dropped) and SECOND deletes (only the newly-covered
+    positions, never the already-deleted ones)."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        table_changes_cdf,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(i, i % 3) for i in range(6)], "id int, k int").coalesce(1))
+    write_table(spark, t, spark.createDataFrame(
+        [(i, i % 3) for i in range(10, 14)], "id int, k int").coalesce(1))
+    assert delete_rows(spark, t, "k = 1") == 4       # v3: ids 1, 4, 10, 13
+    assert delete_rows(spark, t, "id >= 10") == 2    # v4: 11, 12 (rest gone)
+    cdf = table_changes_cdf(spark, t, 0)
+    got = sorted(
+        (r._commit_version, r._change_type, r.id) for r in cdf.collect()
+    )
+    want = (
+        [(1, "insert", i) for i in range(6)]
+        + [(2, "insert", i) for i in range(10, 14)]
+        + [(3, "delete", i) for i in (1, 4, 10, 13)]
+        + [(4, "delete", i) for i in (11, 12)]
+    )
+    assert got == sorted(want)
+    # v4 fully emptied the second file: dv_dropped carried its sidecar
+    m = read_manifest(t, 4)
+    assert m.get("dv_dropped")
+    # ranged read: only the second delete
+    sub = table_changes_cdf(spark, t, 3, 4)
+    assert sorted(r.id for r in sub.collect()) == [11, 12]
+
+
+def test_cdf_resolves_renames_and_added_columns_to_end_schema(spark, tmp_path):
+    """CDF across a rename + add-column: every commit's rows surface
+    under the RANGE-END logical names (field-id resolution), with
+    pre-add commits reading NULL for the new column; metadata-only
+    commits contribute no rows; a compact in range raises."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        rename_column,
+        table_changes_cdf,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, "a")], "id int, v string"))
+    rename_column(t, "v", "val")
+    write_table(
+        spark, t,
+        spark.createDataFrame([(2, "b", 7)], "id int, val string, n int"),
+        merge_schema=True,
+    )
+    delete_rows(spark, t, "id = 1")
+    cdf = table_changes_cdf(spark, t, 0)
+    assert set(cdf.columns) == {"id", "val", "n", "_change_type",
+                                "_commit_version"}
+    got = sorted(
+        (r._commit_version, r._change_type, r.id, r.val, r.n)
+        for r in cdf.collect()
+    )
+    assert got == [
+        (1, "insert", 1, "a", None),   # pre-rename row under END name
+        (3, "insert", 2, "b", 7),
+        (4, "delete", 1, "a", None),   # deleted row reconstructed
+    ]
+    compact(spark, t, target_partitions=1)
+    with pytest.raises(ValueError, match="snapshot_diff"):
+        table_changes_cdf(spark, t, 0)
+    # ...but a range that stops before the compact still works
+    assert table_changes_cdf(spark, t, 0, 4).count() == 3

@@ -463,6 +463,56 @@ def txtable_skipping_op(spark, path: str) -> None:
     )
 
 
+def _txtable_era_read_op(n_eras: int):
+    """Column-mapping read-overhead fixture (round-11 verdict, Next
+    round #8): the SAME data lands as 5 append bursts; the era variant
+    interleaves a rename between bursts (4 renames => 5 schema eras),
+    the control does zero renames (1 era). The timed body is a full
+    aggregate read — the era variant plans one scan NODE per era and
+    unions by position (txtable._read_mapped), so its overhead vs the
+    control is the whole cost of column mapping at read time. Seeding
+    is excluded (min of 2 trials; the store persists across trials)."""
+
+    def op(spark, path: str) -> None:
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        from data_observability_installer_spark.sources import txtable as _tx
+
+        store = f"{path}_era{n_eras}"
+        if not _os.path.isdir(store):
+            li = spark.read.parquet(path).select(
+                "l_orderkey", _F.col("l_quantity").alias("q0"), "l_returnflag"
+            )
+            max_key = li.agg(_F.max("l_orderkey")).first()[0]
+            width = max_key // 5 + 1
+            cur = "q0"
+            for i in range(5):
+                burst = li.filter(
+                    (_F.col("l_orderkey") >= i * width)
+                    & (_F.col("l_orderkey") < (i + 1) * width)
+                ).withColumnRenamed("q0", cur)
+                _tx.write_table(spark, store, burst)
+                if n_eras > 1 and i < 4:
+                    nxt = f"q{i + 1}"
+                    _tx.rename_column(store, cur, nxt)
+                    cur = nxt
+        final = "q4" if n_eras > 1 else "q0"
+        (
+            _tx.read_table(spark, store)
+            .agg(
+                _F.sum(
+                    _F.expr(f"CAST(floor({final} * 100 + 0.5) AS BIGINT)")
+                ).alias("cents"),
+                _F.count(_F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    return op
+
+
 def scaled_embeddings_rotated(spark, k: int, out: str) -> str:
     """Replicas get a per-rep CIRCULAR SHIFT of the 64 dims: rotation
     preserves every within-rep dot product and norm exactly (the
@@ -643,12 +693,27 @@ OPS = {
     "semdedup_fixed_embeddings": ("embeddings_rot", semdedup_fixed_op),
     "semdedup_trained_embeddings": ("embeddings_rot", semdedup_trained_op),
     "qsketch_lineitem": ("lineitem", qsketch_op),
+    "txtable_read_1era_lineitem": ("lineitem", _txtable_era_read_op(1)),
+    "txtable_read_5era_lineitem": ("lineitem", _txtable_era_read_op(5)),
 }
 
 
 # Interpretation notes carried into the artifact next to the numbers
 # they qualify (a curve without its floor argument reads as a defect).
 NOTES = {
+    "txtable_read_5era_lineitem": (
+        "column-mapping read overhead, paired with txtable_read_1era_"
+        "lineitem at identical data and commit structure: 4 renames "
+        "between the 5 append bursts force one scan node per schema "
+        "era, unioned by position. Eras are FEW by construction (one "
+        "per rename/drop burst, never per file), so the expected gap "
+        "vs the 1-era control is a small per-node planning constant on "
+        "top of the same bytes scanned — the 'rename costs one extra "
+        "scan node, zero rewrite' claim with a number. Measured: NO "
+        "penalty at x8 (the 5-era read landed within noise of — here "
+        "slightly under — the control; plan-shape JIT variance "
+        "dominates the per-node constant at these sizes)."
+    ),
     "entity_match_customer": (
         "linear-in-pairs IS the floor for blocked linkage: the fixture "
         "holds block sizes constant, so candidate pairs — every one of "
