@@ -384,9 +384,9 @@ def cmd_table(args) -> int:
         n = tx.vacuum(args.path, keep_last=args.keep_last)
         print(f"removed {n} data files")
         return 0
-    if args.action == "delete":
+    if args.action in ("delete", "update"):
         if not args.where:
-            print("delete requires --where", file=sys.stderr)
+            print(f"{args.action} requires --where", file=sys.stderr)
             return 2
         preds = None
         if args.prune:
@@ -394,8 +394,27 @@ def cmd_table(args) -> int:
             for spec in args.prune:
                 col, op, val = spec.split(":", 2)
                 preds.append((col, op, val))
-        n = tx.delete_rows(_spark(args), args.path, args.where, prune=preds)
-        print(f"deleted {n} rows via deletion vectors (no data rewritten)")
+        if args.action == "delete":
+            n = tx.delete_rows(_spark(args), args.path, args.where, prune=preds)
+            print(f"deleted {n} rows via deletion vectors (no data rewritten)")
+            return 0
+        if not args.set:
+            print("update requires --set COL=EXPR", file=sys.stderr)
+            return 2
+        sets = {}
+        for spec in args.set:
+            if "=" not in spec:
+                print(f"bad --set {spec!r}; want COL=EXPR", file=sys.stderr)
+                return 2
+            col, expr = spec.split("=", 1)
+            sets[col.strip()] = expr
+        n = tx.update_rows(_spark(args), args.path, args.where, sets, prune=preds)
+        print(f"updated {n} rows (untouched files not rewritten)")
+        return 0
+    if args.action == "cdf":
+        tx.table_changes_cdf(
+            _spark(args), args.path, args.from_version,
+        ).show(args.rows, truncate=False)
         return 0
     if args.action == "changes":
         tx.table_changes(_spark(args), args.path, args.from_version).show(
@@ -542,7 +561,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("action",
                    choices=["history", "show", "compact", "vacuum", "changes",
                             "stats", "health", "clone", "restore",
-                            "rename-col", "drop-col", "delete"])
+                            "rename-col", "drop-col", "delete", "update",
+                            "cdf"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -567,8 +587,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="show/delete: data-skipping predicate(s), e.g. "
                         "l_shipdate:>=:2001-01-01T00:00:00 (repeatable)")
     p.add_argument("--where", default=None,
-                   help="delete: SQL condition selecting the rows to "
-                        "remove (committed as deletion vectors)")
+                   help="delete/update: SQL condition selecting the rows "
+                        "(committed via deletion vectors)")
+    p.add_argument("--set", action="append", default=None,
+                   metavar="COL=EXPR",
+                   help="update: per-column SQL expression (repeatable)")
     p = sub.add_parser("profile-store")
     p.add_argument("action", choices=["runs", "vacuum"])
     p.add_argument("path")

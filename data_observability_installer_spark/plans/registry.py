@@ -6391,6 +6391,72 @@ def txtable_delete_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txtable_update_lineitem",
+    """
+    WITH pre AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                             AS BIGINT) AS qty_cents
+                 FROM lineitem),
+    post AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(floor(
+                        (CASE WHEN l_orderkey % 10 = 3 AND l_quantity > 25
+                              THEN l_quantity + 100 ELSE l_quantity END)
+                        * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+             FROM lineitem)
+    SELECT 1 AS version, 'append' AS op, n_rows, qty_cents FROM pre
+    UNION ALL
+    SELECT 2, 'update', n_rows, qty_cents FROM post
+    ORDER BY version
+    """,
+)
+def txtable_update_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE via deletion vectors, value-checked: one commit
+    marks the matched rows deleted (positional sidecar) AND appends
+    their updated versions — untouched files never rewrite. The query
+    reads the pre-update snapshot through time travel and the updated
+    head; the oracle recomputes both from lineitem with a CASE
+    expression — a swap that lost a row, double-counted (old row
+    leaking past its DV), or mis-applied the set expression
+    hash-mismatches. Row count must be IDENTICAL across versions
+    (updates replace, never add). sources/txtable.py update_rows."""
+    import os
+    import re as _re
+
+    from ..sources import txtable as _tx
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    store = os.path.join(
+        "spark-warehouse",
+        "txtable_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_upd",
+    )
+    seed_steps = [
+        lambda: _tx.write_table(spark, store, li),
+        lambda: _tx.update_rows(
+            spark, store, _DV_DELETE_PRED,
+            {"l_quantity": "l_quantity + 100"},
+        ),
+    ]
+    for step in seed_steps[len(_tx._versions(store)):]:
+        step()
+    cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    parts = []
+    for v, op in ((1, "append"), (2, "update")):
+        parts.append(
+            _tx.read_table(spark, store, version=v).selectExpr(
+                f"CAST({v} AS INT) AS version",
+                f"'{op}' AS op",
+                "CAST(count(*) AS BIGINT) AS n_rows",
+                f"{cents} AS qty_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
     "txtable_cdf_lineitem",
     """
     SELECT 1 AS version, 'insert' AS change_type,

@@ -1464,6 +1464,130 @@ def table_changes(
     )
 
 
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: list[tuple[str, str, object]] | None = None,
+    backend: CommitBackend | None = None,
+) -> int:
+    """Row-level UPDATE without rewriting untouched files (the Delta
+    DV-based UPDATE): ONE atomic commit (op='update') that marks the
+    matched live rows deleted via a positional-delete sidecar AND
+    appends new data files holding their updated versions — readers
+    see the old rows or the new rows, never both, and a file with one
+    matched row pays one sidecar row plus one new-row write, not a
+    whole-file rewrite. ``set_exprs`` maps column name -> Spark SQL
+    expression (evaluated per matched row; cast back to the column's
+    declared type, so the snapshot schema never changes). ``prune``
+    narrows the match scan exactly as in :func:`delete_rows`. Returns
+    the number of rows updated (0 = no match, no commit).
+
+    Interplay mirrors delete_rows: repeat-safe against already-updated
+    rows only if ``condition`` no longer matches them (an UPDATE that
+    leaves rows matching will update them again — standard SQL UPDATE
+    semantics, not idempotence); compaction materializes; time travel
+    pins; a lost race re-derives from the new head; the CDC face
+    (:func:`table_changes_cdf`) emits the matched rows as
+    'update_preimage' and the new versions as 'update_postimage'."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    for _ in range(_RETRIES):
+        m = read_manifest(path)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        bad = [c for c in set_exprs if c not in {f.name for f in schema.fields}]
+        if bad:
+            raise ValueError(f"update of unknown column(s): {bad}")
+        dv = dict(m.get("dv") or {})
+        candidates = prune_files(m, prune) if prune else m["files"]
+        if not candidates:
+            return 0
+        scanned = _scan_with_pos(spark, path, m, candidates, schema)
+        matched = scanned.filter(F.expr(condition))
+        already = [f for f in candidates if f in dv]
+        if already:
+            old = _dv_frame(spark, path, dv, already)
+            matched = matched.join(
+                old,
+                (matched["__file"] == old["file"])
+                & (matched["__pos"] == old["pos"]),
+                "left_anti",
+            )
+        from ..functions.pin import pin
+
+        # ONE materialization feeds the position sidecar AND the
+        # updated-row write — the two halves of the atomic swap must
+        # come from the same snapshot of the match
+        matched = pin(matched)
+        per_file = {
+            r["__file"]: r["n"]
+            for r in matched.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return 0
+        touched = sorted(per_file)
+        # (a) the updated versions, in the snapshot's exact schema
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        updated = matched.select(
+            *[
+                F.expr(f"CAST(({set_exprs[c]}) AS {types[c]})").alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in (f.name for f in schema.fields)
+            ]
+        )
+        new_files, _ = _write_data_files(updated, path)
+        # (b) the positions of the rows they replace
+        new_dv = matched.select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        old_touched = [f for f in touched if f in dv]
+        if old_touched:
+            new_dv = new_dv.unionByName(_dv_frame(spark, path, dv, old_touched))
+        sub = os.path.join(_DV, uuid.uuid4().hex)
+        new_dv.write.mode("error").parquet(os.path.join(path, sub))
+        files_out = list(m["files"])
+        for f in touched:
+            total = (dv[f]["count"] if f in dv else 0) + int(per_file[f])
+            dv[f] = {"dv": sub, "count": total}
+        dropped: dict[str, dict] = {}
+        for f in touched:
+            nrows = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            if dv[f]["count"] >= nrows:
+                dropped[f] = dv.pop(f)
+                files_out.remove(f)
+        n = int(sum(per_file.values()))
+        base_stats = m.get("stats") or {}
+        cols = sorted({c for s in base_stats.values() for c in s})
+        manifest = {
+            "op": "update", "files": files_out + new_files,
+            "schema": m["schema"], "added": len(new_files),
+            "added_files": new_files, "dv": dv,
+            "predicate": condition,
+            "set": dict(set_exprs), "updated_rows": n,
+        }
+        if dropped:
+            manifest["dv_dropped"] = dropped
+        if base_stats or cols:
+            keep = set(files_out)
+            manifest["stats"] = {
+                **{f: s for f, s in base_stats.items() if f in keep},
+                **(_collect_file_stats(path, new_files, cols) if cols else {}),
+            }
+        try:
+            _publish(path, manifest, m["version"], backend)
+            return n
+        except VersionClaimedError:
+            continue  # snapshot basis stale: re-derive the whole update
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
+
+
 def table_changes_cdf(
     spark: SparkSession,
     path: str,
@@ -1472,7 +1596,8 @@ def table_changes_cdf(
 ) -> DataFrame:
     """ROW-LEVEL CHANGE DATA FEED (the Delta CDF face): every row
     changed in ``(from_version, to_version]`` with ``_change_type``
-    ('insert' | 'delete') and ``_commit_version``, under the range-end
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage')
+    and ``_commit_version``, under the range-end
     snapshot's LOGICAL column names (renames in the range are resolved
     through the field-id mapping, so a consumer sees one stable
     schema; columns added mid-range read NULL for earlier commits,
@@ -1522,59 +1647,74 @@ def table_changes_cdf(
         ]
         return df.select(*cols)
 
+    def added_rows(m: dict) -> DataFrame | None:
+        files = _added_files(path, m)
+        if not files:
+            return None
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return to_end_names(_scan_plain(spark, path, m, files, schema), m)
+
+    def newly_vectored_rows(m: dict, parent: dict) -> DataFrame | None:
+        """The rows this commit's NEW deletion-vector positions cover,
+        reconstructed from the parent snapshot's immutable files."""
+        parent_dv = parent.get("dv") or {}
+        touched = {
+            f: e
+            for f, e in {**(m.get("dv") or {}),
+                         **(m.get("dv_dropped") or {})}.items()
+            if parent_dv.get(f) != e
+        }
+        if not touched:
+            return None
+        now = _dv_frame(spark, path, touched, sorted(touched))
+        old_touched = [f for f in touched if f in parent_dv]
+        if old_touched:
+            old = _dv_frame(spark, path, parent_dv, old_touched)
+            now = now.join(
+                old.select(
+                    F.col("file").alias("ofile"), F.col("pos").alias("opos")
+                ),
+                (F.col("file") == F.col("ofile"))
+                & (F.col("pos") == F.col("opos")),
+                "left_anti",
+            )
+        pschema = StructType.fromJson(json.loads(parent["schema"]))
+        scanned = _scan_with_pos(spark, path, parent, sorted(touched), pschema)
+        rows = scanned.join(
+            F.broadcast(now),
+            (scanned["__file"] == now["file"])
+            & (scanned["__pos"] == now["pos"]),
+            "left_semi",
+        ).drop("__file", "__pos")
+        return to_end_names(rows, parent)
+
+    def stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(v).cast("int")
+        )
+
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_v + 1):
         m = read_manifest(path, v)
         if m["op"] in ("append", "stream_append"):
-            files = _added_files(path, m)
-            if not files:
-                continue
-            schema = StructType.fromJson(json.loads(m["schema"]))
-            rows = to_end_names(
-                _scan_plain(spark, path, m, files, schema), m
-            )
-            parts.append(
-                rows.withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(v).cast("int"))
-            )
+            rows = added_rows(m)
+            if rows is not None:
+                parts.append(stamp(rows, "insert", v))
         elif m["op"] == "delete":
-            parent = read_manifest(path, v - 1)
-            parent_dv = parent.get("dv") or {}
-            touched = {
-                f: e
-                for f, e in {**(m.get("dv") or {}),
-                             **(m.get("dv_dropped") or {})}.items()
-                if parent_dv.get(f) != e
-            }
-            if not touched:
-                continue
-            now = _dv_frame(spark, path, touched, sorted(touched))
-            old_touched = [f for f in touched if f in parent_dv]
-            if old_touched:
-                old = _dv_frame(spark, path, parent_dv, old_touched)
-                now = now.join(
-                    old.select(
-                        F.col("file").alias("ofile"), F.col("pos").alias("opos")
-                    ),
-                    (F.col("file") == F.col("ofile"))
-                    & (F.col("pos") == F.col("opos")),
-                    "left_anti",
-                )
-            pschema = StructType.fromJson(json.loads(parent["schema"]))
-            scanned = _scan_with_pos(
-                spark, path, parent, sorted(touched), pschema
-            )
-            deleted = scanned.join(
-                F.broadcast(now),
-                (scanned["__file"] == now["file"])
-                & (scanned["__pos"] == now["pos"]),
-                "left_semi",
-            ).drop("__file", "__pos")
-            parts.append(
-                to_end_names(deleted, parent)
-                .withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", F.lit(v).cast("int"))
-            )
+            rows = newly_vectored_rows(m, read_manifest(path, v - 1))
+            if rows is not None:
+                parts.append(stamp(rows, "delete", v))
+        elif m["op"] == "update":
+            # the Delta CDF shape: matched rows as they WERE, then as
+            # they ARE (the update's new files are exactly the
+            # postimages; its new DV positions are exactly the
+            # preimages)
+            pre = newly_vectored_rows(m, read_manifest(path, v - 1))
+            if pre is not None:
+                parts.append(stamp(pre, "update_preimage", v))
+            post = added_rows(m)
+            if post is not None:
+                parts.append(stamp(post, "update_postimage", v))
         elif m["op"] in ("rename_column", "drop_column"):
             continue  # metadata-only: no row changes
         else:

@@ -1594,3 +1594,105 @@ def test_cdf_resolves_renames_and_added_columns_to_end_schema(spark, tmp_path):
         table_changes_cdf(spark, t, 0)
     # ...but a range that stops before the compact still works
     assert table_changes_cdf(spark, t, 0, 4).count() == 3
+
+
+def test_update_rows_atomic_swap_and_no_rewrite(spark, tmp_path):
+    """update_rows: matched rows swap old->new in ONE commit (row count
+    preserved, set expression applied, cast back to the column type),
+    untouched files keep their bytes, and time travel reads the
+    pre-update values."""
+    from data_observability_installer_spark.sources.txtable import update_rows
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id int, k int, v double"
+    )
+    write_table(spark, t, df.filter("id < 15").coalesce(1))
+    write_table(spark, t, df.filter("id >= 15").coalesce(1))
+    pre = read_manifest(t)
+    untouched = pre["files"][1]
+    sz = os.path.getsize(os.path.join(t, untouched))
+    n = update_rows(spark, t, "k = 1 AND id < 15", {"v": "v + 1000"})
+    assert n == 5
+    m = read_manifest(t)
+    assert m["op"] == "update" and m["updated_rows"] == 5
+    assert os.path.getsize(os.path.join(t, untouched)) == sz
+    got = read_table(spark, t)
+    assert got.count() == 30  # replaced, not added
+    assert got.filter("v >= 1000").count() == 5
+    assert got.filter("k = 1 AND id < 15 AND v < 1000").count() == 0
+    assert dict(got.dtypes)["v"] == "double"  # cast-back held
+    # time travel: pre-update values intact
+    assert read_table(spark, t, version=2).filter("v >= 1000").count() == 0
+    # compact materializes the swap away
+    compact(spark, t, target_partitions=1)
+    assert not read_manifest(t).get("dv")
+    assert read_table(spark, t).filter("v >= 1000").count() == 5
+
+
+def test_update_race_and_full_file_turnover(spark, tmp_path):
+    """A lost update race re-derives against the new head (the racer's
+    matching rows update too); updating EVERY row of a file drops the
+    old file from the manifest entirely."""
+    from data_observability_installer_spark.sources.txtable import update_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame([(1, 0)], "id int, k int"))
+    racer_df = spark.createDataFrame([(2, 1)], "id int, k int")
+    backend = _RacerMidPublish(lambda: write_table(spark, t, racer_df))
+    n = update_rows(spark, t, "TRUE", {"k": "k + 10"}, backend=backend)
+    assert backend.fired and n == 2
+    assert sorted(map(tuple, read_table(spark, t).collect())) == [
+        (1, 10), (2, 11)
+    ]
+    m = read_manifest(t)
+    # both source files fully turned over: no DVs left, only new files
+    assert not m.get("dv") and m.get("dv_dropped")
+
+
+def test_cdf_update_emits_pre_and_postimages(spark, tmp_path):
+    """table_changes_cdf over an update commit: the matched rows appear
+    as update_preimage (reconstructed from the parent snapshot) and
+    their new versions as update_postimage (the commit's added files),
+    both stamped with the update's version."""
+    from data_observability_installer_spark.sources.txtable import (
+        table_changes_cdf,
+        update_rows,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id int, v double"))
+    update_rows(spark, t, "id >= 4", {"v": "v * 100"})
+    cdf = table_changes_cdf(spark, t, 0)
+    got = sorted(
+        (r._commit_version, r._change_type, r.id, r.v) for r in cdf.collect()
+    )
+    want = sorted(
+        [(1, "insert", i, float(i)) for i in range(6)]
+        + [(2, "update_preimage", 4, 4.0), (2, "update_preimage", 5, 5.0)]
+        + [(2, "update_postimage", 4, 400.0), (2, "update_postimage", 5, 500.0)]
+    )
+    assert got == want
+
+
+def test_cli_table_update_and_cdf(spark, tmp_path, capsys):
+    from data_observability_installer_spark.sources.txtable import write_table
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, v int"))
+    from data_observability_installer_spark.__main__ import main
+
+    assert main(["table", "update", t, "--where", "id = 2"]) == 2
+    assert "requires --set" in capsys.readouterr().err
+    assert main([
+        "table", "update", t, "--where", "id = 2", "--set", "v=v+5",
+    ]) == 0
+    assert "updated 1 rows" in capsys.readouterr().out
+    assert main(["table", "cdf", t, "--from-version", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "update_preimage" in out and "update_postimage" in out
+    assert sorted(map(tuple, read_table(spark, t).collect())) == [
+        (1, 10), (2, 25)
+    ]
