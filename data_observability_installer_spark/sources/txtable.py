@@ -1382,7 +1382,8 @@ def merge_cdc(
     key_cols: list[str],
     deleted_col: str | None = None,
     backend: CommitBackend | None = None,
-) -> int:
+    batch_id: int | None = None,
+) -> int | None:
     """Upsert/delete a change batch into the table as ONE atomic
     commit: current snapshot anti-joined on the keys (drops old
     versions of changed rows), unioned with the surviving updates,
@@ -1392,7 +1393,14 @@ def merge_cdc(
     means the merge was computed against a stale snapshot, so the loop
     RE-DERIVES the whole merge from the new head (rows, not just the
     manifest — merge output depends on snapshot content; this is the
-    one operation whose retry rewrites data files)."""
+    one operation whose retry rewrites data files).
+
+    ``batch_id`` gives the merge the exactly-once replay guard of
+    :func:`commit_stream_batch` (returns None without publishing when
+    the batch already committed — vacuum-safe via the ``max_batch_id``
+    high-water mark), and bootstraps a missing table from the first
+    batch — together these make :func:`txtable_upsert_sink`'s
+    foreachBatch MERGE exactly-once under at-least-once replays."""
     survivors = updates
     if deleted_col is not None:
         from pyspark.sql import functions as F
@@ -1401,19 +1409,38 @@ def merge_cdc(
             deleted_col
         )
     for _ in range(_RETRIES):
-        base = read_manifest(path)
-        cur = read_table(spark, path, version=base["version"])
-        merged = cur.join(
-            updates.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(survivors)
+        vs = _versions(path)
+        if batch_id is not None and vs:
+            if batch_id in {read_manifest(path, v).get("batch_id") for v in vs}:
+                return None  # replay of an already-merged batch
+            hw = read_manifest(path).get("max_batch_id")
+            if hw is not None and batch_id <= hw:
+                return None  # merged before the vacuum horizon
+        if vs:
+            base = read_manifest(path)
+            parent_v = base["version"]
+            cur = read_table(spark, path, version=parent_v)
+            merged = cur.join(
+                updates.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(survivors)
+            cols = sorted(
+                {c for s in (base.get("stats") or {}).values() for c in s}
+            )
+        elif batch_id is not None:
+            parent_v = 0
+            merged = survivors  # bootstrap: the first batch IS the table
+            cols = []
+        else:
+            raise FileNotFoundError(f"not a txtable (no commits): {path}")
         files, schema = _write_data_files(merged, path)
-        cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
         manifest = {"op": "merge", "files": files, "schema": schema,
                     "added": len(files), "added_files": files}
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         if cols:
             manifest["stats"] = _collect_file_stats(path, files, cols)
         try:
-            return _publish(path, manifest, base["version"], backend)
+            return _publish(path, manifest, parent_v, backend)
         except VersionClaimedError:
             continue  # stale snapshot basis: redo the merge on the new head
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
@@ -1831,6 +1858,41 @@ def txtable_sink(stream: DataFrame, path: str, checkpoint: str, **trigger):
 
     def commit_batch(df: DataFrame, batch_id: int) -> None:
         commit_stream_batch(path, df, batch_id)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def txtable_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    deleted_col: str | None = None,
+    **trigger,
+):
+    """EXACTLY-ONCE streaming MERGE (the Delta streaming-upsert shape):
+    each micro-batch of change rows upserts/deletes into the table by
+    key through :func:`merge_cdc` — one atomic commit per batch, with
+    the batch_id replay guard making foreachBatch's at-least-once
+    delivery exactly-once, and the first batch bootstrapping the table.
+    This is the keyed-UPSERT counterpart of :func:`txtable_sink`
+    (append-only): use it when the stream carries the LATEST STATE of
+    entities rather than immutable facts. Each batch rewrites the
+    merged snapshot (merge semantics require it); for high-rate streams
+    widen the trigger interval so batches amortize.
+
+    Returns the started StreamingQuery."""
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        merge_cdc(
+            df.sparkSession, path, df, key_cols,
+            deleted_col=deleted_col, batch_id=batch_id,
+        )
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint

@@ -1696,3 +1696,52 @@ def test_cli_table_update_and_cdf(spark, tmp_path, capsys):
     assert sorted(map(tuple, read_table(spark, t).collect())) == [
         (1, 10), (2, 25)
     ]
+
+
+def test_upsert_sink_exactly_once_merge(spark, tmp_path):
+    """txtable_upsert_sink: keyed streaming MERGE — later batches
+    overwrite earlier rows by key, deleted_col rows drop, the first
+    batch bootstraps the table, and a replayed batch_id publishes
+    nothing (exactly-once under foreachBatch's at-least-once)."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.sources.txtable import (
+        merge_cdc,
+        txtable_upsert_sink,
+    )
+
+    src = tmp_path / "changes"; src.mkdir()
+    batches = [
+        [{"k": 1, "v": "a", "gone": False}, {"k": 2, "v": "b", "gone": False}],
+        [{"k": 2, "v": "B2", "gone": False}, {"k": 3, "v": "c", "gone": False}],
+        [{"k": 1, "v": None, "gone": True}, {"k": 4, "v": "d", "gone": False}],
+    ]
+    for i, rows in enumerate(batches):
+        (src / f"{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        _time.sleep(0.15)
+    t = str(tmp_path / "t")
+    stream = (
+        spark.readStream.schema("k int, v string, gone boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = txtable_upsert_sink(
+        stream, t, ["k"], str(tmp_path / "ckpt"),
+        deleted_col="gone", availableNow=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, read_table(spark, t).collect())) == [
+        (2, "B2"), (3, "c"), (4, "d")
+    ]
+    assert [h["op"] for h in history(t)] == ["merge"] * 3
+    # replay of the last batch: guard publishes nothing
+    n = len(history(t))
+    replay = spark.createDataFrame(
+        [(1, None, True), (4, "d", False)], "k int, v string, gone boolean"
+    )
+    assert merge_cdc(spark, t, replay, ["k"], deleted_col="gone",
+                     batch_id=2) is None
+    assert len(history(t)) == n
