@@ -6377,11 +6377,15 @@ def txtable_delete_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _seed_lineitem_dv_store(spark, sf_dir)
     cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    # an EMPTY lineitem matches nothing, so delete_rows commits nothing
+    # and the head stays at v2 — the post-delete row then reads the
+    # head (post-delete state == pre-delete state at zero rows)
+    head = _tx.read_manifest(store)["version"]
     parts = []
-    for v, op in ((2, "append"), (3, "delete")):
+    for label, v, op in ((2, 2, "append"), (3, min(3, head), "delete")):
         parts.append(
             _tx.read_table(spark, store, version=v).selectExpr(
-                f"CAST({v} AS INT) AS version",
+                f"CAST({label} AS INT) AS version",
                 f"'{op}' AS op",
                 "CAST(count(*) AS BIGINT) AS n_rows",
                 f"{cents} AS qty_cents",
@@ -6443,11 +6447,14 @@ def txtable_update_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step in seed_steps[len(_tx._versions(store)):]:
         step()
     cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    # empty lineitem: the update matches nothing and commits nothing —
+    # the post-update row reads the head (identical state at 0 rows)
+    head = _tx.read_manifest(store)["version"]
     parts = []
-    for v, op in ((1, "append"), (2, "update")):
+    for label, v, op in ((1, 1, "append"), (2, min(2, head), "update")):
         parts.append(
             _tx.read_table(spark, store, version=v).selectExpr(
-                f"CAST({v} AS INT) AS version",
+                f"CAST({label} AS INT) AS version",
                 f"'{op}' AS op",
                 "CAST(count(*) AS BIGINT) AS n_rows",
                 f"{cents} AS qty_cents",

@@ -430,4 +430,18 @@ def test_monitor_pane_agrees_with_its_screens(spark, sf_smoke):
     cs = {r.k: r.out_of_control for r in registry.QUERIES["cusum_shift_events"](spark, sf_smoke).collect()}
     assert all(pane[("mk_trend", k)] == v for k, v in mk.items())
     assert all(pane[("cusum", k)] == v for k, v in cs.items())
-    assert {s for s, _ in pane} == {"mk_trend", "cusum", "changepoint", "p_chart"}
+    # r12: the pane gained the per-pipeline SLA p99 screen (the grouped
+    # quantile-sketch serving path) — same composition contract
+    sla = {
+        r.pipeline_key: r.est
+        for r in registry.QUERIES["qsketch_sla_events"](spark, sf_smoke)
+        .filter("q_bp = 9900")
+        .collect()
+    }
+    assert all(
+        pane[("sla_p99", k)] == (v >= registry._SLA_P99_FLAG_S)
+        for k, v in sla.items()
+    )
+    assert {s for s, _ in pane} == {
+        "mk_trend", "cusum", "changepoint", "p_chart", "sla_p99"
+    }

@@ -550,6 +550,35 @@ def main() -> None:
                             "status", "metric_value"),
         )
     )
+
+    # round-12: exactly-once streaming MERGE — keyed upsert per
+    # micro-batch (latest state per pipeline_key). Each batch REWRITES
+    # the merged snapshot by contract, so throughput is dominated by
+    # snapshot size x batch count — the honest cost of streaming MERGE
+    # vs append (widen the trigger to amortize; the sink docstring says
+    # so). State keys here: pipeline_key cardinality, not stream length.
+    upath = os.path.join(sink_root, "txtable_upsert")
+    q = _tx.txtable_upsert_sink(
+        read_stream().select(
+            "pipeline_key",
+            F.col("event_timestamp").alias("last_seen"),
+            "status",
+        ),
+        upath,
+        ["pipeline_key"],
+        os.path.join(sink_root, "ckpt_txtable_upsert"),
+        availableNow=True,
+    )
+    ops["txtable_upsert_sink"] = _drain(
+        q, lambda: _tx.read_table(spark, upath).count()
+    )
+    ops["txtable_upsert_sink"]["commits"] = len(_tx.history(upath))
+    ops["txtable_upsert_sink"]["note"] = (
+        "keyed streaming MERGE: one atomic merge commit per micro-batch "
+        "(batch_id replay guard = exactly-once); output_rows is the "
+        "entity count (latest state per key), not the event count — "
+        "each batch pays a snapshot rewrite by merge semantics"
+    )
     # round-9: incremental PQ near-dup sink — per-batch encode + band
     # join against the accumulated txtable code store (never a corpus
     # self-join). Embeddings synthesize deterministically from
