@@ -44,6 +44,15 @@ def get_spark(app_name: str = "data-observability-spark", cpus: int | None = Non
         # small local scans (no overhead here); plan-gated in
         # tests/test_plans.py with the threshold lowered.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # ORDER BY + large LIMIT: TakeOrderedAndProject allocates a
+        # LIMIT-sized top-K buffer PER TASK (guava TopKSelector), so a
+        # "give me everything, ordered" limit of 10^9 is an instant
+        # executor OOM at any data size (measured: 600k rows, 16 g
+        # heap). Above this threshold Spark falls back to a real
+        # sort + limit, which spills. 100k keeps every sane top-k on
+        # the fast path and makes the huge-limit shape merely slow
+        # instead of fatal.
+        .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
         # Local bench files are 10s of MB; the 4 MB default file-open cost
         # caps such scans at ~3 splits, starving 32 cores. At warehouse
         # scale files are >=128 MB so this setting is inert there.

@@ -782,25 +782,29 @@ def main() -> None:
     )
 
     def synth_records(df, id_col="event_id"):
-        # near-duplicate corporate names keyed off the stream's unique
-        # event id: ~1/8 of rows carry a typo suffix; block = the
-        # 12-char name prefix (one block per base id, sizes grow with
-        # the store — the honest incremental-cost driver)
+        # hash-distinct names (md5 hex: same-block non-twins sit ~27
+        # edits apart, scoring far below threshold) with a planted
+        # 1-in-8 single-typo twin sharing region and cents — matches
+        # are SPARSE (~n/8 pairs), the realistic linkage shape. The
+        # first fixture derived names from a small base id: every
+        # same-block pair matched, and the global sort of ~60M passing
+        # pairs OOM'd the heap — a fixture bug, not an operator cost.
         i = F.col(id_col).cast("long")
+        base = F.when(F.pmod(i, F.lit(8)) == 0, i - 1).otherwise(i)
         return df.select(
             i.alias("rid"),
             F.concat(
-                F.lit("entity "),
-                F.lpad(F.pmod(i, F.lit(3000)).cast("string"), 5, "0"),
-                F.when(F.pmod(i, F.lit(8)) == 0, F.lit(" xco"))
-                .otherwise(F.lit(" inc")),
+                F.md5(base.cast("string")),
+                F.when(F.pmod(i, F.lit(8)) == 0, F.lit("x")).otherwise(
+                    F.lit("")
+                ),
             ).alias("name"),
-            F.pmod(i, F.lit(17)).cast("string").alias("region"),
-            (F.pmod(i, F.lit(3000)) * 100).alias("cents"),
+            F.pmod(base, F.lit(17)).cast("string").alias("region"),
+            (F.pmod(base, F.lit(100000)) * 10).alias("cents"),
         )
 
     em_kw = dict(
-        block_prefix=12,
+        block_prefix=4,  # 65536 hex blocks: bounded block sizes
         cat_cols=["region"],
         num_cols=[("cents", 10000)],
         threshold_bp=6000,
@@ -827,14 +831,23 @@ def main() -> None:
         _tx2.history(os.path.join(sink_root_em, "store"))
     )
     em_batch = synth_records(batch_df)
+    # limit=200 (the production head): TakeOrdered still scores EVERY
+    # candidate pair, so the twin charges the full blocked join — a
+    # huge limit instead makes Spark allocate a limit-sized top-K
+    # buffer per task (guava TopKSelector), which is an instant OOM
     ops["entity_match_sink"]["batch_twin_s"] = timed_batch(
         lambda: entity_match(
-            em_batch, "rid", "name", max_block=64, limit=10**9, **em_kw
+            em_batch, "rid", "name", max_block=64, **em_kw
         ).count()
     )
     growth_root_em = _tf.mkdtemp(prefix="stream_bench_em_growth_")
     gstore_em = os.path.join(growth_root_em, "store")
     growth_em = []
+    # growth uses a SMALLER block space (256 two-hex-char blocks) so
+    # block sizes grow with the store — the cost driver the curve is
+    # meant to expose (the sink's 65536-block space keeps them ~flat
+    # at this row count)
+    gkw = dict(em_kw, block_prefix=2)
     for b in range(n_growth_batches):
         bdf = synth_records(
             spark.range(b * gbatch, (b + 1) * gbatch), id_col="id"
@@ -842,7 +855,7 @@ def main() -> None:
         t0 = time.monotonic()
         entity_match_incremental(
             spark, gstore_em, bdf, "rid", "name",
-            max_block=10**6, batch_id=b, **em_kw,
+            max_block=10**6, batch_id=b, **gkw,
         ).count()
         growth_em.append(round(time.monotonic() - t0, 3))
     ops["entity_match_sink"]["store_growth"] = {
