@@ -329,7 +329,9 @@ def cmd_table(args) -> int:
     prints the commit log; compact rewrites the head snapshot as one
     commit; vacuum drops versions past the retention window; changes
     prints the rows appended since --from-version (append-only CDC
-    read); show prints the head (or --version) snapshot."""
+    read); cdf prints the row-level change feed (inserts, DV deletes,
+    update pre/postimages); delete/update commit deletion-vector row
+    changes; show prints the head (or --version) snapshot."""
     from .sources import txtable as tx
 
     if args.action == "history":
