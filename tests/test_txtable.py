@@ -1745,3 +1745,29 @@ def test_upsert_sink_exactly_once_merge(spark, tmp_path):
     assert merge_cdc(spark, t, replay, ["k"], deleted_col="gone",
                      batch_id=2) is None
     assert len(history(t)) == n
+
+
+def test_update_composes_with_column_mapping(spark, tmp_path):
+    """UPDATE across a rename: the match scan resolves old-era physical
+    names, the new files land under the CURRENT logical names (stamped
+    with the current epoch), and CDF still reconstructs pre/postimages
+    under the end schema."""
+    from data_observability_installer_spark.sources.txtable import (
+        rename_column,
+        table_changes_cdf,
+        update_rows,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, amt double"))
+    rename_column(t, "amt", "amount")
+    assert update_rows(spark, t, "id = 2", {"amount": "amount + 1"}) == 1
+    got = read_table(spark, t)
+    assert got.columns == ["id", "amount"]
+    assert sorted(map(tuple, got.collect())) == [(1, 10.0), (2, 21.0)]
+    # old-era file reads fine next to the new-era update file
+    assert read_table(spark, t, version=1).columns == ["id", "amt"]
+    cdf = table_changes_cdf(spark, t, 2)  # just the update commit
+    rows = sorted((r._change_type, r.id, r.amount) for r in cdf.collect())
+    assert rows == [("update_postimage", 2, 21.0), ("update_preimage", 2, 20.0)]
