@@ -248,6 +248,10 @@ HEADLINE = [
     "qsketch_quantiles_lineitem",
     "qsketch_sla_events",
     "qsketch_merged_lineitem",
+    # round-12 additions
+    "txtable_delete_lineitem",
+    "txtable_update_lineitem",
+    "txtable_cdf_lineitem",
 ]
 
 
