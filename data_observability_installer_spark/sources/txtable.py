@@ -1132,6 +1132,46 @@ def _dv_frame(spark, path: str, dv: dict, files: list[str]):
     return out
 
 
+def _prune_from_condition(
+    condition: str,
+) -> list[tuple[str, str, object]] | None:
+    """Derive file-skipping predicates that are PROVABLY implied by
+    ``condition``, for the stats pruning in delete_rows/update_rows.
+    Deliberately conservative: only a top-level conjunction of
+    ``col op literal`` terms (op in =, ==, <, <=, >, >=; numeric or
+    single-quoted string literal) contributes, and ANY appearance of
+    OR / NOT / parentheses / IN / BETWEEN disables derivation entirely
+    — a conjunct is always implied by the whole condition, so pruning
+    on it can only skip files that contain no matching row. Terms that
+    do not parse are simply not used (pruning is an optimization;
+    correctness always comes from re-evaluating ``condition`` on the
+    kept files)."""
+    import re
+
+    low = f" {condition.lower()} "
+    if any(t in low for t in (" or ", " not ", "(", ")", " in ", " between ")):
+        return None
+    term = re.compile(
+        r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
+        r"('(?:[^'])*'|-?\d+(?:\.\d+)?)\s*$"
+    )
+    out: list[tuple[str, str, object]] = []
+    for part in re.split(r"(?i)\s+and\s+", condition.strip()):
+        m = term.match(part)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1]
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, op, val))
+    return out or None
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -1157,7 +1197,10 @@ def delete_rows(
     only drops files PROVABLY containing no match; ``condition`` is
     still what decides row membership. Callers must ensure ``prune``
     is implied by ``condition`` (rows outside the pruned files are not
-    deleted).
+    deleted). When ``prune`` is omitted, simple ``col op literal``
+    conjuncts of ``condition`` itself are derived automatically
+    (:func:`_prune_from_condition` — conjuncts are always implied, so
+    a GDPR needle delete skips files out of the box).
 
     Semantics and interplay:
 
@@ -1184,6 +1227,8 @@ def delete_rows(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if prune is None:
+        prune = _prune_from_condition(condition)
     for _ in range(_RETRIES):
         m = read_manifest(path)
         schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1523,6 +1568,8 @@ def update_rows(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if prune is None:
+        prune = _prune_from_condition(condition)
     for _ in range(_RETRIES):
         m = read_manifest(path)
         schema = StructType.fromJson(json.loads(m["schema"]))

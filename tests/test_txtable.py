@@ -1771,3 +1771,48 @@ def test_update_composes_with_column_mapping(spark, tmp_path):
     cdf = table_changes_cdf(spark, t, 2)  # just the update commit
     rows = sorted((r._change_type, r.id, r.amount) for r in cdf.collect())
     assert rows == [("update_postimage", 2, 21.0), ("update_preimage", 2, 20.0)]
+
+
+def test_prune_auto_derivation_conservative():
+    """_prune_from_condition: only provably-implied conjuncts of
+    col-op-literal terms; OR / NOT / parens / IN / BETWEEN disable it
+    entirely; unparseable terms just don't contribute."""
+    from data_observability_installer_spark.sources.txtable import (
+        _prune_from_condition as derive,
+    )
+
+    assert derive("id >= 90") == [("id", ">=", 90)]
+    assert derive("a = 1 AND b < 2.5 AND c = 'x'") == [
+        ("a", "=", 1), ("b", "<", 2.5), ("c", "=", "x")
+    ]
+    # the % term is skipped, the implied conjunct survives
+    assert derive("l_orderkey % 10 = 3 AND l_quantity > 25") == [
+        ("l_quantity", ">", 25)
+    ]
+    # disjunctions/negations/subexpressions: no derivation at all
+    assert derive("a = 1 OR b = 2") is None
+    assert derive("NOT (a = 1)") is None
+    assert derive("a IN (1, 2)") is None
+    assert derive("a BETWEEN 1 AND 2") is None
+    assert derive("TRUE") is None
+    assert derive("a != 3") is None  # op outside the safe set
+
+
+def test_delete_auto_prunes_without_explicit_prune(spark, tmp_path):
+    """A needle delete on a stats-tracked column skips out-of-range
+    files WITHOUT the caller passing prune= (the derived conjunct),
+    and the result is exactly the condition's rows."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 10 as k")
+    for lo in (0, 25, 50, 75):
+        write_table(
+            spark, t,
+            df.filter(f"id >= {lo} and id < {lo + 25}").coalesce(1),
+            stats_cols=["id"],
+        )
+    assert delete_rows(spark, t, "id >= 90 AND k = 5") == 1  # id 95
+    m = read_manifest(t)
+    assert len(m["dv"]) == 1  # only the in-range file was scanned/vectored
+    assert read_table(spark, t).count() == 99
