@@ -1816,3 +1816,21 @@ def test_delete_auto_prunes_without_explicit_prune(spark, tmp_path):
     m = read_manifest(t)
     assert len(m["dv"]) == 1  # only the in-range file was scanned/vectored
     assert read_table(spark, t).count() == 99
+
+
+def test_dv_read_plan_gates(spark, tmp_path):
+    """Plan shape: a table with NO deletion vectors keeps the plain
+    single-scan read (zero joins — the common case pays nothing for
+    the feature), and on a DV table a caller's row filter still pushes
+    down into the parquet scan THROUGH the anti-join's left side."""
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(50).selectExpr("id", "id % 5 as k"))
+    plan = read_table(spark, t)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # DV-free: one plain scan
+    delete_rows(spark, t, "k = 0")
+    df = read_table(spark, t).filter("k = 3")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in phys and "k" in phys.split("PushedFilters")[1][:120]
+    assert df.count() == 10
