@@ -386,6 +386,22 @@ def cmd_table(args) -> int:
         n = tx.vacuum(args.path, keep_last=args.keep_last)
         print(f"removed {n} data files")
         return 0
+    if args.action == "purge-dvs":
+        out = tx.purge_dvs(
+            _spark(args), args.path, max_deleted_ratio=args.max_deleted_ratio
+        )
+        if not out["purged_files"]:
+            print(
+                "no file exceeds the deleted-ratio threshold "
+                f"({args.max_deleted_ratio}); nothing committed"
+            )
+        else:
+            print(
+                f"purged DVs from {out['purged_files']} hot files into "
+                f"{out['new_files']} rewritten files as v{out['version']} "
+                "(cold files untouched)"
+            )
+        return 0
     if args.action in ("delete", "update"):
         if not args.where:
             print(f"{args.action} requires --where", file=sys.stderr)
@@ -564,7 +580,7 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["history", "show", "compact", "vacuum", "changes",
                             "stats", "health", "clone", "restore",
                             "rename-col", "drop-col", "delete", "update",
-                            "cdf"])
+                            "cdf", "purge-dvs"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -594,6 +610,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--set", action="append", default=None,
                    metavar="COL=EXPR",
                    help="update: per-column SQL expression (repeatable)")
+    p.add_argument("--max-deleted-ratio", type=float, default=0.2,
+                   help="purge-dvs: rewrite only files whose deleted-row "
+                        "fraction exceeds this (cold files untouched)")
     p = sub.add_parser("profile-store")
     p.add_argument("action", choices=["runs", "vacuum"])
     p.add_argument("path")

@@ -6471,16 +6471,19 @@ def txtable_update_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS qty_cents
     FROM lineitem WHERE l_orderkey % 2 = 0
+    HAVING count(*) > 0
     UNION ALL
     SELECT 2, 'insert', CAST(count(*) AS BIGINT),
            CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
                 AS BIGINT)
     FROM lineitem WHERE l_orderkey % 2 = 1
+    HAVING count(*) > 0
     UNION ALL
     SELECT 3, 'delete', CAST(count(*) AS BIGINT),
            CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
                 AS BIGINT)
     FROM lineitem WHERE l_orderkey % 10 = 3 AND l_quantity > 25
+    HAVING count(*) > 0
     ORDER BY version
     """,
 )
@@ -6513,6 +6516,114 @@ def txtable_cdf_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "txtable_merge_dv_lineitem",
+    """
+    WITH base AS (SELECT l_orderkey, l_linenumber,
+                         max(l_quantity) AS l_quantity
+                  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+    pre AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty_cents
+            FROM base),
+    merged AS (
+        SELECT CASE WHEN l_orderkey % 10 = 3 AND l_quantity > 25
+                    THEN l_quantity + 100 ELSE l_quantity END AS q
+        FROM base
+        WHERE NOT (l_orderkey % 10 = 7 AND l_quantity < 5)
+        UNION ALL
+        SELECT l_quantity + 1000 AS q
+        FROM base WHERE l_orderkey % 100 = 1
+    ),
+    post AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(floor(q * 100 + 0.5) AS BIGINT))
+                         AS BIGINT) AS qty_cents
+             FROM merged)
+    SELECT 1 AS version, 'append' AS op, n_rows, qty_cents FROM pre
+    UNION ALL
+    SELECT 2, 'merge_dv', n_rows, qty_cents FROM post
+    ORDER BY version
+    """,
+)
+def txtable_merge_dv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE via deletion vectors (sources/txtable.py merge_dv — the
+    Delta DV-based MERGE), value-checked end to end: one atomic commit
+    retires the CURRENT versions of every batched key through a
+    positional sidecar and appends only the surviving batch rows, so a
+    matched-heavy keyed upsert pays KBs of sidecar + the batch's own
+    bytes where merge_cdc re-paid every file containing a matched key
+    (the rewrite amplification this removes is THE cost of a streaming
+    upsert at 100 TB — txtable_upsert_sink runs on this path). The
+    batch mixes all three MERGE verbs: updates (orderkey%10==3 &
+    qty>25 gets +100), deletes (orderkey%10==7 & qty<5 flagged via
+    deleted_col), and inserts (new (orderkey, linenumber+100) keys with
+    qty+1000). The store seeds from the key-deduplicated lineitem
+    (group-by max — the synthetic table has duplicate (orderkey,
+    linenumber) pairs, and MERGE semantics retire EVERY current version
+    of a matched key, which no per-row oracle could express). The query
+    reads the pre-merge snapshot through time travel and the merged
+    head; the oracle recomputes both states from the same deduplicated
+    base (CASE for updates, NOT-filter for deletes, UNION ALL for
+    inserts) — a merge that lost a row, leaked a retired version past
+    its DV, dropped an insert, or mis-keyed an update hash-mismatches
+    on the integer-cents sum."""
+    import os
+    import re as _re
+
+    from ..sources import txtable as _tx
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+    store = os.path.join(
+        "spark-warehouse",
+        "txtable_store",
+        _re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_"),
+        "lineitem_mdv",
+    )
+
+    def _merge():
+        upd = li.filter(F.expr(_DV_DELETE_PRED)).withColumn(
+            "l_quantity", F.col("l_quantity") + 100
+        ).withColumn("__deleted", F.lit(False))
+        dels = li.filter(
+            (F.col("l_orderkey") % 10 == 7) & (F.col("l_quantity") < 5)
+        ).withColumn("__deleted", F.lit(True))
+        ins = (
+            li.filter(F.col("l_orderkey") % 100 == 1)
+            .withColumn("l_linenumber", F.col("l_linenumber") + 100)
+            .withColumn("l_quantity", F.col("l_quantity") + 1000)
+            .withColumn("__deleted", F.lit(False))
+        )
+        _tx.merge_dv(
+            spark, store,
+            upd.unionByName(dels).unionByName(ins),
+            ["l_orderkey", "l_linenumber"],
+            deleted_col="__deleted",
+        )
+
+    seed_steps = [
+        lambda: _tx.write_table(spark, store, li, stats_cols=["l_orderkey"]),
+        _merge,
+    ]
+    for step in seed_steps[len(_tx._versions(store)):]:
+        step()
+    cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    parts = []
+    for label, op in ((1, "append"), (2, "merge_dv")):
+        parts.append(
+            _tx.read_table(spark, store, version=label).selectExpr(
+                f"CAST({label} AS INT) AS version",
+                f"'{op}' AS op",
+                "CAST(count(*) AS BIGINT) AS n_rows",
+                f"{cents} AS qty_cents",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
 
 
 # ---------------------------------------------------------------------------

@@ -300,9 +300,16 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], str]:
+def _write_data_files(
+    df: DataFrame, path: str
+) -> tuple[list[str], str, dict[str, int]]:
     """Write df as immutable parquet under data/<uuid>/ and return the
-    part-file names (relative to the table root) plus the schema.
+    part-file names (relative to the table root), the schema, and the
+    per-file ROW COUNTS (the footer is already open for the zero-row
+    check, so counting is free here — and recording counts in the
+    manifest is what lets delete/update/purge decide "is this file
+    fully deleted / over the deleted-ratio threshold" from a dict
+    lookup instead of 10^5 serial driver-side footer reads).
     Zero-row part files (Spark writes one per empty partition) are left
     out of the manifest: they can contribute nothing to any scan, they
     have no footer stats to skip on, and at scale empty-partition
@@ -312,13 +319,26 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], str]:
     sub = os.path.join(_DATA, uuid.uuid4().hex)
     out = os.path.join(path, sub)
     df.write.mode("error").parquet(out)
-    files = [
-        os.path.join(sub, f)
-        for f in os.listdir(out)
-        if f.endswith(".parquet")
-        and pq.ParquetFile(os.path.join(out, f)).metadata.num_rows > 0
-    ]
-    return sorted(files), df.schema.json()
+    rows: dict[str, int] = {}
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        n = pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        if n > 0:
+            rows[os.path.join(sub, f)] = int(n)
+    return sorted(rows), df.schema.json(), rows
+
+
+def _file_rows(path: str, m: dict, f: str) -> int:
+    """Row count of data file ``f`` under snapshot ``m`` — a manifest
+    dict lookup on tables written since row counts were recorded, a
+    one-off footer read for files inherited from older manifests."""
+    r = (m.get("rows") or {}).get(f)
+    if r is not None:
+        return int(r)
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
 
 
 def _stat_value(v):
@@ -343,16 +363,33 @@ def _stat_value(v):
 
 
 def _collect_file_stats(
-    path: str, files: list[str], stats_cols: list[str]
+    path: str, files: list[str], stats_cols: list[str],
+    schema: str | None = None,
 ) -> dict[str, dict[str, list]]:
     """Per-file [min, max] for ``stats_cols``, read from the parquet
     FOOTERS — a metadata-only read of O(KB) per file, never a data
     scan (the same source Delta/Iceberg data-skipping stats come
     from). A column whose footer lacks min/max (unsupported type,
     all-null file) is simply absent for that file, which pruning
-    treats as "cannot skip"."""
+    treats as "cannot skip".
+
+    ``schema``: the MANIFEST schema the stats will live under. When a
+    column's manifest type is timestamp_ntz but the file was written
+    date-typed (a narrow append after a date->timestamp widening, with
+    merge_schema promoting it at read time), the footer stat is a
+    10-char 'YYYY-MM-DD' that sorts BEFORE any same-day timestamp
+    string — pad it to midnight here so lexicographic pruning stays
+    chronological. Padding at collection time covers every commit
+    path, not just the widening commit itself."""
     import pyarrow.parquet as pq
 
+    ts_cols: set[str] = set()
+    if schema:
+        ts_cols = {
+            fld["name"]
+            for fld in json.loads(schema)["fields"]
+            if fld["type"] == "timestamp_ntz"
+        }
     out: dict[str, dict[str, list]] = {}
     for f in files:
         md = pq.ParquetFile(os.path.join(path, f)).metadata
@@ -374,7 +411,15 @@ def _collect_file_stats(
                 mins.append(lo)
                 maxs.append(hi)
             if mins:
-                fstats[c] = [min(mins), max(maxs)]
+                lo, hi = min(mins), max(maxs)
+                if c in ts_cols:
+                    lo, hi = (
+                        v + "T00:00:00"
+                        if isinstance(v, str) and len(v) == 10
+                        else v
+                        for v in (lo, hi)
+                    )
+                fstats[c] = [lo, hi]
         if fstats:
             out[f] = fstats
     return out
@@ -492,6 +537,21 @@ def _publish(
         }
         if carried:
             manifest["dv"] = carried
+    # per-file ROW COUNTS ride along the same way: commits record counts
+    # only for the files they themselves wrote; the parent's counts for
+    # kept files carry automatically. Consumers treat a missing entry as
+    # "unknown -> read the footer once" (pre-upgrade manifests), so the
+    # map is purely additive metadata.
+    keep = set(manifest["files"])
+    rows = {
+        f: n for f, n in {**(pm.get("rows") or {}),
+                          **(manifest.get("rows") or {})}.items()
+        if f in keep
+    }
+    if rows:
+        manifest["rows"] = rows
+    elif "rows" in manifest:
+        del manifest["rows"]
     own = manifest.get("batch_id")
     hw = max((x for x in (inherited, own) if x is not None), default=None)
     if hw is not None:
@@ -780,7 +840,7 @@ def write_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if sort_by:
         df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
-    files, schema = _write_data_files(df, path)
+    files, schema, own_rows = _write_data_files(df, path)
     # footer-stat cache keyed by the EFFECTIVE column set: a retry can see a
     # different head (a racer created the table with tracked stats_cols, or
     # changed the tracked set), and stats computed for the old set must not
@@ -880,15 +940,20 @@ def write_table(
                     },
                     "schema_epoch": epoch,
                 }
-        key = tuple(sorted(cols or ()))
+        # cache key includes the commit schema: a racer can widen a
+        # date column to timestamp_ntz between retries, changing how
+        # this batch's own footer stats must be padded
+        key = (tuple(sorted(cols or ())), commit_schema)
         if key not in own_stats_cache:
             own_stats_cache[key] = (
-                _collect_file_stats(path, files, cols) if cols else {}
+                _collect_file_stats(path, files, cols, commit_schema)
+                if cols else {}
             )
         own_stats = own_stats_cache[key]
         manifest = {"op": mode, "files": base_files + files,
                     "schema": commit_schema,
-                    "added": len(files), "added_files": files}
+                    "added": len(files), "added_files": files,
+                    "rows": own_rows}
         if evo:
             manifest.update(evo)
         if base_stats or own_stats:
@@ -1148,8 +1213,13 @@ def _prune_from_condition(
     kept files)."""
     import re
 
-    low = f" {condition.lower()} "
-    if any(t in low for t in (" or ", " not ", "(", ")", " in ", " between ")):
+    # Word-boundary regex, not literal " or " scans: "a=1\nor b=2" or a
+    # tab-separated OR must disable derivation exactly like a
+    # space-separated one, or the derived conjunct would silently skip
+    # files whose only matches come from the OR branch (under-delete).
+    if "(" in condition or ")" in condition or re.search(
+        r"(?i)(?<![a-z0-9_])(or|not|in|between)(?![a-z0-9_])", condition
+    ):
         return None
     term = re.compile(
         r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|<=|>=|<|>)\s*"
@@ -1222,8 +1292,6 @@ def delete_rows(
       concurrent compact/overwrite invalidate positions, which the
       re-derive makes correct by construction.
     """
-    import pyarrow.parquet as pq
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1246,6 +1314,13 @@ def delete_rows(
                 (hits["__file"] == old["file"]) & (hits["__pos"] == old["pos"]),
                 "left_anti",
             )
+        from ..functions.pin import pin
+
+        # ONE materialization feeds the per-file count AND the sidecar
+        # write: a nondeterministic condition re-evaluated per consumer
+        # would desync the manifest dv count from the actual sidecar
+        # rows (an overcount reaching num_rows drops a live file)
+        hits = pin(hits)
         # metadata-sized collect: one (file, count) row per touched FILE
         per_file = {
             r["__file"]: r["n"]
@@ -1274,9 +1349,10 @@ def delete_rows(
         for f in touched:
             # fully-deleted file: drop it from the snapshot entirely
             # (recorded under dv_dropped so the CDC-read face can still
-            # reconstruct WHICH rows this commit deleted)
-            nrows = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            if dv[f]["count"] >= nrows:
+            # reconstruct WHICH rows this commit deleted). Row counts
+            # come from the manifest — a broad delete touching 10^5
+            # files must not do 10^5 serial driver-side footer reads
+            if dv[f]["count"] >= _file_rows(path, m, f):
                 dropped[f] = dv.pop(f)
                 files_out.remove(f)
         n = int(sum(per_file.values()))
@@ -1341,15 +1417,15 @@ def compact(
         ).sortWithinPartitions(*sort_by)
     else:
         rewritten = cur.repartition(target_partitions)
-    files, schema = _write_data_files(rewritten, path)
+    files, schema, own_rows = _write_data_files(rewritten, path)
     cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
-    own_stats = _collect_file_stats(path, files, cols) if cols else {}
+    own_stats = _collect_file_stats(path, files, cols, schema) if cols else {}
     for _ in range(_RETRIES):
         head = read_manifest(path)
         carried = _appends_since(path, base["version"], head["version"])
         manifest = {"op": "compact", "files": files + carried,
                     "schema": schema, "added": len(files),
-                    "added_files": files}
+                    "added_files": files, "rows": own_rows}
         head_stats = head.get("stats") or {}
         if own_stats or head_stats:
             manifest["stats"] = {
@@ -1360,6 +1436,101 @@ def compact(
             return _publish(path, manifest, head["version"], backend)
         except VersionClaimedError:
             continue  # a racer landed mid-publish; carry its appends too
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
+
+
+def purge_dvs(
+    spark: SparkSession,
+    path: str,
+    max_deleted_ratio: float = 0.2,
+    backend: CommitBackend | None = None,
+) -> dict:
+    """Targeted deletion-vector maintenance (Delta's ``REORG TABLE ...
+    APPLY (PURGE)``): rewrite ONLY the data files whose deleted-row
+    fraction exceeds ``max_deleted_ratio`` — reading them through their
+    DVs — drop their sidecar references, and leave cold files entirely
+    untouched. The middle ground between "do nothing" (a continuously
+    needle-deleted table pays a growing anti-join on exactly its hot
+    files) and full :func:`compact` (which re-pays every COLD file
+    too). The policy needs no scan: per-file deleted counts live in the
+    manifest's ``dv`` entries and row counts in its ``rows`` map, so
+    choosing what to rewrite is a dict comprehension on the driver.
+
+    Row-identical by construction (the rewrite is exactly the DV-read
+    path restricted to the hot files), so the CDF face reports no row
+    changes for the commit — the same dataChange=false contract Delta
+    gives OPTIMIZE/REORG. Concurrent APPENDS are absorbed on retry
+    (their files carry over); any concurrent delete/update/rewrite
+    invalidates the rewritten content and raises
+    :class:`CommitConflict` (re-run). Time travel still reads the
+    pre-purge snapshots through their own DV sets until vacuum collects
+    the old files and sidecars.
+
+    Returns ``{"purged_files", "new_files", "version"}`` — version is
+    the pre-purge head when nothing crossed the threshold (no commit).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base = read_manifest(path)
+    dv = base.get("dv") or {}
+    hot = sorted(
+        f for f, e in dv.items()
+        if e["count"] / _file_rows(path, base, f) > max_deleted_ratio
+    )
+    if not hot:
+        return {"purged_files": 0, "new_files": 0,
+                "version": base["version"]}
+    schema = StructType.fromJson(json.loads(base["schema"]))
+    scanned = _scan_with_pos(spark, path, base, hot, schema)
+    dvdf = _dv_frame(spark, path, dv, hot)
+    if sum(dv[f]["count"] for f in hot) <= _DV_BROADCAST_ROWS:
+        dvdf = F.broadcast(dvdf)
+    live = scanned.join(
+        dvdf,
+        (scanned["__file"] == dvdf["file"])
+        & (scanned["__pos"] == dvdf["pos"]),
+        "left_anti",
+    ).drop("__file", "__pos")
+    files, _, own_rows = _write_data_files(live, path)
+    cols = sorted({c for s in (base.get("stats") or {}).values() for c in s})
+    own_stats = (
+        _collect_file_stats(path, files, cols, base["schema"]) if cols else {}
+    )
+    hot_set = set(hot)
+    for _ in range(_RETRIES):
+        head = read_manifest(path)
+        # same snapshot-conflict rule as compact: only concurrent
+        # APPENDS can be absorbed; anything that touched rows or files
+        # since the base invalidates the rewrite (raises CommitConflict)
+        _appends_since(path, base["version"], head["version"])
+        kept = [f for f in head["files"] if f not in hot_set]
+        manifest = {
+            "op": "purge_dvs",
+            "files": kept + files,
+            "schema": base["schema"],
+            "added": len(files), "added_files": files,
+            # appends carry DVs verbatim, so the head's entries for the
+            # hot files are exactly the ones this rewrite materialized
+            "dv": {
+                f: e for f, e in (head.get("dv") or {}).items()
+                if f not in hot_set
+            },
+            "rows": own_rows,
+            "purged": hot,
+        }
+        head_stats = head.get("stats") or {}
+        if head_stats or own_stats:
+            manifest["stats"] = {
+                **{f: s for f, s in head_stats.items() if f in set(kept)},
+                **own_stats,
+            }
+        try:
+            v = _publish(path, manifest, head["version"], backend)
+            return {"purged_files": len(hot), "new_files": len(files),
+                    "version": v}
+        except VersionClaimedError:
+            continue  # a racer landed mid-publish; absorb its appends
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
@@ -1477,17 +1648,208 @@ def merge_cdc(
             cols = []
         else:
             raise FileNotFoundError(f"not a txtable (no commits): {path}")
-        files, schema = _write_data_files(merged, path)
+        files, schema, own_rows = _write_data_files(merged, path)
         manifest = {"op": "merge", "files": files, "schema": schema,
-                    "added": len(files), "added_files": files}
+                    "added": len(files), "added_files": files,
+                    "rows": own_rows}
         if batch_id is not None:
             manifest["batch_id"] = batch_id
         if cols:
-            manifest["stats"] = _collect_file_stats(path, files, cols)
+            manifest["stats"] = _collect_file_stats(path, files, cols, schema)
         try:
             return _publish(path, manifest, parent_v, backend)
         except VersionClaimedError:
             continue  # stale snapshot basis: redo the merge on the new head
+    raise CommitConflict(f"could not commit after {_RETRIES} attempts")
+
+
+def merge_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    deleted_col: str | None = None,
+    backend: CommitBackend | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """MERGE via deletion vectors (the Delta DV-based MERGE): one
+    atomic commit (op='merge_dv') that marks the CURRENT versions of
+    every key in ``updates`` deleted through a positional sidecar and
+    appends the surviving batch rows (updates AND inserts) as new data
+    files — untouched files are never rewritten. This removes
+    :func:`merge_cdc`'s rewrite amplification: a matched-heavy keyed
+    upsert on a wide table pays KBs of sidecar plus the batch's own
+    bytes, where merge_cdc re-pays every file containing a matched key
+    (merge_cdc stays available for full-rewrite semantics, e.g. when a
+    merge should also re-cluster).
+
+    ``deleted_col``: rows with this boolean column true delete their
+    key (no new version appended). ``batch_id`` gives the same
+    exactly-once replay guard / bootstrap as merge_cdc — which is what
+    lets :func:`txtable_upsert_sink` run on this path.
+
+    Mechanics mirror :func:`update_rows`: the match is the key
+    semi-join against the live snapshot (existing DVs anti-applied),
+    manifest-stats pruning narrows WHICH files are scanned using the
+    batch's per-key-column [min, max] (a clustered table + narrow batch
+    scans a handful of files, not the table), a file whose every row is
+    now deleted leaves the file list (manifest row counts — no footer
+    reads), and a lost commit race re-derives the whole match from the
+    new head. The appended files do NOT depend on the snapshot (they
+    are exactly the surviving batch rows), so they are written once,
+    outside the retry loop. The manifest records ``merge_keys`` so the
+    CDF face decomposes the commit into insert / delete /
+    update_preimage / update_postimage rows by key.
+
+    Returns the number of PREVIOUS row versions retired (0 = pure
+    insert), or None when ``batch_id`` already committed (replay)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from ..functions.pin import pin
+
+    survivors = updates
+    if deleted_col is not None:
+        survivors = updates.filter(
+            ~F.coalesce(F.col(deleted_col), F.lit(False))
+        ).drop(deleted_col)
+    keys_only = updates.select(*key_cols)
+    new_files: list[str] | None = None
+    new_rows: dict[str, int] = {}
+    written_schema: str | None = None
+    for _ in range(_RETRIES):
+        vs = _versions(path)
+        if batch_id is not None and vs:
+            if batch_id in {read_manifest(path, v).get("batch_id") for v in vs}:
+                return None  # replay of an already-merged batch
+            hw = read_manifest(path).get("max_batch_id")
+            if hw is not None and batch_id <= hw:
+                return None  # merged before the vacuum horizon
+        if not vs:
+            if batch_id is None:
+                raise FileNotFoundError(f"not a txtable (no commits): {path}")
+            # bootstrap: the first batch IS the table
+            files, schema, own_rows = _write_data_files(survivors, path)
+            manifest = {"op": "merge_dv", "files": files, "schema": schema,
+                        "added": len(files), "added_files": files,
+                        "rows": own_rows, "dv": {},
+                        "merge_keys": list(key_cols), "batch_id": batch_id,
+                        "retired_rows": 0}
+            try:
+                _publish(path, manifest, 0, backend)
+                return 0
+            except VersionClaimedError:
+                continue  # a racer created the table: re-check the guard
+        m = read_manifest(path)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        missing = [c for c in names if c not in survivors.columns]
+        if missing:
+            raise ValueError(
+                f"merge batch lacks table column(s) {missing}; merge_dv "
+                "appends postimages in the table's exact schema"
+            )
+        dv = dict(m.get("dv") or {})
+        # stats pruning from the BATCH's key ranges: a conjunct
+        # k >= min(batch) AND k <= max(batch) is implied for every
+        # matched row, so skipped files provably contain no match
+        stats_cols = {c for s in (m.get("stats") or {}).values() for c in s}
+        keyed = [k for k in key_cols if k in stats_cols]
+        candidates = m["files"]
+        if keyed:
+            aggs = []
+            for k in keyed:
+                aggs += [F.min(k).alias(f"__lo_{k}"),
+                         F.max(k).alias(f"__hi_{k}")]
+            r = keys_only.agg(*aggs).collect()[0]
+            preds = []
+            for k in keyed:
+                lo, hi = r[f"__lo_{k}"], r[f"__hi_{k}"]
+                if lo is not None:
+                    preds += [(k, ">=", lo), (k, "<=", hi)]
+            if preds:
+                candidates = prune_files(m, preds)
+        matched = None
+        per_file: dict[str, int] = {}
+        if candidates:
+            scanned = _scan_with_pos(spark, path, m, candidates, schema)
+            matched = scanned.join(keys_only, list(key_cols), "left_semi")
+            already = [f for f in candidates if f in dv]
+            if already:
+                old = _dv_frame(spark, path, dv, already)
+                matched = matched.join(
+                    old,
+                    (matched["__file"] == old["file"])
+                    & (matched["__pos"] == old["pos"]),
+                    "left_anti",
+                )
+            # ONE materialization feeds the per-file counts AND the
+            # sidecar write (same atomic-swap discipline as update_rows)
+            matched = pin(matched)
+            per_file = {
+                r["__file"]: r["n"]
+                for r in matched.groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        if new_files is None or written_schema != m["schema"]:
+            # postimages = the surviving batch rows in the table's
+            # declared schema — snapshot-independent, written ONCE
+            # (re-written only if a racer evolved the schema between
+            # retries; the orphaned first attempt is unreferenced
+            # garbage, collected like any crashed writer's files)
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            shaped = survivors.select(
+                *[F.col(c).cast(types[c]).alias(c) for c in names]
+            )
+            new_files, _, new_rows = _write_data_files(shaped, path)
+            written_schema = m["schema"]
+        files_out = list(m["files"])
+        touched = sorted(per_file)
+        if touched:
+            new_dv = matched.select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            old_touched = [f for f in touched if f in dv]
+            if old_touched:
+                new_dv = new_dv.unionByName(
+                    _dv_frame(spark, path, dv, old_touched)
+                )
+            sub = os.path.join(_DV, uuid.uuid4().hex)
+            new_dv.write.mode("error").parquet(os.path.join(path, sub))
+            for f in touched:
+                total = (dv[f]["count"] if f in dv else 0) + int(per_file[f])
+                dv[f] = {"dv": sub, "count": total}
+        dropped: dict[str, dict] = {}
+        for f in touched:
+            if dv[f]["count"] >= _file_rows(path, m, f):
+                dropped[f] = dv.pop(f)
+                files_out.remove(f)
+        n = int(sum(per_file.values()))
+        base_stats = m.get("stats") or {}
+        cols = sorted({c for s in base_stats.values() for c in s})
+        manifest = {
+            "op": "merge_dv", "files": files_out + new_files,
+            "schema": m["schema"], "added": len(new_files),
+            "added_files": new_files, "dv": dv, "rows": new_rows,
+            "merge_keys": list(key_cols), "retired_rows": n,
+        }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        if dropped:
+            manifest["dv_dropped"] = dropped
+        if base_stats or cols:
+            keep = set(files_out)
+            manifest["stats"] = {
+                **{f: s for f, s in base_stats.items() if f in keep},
+                **(_collect_file_stats(path, new_files, cols, m["schema"])
+                   if cols else {}),
+            }
+        try:
+            _publish(path, manifest, m["version"], backend)
+            return n
+        except VersionClaimedError:
+            continue  # stale snapshot basis: re-derive the match
     raise CommitConflict(f"could not commit after {_RETRIES} attempts")
 
 
@@ -1563,8 +1925,6 @@ def update_rows(
     pins; a lost race re-derives from the new head; the CDC face
     (:func:`table_changes_cdf`) emits the matched rows as
     'update_preimage' and the new versions as 'update_postimage'."""
-    import pyarrow.parquet as pq
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1616,7 +1976,7 @@ def update_rows(
                 for c in (f.name for f in schema.fields)
             ]
         )
-        new_files, _ = _write_data_files(updated, path)
+        new_files, _, new_rows = _write_data_files(updated, path)
         # (b) the positions of the rows they replace
         new_dv = matched.select(
             F.col("__file").alias("file"), F.col("__pos").alias("pos")
@@ -1632,8 +1992,9 @@ def update_rows(
             dv[f] = {"dv": sub, "count": total}
         dropped: dict[str, dict] = {}
         for f in touched:
-            nrows = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            if dv[f]["count"] >= nrows:
+            # manifest row counts, not serial footer reads (see
+            # delete_rows)
+            if dv[f]["count"] >= _file_rows(path, m, f):
                 dropped[f] = dv.pop(f)
                 files_out.remove(f)
         n = int(sum(per_file.values()))
@@ -1642,7 +2003,7 @@ def update_rows(
         manifest = {
             "op": "update", "files": files_out + new_files,
             "schema": m["schema"], "added": len(new_files),
-            "added_files": new_files, "dv": dv,
+            "added_files": new_files, "dv": dv, "rows": new_rows,
             "predicate": condition,
             "set": dict(set_exprs), "updated_rows": n,
         }
@@ -1652,7 +2013,8 @@ def update_rows(
             keep = set(files_out)
             manifest["stats"] = {
                 **{f: s for f, s in base_stats.items() if f in keep},
-                **(_collect_file_stats(path, new_files, cols) if cols else {}),
+                **(_collect_file_stats(path, new_files, cols, m["schema"])
+                   if cols else {}),
             }
         try:
             _publish(path, manifest, m["version"], backend)
@@ -1754,8 +2116,13 @@ def table_changes_cdf(
             )
         pschema = StructType.fromJson(json.loads(parent["schema"]))
         scanned = _scan_with_pos(spark, path, parent, sorted(touched), pschema)
+        # same gate as read_table: a CDF read over a large delete
+        # (millions of positions) must not broadcast the position set —
+        # beyond the cap, a shuffle join AQE can re-plan
+        if sum(e["count"] for e in touched.values()) <= _DV_BROADCAST_ROWS:
+            now = F.broadcast(now)
         rows = scanned.join(
-            F.broadcast(now),
+            now,
             (scanned["__file"] == now["file"])
             & (scanned["__pos"] == now["pos"]),
             "left_semi",
@@ -1789,8 +2156,57 @@ def table_changes_cdf(
             post = added_rows(m)
             if post is not None:
                 parts.append(stamp(post, "update_postimage", v))
-        elif m["op"] in ("rename_column", "drop_column"):
-            continue  # metadata-only: no row changes
+        elif m["op"] == "merge_dv":
+            # a DV merge mixes all four change types in one commit; the
+            # manifest's merge_keys split them: retired rows whose key
+            # also appears in the appended files are update_preimages
+            # (their new versions update_postimages), retired rows
+            # without a new version are deletes, and appended rows with
+            # no retired predecessor are inserts
+            cf, _, _ = _bootstrap_mapping(m)
+            end_keys = []
+            for k in m.get("merge_keys") or []:
+                fid = cf.get(k)
+                if fid is None or fid not in end_by_fid:
+                    raise ValueError(
+                        f"merge key {k!r} of v{v} was dropped by the "
+                        "range end; its merge_dv commit cannot be "
+                        "decomposed — use snapshot_diff"
+                    )
+                end_keys.append(end_by_fid[fid])
+            pre = newly_vectored_rows(m, read_manifest(path, v - 1))
+            post = added_rows(m)
+            if pre is not None and post is not None:
+                # gate the key-set broadcasts on the manifest's own
+                # counts (batch rows / retired rows), same cap as the
+                # DV read join — a giant merge must not OOM the CDF
+                post_keys = post.select(*end_keys).distinct()
+                if sum((m.get("rows") or {}).values()) <= _DV_BROADCAST_ROWS:
+                    post_keys = F.broadcast(post_keys)
+                pre_keys = pre.select(*end_keys).distinct()
+                if int(m.get("retired_rows") or 0) <= _DV_BROADCAST_ROWS:
+                    pre_keys = F.broadcast(pre_keys)
+                parts.append(stamp(
+                    pre.join(post_keys, end_keys, "left_semi"),
+                    "update_preimage", v))
+                parts.append(stamp(
+                    pre.join(post_keys, end_keys, "left_anti"),
+                    "delete", v))
+                parts.append(stamp(
+                    post.join(pre_keys, end_keys, "left_semi"),
+                    "update_postimage", v))
+                parts.append(stamp(
+                    post.join(pre_keys, end_keys, "left_anti"),
+                    "insert", v))
+            elif pre is not None:
+                parts.append(stamp(pre, "delete", v))
+            elif post is not None:
+                parts.append(stamp(post, "insert", v))
+        elif m["op"] in ("rename_column", "drop_column", "purge_dvs"):
+            # rename/drop are metadata-only; purge_dvs rewrites files
+            # but is row-identical by construction (dataChange=false,
+            # the contract Delta gives OPTIMIZE/REORG) — no row changes
+            continue
         else:
             # overwrite/compact/merge/restore/clone: the file-list move
             # does not decompose into row changes (restore flips whole
@@ -1847,6 +2263,7 @@ def commit_stream_batch(
     read)."""
     files: list[str] | None = None
     schema = ""
+    own_rows: dict[str, int] = {}
     batch_schema = df.schema.json()
     for _ in range(_RETRIES):
         vs = _versions(path)
@@ -1868,18 +2285,20 @@ def commit_stream_batch(
                     "apply to writers immediately)"
                 )
         if files is None:
-            files, schema = _write_data_files(df, path)
+            files, schema, own_rows = _write_data_files(df, path)
         head_stats = (head.get("stats") or {}) if head else {}
         cols = sorted({c for s in head_stats.values() for c in s})
         manifest = {"op": "stream_append",
                     "files": (head["files"] if head else []) + files,
                     "schema": schema, "added": len(files),
-                    "added_files": files, "batch_id": batch_id}
+                    "added_files": files, "batch_id": batch_id,
+                    "rows": own_rows}
         if head_stats:
             manifest["stats"] = {
                 **{f: s for f, s in head_stats.items()
                    if f in set(head["files"])},
-                **(_collect_file_stats(path, files, cols) if cols else {}),
+                **(_collect_file_stats(path, files, cols, schema)
+                   if cols else {}),
             }
         try:
             return _publish(path, manifest, head["version"] if head else 0,
@@ -1924,19 +2343,22 @@ def txtable_upsert_sink(
 ):
     """EXACTLY-ONCE streaming MERGE (the Delta streaming-upsert shape):
     each micro-batch of change rows upserts/deletes into the table by
-    key through :func:`merge_cdc` — one atomic commit per batch, with
+    key through :func:`merge_dv` — one atomic commit per batch, with
     the batch_id replay guard making foreachBatch's at-least-once
     delivery exactly-once, and the first batch bootstrapping the table.
     This is the keyed-UPSERT counterpart of :func:`txtable_sink`
     (append-only): use it when the stream carries the LATEST STATE of
-    entities rather than immutable facts. Each batch rewrites the
-    merged snapshot (merge semantics require it); for high-rate streams
-    widen the trigger interval so batches amortize.
+    entities rather than immutable facts. Since round 13 each batch
+    commits deletion-vector sidecars + its own rows instead of
+    rewriting every file containing a matched key (merge_cdc) — the
+    per-batch cost is now proportional to the BATCH, not to the table
+    files it touches; run :func:`purge_dvs` / :func:`compact` on a
+    maintenance cadence to fold the accumulated sidecars away.
 
     Returns the started StreamingQuery."""
 
     def commit_batch(df: DataFrame, batch_id: int) -> None:
-        merge_cdc(
+        merge_dv(
             df.sparkSession, path, df, key_cols,
             deleted_col=deleted_col, batch_id=batch_id,
         )
@@ -2081,7 +2503,8 @@ def clone_table(
     # positions (epochs are a schema-change counter independent of
     # version numbers, so the clone's own future evolution continues
     # from the copied value without collisions)
-    for k in ("fields", "field_log", "schema_epoch", "file_eras", "dv"):
+    for k in ("fields", "field_log", "schema_epoch", "file_eras", "dv",
+              "rows"):
         if k in m:
             manifest[k] = m[k]
     return _publish(dst, manifest, 0, backend)
@@ -2140,6 +2563,8 @@ def restore_table(
         }
         if target.get("stats"):
             manifest["stats"] = dict(target["stats"])
+        if target.get("rows"):
+            manifest["rows"] = dict(target["rows"])
         # restore pins the TARGET's deletion vectors, not the head's —
         # restoring to a pre-delete snapshot must resurrect the rows,
         # and the EXPLICIT (possibly empty) dict suppresses _publish's

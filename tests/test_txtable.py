@@ -865,6 +865,69 @@ def test_merge_schema_widening_keeps_data_skipping_correct(spark, tmp_path):
     assert got.filter("c = timestamp_ntz'2024-01-02 00:00:00'").count() == 1
 
 
+def test_post_widen_narrow_append_stats_padded_at_collection(spark, tmp_path):
+    """A NARROW (date-typed) append landing AFTER a date->timestamp_ntz
+    widening must record midnight-padded footer stats too — the
+    widening commit only pads CARRIED stats, so padding has to happen
+    at collection time against the manifest type. Unpadded 'YYYY-MM-DD'
+    sorts before any same-day timestamp string, so an equality-at-
+    midnight predicate would wrongly prune the new file (silent missing
+    rows on reads AND silent under-delete on the auto-pruned GDPR
+    path)."""
+    from data_observability_installer_spark.sources.txtable import prune_files
+
+    t = str(tmp_path / "t")
+    d1 = spark.createDataFrame([("2024-01-02",)], "c string").selectExpr(
+        "cast(c as date) as c"
+    )
+    write_table(spark, t, d1, stats_cols=["c"])
+    wide = spark.createDataFrame(
+        [("2024-03-04T05:06:07",)], "c string"
+    ).selectExpr("cast(c as timestamp_ntz) as c")
+    write_table(spark, t, wide, merge_schema=True)
+    # the narrow post-widen append: written date-typed, promoted in-scan
+    d2 = spark.createDataFrame([("2024-05-06",)], "c string").selectExpr(
+        "cast(c as date) as c"
+    )
+    write_table(spark, t, d2, merge_schema=True)
+    m = read_manifest(t)
+    new_file = m["added_files"][0]
+    assert m["stats"][new_file]["c"] == ["2024-05-06T00:00:00"] * 2
+    # equality at midnight keeps the new file; a later-day pred prunes it
+    assert new_file in prune_files(m, [("c", "=", "2024-05-06T00:00:00")])
+    assert new_file not in prune_files(m, [("c", ">=", "2024-05-07T00:00:00")])
+    got = read_table(spark, t, predicates=[("c", "=", "2024-05-06T00:00:00")])
+    assert got.filter("c = timestamp_ntz'2024-05-06 00:00:00'").count() == 1
+    # and the auto-pruned delete path finds the row (the GDPR face)
+    from data_observability_installer_spark.sources.txtable import delete_rows
+
+    assert delete_rows(spark, t, "c = '2024-05-06T00:00:00'") == 1
+
+
+def test_cdf_dv_join_shuffles_beyond_broadcast_cap(spark, tmp_path, monkeypatch):
+    """table_changes_cdf gates the new-DV position broadcast on the same
+    _DV_BROADCAST_ROWS cap as read_table: with the cap forced to 0 the
+    reconstruction takes the shuffle-join path and must return the
+    identical delete rows (a CDF over a multi-million-position delete
+    must not OOM an executor on an unconditional broadcast)."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(40).selectExpr("id", "id % 4 as k"))
+    tx.delete_rows(spark, t, "k = 1")
+    rows_bc = sorted(
+        (r.id, r._change_type)
+        for r in tx.table_changes_cdf(spark, t, 1).collect()
+    )
+    monkeypatch.setattr(tx, "_DV_BROADCAST_ROWS", 0)
+    rows_sh = sorted(
+        (r.id, r._change_type)
+        for r in tx.table_changes_cdf(spark, t, 1).collect()
+    )
+    assert rows_bc == rows_sh
+    assert len(rows_bc) == 10 and {c for _, c in rows_bc} == {"delete"}
+
+
 def test_merge_schema_cdc_and_compact_cover_evolution(spark, tmp_path):
     from data_observability_installer_spark.sources.txtable import table_changes
 
@@ -1707,7 +1770,7 @@ def test_upsert_sink_exactly_once_merge(spark, tmp_path):
     import time as _time
 
     from data_observability_installer_spark.sources.txtable import (
-        merge_cdc,
+        merge_dv,
         txtable_upsert_sink,
     )
 
@@ -1736,14 +1799,15 @@ def test_upsert_sink_exactly_once_merge(spark, tmp_path):
     assert sorted(map(tuple, read_table(spark, t).collect())) == [
         (2, "B2"), (3, "c"), (4, "d")
     ]
-    assert [h["op"] for h in history(t)] == ["merge"] * 3
+    # since r13 the sink merges via deletion vectors, not full rewrites
+    assert [h["op"] for h in history(t)] == ["merge_dv"] * 3
     # replay of the last batch: guard publishes nothing
     n = len(history(t))
     replay = spark.createDataFrame(
         [(1, None, True), (4, "d", False)], "k int, v string, gone boolean"
     )
-    assert merge_cdc(spark, t, replay, ["k"], deleted_col="gone",
-                     batch_id=2) is None
+    assert merge_dv(spark, t, replay, ["k"], deleted_col="gone",
+                    batch_id=2) is None
     assert len(history(t)) == n
 
 
@@ -1796,6 +1860,18 @@ def test_prune_auto_derivation_conservative():
     assert derive("a BETWEEN 1 AND 2") is None
     assert derive("TRUE") is None
     assert derive("a != 3") is None  # op outside the safe set
+    # keyword detection is WORD-BOUNDARY, not literal-space: a newline
+    # or tab before OR must disable derivation exactly like a space
+    # (SQL precedence makes "a=1 AND b=2 OR c=3" == "(a=1 AND b=2) OR
+    # c=3", so deriving a=1 would silently under-delete c=3-only files)
+    assert derive("a = 1 and b = 2\nor c = 3") is None
+    assert derive("a = 1\tor\tb = 2") is None
+    assert derive("a = 1 and\nnot b") is None
+    assert derive("a\nin (1)") is None
+    # ...but columns merely CONTAINING the keywords stay derivable
+    assert derive("origin = 1 AND editor_not_x = 2") == [
+        ("origin", "=", 1), ("editor_not_x", "=", 2)
+    ]
 
 
 def test_delete_auto_prunes_without_explicit_prune(spark, tmp_path):
@@ -1834,3 +1910,267 @@ def test_dv_read_plan_gates(spark, tmp_path):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in phys and "k" in phys.split("PushedFilters")[1][:120]
     assert df.count() == 10
+
+
+def test_manifest_records_per_file_row_counts(spark, tmp_path):
+    """Every commit path records per-file row counts in the manifest
+    (rides _publish like stats/dv), so fully-deleted-file checks and
+    the DV purge policy are dict lookups, never serial driver-side
+    footer reads. Pre-upgrade manifests fall back to one footer read
+    (_file_rows)."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(10).coalesce(2))
+    write_table(spark, t, spark.range(10, 15).coalesce(1))
+    m = read_manifest(t)
+    assert set(m["rows"]) == set(m["files"])
+    assert sum(m["rows"].values()) == 15
+    # carried counts survive metadata-only commits and deletes
+    tx.delete_rows(spark, t, "id >= 10")  # drops the v2 file entirely
+    m = read_manifest(t)
+    assert set(m["rows"]) == set(m["files"]) and sum(m["rows"].values()) == 10
+    # compact rewrites: fresh counts for its own files
+    tx.compact(spark, t, target_partitions=1)
+    m = read_manifest(t)
+    assert set(m["rows"]) == set(m["files"]) and sum(m["rows"].values()) == 10
+    # fallback: a manifest stripped of rows still answers via the footer
+    stripped = {k: v for k, v in m.items() if k != "rows"}
+    f = m["files"][0]
+    assert tx._file_rows(t, stripped, f) == m["rows"][f]
+    # clone and restore pin the snapshot's counts
+    c = str(tmp_path / "c")
+    tx.clone_table(t, c)
+    assert read_manifest(c)["rows"] == m["rows"]
+    tx.restore_table(t, 2)
+    assert sum(read_manifest(t)["rows"].values()) == 15
+
+
+def test_purge_dvs_rewrites_only_hot_files(spark, tmp_path):
+    """Targeted DV maintenance: only files whose deleted fraction
+    crosses the threshold are rewritten (Delta's REORG ... APPLY
+    (PURGE)); cold files and their DVs stay untouched; reads are
+    row-identical pre/post; time travel still reads the pre-purge
+    snapshot through its own DV set; CDF treats the purge as
+    dataChange=false."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    # file A: ids 0..9 (will lose 5 rows = 50%); file B: ids 10..29
+    # (will lose 1 row = 5%); file C: ids 30..39 (no deletes)
+    for lo, hi in ((0, 10), (10, 30), (30, 40)):
+        write_table(spark, t, spark.range(lo, hi).coalesce(1))
+    tx.delete_rows(spark, t, "id < 5 OR id = 10")
+    pre = _rows(read_table(spark, t))
+    m_pre = read_manifest(t)
+    assert len(m_pre["dv"]) == 2
+    hot = [f for f in m_pre["dv"] if m_pre["dv"][f]["count"] == 5]
+    cold = [f for f in m_pre["dv"] if m_pre["dv"][f]["count"] == 1]
+    out = tx.purge_dvs(spark, t, max_deleted_ratio=0.2)
+    assert out["purged_files"] == 1
+    m = read_manifest(t)
+    assert m["op"] == "purge_dvs"
+    # the hot file left the snapshot; the cold file keeps its DV
+    assert hot[0] not in m["files"] and cold[0] in m["files"]
+    assert set(m["dv"]) == {cold[0]}
+    assert _rows(read_table(spark, t)) == pre
+    # time travel: the pre-purge snapshot still reads through its DVs
+    assert _rows(read_table(spark, t, version=m_pre["version"])) == pre
+    # the purge commit reports no row changes in the CDF
+    from data_observability_installer_spark.sources.txtable import (
+        table_changes_cdf,
+    )
+    assert table_changes_cdf(spark, t, m_pre["version"]).count() == 0
+    # nothing over threshold now -> no commit
+    out2 = tx.purge_dvs(spark, t, max_deleted_ratio=0.2)
+    assert out2["purged_files"] == 0 and out2["version"] == m["version"]
+    # manifest row counts stayed consistent
+    assert set(m["rows"]) == set(m["files"])
+    assert sum(m["rows"].values()) - m["dv"][cold[0]]["count"] == len(pre)
+
+
+def test_purge_dvs_race_absorbs_appends_conflicts_on_rewrite(spark, tmp_path):
+    """A concurrent APPEND mid-purge is absorbed on retry (its rows
+    survive); a concurrent delete/rewrite raises CommitConflict rather
+    than resurrecting deleted rows."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(10).coalesce(1))
+    tx.delete_rows(spark, t, "id < 5")
+    racer_df = spark.range(100, 103).coalesce(1)
+    backend = _RacerMidPublish(lambda: write_table(spark, t, racer_df))
+    out = tx.purge_dvs(spark, t, max_deleted_ratio=0.1, backend=backend)
+    assert backend.fired and out["purged_files"] == 1
+    assert _rows(read_table(spark, t)) == [(i,) for i in [5, 6, 7, 8, 9, 100, 101, 102]]
+    assert not read_manifest(t).get("dv")
+
+    # concurrent DELETE mid-purge: the rewrite's basis is stale
+    t2 = str(tmp_path / "t2")
+    write_table(spark, t2, spark.range(10).coalesce(1))
+    tx.delete_rows(spark, t2, "id < 5")
+    backend2 = _RacerMidPublish(lambda: tx.delete_rows(spark, t2, "id = 7"))
+    with pytest.raises(CommitConflict):
+        tx.purge_dvs(spark, t2, max_deleted_ratio=0.1, backend=backend2)
+    # the racer's delete survives; nothing was resurrected
+    assert _rows(read_table(spark, t2)) == [(5,), (6,), (8,), (9,)]
+
+
+def test_cli_table_purge_dvs(spark, tmp_path, capsys):
+    from data_observability_installer_spark.__main__ import main
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.range(10).coalesce(1))
+    tx.delete_rows(spark, t, "id < 4")
+    assert main(["table", "purge-dvs", t, "--max-deleted-ratio", "0.2"]) == 0
+    assert "purged DVs from 1 hot files" in capsys.readouterr().out
+    assert not read_manifest(t).get("dv")
+    assert main(["table", "purge-dvs", t]) == 0
+    assert "nothing committed" in capsys.readouterr().out
+
+
+def test_merge_dv_upserts_without_rewriting_untouched_files(spark, tmp_path):
+    """DV-based MERGE: matched keys retire via positional sidecars, the
+    batch's rows append, untouched files stay byte-identical in the
+    manifest — and the result is row-identical to merge_cdc's full
+    rewrite on the same input."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    base_rows = [(i, f"v{i}") for i in range(20)]
+    batch = [(5, "V5", False), (19, "V19", False),
+             (100, "new", False), (3, None, True)]
+    expect = sorted(
+        [(k, v) for k, v in base_rows if k not in (5, 19, 3)]
+        + [(5, "V5"), (19, "V19"), (100, "new")]
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 10):  # two files
+        write_table(
+            spark, t,
+            spark.createDataFrame(
+                [r for r in base_rows if lo <= r[0] < lo + 10],
+                "k int, v string",
+            ).coalesce(1),
+        )
+    pre_files = set(read_manifest(t)["files"])
+    updates = spark.createDataFrame(batch, "k int, v string, gone boolean")
+    n = tx.merge_dv(spark, t, updates, ["k"], deleted_col="gone")
+    assert n == 3  # three previous versions retired (5, 19, 3)
+    assert _rows(read_table(spark, t)) == expect
+    m = read_manifest(t)
+    # every pre-merge file survives untouched (DV'd, not rewritten)
+    assert pre_files <= set(m["files"])
+    assert set(m["dv"]) == pre_files  # both files had matched keys
+    assert sum(e["count"] for e in m["dv"].values()) == 3
+    # parity with the full-rewrite merge on an identical table
+    t2 = str(tmp_path / "t2")
+    for lo in (0, 10):
+        write_table(
+            spark, t2,
+            spark.createDataFrame(
+                [r for r in base_rows if lo <= r[0] < lo + 10],
+                "k int, v string",
+            ).coalesce(1),
+        )
+    tx.merge_cdc(spark, t2, updates, ["k"], deleted_col="gone")
+    assert _rows(read_table(spark, t2)) == expect
+    # compaction materializes the merge DVs away
+    tx.compact(spark, t, target_partitions=1)
+    m2 = read_manifest(t)
+    assert not m2.get("dv") and _rows(read_table(spark, t)) == expect
+
+
+def test_merge_dv_cdf_decomposes_by_key(spark, tmp_path):
+    """The CDF face splits one merge_dv commit into all four change
+    types using the manifest's merge_keys: retired rows with a new
+    version -> update_preimage (+postimage), retired without ->
+    delete, appended without a predecessor -> insert."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    write_table(
+        spark, t,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (9, "z", False)],
+        "k int, v string, gone boolean",
+    )
+    tx.merge_dv(spark, t, updates, ["k"], deleted_col="gone")
+    cdf = tx.table_changes_cdf(spark, t, 1)
+    got = sorted((r._change_type, r.k, r.v) for r in cdf.collect())
+    assert got == [
+        ("delete", 3, "c"),
+        ("insert", 9, "z"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    assert {r._commit_version for r in cdf.collect()} == {2}
+
+
+def test_merge_dv_race_rederives_and_replay_guard(spark, tmp_path):
+    """A racer appending a row whose key is IN the batch lands between
+    head-read and CAS: the retry re-derives the match from the new
+    head, so the racer's version is retired too (no resurrect). A
+    replayed batch_id publishes nothing; bootstrap creates the table
+    from the first batch."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    # bootstrap from the first batch
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert tx.merge_dv(spark, t, b0, ["k"], batch_id=0) == 0
+    assert read_manifest(t)["op"] == "merge_dv"
+    # racer appends k=5 mid-merge of a batch that also upserts k=5
+    racer = spark.createDataFrame([(5, "old5")], "k int, v string")
+    backend = _RacerMidPublish(lambda: write_table(spark, t, racer))
+    b1 = spark.createDataFrame([(5, "NEW5"), (2, "B")], "k int, v string")
+    n = tx.merge_dv(spark, t, b1, ["k"], backend=backend, batch_id=1)
+    assert backend.fired and n == 2  # old k=2 AND the racer's k=5 retired
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "B"), (5, "NEW5")]
+    # replay: nothing publishes
+    hist = len(tx.history(t))
+    assert tx.merge_dv(spark, t, b1, ["k"], batch_id=1) is None
+    assert len(tx.history(t)) == hist
+
+
+def test_merge_dv_prunes_scan_from_batch_key_range(spark, tmp_path):
+    """With stats on the key column, the match scan skips files whose
+    [min, max] cannot contain any batch key: only in-range files gain
+    DV entries, and a prune_files spy sees the narrowed candidate
+    list."""
+    from data_observability_installer_spark.sources import txtable as tx
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_table(
+            spark, t,
+            spark.range(lo, lo + 100).selectExpr("id as k", "cast(id as string) as v")
+            .coalesce(1),
+            stats_cols=["k"],
+        )
+    m = read_manifest(t)
+    in_range = [f for f in m["files"] if m["stats"][f]["k"][0] == 100]
+    seen = {}
+    orig = tx.prune_files
+
+    def spy(manifest, predicates):
+        out = orig(manifest, predicates)
+        seen["candidates"] = out
+        seen["predicates"] = predicates
+        return out
+
+    tx.prune_files = spy
+    try:
+        updates = spark.createDataFrame([(150, "X"), (160, "Y")], "k bigint, v string")
+        assert tx.merge_dv(spark, t, updates, ["k"]) == 2
+    finally:
+        tx.prune_files = orig
+    assert seen["candidates"] == in_range  # 1 of 3 files scanned
+    assert set(read_manifest(t)["dv"]) == set(in_range)
+    assert read_table(spark, t).count() == 300
+    assert _rows(read_table(spark, t).filter("k in (150, 160)")) == [
+        (150, "X"), (160, "Y")
+    ]
