@@ -2202,13 +2202,16 @@ def table_changes_cdf(
                 parts.append(stamp(pre, "delete", v))
             elif post is not None:
                 parts.append(stamp(post, "insert", v))
-        elif m["op"] in ("rename_column", "drop_column", "purge_dvs"):
-            # rename/drop are metadata-only; purge_dvs rewrites files
-            # but is row-identical by construction (dataChange=false,
-            # the contract Delta gives OPTIMIZE/REORG) — no row changes
+        elif m["op"] in ("rename_column", "drop_column", "purge_dvs",
+                         "compact"):
+            # rename/drop are metadata-only; purge_dvs AND compact
+            # rewrite files but are row-identical by construction
+            # (dataChange=false, the contract Delta gives
+            # OPTIMIZE/REORG) — no row changes, so a maintenance
+            # compact must not break a CDF subscriber mid-range
             continue
         else:
-            # overwrite/compact/merge/restore/clone: the file-list move
+            # overwrite/merge/restore/clone: the file-list move
             # does not decompose into row changes (restore flips whole
             # snapshots; rewrites lose row identity) — snapshot_diff
             raise ValueError(
@@ -2369,6 +2372,236 @@ def txtable_upsert_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+class TxTableStream:
+    """STREAMING READ of a txtable (the ``readStream.format("delta")``
+    face — reference analog: the event stream driving every §2.3
+    analytic, demo/demo/demo_helper.py:331): tail the table's commit
+    log as a sequence of exactly-once micro-batches. The commit log IS
+    the offset log — each trigger reads the commits past the
+    checkpoint's high-water version, rate-limited by
+    ``max_commits_per_trigger``, and the checkpoint advances only AFTER
+    the caller's processing returns, so a crash replays the same batch
+    with the same batch_id and any downstream batch_id-guarded sink
+    (:func:`txtable_sink`, :func:`txtable_upsert_sink`, the store
+    sinks) turns the at-least-once replay into exactly-once end to end.
+
+    Two decompositions of a commit range:
+
+    - ``cdf=False`` (default): APPENDS ONLY — each batch is the rows of
+      the range's append/stream_append commits, projected onto the
+      range-end logical names through the field-id mapping (a rename
+      mid-range cannot mis-wire columns). Maintenance commits
+      (rename/drop column, compact, purge_dvs) are dataChange=false
+      and are skipped; a delete raises unless ``ignore_deletes=True``
+      (Delta's ignoreDeletes); update/merge_dv raise (an appends-only
+      tail cannot represent row updates — use ``cdf=True``).
+    - ``cdf=True``: each batch is :func:`table_changes_cdf` over the
+      range — insert / delete / update_preimage / update_postimage
+      rows with ``_change_type`` + ``_commit_version``, including DV
+      deletes/updates and merge_dv decomposition by key.
+
+    Positioning: the checkpoint wins; without one the stream starts at
+    ``from_version`` (0 = everything, N = commits after N — Delta's
+    startingVersion). Vacuum bounds the tail exactly as it bounds CDF:
+    a checkpoint that fell behind the retention horizon raises
+    :class:`VacuumedVersionError` (the subscriber must re-seed from a
+    snapshot read).
+
+    Batch schema is the RANGE-END logical schema of each trigger:
+    columns only grow (adds read NULL for older commits); a rename
+    mid-stream changes later batches' column names, same restart
+    contract as Delta's schema-evolution streaming. Batch ids are the
+    range-end versions — deterministic given (checkpoint,
+    max_commits_per_trigger), so keep the rate limit stable across a
+    restart that must replay an in-flight batch.
+
+    At 100 TB this is the governed-table subscription path: every
+    continuous monitor consumes a transactional table (schema-checked,
+    exactly-once, time-travelable) instead of raw file directories, and
+    each trigger plans a plain pruned parquet scan of exactly the
+    range's added files — no directory listing, no modification-time
+    heuristics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint: str,
+        from_version: int = 0,
+        cdf: bool = False,
+        ignore_deletes: bool = False,
+        max_commits_per_trigger: int | None = None,
+    ):
+        if max_commits_per_trigger is not None and max_commits_per_trigger < 1:
+            raise ValueError("max_commits_per_trigger must be >= 1")
+        self.spark = spark
+        self.path = path
+        self.checkpoint = checkpoint
+        self.from_version = from_version
+        self.cdf = cdf
+        self.ignore_deletes = ignore_deletes
+        self.max_commits = max_commits_per_trigger
+        os.makedirs(checkpoint, exist_ok=True)
+
+    @property
+    def _offset_file(self) -> str:
+        return os.path.join(self.checkpoint, "offset.json")
+
+    @property
+    def position(self) -> int:
+        """High-water version: every commit <= this has been processed
+        AND committed by the subscriber."""
+        try:
+            with open(self._offset_file) as fh:
+                return int(json.load(fh)["version"])
+        except FileNotFoundError:
+            return self.from_version
+
+    def commit(self, end_version: int) -> None:
+        """Advance the checkpoint to ``end_version`` — call AFTER the
+        batch's downstream effects are durable. Tmp-write + atomic
+        rename: a crash mid-commit leaves the old offset (replay), never
+        a torn one."""
+        if end_version < self.position:
+            raise ValueError(
+                f"cannot move checkpoint backwards ({self.position} -> "
+                f"{end_version})"
+            )
+        tmp = self._offset_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(end_version)}, fh)
+        os.replace(tmp, self._offset_file)
+
+    def next_trigger(self) -> tuple[DataFrame, int] | None:
+        """The next micro-batch as ``(rows, end_version)``, or None when
+        caught up (or the table has no commits yet). Does NOT advance
+        the checkpoint — process, make the effects durable, then
+        :meth:`commit`."""
+        vs = _versions(self.path)
+        if not vs:
+            return None
+        lo = self.position
+        head = vs[-1]
+        if lo >= head:
+            return None
+        hi = head if self.max_commits is None else min(
+            head, lo + self.max_commits
+        )
+        missing = [v for v in range(lo + 1, hi + 1) if v not in set(vs)]
+        if missing:
+            raise VacuumedVersionError(
+                f"stream checkpoint at v{lo} but versions {missing} "
+                f"predate the vacuum retention horizon (oldest retained: "
+                f"{vs[0]}); re-seed the subscriber from a snapshot read"
+            )
+        if self.cdf:
+            return table_changes_cdf(self.spark, self.path, lo, hi), hi
+        return self._appended_rows(lo, hi), hi
+
+    def _appended_rows(self, lo: int, hi: int) -> DataFrame:
+        """Append-commit rows of ``(lo, hi]`` under the range-end
+        logical names — :func:`table_changes` semantics made
+        maintenance-tolerant (skips dataChange=false commits, resolves
+        renames through field ids instead of failing)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        end_m = read_manifest(self.path, hi)
+        end_fields, _, _ = _bootstrap_mapping(end_m)
+        end_by_fid = {fid: name for name, fid in end_fields.items()}
+        end_schema = StructType.fromJson(json.loads(end_m["schema"]))
+        parts: list[DataFrame] = []
+        for v in range(lo + 1, hi + 1):
+            m = read_manifest(self.path, v)
+            op = m["op"]
+            if op in ("append", "stream_append", "merge_dv"):
+                if op == "merge_dv":
+                    # a merge's appended files mix inserts with update
+                    # postimages; an appends-only tail cannot tell them
+                    # apart (a postimage re-emitted as an insert
+                    # double-counts downstream)
+                    raise ValueError(
+                        f"version {v} is op='merge_dv'; an appends-only "
+                        "tail cannot represent row updates — use cdf=True"
+                    )
+                files = _added_files(self.path, m)
+                if not files:
+                    continue
+                schema = StructType.fromJson(json.loads(m["schema"]))
+                df = _scan_plain(self.spark, self.path, m, files, schema)
+                cf, _, _ = _bootstrap_mapping(m)
+                parts.append(
+                    df.select(
+                        *[
+                            F.col(name).alias(end_by_fid[fid])
+                            for name, fid in cf.items()
+                            if fid in end_by_fid
+                        ]
+                    )
+                )
+            elif op in ("rename_column", "drop_column", "purge_dvs",
+                        "compact"):
+                continue  # dataChange=false: nothing new to emit
+            elif op == "delete":
+                if self.ignore_deletes:
+                    continue
+                raise ValueError(
+                    f"version {v} is op='delete'; pass ignore_deletes="
+                    "True to tail appends past row deletions, or "
+                    "cdf=True to receive them as delete rows"
+                )
+            elif op == "update":
+                raise ValueError(
+                    f"version {v} is op='update'; an appends-only tail "
+                    "cannot represent row updates — use cdf=True"
+                )
+            else:
+                raise ValueError(
+                    f"version {v} is op={op!r}; its file list does not "
+                    "decompose into appended rows — re-seed the "
+                    "subscriber from a snapshot read"
+                )
+        out = self.spark.createDataFrame([], end_schema)
+        for p in parts:
+            # commits that predate an added column contribute NULL
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def process_available(self, fn) -> int:
+        """availableNow loop: drain every pending commit, calling
+        ``fn(batch_df, batch_id)`` per trigger (batch_id = the range-end
+        version) and advancing the checkpoint after each return.
+        Returns the number of batches processed."""
+        n = 0
+        while True:
+            nxt = self.next_trigger()
+            if nxt is None:
+                return n
+            df, hi = nxt
+            fn(df, hi)
+            self.commit(hi)
+            n += 1
+
+
+def txtable_stream(
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    from_version: int = 0,
+    cdf: bool = False,
+    ignore_deletes: bool = False,
+    max_commits_per_trigger: int | None = None,
+) -> TxTableStream:
+    """Factory for :class:`TxTableStream` — tail a txtable's commit log
+    as exactly-once micro-batches (see the class docstring)."""
+    return TxTableStream(
+        spark, path, checkpoint,
+        from_version=from_version, cdf=cdf,
+        ignore_deletes=ignore_deletes,
+        max_commits_per_trigger=max_commits_per_trigger,
+    )
 
 
 def table_health(path: str, version: int | None = None) -> dict:

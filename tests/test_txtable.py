@@ -1624,7 +1624,8 @@ def test_cdf_resolves_renames_and_added_columns_to_end_schema(spark, tmp_path):
     """CDF across a rename + add-column: every commit's rows surface
     under the RANGE-END logical names (field-id resolution), with
     pre-add commits reading NULL for the new column; metadata-only
-    commits contribute no rows; a compact in range raises."""
+    commits contribute no rows; a compact in range is dataChange=false
+    (skipped, like Delta's OPTIMIZE) while an overwrite raises."""
     from data_observability_installer_spark.sources.txtable import (
         delete_rows,
         rename_column,
@@ -1653,10 +1654,21 @@ def test_cdf_resolves_renames_and_added_columns_to_end_schema(spark, tmp_path):
         (4, "delete", 1, "a", None),   # deleted row reconstructed
     ]
     compact(spark, t, target_partitions=1)
+    # compact is row-identical (dataChange=false): the feed over the
+    # full range is unchanged — a maintenance compact must not break a
+    # CDF subscriber mid-range
+    assert sorted(
+        (r._commit_version, r._change_type, r.id, r.val, r.n)
+        for r in table_changes_cdf(spark, t, 0).collect()
+    ) == got
+    # an overwrite DOES break row identity: the raise survives
+    write_table(
+        spark, t,
+        spark.createDataFrame([(9, "z", 0)], "id int, val string, n int"),
+        mode="overwrite",
+    )
     with pytest.raises(ValueError, match="snapshot_diff"):
         table_changes_cdf(spark, t, 0)
-    # ...but a range that stops before the compact still works
-    assert table_changes_cdf(spark, t, 0, 4).count() == 3
 
 
 def test_update_rows_atomic_swap_and_no_rewrite(spark, tmp_path):
@@ -2174,3 +2186,169 @@ def test_merge_dv_prunes_scan_from_batch_key_range(spark, tmp_path):
     assert _rows(read_table(spark, t).filter("k in (150, 160)")) == [
         (150, "X"), (160, "Y")
     ]
+
+
+def test_txtable_stream_cdf_parity_across_triggers(spark, tmp_path):
+    """Streaming CDF tail == batch table_changes_cdf(0, head),
+    row-identical, across a rename, a DV delete, a DV update, and a
+    maintenance compact, with max_commits_per_trigger=2 rate limiting
+    the tail to ceil(commits/2) triggers. Each batch carries its
+    RANGE-END logical names (the documented schema-evolution contract),
+    so the one pre-rename batch maps old->new before the union."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        rename_column,
+        table_changes_cdf,
+        txtable_stream,
+        update_rows,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id int, v double").coalesce(1))
+    write_table(spark, t, spark.createDataFrame(
+        [(i, float(i)) for i in range(10, 14)], "id int, v double").coalesce(1))
+    rename_column(t, "v", "val")                       # v3: metadata only
+    delete_rows(spark, t, "id >= 12")                  # v4: DV delete
+    update_rows(spark, t, "id = 1", {"val": "val + 100"})  # v5
+    write_table(spark, t, spark.createDataFrame(
+        [(20, 20.0)], "id int, val double").coalesce(1))   # v6
+    compact(spark, t, target_partitions=1)             # v7: dataChange=false
+    head = read_manifest(t)["version"]
+    assert head == 7
+
+    s = txtable_stream(
+        spark, t, str(tmp_path / "ckpt"), cdf=True, max_commits_per_trigger=2
+    )
+    batches = []
+
+    def fn(df, batch_id):
+        if "v" in df.columns:  # pre-rename range end: map to final name
+            df = df.withColumnRenamed("v", "val")
+        batches.append((batch_id, _rows(df)))
+
+    assert s.process_available(fn) == 4  # ceil(7 / 2)
+    assert [b for b, _ in batches] == [2, 4, 6, 7]
+    streamed = sorted(r for _, rows in batches for r in rows)
+    assert streamed == _rows(table_changes_cdf(spark, t, 0, head))
+    # caught up: nothing more, and the checkpoint holds the head
+    assert s.next_trigger() is None
+    assert s.position == head
+
+
+def test_txtable_stream_append_mode_maintenance_and_guards(spark, tmp_path):
+    """Append-mode tail: emits append rows under range-end names across
+    a rename, skips dataChange=false commits (rename/compact), raises
+    on a delete unless ignore_deletes=True, and always raises on
+    update/merge_dv (an appends-only tail cannot represent updates)."""
+    from data_observability_installer_spark.sources.txtable import (
+        delete_rows,
+        rename_column,
+        txtable_stream,
+        update_rows,
+    )
+
+    t = str(tmp_path / "t")
+    write_table(spark, t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string").coalesce(1))
+    rename_column(t, "v", "val")
+    write_table(spark, t, spark.createDataFrame(
+        [(3, "c")], "id int, val string").coalesce(1))
+    compact(spark, t, target_partitions=1)
+
+    s = txtable_stream(spark, t, str(tmp_path / "c1"))
+    df, hi = s.next_trigger()
+    assert hi == 4 and df.columns == ["id", "val"]
+    assert _rows(df) == [(1, "a"), (2, "b"), (3, "c")]
+    s.commit(hi)
+    assert s.next_trigger() is None
+
+    delete_rows(spark, t, "id = 1")  # v5
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        s.next_trigger()
+    tolerant = txtable_stream(
+        spark, t, str(tmp_path / "c2"), from_version=4, ignore_deletes=True
+    )
+    write_table(spark, t, spark.createDataFrame(
+        [(4, "d")], "id int, val string").coalesce(1))  # v6
+    df, hi = tolerant.next_trigger()
+    assert hi == 6 and _rows(df) == [(4, "d")]
+    tolerant.commit(hi)
+
+    update_rows(spark, t, "id = 2", {"val": "'B'"})  # v7
+    with pytest.raises(ValueError, match="cdf=True"):
+        tolerant.next_trigger()
+
+
+def test_txtable_stream_replay_exactly_once_into_sink(spark, tmp_path):
+    """Crash-replay contract: a batch processed but not checkpointed
+    replays with the SAME batch_id after restart, and a downstream
+    batch_id-guarded commit (commit_stream_batch) makes the pipeline
+    exactly-once end to end — the destination table holds every source
+    row exactly once."""
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        txtable_stream,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for lo in (0, 10, 20):
+        write_table(spark, src, spark.createDataFrame(
+            [(i,) for i in range(lo, lo + 5)], "id int").coalesce(1))
+
+    seen: list[int] = []
+
+    def crashy(df, batch_id):
+        commit_stream_batch(dst, df, batch_id)
+        seen.append(batch_id)
+        if len(seen) == 2:
+            raise RuntimeError("crash AFTER the sink commit, BEFORE the "
+                               "source checkpoint advanced")
+
+    ckpt = str(tmp_path / "ckpt")
+    s = txtable_stream(spark, src, ckpt, max_commits_per_trigger=1)
+    with pytest.raises(RuntimeError, match="crash"):
+        s.process_available(crashy)
+    assert seen == [1, 2] and s.position == 1  # batch 2 uncommitted
+
+    # restart from the checkpoint: batch 2 REPLAYS with the same id;
+    # the sink's replay guard publishes nothing for it
+    s2 = txtable_stream(spark, src, ckpt, max_commits_per_trigger=1)
+    replayed: list[int] = []
+
+    def fn(df, batch_id):
+        replayed.append(batch_id)
+        commit_stream_batch(dst, df, batch_id)
+
+    assert s2.process_available(fn) == 2
+    assert replayed == [2, 3]
+    assert _rows(read_table(spark, dst)) == [
+        (i,) for lo in (0, 10, 20) for i in range(lo, lo + 5)
+    ]
+
+
+def test_txtable_stream_vacuum_horizon_and_offset_safety(spark, tmp_path):
+    """A checkpoint that fell behind the vacuum retention horizon
+    raises VacuumedVersionError (re-seed, don't silently skip data);
+    the checkpoint itself refuses to move backwards."""
+    from data_observability_installer_spark.sources.txtable import (
+        txtable_stream,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in range(5):
+        write_table(spark, t, spark.createDataFrame(
+            [(lo,)], "id int").coalesce(1))
+    vacuum(t, keep_last=2)
+
+    s = txtable_stream(spark, t, str(tmp_path / "ckpt"))
+    with pytest.raises(VacuumedVersionError, match="re-seed"):
+        s.next_trigger()
+    # a fresh subscriber seeded at the horizon tails fine
+    s2 = txtable_stream(spark, t, str(tmp_path / "ckpt2"), from_version=4)
+    df, hi = s2.next_trigger()
+    assert hi == 5 and _rows(df) == [(4,)]
+    s2.commit(hi)
+    with pytest.raises(ValueError, match="backwards"):
+        s2.commit(3)

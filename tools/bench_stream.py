@@ -551,12 +551,13 @@ def main() -> None:
         )
     )
 
-    # round-12: exactly-once streaming MERGE — keyed upsert per
-    # micro-batch (latest state per pipeline_key). Each batch REWRITES
-    # the merged snapshot by contract, so throughput is dominated by
-    # snapshot size x batch count — the honest cost of streaming MERGE
-    # vs append (widen the trigger to amortize; the sink docstring says
-    # so). State keys here: pipeline_key cardinality, not stream length.
+    # round-12 (re-based round-13 on merge_dv): exactly-once streaming
+    # MERGE — keyed upsert per micro-batch (latest state per
+    # pipeline_key). Since round 13 each batch commits deletion-vector
+    # sidecars + its own rows instead of rewriting the snapshot, so
+    # per-batch cost tracks the BATCH size; the accumulated sidecars
+    # fold away on a purge_dvs/compact maintenance cadence. State keys
+    # here: pipeline_key cardinality, not stream length.
     upath = os.path.join(sink_root, "txtable_upsert")
     q = _tx.txtable_upsert_sink(
         read_stream().select(
@@ -574,10 +575,54 @@ def main() -> None:
     )
     ops["txtable_upsert_sink"]["commits"] = len(_tx.history(upath))
     ops["txtable_upsert_sink"]["note"] = (
-        "keyed streaming MERGE: one atomic merge commit per micro-batch "
-        "(batch_id replay guard = exactly-once); output_rows is the "
-        "entity count (latest state per key), not the event count — "
-        "each batch pays a snapshot rewrite by merge semantics"
+        "keyed streaming MERGE via deletion vectors (merge_dv): one "
+        "atomic commit per micro-batch (batch_id replay guard = "
+        "exactly-once) marking retired key versions in sidecars and "
+        "appending only the batch's rows — per-batch cost tracks the "
+        "batch, not the snapshot; output_rows is the entity count "
+        "(latest state per key), not the event count"
+    )
+
+    # round-13: streaming READ of a txtable — tail the commit log the
+    # txtable_sink above just wrote, one commit per trigger. Each
+    # trigger is a plain parquet scan of exactly that commit's added
+    # files (no directory listing, no mtime heuristics); the checkpoint
+    # advances after each batch, so rows/s here is the end-to-end
+    # subscribe-to-governed-table rate including offset persistence.
+    tail = _tx.txtable_stream(
+        spark, tpath, os.path.join(sink_root, "ckpt_tail"),
+        max_commits_per_trigger=1,
+    )
+    tailed = {"rows": 0}
+    trig_lat: list[float] = []
+
+    def _tail_batch(df, batch_id):
+        t0 = time.monotonic()
+        tailed["rows"] += df.count()
+        trig_lat.append((time.monotonic() - t0) * 1000.0)
+
+    n_triggers = tail.process_available(_tail_batch)
+    trig_lat.sort()
+    total_s = sum(trig_lat) / 1000.0
+    ops["txtable_stream_source"] = {
+        "input_rows": tailed["rows"],
+        "output_rows": tailed["rows"],
+        "micro_batches": n_triggers,
+        "p50_batch_ms": round(trig_lat[len(trig_lat) // 2], 1) if trig_lat else None,
+        "max_batch_ms": round(trig_lat[-1], 1) if trig_lat else None,
+        "total_trigger_s": round(total_s, 3),
+        "rows_per_sec": round(tailed["rows"] / total_s, 1) if total_s else None,
+        "peak_state_rows": None,
+        "peak_state_bytes": None,
+        "note": (
+            "commit-log tail of the txtable_sink table (1 commit per "
+            "trigger, checkpointed high-water version): the streaming "
+            "READ face — batch-parity and replay contracts in "
+            "tests/test_txtable.py"
+        ),
+    }
+    ops["txtable_stream_source"]["batch_twin_s"] = timed_batch(
+        lambda: _tx.read_table(spark, tpath).count()
     )
     # round-9: incremental PQ near-dup sink — per-batch encode + band
     # join against the accumulated txtable code store (never a corpus
