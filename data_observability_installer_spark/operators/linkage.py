@@ -338,7 +338,12 @@ def entity_match_pairs(
     (parity-tested); pass the SAME ``max_block`` the sink used."""
     from ..sources import txtable as _tx
 
-    pairs = spark.read.parquet(pairs_store)
+    # (id_a, id_b) is unique by construction (each unordered pair is
+    # generated exactly once, in the batch of its later member); the
+    # dedup only ever removes replay artifacts — a micro-batch replayed
+    # AFTER a retention rollup absorbed its partition re-creates
+    # identical rows next to the rollup's copy
+    pairs = spark.read.parquet(pairs_store).dropDuplicates(["id_a", "id_b"])
     if max_block is not None:
         if store is None:
             raise ValueError("max_block= needs store= for the block sizes")

@@ -38,11 +38,32 @@ def entity_match_sink(
     num_weight: int = 1,
     threshold_bp: int = 6000,
     max_block: int | None = None,
+    retain: int | None = None,
     **trigger,
 ):
-    """Start the continuous matcher (see module docstring). Returns
-    the started StreamingQuery."""
+    """Start the continuous matcher (see module docstring).
+
+    ``retain``: bound the pairs store to that many partitions — each
+    over-budget batch folds the oldest surplus into one rollup
+    partition (profile.retain_runs, the same crash-safe sidecar
+    protocol as the profile/CM/HLL/DSIR/SemDeDup sinks). Every
+    unordered pair is generated exactly once across batches, so the
+    fold is a plain concat with an (id_a, id_b) dedup that only ever
+    removes replay artifacts (a batch replayed AFTER a rollup absorbed
+    its partition re-creates identical rows) — the folded store reads
+    row-identical to the unbounded one while ``entity_match_pairs``'s
+    fan-in stays bounded instead of growing one partition per
+    micro-batch forever. Without it, apply retention externally.
+
+    Returns the started StreamingQuery."""
     from ..operators.linkage import entity_match_incremental
+    from ..operators.profile import retain_runs
+
+    def fold(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates(["id_a", "id_b"])
 
     def commit(df: DataFrame, batch_id: int) -> None:
         pairs = entity_match_incremental(
@@ -64,6 +85,11 @@ def entity_match_sink(
         pairs.coalesce(1).write.mode("overwrite").parquet(
             f"{pairs_store}/run_id={batch_id:08d}"
         )
+        if retain is not None:
+            retain_runs(
+                df.sparkSession, pairs_store, retain,
+                f"00000000_rollup_{batch_id:08d}", fold,
+            )
 
     writer = stream.writeStream.foreachBatch(commit).option(
         "checkpointLocation", checkpoint

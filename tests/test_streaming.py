@@ -2187,3 +2187,135 @@ def test_entity_match_sink_cumulative_parity_and_replay(spark, tmp_path):
             .select("id_a", "id_b", "name_sim_bp", "score_bp", "blk")
             .collect())
     )
+
+
+def test_entity_match_sink_retain_bounds_pairs_store(spark, tmp_path):
+    """retain= on the continuous matcher: the pairs store stays bounded
+    (surplus run partitions folded into one rollup) and
+    entity_match_pairs reads ROW-identical to batch entity_match before
+    and after the fold — including a micro-batch replayed AFTER the
+    rollup absorbed its partition (the read-face (id_a, id_b) dedup
+    removes the duplicate rows) and a crash mid-rollup (half-written
+    rollup redone by the sidecar protocol)."""
+    import json as _json
+    import os
+    import shutil
+    import time as _time
+
+    from data_observability_installer_spark.operators.linkage import (
+        entity_match,
+        entity_match_incremental,
+        entity_match_pairs,
+    )
+    from data_observability_installer_spark.operators.profile import (
+        retain_runs,
+    )
+    from data_observability_installer_spark.streaming.linkage import (
+        entity_match_sink,
+    )
+
+    b1 = [(1, "smith global inc", "london", 1000),
+          (2, "smith global incx", "london", 1010),
+          (3, "acme widgets ltd", "paris", 5000)]
+    b2 = [(11, "smith global inc.", "london", 1005),
+          (12, "acme widgets ltd", "paris", 5002)]
+    b3 = [(21, "acme widgets ltd.", "paris", 5003),
+          (22, "zeta systems", "berlin", 700)]
+    batches = [b1, b2, b3]
+    kw = dict(
+        block_prefix=6,
+        cat_cols=["city"],
+        num_cols=[("cents", 1000)],
+        threshold_bp=5000,
+    )
+
+    src = tmp_path / "records"; src.mkdir()
+    for i, rows in enumerate(batches):
+        (src / f"{i}.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"rid": r[0], "name": r[1], "city": r[2], "cents": r[3]}
+                )
+                for r in rows
+            )
+        )
+        _time.sleep(0.15)
+
+    store = str(tmp_path / "store")
+    pairs_store = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema("rid long, name string, city string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = entity_match_sink(
+        stream, store, pairs_store, str(tmp_path / "ckpt"),
+        id_col="rid", name_col="name", retain=1, availableNow=True,
+        **kw,
+    )
+    q.awaitTermination(120)
+
+    runs = sorted(
+        p for p in os.listdir(pairs_store) if p.startswith("run_id=")
+    )
+    plain = [r for r in runs if "rollup" not in r]
+    assert len(plain) <= 1 and any("rollup" in r for r in runs)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b],
+        "rid long, name string, city string, cents long",
+    )
+    want = sorted(map(tuple, entity_match(full, "rid", "name", **kw).collect()))
+    got = sorted(
+        map(tuple,
+            entity_match_pairs(spark, pairs_store, threshold_bp=5000).collect())
+    )
+    assert got == want and len(want) >= 2
+
+    # batch 2 replays AFTER the rollup absorbed run_id=00000002: the
+    # store commit is exactly-once (no new version) and the re-created
+    # partition's rows are duplicates the read face folds away
+    replay = spark.createDataFrame(
+        b3, "rid long, name string, city string, cents long"
+    )
+    p = entity_match_incremental(
+        spark, store, replay, "rid", "name", batch_id=2, **kw
+    )
+    p.coalesce(1).write.mode("overwrite").parquet(
+        f"{pairs_store}/run_id=00000002"
+    )
+    assert sorted(
+        map(tuple,
+            entity_match_pairs(spark, pairs_store, threshold_bp=5000).collect())
+    ) == want
+    # the retention pass the replayed batch would run folds them back
+    retain_runs(
+        spark, pairs_store, 1, "00000000_rollup_replay",
+        lambda ps: ps[0].unionByName(ps[1]).dropDuplicates(["id_a", "id_b"])
+        if len(ps) > 1 else ps[0].dropDuplicates(["id_a", "id_b"]),
+    )
+    assert sorted(
+        map(tuple,
+            entity_match_pairs(spark, pairs_store, threshold_bp=5000).collect())
+    ) == want
+
+    # crash mid-rollup: half-written rollup dir (no _sources.json) is
+    # discarded and redone without changing the cumulative pairs
+    half = os.path.join(pairs_store, "run_id=00000000_rollup_crash")
+    os.makedirs(half)
+    spark.createDataFrame(
+        [("x", "y")], "id_a string, id_b string"
+    ).coalesce(1).write.mode("overwrite").parquet(half)
+    shutil.rmtree(os.path.join(half, "_SUCCESS"), ignore_errors=True)
+
+    def fold(ps):
+        out = ps[0]
+        for q2 in ps[1:]:
+            out = out.unionByName(q2)
+        return out.dropDuplicates(["id_a", "id_b"])
+
+    retain_runs(spark, pairs_store, 1, "00000000_rollup_crash", fold)
+    assert sorted(
+        map(tuple,
+            entity_match_pairs(spark, pairs_store, threshold_bp=5000).collect())
+    ) == want

@@ -863,6 +863,7 @@ def main() -> None:
         id_col="rid",
         name_col="name",
         max_block=64,
+        retain=4,
         availableNow=True,
         **em_kw,
     )
@@ -875,6 +876,15 @@ def main() -> None:
     ops["entity_match_sink"]["store_commits"] = len(
         _tx2.history(os.path.join(sink_root_em, "store"))
     )
+    # round-13: retain=4 bounds the pairs store — surplus run
+    # partitions fold into one rollup (exactly-once pair rows, so the
+    # fold is a concat + (id_a, id_b) dedup), keeping the cumulative
+    # read's fan-in constant instead of one partition per micro-batch
+    ops["entity_match_sink"]["pairs_partitions_final"] = len([
+        d for d in os.listdir(os.path.join(sink_root_em, "pairs"))
+        if d.startswith("run_id=")
+    ])
+    ops["entity_match_sink"]["retain"] = 4
     em_batch = synth_records(batch_df)
     # limit=200 (the production head): TakeOrdered still scores EVERY
     # candidate pair, so the twin charges the full blocked join — a
