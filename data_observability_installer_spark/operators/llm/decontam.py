@@ -266,9 +266,30 @@ def decontaminate_fingerprint(
     (same hash on both sides), so the final counts equal
     :func:`decontaminate` exactly — the twin oracle is shared.
     """
-    doc_sh = exploded_shingles(docs, text_col, id_col, n)
     bench_sh = exploded_shingles(bench, text_col, id_col, n).select("sh").distinct()
     fp = bench_sh.select(F.xxhash64("sh").alias("h")).distinct()
+    return fingerprint_verdicts(
+        docs, bench_sh, fp, text_col=text_col, id_col=id_col, n=n,
+        min_hits=min_hits,
+    )
+
+
+def fingerprint_verdicts(
+    docs: DataFrame,
+    bench_sh: DataFrame,
+    fp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The nominate+verify core of :func:`decontaminate_fingerprint`
+    against PRECOMPUTED benchmark frames (``bench_sh``: distinct string
+    shingles, ``fp``: their distinct xxhash64 fingerprints). Split out
+    so the streaming face (streaming/decontam.py) shingles the frozen
+    eval set ONCE and re-joins every micro-batch against the pinned
+    frames instead of re-exploding the benchmark per trigger."""
+    doc_sh = exploded_shingles(docs, text_col, id_col, n)
     cand = doc_sh.withColumn("h", F.xxhash64("sh")).join(
         F.broadcast(fp), "h", "left_semi"
     )

@@ -2319,3 +2319,91 @@ def test_entity_match_sink_retain_bounds_pairs_store(spark, tmp_path):
         map(tuple,
             entity_match_pairs(spark, pairs_store, threshold_bp=5000).collect())
     ) == want
+
+
+def test_decontam_sink_batch_parity_replay_and_retain(spark, tmp_path):
+    """Streaming decontamination: the cumulative verdict store over N
+    micro-batches is ROW-identical to batch decontaminate_fingerprint
+    over everything ingested (the benchmark's shingle/fingerprint
+    frames are frozen at sink start — the production shape: eval sets
+    change rarely, the corpus arrives forever); a replayed batch
+    changes nothing, and retain= keeps the store bounded without
+    changing verdicts."""
+    import json as _json
+    import os
+    import time as _time
+
+    from data_observability_installer_spark.operators.llm.decontam import (
+        decontaminate_fingerprint,
+    )
+    from data_observability_installer_spark.streaming.decontam import (
+        decontam_sink,
+        decontam_verdicts,
+    )
+
+    bench_rows = [(100, "the quick brown fox jumps over the lazy dog"),
+                  (101, "pack my box with five dozen liquor jugs")]
+    b1 = [(1, "a clean document about nothing in particular at all here"),
+          (2, "the quick brown fox jumps over the lazy dog said the text")]
+    b2 = [(3, "pack my box with five dozen liquor jugs every day"),
+          (4, "another clean one with fully disjoint words inside it")]
+    b3 = [(5, "quick brown fox jumps over the lazy dog and a fox"),
+          (6, "completely unrelated sentence goes right here friends")]
+    batches = [b1, b2, b3]
+
+    src = tmp_path / "docs"; src.mkdir()
+    for i, rows in enumerate(batches):
+        (src / f"{i}.json").write_text(
+            "\n".join(_json.dumps({"doc_id": r[0], "text": r[1]}) for r in rows)
+        )
+        _time.sleep(0.15)
+
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    store = str(tmp_path / "verdicts")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = decontam_sink(
+        stream, bench, store, str(tmp_path / "ckpt"),
+        n=5, min_hits=1, retain=1, availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    runs = sorted(p for p in os.listdir(store) if p.startswith("run_id="))
+    assert len([r for r in runs if "rollup" not in r]) <= 1
+    assert any("rollup" in r for r in runs)
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = sorted(
+        map(tuple, decontaminate_fingerprint(full, bench, n=5).collect())
+    )
+    got = sorted(map(tuple, decontam_verdicts(spark, store).collect()))
+    assert got == want
+    # the planted contamination actually bit, and clean docs are clean
+    verdict = {t[0]: t[2] for t in got}
+    assert verdict[2] and verdict[3] and verdict[5]
+    assert not verdict[1] and not verdict[4] and not verdict[6]
+
+    # replay of batch 2 AFTER the rollup absorbed its partition:
+    # re-created rows are duplicates the read face folds away
+    from data_observability_installer_spark.operators.llm.decontam import (
+        fingerprint_verdicts,
+    )
+    from data_observability_installer_spark.operators.llm.dedup import (
+        exploded_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    bench_sh = exploded_shingles(bench, "text", "doc_id", 5).select(
+        "sh"
+    ).distinct()
+    fp = bench_sh.select(F.xxhash64("sh").alias("h")).distinct()
+    replay = spark.createDataFrame(b3, "doc_id long, text string")
+    fingerprint_verdicts(replay, bench_sh, fp, n=5).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/run_id=00000002")
+    assert sorted(map(tuple, decontam_verdicts(spark, store).collect())) == want

@@ -811,6 +811,79 @@ def main() -> None:
     shutil.rmtree(growth_root_sd, ignore_errors=True)
     shutil.rmtree(sink_root_sd, ignore_errors=True)
 
+    # round-13: continuous benchmark decontamination — the benchmark's
+    # shingle/fingerprint frames are frozen (pinned) at sink start, so
+    # each micro-batch is a stateless broadcast-semi-join nominate +
+    # exact verify with ZERO accumulated state. Docs synthesize from
+    # event ids as 12 hash words; every 10th doc embeds a benchmark
+    # 6-gram (planted contamination, so the verify stage has real work).
+    from data_observability_installer_spark.operators.llm.decontam import (
+        decontaminate_fingerprint,
+    )
+    from data_observability_installer_spark.streaming.decontam import (
+        decontam_sink,
+        decontam_verdicts,
+    )
+
+    def synth_docs(df):
+        i = F.col("event_id").cast("long")
+        words = F.expr(
+            "concat_ws(' ', transform(sequence(0, 11), j -> "
+            "substr(md5(concat(CAST(event_id AS STRING), '_', j)), 1, 8)))"
+        )
+        planted = F.concat(
+            words, F.lit(" "),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit("bench"), (F.pmod(i, F.lit(40)) + k).cast("string"))
+                  for k in range(6)],
+            ),
+        )
+        return df.select(
+            i.alias("doc_id"),
+            F.when(F.pmod(i, F.lit(10)) == 0, planted).otherwise(words)
+            .alias("text"),
+        )
+
+    bench_docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 45), j -> "
+            "concat('bench', CAST(id + j AS STRING))))"
+        ).alias("text"),
+    )
+    sink_root_dc = _tf.mkdtemp(prefix="stream_bench_decontam_")
+    dstore = os.path.join(sink_root_dc, "verdicts")
+    q = decontam_sink(
+        synth_docs(read_stream()),
+        bench_docs,
+        dstore,
+        os.path.join(sink_root_dc, "ckpt"),
+        n=5,
+        retain=4,
+        availableNow=True,
+    )
+    ops["decontam_sink"] = _drain(
+        q, lambda: decontam_verdicts(spark, dstore)
+        .filter("contaminated").count()
+    )
+    ops["decontam_sink"]["verdict_partitions_final"] = len([
+        d for d in os.listdir(dstore) if d.startswith("run_id=")
+    ])
+    ops["decontam_sink"]["retain"] = 4
+    ops["decontam_sink"]["note"] = (
+        "stateless per-batch nominate+verify against the frozen eval "
+        "set's pinned fingerprint frames (eval suites change rarely; "
+        "the corpus arrives forever); output_rows = contaminated docs; "
+        "retain=4 bounds the verdict store partitions"
+    )
+    ops["decontam_sink"]["batch_twin_s"] = timed_batch(
+        lambda: decontaminate_fingerprint(
+            synth_docs(batch_df), bench_docs, n=5
+        ).filter("contaminated").count()
+    )
+    shutil.rmtree(sink_root_dc, ignore_errors=True)
+
     # round-12: incremental entity matching — per-batch prefix-block
     # join against the accumulating txtable reference store (never a
     # store self-join); pairs land per-batch, read face re-applies the
