@@ -519,6 +519,24 @@ def cmd_qsketch_store(args) -> int:
     return 0
 
 
+def cmd_monitor_stored(args) -> int:
+    """The five-screen monitoring pane served FROM THE CONTINUOUS
+    STORES (streaming/monitor.py monitor_pane_stored): daily-volume
+    screens (Mann-Kendall, CUSUM, change-point) from the counts cube,
+    the SPC p-chart from the run-rollup cube, and the per-pipeline SLA
+    p99 from the grouped quantile-sketch store — O(store) serving
+    latency, the raw event log never rescanned (the oracle-checked
+    recompute variant is `query monitor_events`)."""
+    from .streaming.monitor import monitor_pane_stored
+
+    spark = _spark(args)
+    monitor_pane_stored(
+        spark, args.counts_store, args.runs_store, args.qsketch_store,
+        qs_lo=args.lo, qs_hi=args.hi,
+    ).show(args.rows, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="data_observability_installer_spark")
     ap.add_argument("--sf-dir", default=None)
@@ -634,6 +652,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--log-u", type=int, default=16, dest="log_u")
     p.add_argument("--rows", type=int, default=50)
 
+    p = sub.add_parser("monitor-stored")
+    p.add_argument("counts_store")
+    p.add_argument("runs_store")
+    p.add_argument("qsketch_store")
+    p.add_argument("--lo", type=int, default=0)
+    p.add_argument("--hi", type=int, default=(1 << 17) - 1)
+    p.add_argument("--rows", type=int, default=100)
+
     args = ap.parse_args(argv)
     if args.sf_dir is None:
         from .sources.tables import DEFAULT_SF_DIR
@@ -655,6 +681,7 @@ def main(argv: list[str] | None = None) -> int:
         "table": cmd_table,
         "profile-store": cmd_profile_store,
         "qsketch-store": cmd_qsketch_store,
+        "monitor-stored": cmd_monitor_stored,
     }[args.verb](args)
 
 

@@ -326,3 +326,47 @@ def test_cli_qsketch_store_per_key_quantiles(spark, tmp_path, capsys):
     vals = {(r[0], int(r[1])): int(r[3]) for r in rows}
     assert 2500 <= vals[("ml", 9900)] <= 3200
     assert 300 <= vals[("etl", 5000)] <= 700
+
+
+def test_cli_monitor_stored_pane(spark, tmp_path, capsys):
+    """monitor-stored verb: the five-screen pane served from the
+    continuous stores (two agg cubes + the grouped quantile store),
+    no raw-event rescan. Seeded via the library with a tiny synthetic
+    ingest; the pane must show all five screens."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.operators.profile import (
+        write_profile,
+    )
+    from data_observability_installer_spark.operators.sketch import qsketch_by
+
+    counts = str(tmp_path / "counts")
+    spark.createDataFrame(
+        [("click", f"2024-01-{d:02d}", 10 + d) for d in range(1, 15)],
+        "k string, o string, v long",
+    ).coalesce(1).write.parquet(f"{counts}/run_id=00000000")
+
+    runs = str(tmp_path / "runs")
+    spark.createDataFrame(
+        [("pipeline-0", f"7:{d}", d % 3, 1) for d in range(20)],
+        "pipeline_key string, run_key string, err_ct long, pur_ct long",
+    ).select(
+        "*",
+        F.lit("2024-01-05 01:00:00").cast("timestamp").alias("start_ts"),
+        F.lit("2024-01-05 02:00:00").cast("timestamp").alias("end_ts"),
+    ).coalesce(1).write.parquet(f"{runs}/run_id=00000000")
+
+    qstore = str(tmp_path / "qs")
+    dur = spark.createDataFrame(
+        [("pipeline-0", 3600 * (1 + i % 3)) for i in range(30)],
+        "pipeline_key string, dur_s long",
+    )
+    write_profile(
+        qsketch_by(dur, "pipeline_key", "dur_s", lo=0, hi=(1 << 17) - 1),
+        qstore, "00000000",
+    )
+
+    assert main(["monitor-stored", counts, runs, qstore]) == 0
+    out = capsys.readouterr().out
+    for screen in ("changepoint", "cusum", "mk_trend", "p_chart", "sla_p99"):
+        assert screen in out

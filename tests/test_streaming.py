@@ -2407,3 +2407,172 @@ def test_decontam_sink_batch_parity_replay_and_retain(spark, tmp_path):
         "overwrite"
     ).parquet(f"{store}/run_id=00000002")
     assert sorted(map(tuple, decontam_verdicts(spark, store).collect())) == want
+
+
+def test_monitor_pane_stored_equals_recomputed(spark, tmp_path, sf_smoke):
+    """The serving face of the monitoring pane: replay the events table
+    through the continuous stores (two agg_sink cubes + the grouped
+    qsketch SLA store) in day-aligned micro-batches, then
+    monitor_pane_stored over the STORES must be ROW-identical to the
+    oracle-checked monitor_events recompute over the raw table — the
+    stored pane serves the same verdicts at O(store) latency without
+    rescanning the event log."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.plans.registry import (
+        QUERIES,
+    )
+    from data_observability_installer_spark.sources.tables import load_table
+    from data_observability_installer_spark.streaming.aggstore import (
+        agg_sink,
+    )
+    from data_observability_installer_spark.streaming.monitor import (
+        COUNTS_FOLDS,
+        COUNTS_KEYS,
+        RUNS_FOLDS,
+        RUNS_KEYS,
+        monitor_pane_stored,
+    )
+    from data_observability_installer_spark.streaming.sketch import (
+        qsketch_sink,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    # day-aligned chunks: run_key is user:day, so no run spans a batch
+    # and each batch's run durations are FINAL (what the run tracker
+    # would emit on completion)
+    cuts = [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"),
+            ("2024-01-21", None)]
+
+    def chunk(i):
+        lo, hi = cuts[i]
+        out = ev
+        if lo:
+            out = out.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            out = out.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        return out
+
+    runs_proj = [
+        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string"))
+        .alias("pipeline_key"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("run_key"),
+        F.col("ts"),
+        (F.col("event_type") == "error").cast("long").alias("err"),
+        (F.col("event_type") == "purchase").cast("long").alias("pur"),
+    ]
+
+    ev_src = tmp_path / "ev"; dur_src = tmp_path / "dur"
+    for i in range(3):
+        c = chunk(i)
+        c.select("event_id", "ts", "user_id", "event_type").coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").json(str(ev_src))
+        (
+            c.select(*runs_proj)
+            .groupBy("pipeline_key", "run_key")
+            .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+            .selectExpr(
+                "pipeline_key",
+                "(unix_micros(end_ts) - unix_micros(start_ts)) DIV 1000000"
+                " AS dur_s",
+            )
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .json(str(dur_src))
+        )
+        _time.sleep(0.15)
+
+    ev_stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ev_src))
+    )
+    counts_store = str(tmp_path / "counts")
+    q1 = agg_sink(
+        ev_stream.select(
+            F.col("event_type").alias("k"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("o"),
+        ),
+        counts_store, str(tmp_path / "ck1"),
+        keys=COUNTS_KEYS,
+        aggs={"v": F.count(F.lit(1)).cast("long")},
+        folds=COUNTS_FOLDS,
+        retain=1, availableNow=True,
+    )
+    runs_store = str(tmp_path / "runs")
+    q2 = agg_sink(
+        ev_stream.select(*runs_proj),
+        runs_store, str(tmp_path / "ck2"),
+        keys=RUNS_KEYS,
+        aggs={
+            "start_ts": F.min("ts"), "end_ts": F.max("ts"),
+            "err_ct": F.sum("err"), "pur_ct": F.sum("pur"),
+        },
+        folds=RUNS_FOLDS,
+        availableNow=True,
+    )
+    # two SLA stores: qs1 ingests every duration in ONE trigger (its
+    # merged sketch == the recompute's one-shot sketch, so the pane is
+    # bit-identical); qs3 ingests the 3 day chunks — per-batch sketches
+    # compress independently, so its estimates carry the q-digest rank
+    # bound rather than bit-equality (the documented store contract)
+    qs1 = str(tmp_path / "qs1")
+    q3 = qsketch_sink(
+        spark.readStream.schema("pipeline_key string, dur_s long").json(
+            str(dur_src)
+        ),
+        qs1, str(tmp_path / "ck3"),
+        col="dur_s", key_col="pipeline_key", lo=0, hi=(1 << 17) - 1,
+        availableNow=True,
+    )
+    qs3 = str(tmp_path / "qs3")
+    q4 = qsketch_sink(
+        spark.readStream.schema("pipeline_key string, dur_s long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(dur_src)),
+        qs3, str(tmp_path / "ck4"),
+        col="dur_s", key_col="pipeline_key", lo=0, hi=(1 << 17) - 1,
+        availableNow=True,
+    )
+    for q in (q1, q2, q3, q4):
+        q.awaitTermination(120)
+
+    want = sorted(
+        map(tuple, QUERIES["monitor_events"](spark, sf_smoke).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            monitor_pane_stored(
+                spark, counts_store, runs_store, qs1
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 10
+
+    got3 = sorted(
+        map(
+            tuple,
+            monitor_pane_stored(
+                spark, counts_store, runs_store, qs3
+            ).collect(),
+        )
+    )
+    non_sla = [t for t in got3 if t[0] != "sla_p99"]
+    assert non_sla == [t for t in want if t[0] != "sla_p99"]
+    want_sla = {t[1]: t for t in want if t[0] == "sla_p99"}
+    for _, entity, flagged, detail in (t for t in got3 if t[0] == "sla_p99"):
+        w = want_sla.pop(entity)
+        assert flagged == w[2]  # same SLA verdicts
+        # independent per-batch compression: same rank-bound family,
+        # estimates agree within the q-digest tolerance, not bit-equal
+        assert 0.5 * int(w[3]) <= int(detail) <= 2.0 * int(w[3])
+    assert not want_sla
