@@ -55,7 +55,10 @@ iff it does not already exist".
   version file).
 - **S3 / GCS**: conditional PUT with ``If-None-Match: *`` (S3 supports
   this natively since 2024; GCS via ``x-goog-if-generation-match: 0``)
-  — one winner per key, the same CAS contract.
+  — one winner per key, the same CAS contract. Implemented as
+  :class:`sources.objstore.HTTPCASBackend` and conformance-tested
+  against a real concurrent HTTP arbiter
+  (tests/test_backend_conformance.py).
 - **HDFS / ABFS**: write to a temp name, then atomic ``rename`` onto
   the version path (HDFS rename fails if the destination exists).
 

@@ -27,7 +27,12 @@ from data_observability_installer_spark.sources.txtable import (
     write_table,
 )
 
-BACKENDS = [LocalLinkBackend, LocalTmpfileBackend]
+from data_observability_installer_spark.sources.objstore import (
+    HTTPCASBackend,
+    InMemoryCASServer,
+)
+
+BACKENDS = [LocalLinkBackend, LocalTmpfileBackend, HTTPCASBackend]
 
 
 @pytest.fixture(params=BACKENDS, ids=lambda c: c.__name__)
@@ -35,6 +40,13 @@ def backend_cls(request):
     cls = request.param
     if cls is LocalTmpfileBackend and not LocalTmpfileBackend.supported():
         pytest.skip("O_TMPFILE/AT_EMPTY_PATH unsupported here")
+    if cls is HTTPCASBackend:
+        # object-store stand-in: a real concurrent HTTP arbiter
+        # implementing the S3/GCS conditional-PUT contract — the claim
+        # races in the SERVER, the local commit dir is the read cache
+        srv = InMemoryCASServer()
+        request.addfinalizer(srv.close)
+        return lambda: HTTPCASBackend(srv.endpoint)
     return cls
 
 
