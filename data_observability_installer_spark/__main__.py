@@ -402,6 +402,26 @@ def cmd_table(args) -> int:
                 "(cold files untouched)"
             )
         return 0
+    if args.action == "tail":
+        import os
+
+        from .sources.txtable import txtable_stream
+
+        tail = txtable_stream(
+            _spark(args), args.path,
+            args.tail_checkpoint or os.path.join(args.path, "_tail_ckpt"),
+            from_version=args.from_version or 0,
+            cdf=args.cdf,
+            max_commits_per_trigger=args.max_commits,
+        )
+
+        def show(df, batch_id):
+            print(f"-- batch {batch_id} --")
+            df.show(getattr(args, "rows", None) or 20, truncate=False)
+
+        n = tail.process_available(show)
+        print(f"{n} batch(es); checkpoint at v{tail.position}")
+        return 0
     if args.action in ("delete", "update"):
         if not args.where:
             print(f"{args.action} requires --where", file=sys.stderr)
@@ -598,7 +618,7 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["history", "show", "compact", "vacuum", "changes",
                             "stats", "health", "clone", "restore",
                             "rename-col", "drop-col", "delete", "update",
-                            "cdf", "purge-dvs"])
+                            "cdf", "purge-dvs", "tail"])
     p.add_argument("path")
     p.add_argument("--version", type=int, default=None, help="show: time travel")
     p.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
@@ -628,6 +648,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--set", action="append", default=None,
                    metavar="COL=EXPR",
                    help="update: per-column SQL expression (repeatable)")
+    p.add_argument("--cdf", action="store_true",
+                   help="tail: emit row-level changes instead of appends")
+    p.add_argument("--max-commits", type=int, default=None,
+                   help="tail: rate limit per trigger")
+    p.add_argument("--tail-checkpoint", default=None,
+                   help="tail: offset dir (default <table>/_tail_ckpt)")
     p.add_argument("--max-deleted-ratio", type=float, default=0.2,
                    help="purge-dvs: rewrite only files whose deleted-row "
                         "fraction exceeds this (cold files untouched)")

@@ -370,3 +370,22 @@ def test_cli_monitor_stored_pane(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     for screen in ("changepoint", "cusum", "mk_trend", "p_chart", "sla_p99"):
         assert screen in out
+
+
+def test_cli_table_tail(spark, tmp_path, capsys):
+    """table tail verb: one-shot drain of a table's commit log —
+    per-commit batches, then 'caught up' on re-run (the checkpoint
+    persisted)."""
+    from data_observability_installer_spark.sources.txtable import (
+        write_table,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(2):
+        write_table(spark, t, spark.createDataFrame([(i,)], "id int"))
+    assert main(["table", "tail", t, "--max-commits", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "-- batch 1 --" in out and "-- batch 2 --" in out
+    assert "2 batch(es); checkpoint at v2" in out
+    assert main(["table", "tail", t]) == 0
+    assert "0 batch(es)" in capsys.readouterr().out

@@ -2576,3 +2576,57 @@ def test_monitor_pane_stored_equals_recomputed(spark, tmp_path, sf_smoke):
         # estimates agree within the q-digest tolerance, not bit-equal
         assert 0.5 * int(w[3]) <= int(detail) <= 2.0 * int(w[3])
     assert not want_sla
+
+
+def test_txtable_stream_feeds_monitor_cube(spark, tmp_path):
+    """Governed-table subscription end to end: events land in a
+    txtable via exactly-once stream commits, a TxTableStream tail
+    consumes the commit log and maintains the daily-counts cube
+    (agg-store partials keyed by the tail's batch ids), and the folded
+    cube equals the one-shot aggregate over the table — monitors
+    consuming transactional tables instead of raw file directories."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.txtable import (
+        commit_stream_batch,
+        read_table,
+        txtable_stream,
+    )
+    from data_observability_installer_spark.streaming.aggstore import (
+        read_agg_store,
+    )
+
+    t = str(tmp_path / "tbl")
+    for b, lo in enumerate((0, 40, 80)):
+        commit_stream_batch(
+            t,
+            spark.createDataFrame(
+                [(i, ["click", "view"][i % 2], f"2024-01-{1 + i % 3:02d}")
+                 for i in range(lo, lo + 40)],
+                "event_id int, k string, o string",
+            ),
+            batch_id=b,
+        )
+
+    cube = str(tmp_path / "cube")
+    tail = txtable_stream(spark, t, str(tmp_path / "ckpt"),
+                          max_commits_per_trigger=1)
+
+    def to_cube(df, batch_id):
+        df.groupBy("k", "o").agg(
+            F.count(F.lit(1)).cast("long").alias("v")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{cube}/run_id={batch_id:08d}"
+        )
+
+    assert tail.process_available(to_cube) == 3
+    got = sorted(
+        map(tuple,
+            read_agg_store(spark, cube, ["k", "o"], {"v": "sum"}).collect())
+    )
+    want = sorted(
+        map(tuple,
+            read_table(spark, t).groupBy("k", "o")
+            .agg(F.count(F.lit(1)).cast("long").alias("v")).collect())
+    )
+    assert got == want and len(want) == 6
