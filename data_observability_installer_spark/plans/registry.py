@@ -6627,6 +6627,79 @@ def txtable_merge_dv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txtable_purge_lineitem",
+    """
+    WITH post AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                              AS BIGINT) AS qty_cents
+                  FROM lineitem
+                  WHERE NOT (l_orderkey % 10 = 3 AND l_quantity > 25)),
+    pre AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty_cents
+            FROM lineitem)
+    SELECT 1 AS phase, 'pre_purge_head' AS op, n_rows, qty_cents FROM post
+    UNION ALL
+    SELECT 2, 'post_purge_head', n_rows, qty_cents FROM post
+    UNION ALL
+    SELECT 3, 'time_travel_pre_delete', n_rows, qty_cents FROM pre
+    UNION ALL
+    SELECT 4, 'dv_sidecars_after_purge', 0, NULL
+    ORDER BY phase
+    """,
+)
+def txtable_purge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion-vector maintenance (sources/txtable.py
+    purge_dvs — Delta's REORG ... APPLY (PURGE)), value-checked on the
+    shared DV store: rewrite ONLY the files whose manifest
+    deleted-fraction crossed the threshold (0.0 here, so every DV'd
+    file), reading them through their sidecars, and drop the sidecar
+    refs — cold files untouched, one commit. The query pins the whole
+    contract: the head reads IDENTICAL before and after the purge
+    (dataChange=false — rows 1 and 2 must match the oracle's
+    post-delete recompute exactly), time travel to the pre-delete
+    snapshot still resurrects the deleted rows through the OLD files +
+    sidecars (row 3 == the full-table recompute), and the head manifest
+    carries zero DV sidecars afterwards (row 4) — so the hot-file
+    anti-join cost is actually gone, not just hidden. Idempotent:
+    re-runs find no DV'd files and commit nothing."""
+    from ..sources import txtable as _tx
+
+    store = _seed_lineitem_dv_store(spark, sf_dir)
+    head = _tx.read_manifest(store)["version"]
+    pre_purge = _tx.read_table(spark, store, version=min(3, head))
+    _tx.purge_dvs(spark, store, max_deleted_ratio=0.0)
+    cents = "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    parts = [
+        pre_purge.selectExpr(
+            "CAST(1 AS INT) AS phase", "'pre_purge_head' AS op",
+            "CAST(count(*) AS BIGINT) AS n_rows", f"{cents} AS qty_cents",
+        ),
+        _tx.read_table(spark, store).selectExpr(
+            "CAST(2 AS INT) AS phase", "'post_purge_head' AS op",
+            "CAST(count(*) AS BIGINT) AS n_rows", f"{cents} AS qty_cents",
+        ),
+        _tx.read_table(spark, store, version=2).selectExpr(
+            "CAST(3 AS INT) AS phase", "'time_travel_pre_delete' AS op",
+            "CAST(count(*) AS BIGINT) AS n_rows", f"{cents} AS qty_cents",
+        ),
+    ]
+    dv_after = len(_tx.read_manifest(store).get("dv") or {})
+    parts.append(
+        spark.sql(
+            f"SELECT CAST(4 AS INT) AS phase,"
+            f" 'dv_sidecars_after_purge' AS op,"
+            f" CAST({dv_after} AS BIGINT) AS n_rows,"
+            f" CAST(NULL AS BIGINT) AS qty_cents"
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("phase")
+
+
+@register(
     "txtable_stream_cdf_lineitem",
     """
     SELECT 1 AS version, 'insert' AS change_type,
