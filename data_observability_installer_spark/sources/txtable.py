@@ -2182,9 +2182,16 @@ def table_changes_cdf(
             if pre is not None and post is not None:
                 # gate the key-set broadcasts on the manifest's own
                 # counts (batch rows / retired rows), same cap as the
-                # DV read join — a giant merge must not OOM the CDF
+                # DV read join — a giant merge must not OOM the CDF.
+                # Only the commit's OWN added_files count here: the
+                # manifest "rows" map carries the whole snapshot's
+                # per-file counts (kept files inherit the parent's)
+                rows_map = m.get("rows") or {}
+                batch_rows = sum(
+                    rows_map.get(f, 0) for f in m.get("added_files") or []
+                )
                 post_keys = post.select(*end_keys).distinct()
-                if sum((m.get("rows") or {}).values()) <= _DV_BROADCAST_ROWS:
+                if batch_rows <= _DV_BROADCAST_ROWS:
                     post_keys = F.broadcast(post_keys)
                 pre_keys = pre.select(*end_keys).distinct()
                 if int(m.get("retired_rows") or 0) <= _DV_BROADCAST_ROWS:
