@@ -2391,7 +2391,9 @@ class TxTableStream:
     log as a sequence of exactly-once micro-batches. The commit log IS
     the offset log — each trigger reads the commits past the
     checkpoint's high-water version, rate-limited by
-    ``max_commits_per_trigger``, and the checkpoint advances only AFTER
+    ``max_commits_per_trigger`` and/or ``max_rows_per_trigger`` (exact
+    row budgeting from the manifests' per-file counts — no data read,
+    always at least one commit), and the checkpoint advances only AFTER
     the caller's processing returns, so a crash replays the same batch
     with the same batch_id and any downstream batch_id-guarded sink
     (:func:`txtable_sink`, :func:`txtable_upsert_sink`, the store
@@ -2443,9 +2445,12 @@ class TxTableStream:
         cdf: bool = False,
         ignore_deletes: bool = False,
         max_commits_per_trigger: int | None = None,
+        max_rows_per_trigger: int | None = None,
     ):
         if max_commits_per_trigger is not None and max_commits_per_trigger < 1:
             raise ValueError("max_commits_per_trigger must be >= 1")
+        if max_rows_per_trigger is not None and max_rows_per_trigger < 1:
+            raise ValueError("max_rows_per_trigger must be >= 1")
         self.spark = spark
         self.path = path
         self.checkpoint = checkpoint
@@ -2453,6 +2458,7 @@ class TxTableStream:
         self.cdf = cdf
         self.ignore_deletes = ignore_deletes
         self.max_commits = max_commits_per_trigger
+        self.max_rows = max_rows_per_trigger
         os.makedirs(checkpoint, exist_ok=True)
 
     @property
@@ -2499,6 +2505,29 @@ class TxTableStream:
         hi = head if self.max_commits is None else min(
             head, lo + self.max_commits
         )
+        if self.max_rows is not None:
+            # rows-based rate limit (Delta's maxBytesPerTrigger analog,
+            # exact here because manifests record per-file row counts):
+            # stop extending the range once cumulative appended rows
+            # would exceed the budget — always taking at least one
+            # commit so an oversized single commit still drains
+            have = set(vs)
+            total = 0
+            capped = lo
+            for v in range(lo + 1, hi + 1):
+                if v not in have:
+                    capped = v  # let the horizon check below report it
+                    break
+                m = read_manifest(self.path, v)
+                rows_map = m.get("rows") or {}
+                n = sum(
+                    rows_map.get(f, 0) for f in m.get("added_files") or []
+                )
+                if capped > lo and total + n > self.max_rows:
+                    break
+                total += n
+                capped = v
+            hi = capped
         missing = [v for v in range(lo + 1, hi + 1) if v not in set(vs)]
         if missing:
             raise VacuumedVersionError(
@@ -2603,6 +2632,7 @@ def txtable_stream(
     cdf: bool = False,
     ignore_deletes: bool = False,
     max_commits_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
 ) -> TxTableStream:
     """Factory for :class:`TxTableStream` — tail a txtable's commit log
     as exactly-once micro-batches (see the class docstring)."""
@@ -2611,6 +2641,7 @@ def txtable_stream(
         from_version=from_version, cdf=cdf,
         ignore_deletes=ignore_deletes,
         max_commits_per_trigger=max_commits_per_trigger,
+        max_rows_per_trigger=max_rows_per_trigger,
     )
 
 

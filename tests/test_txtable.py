@@ -2352,3 +2352,30 @@ def test_txtable_stream_vacuum_horizon_and_offset_safety(spark, tmp_path):
     s2.commit(hi)
     with pytest.raises(ValueError, match="backwards"):
         s2.commit(3)
+
+
+def test_txtable_stream_rows_per_trigger_budget(spark, tmp_path):
+    """max_rows_per_trigger: trigger ranges extend until the next
+    commit would exceed the row budget (exact, from manifest per-file
+    counts — no data read), always taking at least one commit so an
+    oversized commit still drains."""
+    from data_observability_installer_spark.sources.txtable import (
+        txtable_stream,
+    )
+
+    t = str(tmp_path / "t")
+    for n in (3, 3, 10, 2, 2):  # commit row counts
+        write_table(spark, t, spark.createDataFrame(
+            [(i,) for i in range(n)], "id int").coalesce(1))
+
+    s = txtable_stream(spark, t, str(tmp_path / "ckpt"),
+                       max_rows_per_trigger=6)
+    sizes = []
+
+    def fn(df, batch_id):
+        sizes.append((batch_id, df.count()))
+
+    # v1+v2 fit the 6-row budget; v3 (10 rows) exceeds it but drains
+    # alone; v4+v5 fit together
+    assert s.process_available(fn) == 3
+    assert sizes == [(2, 6), (3, 10), (5, 4)]
