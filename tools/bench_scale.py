@@ -663,6 +663,47 @@ def _pq_near_dups_stats(spark, path: str) -> dict:
 pq_near_dups_op.stats = _pq_near_dups_stats
 
 
+_MERGE_STORE_ROWS: dict[str, int] = {}
+
+
+def _txtable_merge_op(kind: str):
+    """Rewrite-amplification fixture (round-13): a CONSTANT ~10k-row
+    keyed update batch merged into a store that GROWS with the factor.
+    merge_cdc re-materializes the whole snapshot per merge (cost tracks
+    the table), merge_dv commits positional sidecars + the batch's own
+    rows (the write tracks the BATCH; what still grows is the match
+    scan over candidate files, which clustering + stats pruning shrink
+    on real layouts). The pair measures exactly the amplification the
+    DV MERGE removes. Each trial re-merges the same batch — steady
+    state for both kinds (DV retires the prior trial's appended
+    versions; CDC rewrites the snapshot again)."""
+
+    def op(spark, path: str) -> None:
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        from data_observability_installer_spark.sources import txtable as _tx
+
+        store = f"{path}_m_{kind}"
+        li = spark.read.parquet(path).select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        if not _os.path.isdir(store):
+            _tx.write_table(spark, store, li, stats_cols=["l_orderkey"])
+            _MERGE_STORE_ROWS[store] = li.count()
+        mod = max(_MERGE_STORE_ROWS[store] // 10_000, 1)
+        batch = li.filter(
+            _F.pmod(_F.hash("l_orderkey", "l_linenumber"), _F.lit(mod)) == 0
+        ).withColumn("l_quantity", _F.col("l_quantity") + 1)
+        if kind == "dv":
+            _tx.merge_dv(spark, store, batch, ["l_orderkey", "l_linenumber"])
+        else:
+            _tx.merge_cdc(spark, store, batch, ["l_orderkey", "l_linenumber"])
+
+    return op
+
+
 OPS = {
     "q1_agg_lineitem": ("lineitem", q1_agg),
     "profile_approx_lineitem": ("lineitem", profile_approx),
@@ -695,12 +736,23 @@ OPS = {
     "qsketch_lineitem": ("lineitem", qsketch_op),
     "txtable_read_1era_lineitem": ("lineitem", _txtable_era_read_op(1)),
     "txtable_read_5era_lineitem": ("lineitem", _txtable_era_read_op(5)),
+    "txtable_merge_dv_lineitem": ("lineitem", _txtable_merge_op("dv")),
+    "txtable_merge_cdc_lineitem": ("lineitem", _txtable_merge_op("cdc")),
 }
 
 
 # Interpretation notes carried into the artifact next to the numbers
 # they qualify (a curve without its floor argument reads as a defect).
 NOTES = {
+    "txtable_merge_dv_lineitem": (
+        "paired with txtable_merge_cdc_lineitem: the SAME constant "
+        "~10k-row keyed update batch merged into a store growing with "
+        "the factor. merge_dv commits sidecars + batch rows, so growth "
+        "is the match SCAN over candidate files (clustering/stats "
+        "pruning shrink it on real layouts); merge_cdc re-pays the "
+        "whole snapshot rewrite per merge — the rewrite amplification "
+        "the DV MERGE removes, and why txtable_upsert_sink runs on it"
+    ),
     "txtable_read_5era_lineitem": (
         "column-mapping read overhead, paired with txtable_read_1era_"
         "lineitem at identical data and commit structure: 4 renames "
