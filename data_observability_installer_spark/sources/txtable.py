@@ -1786,6 +1786,13 @@ def merge_dv(
                     & (matched["__pos"] == old["pos"]),
                     "left_anti",
                 )
+            # unlike update_rows, the postimages come from the BATCH,
+            # so only the POSITIONS of the retired rows are needed —
+            # projecting before the pin lets Catalyst prune the match
+            # scan to the key columns + row_index (a wide table's
+            # payload bytes are never read) and keeps the pinned
+            # materialization two-columns small
+            matched = matched.select("__file", "__pos")
             # ONE materialization feeds the per-file counts AND the
             # sidecar write (same atomic-swap discipline as update_rows)
             matched = pin(matched)
