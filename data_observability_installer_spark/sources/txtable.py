@@ -2359,26 +2359,39 @@ def txtable_upsert_sink(
     key_cols: list[str],
     checkpoint: str,
     deleted_col: str | None = None,
+    strategy: str = "dv",
     **trigger,
 ):
     """EXACTLY-ONCE streaming MERGE (the Delta streaming-upsert shape):
     each micro-batch of change rows upserts/deletes into the table by
-    key through :func:`merge_dv` — one atomic commit per batch, with
-    the batch_id replay guard making foreachBatch's at-least-once
-    delivery exactly-once, and the first batch bootstrapping the table.
-    This is the keyed-UPSERT counterpart of :func:`txtable_sink`
-    (append-only): use it when the stream carries the LATEST STATE of
-    entities rather than immutable facts. Since round 13 each batch
-    commits deletion-vector sidecars + its own rows instead of
-    rewriting every file containing a matched key (merge_cdc) — the
-    per-batch cost is now proportional to the BATCH, not to the table
-    files it touches; run :func:`purge_dvs` / :func:`compact` on a
-    maintenance cadence to fold the accumulated sidecars away.
+    key — one atomic commit per batch, with the batch_id replay guard
+    making foreachBatch's at-least-once delivery exactly-once, and the
+    first batch bootstrapping the table. This is the keyed-UPSERT
+    counterpart of :func:`txtable_sink` (append-only): use it when the
+    stream carries the LATEST STATE of entities rather than immutable
+    facts.
+
+    ``strategy`` picks the merge physical shape by table size:
+
+    - ``'dv'`` (default, :func:`merge_dv`): each batch commits
+      deletion-vector sidecars + its own rows — per-batch WRITE cost
+      tracks the BATCH, not the snapshot (measured: flat ~0.5 MB/merge
+      vs a linearly growing snapshot rewrite, SCALE_BENCH
+      txtable_merge_{dv,cdc}_lineitem). The right default whenever
+      the keyed state outgrows a micro-batch; run :func:`purge_dvs` /
+      :func:`compact` on a maintenance cadence to fold sidecars away.
+    - ``'rewrite'`` (:func:`merge_cdc`): re-materializes the merged
+      snapshot per batch. Cheaper for SMALL dimension tables (a
+      snapshot smaller than the DV machinery's fixed overhead) and
+      keeps the table compact with no sidecar accrual.
 
     Returns the started StreamingQuery."""
+    if strategy not in ("dv", "rewrite"):
+        raise ValueError(f"strategy must be dv|rewrite, got {strategy!r}")
+    merge_fn = merge_dv if strategy == "dv" else merge_cdc
 
     def commit_batch(df: DataFrame, batch_id: int) -> None:
-        merge_dv(
+        merge_fn(
             df.sparkSession, path, df, key_cols,
             deleted_col=deleted_col, batch_id=batch_id,
         )

@@ -2379,3 +2379,40 @@ def test_txtable_stream_rows_per_trigger_budget(spark, tmp_path):
     # alone; v4+v5 fit together
     assert s.process_available(fn) == 3
     assert sizes == [(2, 6), (3, 10), (5, 4)]
+
+
+def test_upsert_sink_rewrite_strategy(spark, tmp_path):
+    """strategy='rewrite' routes the streaming MERGE through merge_cdc
+    (snapshot re-materialization — the small-dimension-table pick):
+    same exactly-once upsert semantics, no DV sidecars accrue."""
+    import json as _json
+    import time as _time
+
+    from data_observability_installer_spark.sources.txtable import (
+        read_manifest,
+        read_table,
+        txtable_upsert_sink,
+    )
+
+    src = tmp_path / "src"; src.mkdir()
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(2, "B"), (3, "c")]]):
+        (src / f"{i}.json").write_text(
+            "\n".join(_json.dumps({"k": k, "v": v}) for k, v in rows)
+        )
+        _time.sleep(0.15)
+    t = str(tmp_path / "t")
+    q = txtable_upsert_sink(
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", 1).json(str(src)),
+        t, ["k"], str(tmp_path / "ckpt"),
+        strategy="rewrite", availableNow=True,
+    )
+    q.awaitTermination(120)
+    assert _rows(read_table(spark, t)) == [(1, "a"), (2, "B"), (3, "c")]
+    m = read_manifest(t)
+    assert m["op"] == "merge" and not m.get("dv")
+    with pytest.raises(ValueError, match="dv|rewrite"):
+        txtable_upsert_sink(
+            spark.readStream.schema("k int, v string").json(str(src)),
+            t, ["k"], str(tmp_path / "c2"), strategy="nope",
+        )

@@ -574,14 +574,7 @@ def main() -> None:
         q, lambda: _tx.read_table(spark, upath).count()
     )
     ops["txtable_upsert_sink"]["commits"] = len(_tx.history(upath))
-    ops["txtable_upsert_sink"]["note"] = (
-        "keyed streaming MERGE via deletion vectors (merge_dv): one "
-        "atomic commit per micro-batch (batch_id replay guard = "
-        "exactly-once) marking retired key versions in sidecars and "
-        "appending only the batch's rows — per-batch cost tracks the "
-        "batch, not the snapshot; output_rows is the entity count "
-        "(latest state per key), not the event count"
-    )
+    ops["txtable_upsert_sink"]["note"] = "keyed streaming MERGE via deletion vectors (merge_dv, the strategy='dv' default): one atomic commit per micro-batch (batch_id replay guard = exactly-once) marking retired key versions in sidecars and appending only the batch's rows; output_rows is the entity count (latest state per key). NOTE: this fixture's snapshot is tiny (200 keys), where the DV machinery's fixed overhead exceeds a snapshot rewrite — strategy='rewrite' (merge_cdc) is the right pick for small dimension tables, while the DV default wins as keyed state outgrows a batch (write bytes flat vs linear, SCALE_BENCH txtable_merge_{dv,cdc}_lineitem)"
 
     # round-13: streaming READ of a txtable — tail the commit log the
     # txtable_sink above just wrote, one commit per trigger. Each
