@@ -247,6 +247,25 @@ def column_metrics(c: str, dtype: str, as_of: str, exact: bool = True) -> list[M
 
 PROFILE_COLUMNS = ["table_name", "column_name", "metric", "value", "value_str"]
 
+# Explicit schema for the driver-assembled (LocalRelation) profile
+# result — must match what the stack()-based lazy plan produces.
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_PROFILE_RESULT_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), True),
+        StructField("column_name", StringType(), True),
+        StructField("metric", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("value_str", StringType(), True),
+    ]
+)
+
 
 def profile(
     df: DataFrame,
@@ -345,8 +364,15 @@ def profile(
     # parquet pushdown/pruning for unrelated queries (caught by
     # test_plans.py when an earlier version let the entry outlive the
     # call).
+    # The caller may hand us an ALREADY-persisted input (cached_profile
+    # caches the pruned table before profiling it); persisting again
+    # would hold a second copy of the whole table for zero benefit.
+    caller_persisted = df.storageLevel.useMemory or df.storageLevel.useDisk
     transient_src = (
-        materialize and len(chunks) > 1 and _est_bytes(df) >= SHARE_SCAN_MIN_BYTES
+        materialize
+        and not caller_persisted
+        and len(chunks) > 1
+        and _est_bytes(df) >= SHARE_SCAN_MIN_BYTES
     )
     if transient_src:
         src = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
@@ -354,13 +380,56 @@ def profile(
     else:
         src = df
 
-    parts: list[DataFrame] = []
-    for batch in chunks:
+    def chunk_agg(batch: list[tuple[str, Metric]]) -> DataFrame:
         aggs = []
         for i, (_, met) in enumerate(batch):
             cast_to = "DOUBLE" if met.kind == "d" else "STRING"
             aggs.append(F.expr(f"CAST(({met.spark}) AS {cast_to}) AS m{i}"))
-        row = src.agg(*aggs)
+        return src.agg(*aggs)
+
+    if materialize:
+        # Materialized path over a persisted input: the result is
+        # metric-sized (one value per (column, metric) — a few hundred
+        # rows for the widest table), so assemble it DRIVER-SIDE
+        # instead of planning stack()+union+localCheckpoint. Each chunk
+        # is one single-row aggregate job; running them from a small
+        # thread pool lets the next chunk's tasks back-fill the tail of
+        # the previous one (guide §2.6), and the per-chunk collect is
+        # one row of <=80 scalars. This removed ~2x of the measured
+        # profile wall time at sf0.1 (union+localCheckpoint executed in
+        # 6-9 s what the chunk aggregates compute in ~2.5 s) and leaves
+        # NO lingering executor state (no checkpoint RDD, no cache
+        # entry) — the returned frame is a LocalRelation.
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = df.sparkSession.sparkContext
+
+        def run_chunk(ib: tuple[int, list[tuple[str, Metric]]]):
+            i, batch = ib
+            sc.setJobDescription(f"profile {table_name}: chunk {i}")
+            try:
+                return chunk_agg(batch).collect()[0]
+            finally:
+                sc.setJobDescription(None)
+
+        with ThreadPoolExecutor(max_workers=min(3, len(chunks))) as pool:
+            chunk_rows = list(pool.map(run_chunk, enumerate(chunks)))
+        data: list[tuple] = []
+        for batch, row in zip(chunks, chunk_rows):
+            for i, (c, met) in enumerate(batch):
+                v = row[f"m{i}"]
+                data.append(
+                    (table_name, c, met.name, v if met.kind == "d" else None,
+                     v if met.kind == "s" else None)
+                )
+        out = df.sparkSession.createDataFrame(data, schema=_PROFILE_RESULT_SCHEMA)
+        if transient_src:
+            src.unpersist()
+        return out
+
+    parts: list[DataFrame] = []
+    for batch in chunks:
+        row = chunk_agg(batch)
         entries = []
         for i, (c, met) in enumerate(batch):
             v = f"m{i}" if met.kind == "d" else "CAST(NULL AS DOUBLE)"
@@ -381,13 +450,6 @@ def profile(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if transient_src:
-        # materialize the metric-sized result (<= ~300 rows/table) and
-        # cut its lineage so the input cache can be released NOW — the
-        # caller gets a self-contained frame, and no whole-table cache
-        # entry survives to hijack later plans over the same source
-        out = out.localCheckpoint(eager=True)
-        src.unpersist()
     return out
 
 

@@ -73,11 +73,11 @@ _PROFILE_CACHE = DFCache(capacity=8)
 def cached_profile(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     def build() -> DataFrame:
         # cache the (already repartitioned) input across the exact
-        # profile's ~5 chunked agg passes, then drop it once the
-        # metadata-sized profile result is itself materialized+cached
+        # profile's ~5 chunked agg passes; profile() sees the persisted
+        # input and returns a driver-assembled LocalRelation (metric-
+        # sized, self-contained — nothing left to cache or checkpoint)
         src = load_table(spark, sf_dir, table).cache()
-        prof = profile(src, table, AS_OF).cache()
-        prof.count()
+        prof = profile(src, table, AS_OF)
         src.unpersist()
         return prof
 
