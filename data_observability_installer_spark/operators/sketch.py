@@ -39,8 +39,20 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..functions.pin import pin
+
+#: Schema of a dyadic quantile sketch frame — identical to what the
+#: previous all-DataFrame construction produced (level INT from the
+#: explode(sequence(...)), idx/cnt BIGINT).
+_QSKETCH_SCHEMA = StructType(
+    [
+        StructField("level", IntegerType(), True),
+        StructField("idx", LongType(), True),
+        StructField("cnt", LongType(), True),
+    ]
+)
 
 def mg_summarize_partition(counts, batch_counts, capacity: int):
     """Merge exact per-batch counts into a Misra–Gries summary held as
@@ -613,54 +625,50 @@ def qsketch(
     by the row count, and the result is <= (log_u+1)*(k-1) rows — the
     shape that lets a 100 TB column ship its quantile summary as a
     broadcast table. All arithmetic is exact int64."""
-    u = 1 << log_u
     leaves = (
         df.selectExpr(f"{_q_bucket_sql(col, lo, hi, log_u)} AS bucket")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    # one corpus pass feeds 3 consumers; pin() is the lost-executor
-    # seam (functions/pin.py): localCheckpoint locally, persist or a
-    # reliable checkpoint dir on clusters where executors can vanish
-    leaves = pin(leaves)
-    total = leaves.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
-    lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
-    nodes = (
-        leaves.select(lvl, "bucket", "c")
-        .select(
-            "level",
-            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
-            "c",
-        )
-        .groupBy("level", "idx")
-        .agg(F.sum("c").alias("sub"))
-    )
-    kept = (
-        nodes.crossJoin(F.broadcast(total))
-        .filter(F.col("sub") * k > F.col("n"))
-        .select("level", "idx")
-    )
-    deepest = (
-        leaves.select(lvl, "bucket", "c")
-        .select(
-            "level",
-            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
-            "bucket",
-            "c",
-        )
-        .join(kept, ["level", "idx"])
-        .groupBy("bucket")
-        .agg(F.max("level").alias("level"), F.max("c").alias("c"))
-    )
-    return (
-        deepest.select(
-            "level",
-            F.expr(f"shiftright(bucket, {log_u} - level)").alias("idx"),
-            "c",
-        )
-        .groupBy("level", "idx")
-        .agg(F.sum("c").cast("long").alias("cnt"))
-    )
+    # The leaf pass is the ONLY data-sized stage; its result is bounded
+    # at 2^log_u rows (65,536 at the default) BY CONSTRUCTION, so the
+    # q-digest closed form over it is metadata-sized work. Running it
+    # as 5 more Spark stages (node rollup, kept filter, deepest-kept
+    # join, final fold — the previous shape) cost ~6 stage round-trips
+    # of pure latency per sketch; assemble it DRIVER-SIDE instead with
+    # exact int64 numpy arithmetic (identical values — every step is
+    # integer shifts/sums/compares) and return the <= (log_u+1)*(k-1)
+    # sketch rows as a local frame. This also removes the pin() the
+    # multi-consumer plan needed — there is exactly one pass now.
+    import numpy as np
+
+    rows = leaves.collect()
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], _QSKETCH_SCHEMA)
+    b = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    c = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    n = int(c.sum())
+    best = np.full(len(rows), -1, dtype=np.int64)
+    for level in range(log_u + 1):
+        idx = b >> (log_u - level)
+        uniq, inv = np.unique(idx, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        # same kept rule as the SQL twin: subtree total * k > n
+        row_kept = (sums * k > n)[inv]
+        best = np.where(row_kept, np.int64(level), best)
+    # root is always kept for k > 1 (sub == n), so best >= 0 here
+    out_idx = b >> (log_u - best)
+    combined = (best << np.int64(log_u + 1)) | out_idx
+    uniq, inv = np.unique(combined, return_inverse=True)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, c)
+    data = [
+        (int(key >> (log_u + 1)), int(key & ((1 << (log_u + 1)) - 1)), int(v))
+        for key, v in zip(uniq.tolist(), cnt.tolist())
+    ]
+    return spark.createDataFrame(data, _QSKETCH_SCHEMA)
 
 
 def qsketch_merge(*sketches: DataFrame) -> DataFrame:
@@ -749,36 +757,40 @@ def qsketch_quantiles(
     arithmetic end to end; cost is sketch-sized, not data-sized."""
     u = 1 << log_u
     span = hi - lo + 1
-    n_col = sketch.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
-    ordered = sketch.crossJoin(F.broadcast(n_col)).select(
-        "cnt",
-        "n",
-        # hi bucket of the node's range, and the tie-break level
-        F.expr(f"(idx + 1) * shiftleft(1L, {log_u} - level) - 1").alias("hib"),
-        "level",
+    # A sketch is <= (log_u+1)*(k-1) rows BY BOUND (and the build now
+    # returns a local frame), so the rank scan is driver-sized work:
+    # collecting it and walking the canonical q-digest order in exact
+    # Python integers replaces a crossJoin+window+groupBy plan (~4
+    # stages of latency per query) with one metadata collect. Same
+    # arithmetic: rank rule cum*10000 >= q*n, nodes in (hib asc, level
+    # desc) order, est = lo + ((hib+1)*span) DIV u - 1.
+    nodes = sketch.select("level", "idx", "cnt").collect()
+    spark = sketch.sparkSession
+    out_schema = StructType(
+        [
+            StructField("q_bp", IntegerType(), True),
+            StructField("n", LongType(), True),
+            StructField("est", LongType(), True),
+        ]
     )
-    w = Window.orderBy(F.col("hib").asc(), F.col("level").desc())
-    cum = ordered.select(
-        "hib", "n", F.sum("cnt").over(w).alias("cum")
+    if not nodes:
+        return spark.createDataFrame([], out_schema)
+    n = sum(r["cnt"] for r in nodes)
+    ordered = sorted(
+        (
+            ((r["idx"] + 1) * (1 << (log_u - r["level"])) - 1, -r["level"], r["cnt"])
+            for r in nodes
+        ),
     )
-    qs = ordered.sparkSession.createDataFrame(
-        [(int(q),) for q in q_bps], "q_bp int"
-    )
-    ranked = qs.crossJoin(F.broadcast(cum)).filter(
-        F.col("cum") * 10000 >= F.col("q_bp") * F.col("n")
-    )
-    return (
-        ranked.groupBy("q_bp", "n")
-        .agg(F.min("hib").alias("hib"))
-        .select(
-            "q_bp",
-            "n",
-            F.expr(
-                f"CAST({lo} + ((hib + 1) * {span}) DIV {u} - 1 AS BIGINT)"
-            ).alias("est"),
-        )
-        .orderBy("q_bp")
-    )
+    data = []
+    for q in sorted({int(q) for q in q_bps}):
+        cum = 0
+        for hib, _neg_level, cnt in ordered:
+            cum += cnt
+            if cum * 10000 >= q * n:
+                data.append((q, n, lo + ((hib + 1) * span) // u - 1))
+                break
+    return spark.createDataFrame(data, out_schema)
 
 
 def _qsketch_nodes_sql(

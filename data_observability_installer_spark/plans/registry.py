@@ -4647,27 +4647,62 @@ def monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsketch_sink store; r11 built the store, this pane is what reads
     it operationally) — unified to (screen, entity, flagged, detail).
     Pure composition of the registered screens (shared code AND shared
-    twins), so the pane cannot drift from its parts."""
-    mk = mk_trend_events(spark, sf_dir).selectExpr(
+    twins, each screen's operator applied to a SHARED pre-aggregate),
+    so the pane cannot drift from its parts.
+
+    Plan shape (optimization r13, guide §2.4): the standalone screens
+    each scan events and rebuild their pre-aggregate; the pane used to
+    compose those wrappers and therefore scanned events FIVE times and
+    computed the run rollup twice and the daily type counts three
+    times. It now loads events once (transient persist), pins ONE
+    daily-counts frame (mk/cusum/changepoint consume it — cusum and
+    changepoint read the day as the formatted string the twins use)
+    and ONE run rollup (p-chart subgroup counts and the SLA quantile
+    sketch consume it); both pins are metadata-sized. Screen operators
+    and twins unchanged, so every screen's rows are identical to its
+    standalone query."""
+    from ..functions.pin import pin
+    from ..operators.sketch import qsketch_by, qsketch_quantiles_by
+
+    ev = load_table(spark, sf_dir, "events").persist()
+    daily_ts = pin(
+        ev.groupBy(
+            F.col("event_type").alias("k"), F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    daily_str = daily_ts.select(
+        "k", F.date_format("day", "yyyy-MM-dd").alias("o"), "v"
+    )
+    runs = pin(_events_run_rollup(ev))
+    ev.unpersist()  # both pins are materialized; nothing reads ev now
+    mk = mann_kendall(daily_ts).selectExpr(
         "'mk_trend' AS screen",
         "k AS entity",
         "significant AS flagged",
         "CAST(s_stat AS STRING) AS detail",
     )
-    cs = cusum_shift_events(spark, sf_dir).selectExpr(
+    cs = cusum_screen(daily_str).selectExpr(
         "'cusum' AS screen",
         "k AS entity",
         "out_of_control AS flagged",
         "CAST(upper_alarms + lower_alarms AS STRING) AS detail",
     )
-    cp = changepoint_events(spark, sf_dir).selectExpr(
+    cp = changepoint(daily_str).selectExpr(
         "'changepoint' AS screen",
         "k AS entity",
         f"gain_q >= {_CP_FLAG_Q} AS flagged",
         "CAST(gain_q AS STRING) AS detail",
     )
+    pc_counts = runs.groupBy(
+        F.concat(
+            F.col("pipeline_key"), F.lit("|"), F.date_format("start_ts", "yyyy-MM-dd")
+        ).alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("final_status") == "FAILED").cast("long")).alias("x"),
+    )
     pc = (
-        pchart_failures_events(spark, sf_dir)
+        p_chart(pc_counts)
         .groupBy(F.split_part(F.col("k"), F.lit("|"), F.lit(1)).alias("entity"))
         .agg(
             F.max(F.col("breach")).alias("flagged"),
@@ -4675,11 +4710,21 @@ def monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("'p_chart' AS screen", "entity", "flagged", "detail")
     )
-    sla = qsketch_sla_events(spark, sf_dir).filter(F.col("q_bp") == 9900).selectExpr(
-        "'sla_p99' AS screen",
-        "pipeline_key AS entity",
-        f"est >= {_SLA_P99_FLAG_S} AS flagged",
-        "CAST(est AS STRING) AS detail",
+    dur = runs.selectExpr(
+        "pipeline_key",
+        "(unix_micros(end_ts) - unix_micros(start_ts)) DIV 1000000 AS dur_s",
+    )
+    sk = qsketch_by(dur, "pipeline_key", "dur_s", lo=0, hi=_QSB_HI)
+    sla = (
+        qsketch_quantiles_by(sk, _QSB_BPS, lo=0, hi=_QSB_HI)
+        .select(F.col("k_key").alias("pipeline_key"), "q_bp", "n", "est")
+        .filter(F.col("q_bp") == 9900)
+        .selectExpr(
+            "'sla_p99' AS screen",
+            "pipeline_key AS entity",
+            f"est >= {_SLA_P99_FLAG_S} AS flagged",
+            "CAST(est AS STRING) AS detail",
+        )
     )
     return (
         cp.unionByName(cs)
