@@ -417,9 +417,17 @@ def dedup_groups(
     # iteration's plan still carries and re-analyzes that subtree,
     # which dominated wall-clock for pair generators with deep plans
     # (embedding_dup_groups: 17.7 s -> ~6 s). Checkpointing severs it.
+    # Pin the RESULT-SIZED pair list before mirroring it: the union's
+    # two branches each embed the whole pair-generation pipeline
+    # (shingle cap + self-join + verify), and only its exchanges are
+    # reused between branches — the post-shuffle join/filter work ran
+    # twice (guide §2.4: don't recompute subtrees you already have).
+    from ...functions.pin import pin
+
+    p = pin(pairs.select("doc_a", "doc_b"))
     e = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -25,6 +25,7 @@ import math
 
 import numpy as np
 from pyspark.errors import AnalysisException
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -427,7 +428,29 @@ def train_ivf_kmeans(
             b: [int(math.floor(v * IVF_SCALE + 0.5)) for v in row]
             for b, row in enumerate(lits)
         }
+    # Quantize ONCE and persist across the Lloyd iterations: each
+    # iteration's assignment pass otherwise re-scans the corpus and
+    # re-runs the quantize transform (iters full scans instead of one
+    # — guide §5: reused AND expensive to recompute). Unpersisted on
+    # every exit path; driver state stays centroid-sized.
     eq = embeddings.select(F.expr(_quant_sql("embedding")).alias("eq"))
+    if iters > 1:
+        eq = eq.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = _lloyd_iters(eq, cents, n_clusters, dim, iters)
+    finally:
+        if iters > 1:
+            eq.unpersist()
+    return cents
+
+
+def _lloyd_iters(
+    eq: DataFrame,
+    cents: dict[int, list[int]],
+    n_clusters: int,
+    dim: int,
+    iters: int,
+) -> dict[int, list[int]]:
     for _ in range(iters):
         assigned = eq.select(
             "eq", F.expr(_argmin_bucket_sql("eq", cents, n_clusters)).alias("bucket")
@@ -2083,6 +2106,28 @@ def _train_pq_lloyd(
     m = len(init)
     d = len(init[0][0])
     books = [[list(c) for c in init[j]] for j in range(m)]
+    # Persist the input column across iterations: for the residual
+    # trainer eqa embeds quantize + coarse argmin + zip_with residual,
+    # re-derived on every pass without this (guide §5). Unpersisted on
+    # every exit path below.
+    persisted = iters > 1
+    if persisted:
+        eqall = eqall.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _pq_lloyd_iters(eqall, books, m, d, k, iters)
+    finally:
+        if persisted:
+            eqall.unpersist()
+
+
+def _pq_lloyd_iters(
+    eqall: DataFrame,
+    books: list[list[list[int]]],
+    m: int,
+    d: int,
+    k: int,
+    iters: int,
+) -> list[list[list[int]]]:
     for _ in range(iters):
         entries = []
         for j in range(m):
