@@ -296,6 +296,13 @@ def minhash_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    # cand is RESULT-sized (LSH collisions only) but feeds THREE
+    # subtrees (both cdocs union branches + the verify semi-join);
+    # without a pin the signature+banding+self-join pipeline re-runs
+    # per consumer past whatever exchanges happen to be reused.
+    from ...functions.pin import pin
+
+    cand = pin(cand)
     # Exact verify scoped to CANDIDATES ONLY: semi-join the df-capped
     # shingle index down to docs that appear in some candidate pair, so
     # the pair self-join is bounded by LSH collisions, never Σ df².
