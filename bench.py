@@ -252,6 +252,11 @@ HEADLINE = [
     "txtable_delete_lineitem",
     "txtable_update_lineitem",
     "txtable_cdf_lineitem",
+    # round-13 additions (inherited build increment, benched from this
+    # round on; existing entries above are never removed or renamed)
+    "txtable_merge_dv_lineitem",
+    "txtable_purge_lineitem",
+    "txtable_stream_cdf_lineitem",
 ]
 
 

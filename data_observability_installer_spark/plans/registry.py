@@ -128,19 +128,44 @@ def profile_delta_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring (reference README.md:10, task 5). The full-table side
     reuses the shared cached profile; the diff joins two metric-sized
     frames."""
-    li = load_table(spark, sf_dir, "lineitem")
     app = spark.sparkContext.applicationId
-    old = _PROFILE_CACHE.get_or_build(
-        (app, sf_dir, "lineitem#delta-old"),
-        lambda: profile(
-            li.filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF,
-            columns=_DELTA_COLS,
-        ).cache(),
-    )
-    new = _PROFILE_CACHE.get_or_build(
-        (app, sf_dir, "lineitem#delta-new"),
-        lambda: profile(li, "lineitem", AS_OF, columns=_DELTA_COLS).cache(),
-    )
+    # one transient persist of the pruned table serves BOTH sides'
+    # chunked profile passes (4 aggregate jobs total) — without it each
+    # pass re-scanned and re-repartitioned the parquet source
+    li = load_table(spark, sf_dir, "lineitem").select(*_DELTA_COLS, "l_orderkey")
+    cached = [False]
+
+    def _src():
+        if not cached[0]:
+            li.persist().count()
+            cached[0] = True
+        return li
+
+    # the two sides are independent job chains over the same persisted
+    # input — run them from two driver threads so the new side's stages
+    # back-fill the old side's tails (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _src()  # persist eagerly once, outside the racing threads
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(
+            lambda: _PROFILE_CACHE.get_or_build(
+                (app, sf_dir, "lineitem#delta-old"),
+                lambda: profile(
+                    _src().filter(F.col("l_orderkey") % 2 == 0), "lineitem", AS_OF,
+                    columns=_DELTA_COLS,
+                ),
+            )
+        )
+        f_new = pool.submit(
+            lambda: _PROFILE_CACHE.get_or_build(
+                (app, sf_dir, "lineitem#delta-new"),
+                lambda: profile(_src(), "lineitem", AS_OF, columns=_DELTA_COLS),
+            )
+        )
+        old, new = f_old.result(), f_new.result()
+    if cached[0]:
+        li.unpersist()
     return profile_delta(old, new)
 
 
