@@ -411,18 +411,22 @@ def corpus_funnel(
     This is the integration proof that the stage operators compose in a
     single Spark plan: each stage is the library operator applied to
     the previous stage's survivors, and the four counts come back in
-    one collect. At 100 TB you would persist each kept-set between
-    stages (they feed both the next stage and the final write);
-    at oracle scale recomputation is cheaper than caching.
+    one collect. Each stage's survivor ID-SET is pinned (they feed both
+    the next stage and that stage's count — without the pin each union
+    branch re-runs every upstream stage's compute: the quality metrics
+    3x, the fingerprint aggregate 2x); the id-sets are the lightweight
+    proxy, the document payloads are never pinned.
     """
+    from ...functions.pin import pin
     from .decontam import decontaminate
     from .text import fingerprint_col
 
     cf = curation_filter(
         docs, text_col, id_col, min_words=min_words, min_quality=min_quality
     )
-    kept1 = docs.join(cf.filter(F.col("keep")).select(id_col), id_col)
-    surv = (
+    ids1 = pin(cf.filter(F.col("keep")).select(id_col))
+    kept1 = docs.join(ids1, id_col)
+    surv = pin(
         kept1.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
@@ -430,7 +434,8 @@ def corpus_funnel(
     )
     kept2 = kept1.join(surv, id_col)
     dec = decontaminate(kept2, bench, text_col, id_col, n=decontam_n, min_hits=decontam_min_hits)
-    kept3 = kept2.join(dec.filter(~F.col("contaminated")).select(id_col), id_col)
+    ids3 = pin(dec.filter(~F.col("contaminated")).select(id_col))
+    kept3 = kept2.join(ids3, id_col)
 
     def stage(name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).alias("docs_remaining")).select(

@@ -144,7 +144,13 @@ def decontaminate_fuzzy(
     b_bands = band_keys(
         minhash_signatures(bench, text_col, id_col, n, num_hashes), "bench_doc"
     )
-    cand = (
+    from ...functions.pin import pin
+
+    # candidate pairs are result-sized and feed THREE consumers (the
+    # doc-side distinct, the verify semi-join, and transitively the
+    # sizes below) — pin them so the signature+banding pipeline runs
+    # once, not once per consumer (same fix as minhash_pairs)
+    cand = pin(
         t_bands.join(F.broadcast(b_bands), ["band", "key"])
         .select("doc", "bench_doc")
         .distinct()

@@ -228,7 +228,20 @@ def dag_cycles(edges: list[tuple[str, str]]) -> list[str]:
 
 def out_of_sequence(assigned: DataFrame, closure: DataFrame) -> DataFrame:
     """A6: upstream run ends after downstream run starts, within one
-    instance. ``closure`` columns: (journey_id, up_key, down_key)."""
+    instance. ``closure`` columns: (journey_id, up_key, down_key).
+
+    ``assigned`` feeds BOTH sides of the self-join; pinned (projected
+    to the six consumed columns) so the assignment pipeline — window,
+    day-explode, two joins — executes once, not once per side.
+    ``assigned`` is runs-sized, the same size class the callers already
+    checkpoint for the rollup."""
+    from ...functions.pin import pin
+
+    assigned = pin(
+        assigned.select(
+            "journey_id", "instance_id", "pipeline_key", "run_key", "start_ts", "end_ts"
+        )
+    )
     up = assigned.alias("u")
     down = assigned.alias("d")
     e = F.broadcast(closure).alias("e")
