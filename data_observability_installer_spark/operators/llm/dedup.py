@@ -1092,11 +1092,21 @@ def dedup_impact(
     This is the summary a curation pipeline reads before committing to
     a dedup pass over 100 TB: two aggregate passes over a 3-column
     projection of the corpus (id, length, hash), the near labels
-    joined in result-sized. All arithmetic integer, oracle-exact."""
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.length(text_col).cast("long").alias("chars"),
-        F.md5(F.col(text_col)).alias("h"),
+    joined in result-sized. All arithmetic integer, oracle-exact.
+
+    The projection is pinned: it feeds THREE consumers (the hash
+    keep-set, the exact branch's join probe, the near branch) and
+    without the pin each one re-reads the TEXT column and re-hashes
+    it — at corpus scale that is three fat scans and two redundant
+    md5 passes for one narrow (id, chars, hash) frame."""
+    from ...functions.pin import pin
+
+    base = pin(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.length(text_col).cast("long").alias("chars"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
     )
     keep = base.groupBy("h").agg(F.min("doc").alias("keep_id"))
     exact = base.join(keep, "h").select(
