@@ -695,3 +695,53 @@ def test_profile_incremental_stored_scans_only_new_slice(spark, sf_smoke):
     assert len(li) == 1, scans
     assert len(store) == 1, scans
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_out_of_sequence_assignment_pinned_before_self_join(spark, sf_smoke):
+    """Round-13: A6 self-joins the journey assignment frame, and the
+    assignment pipeline (instance window, day explode, two joins) must
+    execute ONCE into a pin, not once per join side. Gate: the final
+    plan reads only pinned RDDs — no parquet scan and no Window node
+    survives above the pin boundary."""
+    plan = _executed(spark, "a6_out_of_sequence", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FileScan parquet" not in final, final
+    assert "Window" not in final, final
+    assert final.count("Scan ExistingRDD") >= 2  # both self-join sides
+
+
+def test_dedup_impact_hashes_text_once(spark, sf_smoke):
+    """Round-13: dedup_impact's (id, length, md5-of-text) projection
+    feeds three consumers; unpinned, the TEXT column was scanned and
+    hashed three times (6 parquet scans). Gate: the final plan reads
+    only pinned frames — zero parquet scans, no md5 recomputation."""
+    plan = _executed(spark, "dedup_impact_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FileScan parquet" not in final, final
+    assert "md5" not in final, final
+    assert "Scan ExistingRDD" in final
+
+
+def test_corpus_funnel_stages_execute_once(spark, sf_smoke):
+    """Round-13: each funnel stage's survivor id-set feeds BOTH the
+    next stage and that stage's count; unpinned, the four union
+    branches re-derived every upstream stage (40 parquet scans, the
+    quality metrics 3x). Pinned id-sets cap the re-derivation: the
+    remaining scans are the per-branch document joins, not repeated
+    stage pipelines."""
+    plan = _executed(spark, "corpus_funnel_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") >= 3  # three pinned id-sets
+    assert final.count("FileScan parquet") <= 12, final.count("FileScan parquet")
+
+
+def test_decontam_fuzzy_candidates_pinned(spark, sf_smoke):
+    """Round-13: the fuzzy-decontamination candidate pairs feed three
+    consumers (doc-side distinct, verify semi-join, sizes); unpinned,
+    the signature+banding pipeline re-ran per consumer (20 scans).
+    Gate: candidates come from a pin and the scan count stays at the
+    post-pin level."""
+    plan = _executed(spark, "decontam_fuzzy_documents", sf_smoke)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final
+    assert final.count("FileScan parquet") <= 14, final.count("FileScan parquet")
