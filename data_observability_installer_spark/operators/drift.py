@@ -434,15 +434,25 @@ def mad_outliers(
     In exact mode the interpolated percentile is identical on both
     engines and the fences are built with one fixed operation order,
     so the report value-checks bit-exactly cross-engine."""
-    c = F.col(col).cast("double")
+    from ..functions.pin import pin
+
+    # Three sequential global aggregates over the same values (median,
+    # then MAD around it, then the fence rollup) — pin the projected
+    # value column ONCE so the table scans once instead of three times
+    # (guide §2.4; the passes stay sequential because each needs the
+    # previous scalar, but nothing re-reads the source). The cast
+    # happens before the pin, so every pass sees the identical doubles
+    # the un-pinned plan computed.
+    vals = pin(df.select(F.col(col).cast("double").alias(col)))
+    c = F.col(col)
     pct = (
         (lambda x, q: F.percentile_approx(x, q, accuracy))
         if approx
         else (lambda x, q: F.percentile(x, q))
     )
-    med = df.agg(pct(c, 0.5).alias("med"))
+    med = vals.agg(pct(c, 0.5).alias("med"))
     d = (
-        df.crossJoin(F.broadcast(med))
+        vals.crossJoin(F.broadcast(med))
         .agg(
             pct(F.abs(c - F.col("med")), 0.5).alias("mad"),
             F.any_value("med").alias("med"),
@@ -454,7 +464,7 @@ def mad_outliers(
         F.when(c < lo, "LOW").when(c > hi, "HIGH").otherwise("INLIER")
     )
     return (
-        df.crossJoin(F.broadcast(d))
+        vals.crossJoin(F.broadcast(d))
         .groupBy(flag.alias("flag"))
         .agg(
             F.count(F.lit(1)).alias("row_ct"),

@@ -412,8 +412,25 @@ def profile(
             finally:
                 sc.setJobDescription(None)
 
+        # LPT scheduling: submit the expensive chunks FIRST so the
+        # pool's makespan is not "cheap chunks, then the percentile
+        # chunk alone at the tail" — exact percentiles buffer the whole
+        # column and dominate chunk cost, DISTINCTs come second. The
+        # result order is re-assembled by index, so values/rows are
+        # untouched.
+        def chunk_cost(batch: list[tuple[str, Metric]]) -> int:
+            cost = 0
+            for _, met in batch:
+                up = met.spark.upper()
+                cost += 5 if "PERCENTILE" in up else (2 if "DISTINCT" in up else 1)
+            return cost
+
+        order = sorted(range(len(chunks)), key=lambda i: -chunk_cost(chunks[i]))
         with ThreadPoolExecutor(max_workers=min(3, len(chunks))) as pool:
-            chunk_rows = list(pool.map(run_chunk, enumerate(chunks)))
+            res = list(pool.map(run_chunk, [(i, chunks[i]) for i in order]))
+        chunk_rows: list = [None] * len(chunks)
+        for i, row in zip(order, res):
+            chunk_rows[i] = row
         data: list[tuple] = []
         for batch, row in zip(chunks, chunk_rows):
             for i, (c, met) in enumerate(batch):

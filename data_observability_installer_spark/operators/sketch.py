@@ -922,6 +922,15 @@ def qsketch_by(
         .groupBy("k_key", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # NOTE (r13 A/B): a window-based single-exchange rewrite (one
+    # repartition(k_key), totals and subtree sums as window columns)
+    # was measured and REVERTED — it removed ~6 exchanges of bounded
+    # data but replaced hash aggregation of the 17x-exploded ancestor
+    # rows with two window SORTS over them, and regressed
+    # qsketch_sla_events 2.1 -> 3.1 s. The groupBy shape keeps
+    # map-side partial aggregation on the exploded rows, which is the
+    # scale-dominant cost; the pinned leaf pass already bounds every
+    # downstream shuffle.
     leaves = pin(leaves)  # one corpus pass feeds 3 consumers
     totals = leaves.groupBy("k_key").agg(F.sum("c").cast("long").alias("n"))
     lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")
@@ -978,15 +987,18 @@ def qsketch_quantiles_by(
     each key's partition — sketch-sized work per key."""
     u = 1 << log_u
     span = hi - lo + 1
-    totals = sketch.groupBy("k_key").agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n")
-    )
-    ordered = sketch.join(F.broadcast(totals), "k_key").select(
+    # per-key total as a window column (not groupBy + broadcast join):
+    # a sketch produced by qsketch_by is already hashpartitioned on
+    # k_key, so BOTH windows and the groupBy below satisfy their
+    # clustering from that one partitioning — the whole scan runs
+    # shuffle-free until the final ORDER BY (identical int64 sums).
+    ordered = sketch.select(
         "k_key",
         "cnt",
-        "n",
         F.expr(f"(idx + 1) * shiftleft(1L, {log_u} - level) - 1").alias("hib"),
         "level",
+    ).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("k_key")).cast("long")
     )
     w = Window.partitionBy("k_key").orderBy(
         F.col("hib").asc(), F.col("level").desc()

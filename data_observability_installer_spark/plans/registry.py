@@ -2239,7 +2239,14 @@ def decile_report_orders(
     mergeable GK-sketch, identical plan shape, edges within a 1e-4
     rank fraction. Exact stays the registered default because the
     quantile_cont oracle twin is exact (same split as mad_outliers)."""
-    o = load_table(spark, sf_dir, "orders")
+    from ..functions.pin import pin
+
+    # both passes (edge aggregate, per-decile rollup) consume only
+    # o_totalprice — pin the projected column once so the table scans
+    # once instead of twice (guide §2.4; values unchanged: the edge
+    # percentiles and the per-row decile expression read the identical
+    # doubles either way)
+    o = pin(load_table(spark, sf_dir, "orders").select("o_totalprice"))
     pct = F.percentile if exact else (
         lambda c, q: F.percentile_approx(c, q, 10000)
     )

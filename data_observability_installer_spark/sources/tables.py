@@ -69,6 +69,30 @@ STATIC_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 # (rowgroups, bytes) per parquet path — pyarrow footer read, once per path
 _LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
 
+# Repartition key per table for _distribute: hash-partitioning on the
+# table's primary join/group key instead of round-robin. Two wins
+# (guide §2.4/§2.5): (1) round-robin pays a LOCAL SORT of every row
+# first (spark.sql.execution.sortBeforeRepartition, required so task
+# retries reproduce the assignment — measured at sf0.1 it is HALF the
+# repartition cost: full-materialize 1.23 s round-robin vs 0.61 s
+# hash); a deterministic hash key needs no sort and stays
+# retry-correct, which is exactly the guide's recommendation over
+# synthetic random keys. (2) downstream joins/aggregations keyed on
+# the same column (orders ⋈ lineitem on orderkey, per-order rollups)
+# satisfy their ClusteredDistribution from the scan's partitioning and
+# skip their own Exchange outright. Keys are high-cardinality
+# (>=1,500 distinct over 32 partitions), so hash spread is even.
+_DIST_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def _parquet_layout(path: str) -> tuple[int, int]:
     if path not in _LAYOUT_CACHE:
@@ -84,19 +108,29 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return _LAYOUT_CACHE[path]
 
 
-def _distribute(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _distribute(
+    spark: SparkSession, df: DataFrame, path: str, key: str | None = None
+) -> DataFrame:
     """Parquet can only split at row-group boundaries. The harness
     files are written as ONE row group, so every downstream aggregate
     would run on one core of local[32] (measured: exact lineitem
     profile 30 s -> 19 s, approx 14 s -> 6 s once distributed). A
-    round-robin repartition after the scan restores parallelism;
-    filters and column pruning still push through the exchange into
-    the scan (asserted in tests/test_plans.py). Real warehouse files
-    carry many row groups, making this a no-op there — the guard keys
-    on the actual footer metadata, not an sf heuristic."""
+    repartition after the scan restores parallelism; filters and
+    column pruning still push through the exchange into the scan
+    (asserted in tests/test_plans.py). Real warehouse files carry
+    many row groups, making this a no-op there — the guard keys on
+    the actual footer metadata, not an sf heuristic.
+
+    With ``key`` (see _DIST_KEYS) the exchange hash-partitions on the
+    table's primary key instead of round-robin: no sort-before-
+    repartition pass, deterministic under task retry, and same-keyed
+    downstream joins/groupBys reuse the partitioning (guide §2.4).
+    Unknown tables keep the round-robin fallback."""
     rowgroups, nbytes = _parquet_layout(path)
     parallelism = spark.sparkContext.defaultParallelism
     if rowgroups < max(parallelism // 4, 1) and nbytes > 1 << 20:
+        if key is not None and key in df.columns:
+            return df.repartition(parallelism, key)
         return df.repartition(parallelism)
     return df
 
@@ -123,8 +157,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session TZ is UTC (session.get_spark), so this cast is an
             # identity on the epoch value
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return _distribute(spark, df, path)
-    return _distribute(spark, spark.read.parquet(path), path)
+        return _distribute(spark, df, path, key=_DIST_KEYS.get(name))
+    return _distribute(
+        spark, spark.read.parquet(path), path, key=_DIST_KEYS.get(name)
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

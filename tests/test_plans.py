@@ -104,8 +104,10 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_smoke):
 
 def test_single_rowgroup_file_distributes_with_pushdown(spark):
     """Bench-scale files are one parquet row group (unsplittable): the
-    loader must restore parallelism with a round-robin exchange while
-    filters and pruning still reach the scan below it."""
+    loader must restore parallelism with a KEYED hash exchange (no
+    sort-before-repartition pass, partitioning reusable by same-keyed
+    joins/groupBys) while filters and pruning still reach the scan
+    below it."""
     from pyspark.sql import functions as F
 
     from data_observability_installer_spark.sources.tables import load_table
@@ -113,17 +115,30 @@ def test_single_rowgroup_file_distributes_with_pushdown(spark):
     li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
     q = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_returnflag")
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "RoundRobinPartitioning" in plan  # the distribute kicked in
+    # keyed distribute kicked in: hash on the table key, NOT round-robin
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "RoundRobinPartitioning" not in plan
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:120]
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
-    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    # pruning still holds: only the key column is added beyond the
+    # referenced ones
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    assert "l_extendedprice" not in read_schema
+
+    # same-keyed downstream aggregation reuses the scan partitioning:
+    # exactly ONE exchange (the distribute itself) in the whole plan
+    agg_plan = (
+        li.groupBy("l_orderkey").count()._jdf.queryExecution()
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert agg_plan.count("Exchange") == 1
 
     # tiny smoke files sit below the distribute threshold: no exchange
     small = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     small_plan = small.groupBy("l_returnflag").count()._jdf.queryExecution()
-    assert "RoundRobinPartitioning" not in small_plan.executedPlan().toString().split(
-        "== Initial Plan =="
-    )[0]
+    first = small_plan.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "RoundRobinPartitioning" not in first
+    assert "hashpartitioning(l_orderkey" not in first
 
 
 def test_decontam_broadcasts_bench_shingles(spark, sf_smoke):
