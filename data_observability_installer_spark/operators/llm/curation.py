@@ -1038,8 +1038,32 @@ def dsir_weights(
     n_buckets integers per side, the shipped-constants shape at
     100 TB (train once on a sample, broadcast everywhere).
     """
-    model = dsir_model(df, target_pred, n_buckets, text_col, id_col)
-    return dsir_score(df, model, n_buckets, text_col, id_col, alpha)
+    from pyspark import StorageLevel
+
+    from ...functions.pin import pin
+    from .lm import _bucket_col
+
+    # ONE explode pass feeds BOTH halves: the model's bucket counts and
+    # the per-document scoring — without the shared persist the
+    # unigram+bigram explode ran twice and the model subtree re-executed
+    # under each of its three scalar consumers (8 corpus scans in the
+    # bench plan vs 1 table). The model is <= n_buckets rows, so it pins
+    # result-sized; the aggregation code is dsir_model's verbatim.
+    feats = (
+        _dsir_feats(df, text_col, id_col, target_pred)
+        .select("doc", "is_t", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = pin(
+        feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_r"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("n_t"),
+        )
+    )
+    return dsir_score(
+        df, model, n_buckets, text_col, id_col, alpha,
+        feats=feats.select("doc", "bucket"),
+    )
 
 
 def dsir_model(
@@ -1072,17 +1096,22 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: int = 1,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """The DSIR SCORE half: weigh ``df``'s documents against a given
     (bucket, n_r, n_t) model — the serving shape when the model was
     trained elsewhere (a sample, an accumulated stream). Buckets the
     model never saw score with the pure smoothing ratio, exactly as if
-    their counts were zero."""
+    their counts were zero. ``feats`` optionally supplies an already-
+    bucketed (doc, bucket) occurrence frame (dsir_weights shares its
+    persisted explode pass this way) — the same rows this function
+    would derive itself."""
     from .lm import _bucket_col
 
-    feats = _dsir_feats(df, text_col, id_col, F.lit(False)).select(
-        "doc", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
-    )
+    if feats is None:
+        feats = _dsir_feats(df, text_col, id_col, F.lit(False)).select(
+            "doc", (_bucket_col(F.col("sh")) % n_buckets).alias("bucket")
+        )
     tot = model.agg(
         F.coalesce(F.sum("n_r"), F.lit(0)).alias("t_r"),
         F.coalesce(F.sum("n_t"), F.lit(0)).alias("t_t"),

@@ -910,7 +910,13 @@ def minhash_incremental(
     collides with at >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sh0 = exploded_shingles(df, text_col, id_col, n)
+    # ONE shingling pass feeds signatures AND the exact verify — same
+    # persist contract as minhash_pairs (without it the shingle
+    # pipeline re-executed under every downstream consumer: 22 corpus
+    # scans in the bench plan vs 1 table).
+    sh0 = exploded_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = sh0.groupBy("doc").agg(*minhash_sig_cols(num_hashes))
     band_keys = sig.select(
         "doc",
@@ -942,6 +948,12 @@ def minhash_incremental(
         .select(F.col("nb.doc").alias("new_id"), F.col("ob.doc").alias("dup_of"))
         .distinct()
     )
+    # cand is RESULT-sized (LSH collisions only) but feeds THREE
+    # subtrees (both cdocs union branches + the verify semi-join) —
+    # pin it like minhash_pairs does, so banding runs once.
+    from ...functions.pin import pin
+
+    cand = pin(cand)
     cdocs = (
         cand.select(F.col("new_id").alias("doc"))
         .union(cand.select(F.col("dup_of").alias("doc")))

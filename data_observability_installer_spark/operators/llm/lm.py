@@ -95,6 +95,12 @@ def unigram_logprob_screen(
     The LM join is skew-split on ``hot_df`` (see module docstring):
     terms in more than ``hot_df`` docs broadcast, the rest shuffle.
     """
+    # NOTE (r13 A/B): a per_doc persist + freq pin was measured and
+    # REVERTED (1.42 s vs 0.83 s min-of-6) — every consumer of per_doc
+    # and freq is an IDENTICAL subtree, so AQE's runtime exchange reuse
+    # already dedupes the tokenize+count work across the branches, and
+    # the eager pins only added job latency. Pins pay off when the
+    # consumers' subtrees DIFFER (see dsir_weights), not here.
     toks = _tokens(df, text_col, id_col)
     per_doc = toks.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("ct"))
     freq = per_doc.groupBy("w").agg(

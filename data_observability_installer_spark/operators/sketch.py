@@ -931,6 +931,20 @@ def qsketch_by(
     # map-side partial aggregation on the exploded rows, which is the
     # scale-dominant cost; the pinned leaf pass already bounds every
     # downstream shuffle.
+    #
+    # A second r13 A/B — pin(leaves).repartition("k_key"), which makes
+    # every downstream groupBy/join/window exchange-free because
+    # hashpartitioning(k_key) satisfies all their (k_key, ...)
+    # ClusteredDistributions — was ALSO measured and REVERTED
+    # (qsketch_sla_events ~2.8 vs ~3.2 s median, monitor pane likewise
+    # ~5% slower): with a LOW-cardinality key (5 pipelines) the
+    # key-only partitioning collapses the 17x-exploded ancestor
+    # aggregate from 32-way to 5-way parallelism, which costs more
+    # than the removed bounded exchanges saved (guide §2.5's
+    # too-few-distinct-keys trap). The composite-key exchanges below
+    # are what SPREADS that work. (Note: a pre-pin repartition is lost
+    # entirely — localCheckpoint under AQE reports
+    # UnknownPartitioning.)
     leaves = pin(leaves)  # one corpus pass feeds 3 consumers
     totals = leaves.groupBy("k_key").agg(F.sum("c").cast("long").alias("n"))
     lvl = F.explode(F.sequence(F.lit(0), F.lit(log_u))).alias("level")

@@ -5477,6 +5477,9 @@ def nll_tailcut_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     a verbose domain can't wipe out small ones. Threshold table is
     tiny and broadcast; the corpus never shuffles for the filter."""
     docs = load_table(spark, sf_dir, "documents")
+    # (r13 A/B: pinning `scored` was measured and REVERTED, 1.46 s vs
+    # 1.17 s min-of-6 — the threshold and filter passes are identical
+    # subtrees that AQE exchange reuse already dedupes at runtime.)
     scored = _lm.unigram_logprob_screen(docs).join(docs.select("doc_id", "source"), "doc_id")
     return filter_by_quantile(scored, "avg_nll_bits", q=0.9, keep="below", per="source")
 
