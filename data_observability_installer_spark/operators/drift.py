@@ -420,56 +420,89 @@ def mad_outliers(
     Unlike mean/stddev screens, a few extreme rows cannot drag the
     fence — the breakdown point is 50%.
 
-    Two aggregate passes (median, then median absolute deviation
-    around it — both metadata-sized broadcast scalars), then the flag
-    is a map-side expression and the report one small groupBy.
+    Two median passes (median, then median absolute deviation around
+    it — both metadata-sized scalars), then the flag is a map-side
+    expression and the report one small groupBy.
 
-    **Memory bound / the 100 TB switch.** Exact ``percentile`` is an
-    ImperativeAggregate whose state is EVERY value of the group — and
-    here the group is the whole table, so the exact mode's executor
-    memory is O(rows) and it OOMs long before 100 TB. ``approx=True``
-    is the production mode: ``percentile_approx`` keeps a mergeable
-    GK-sketch of O(accuracy) state per partition (rank error ≤
-    1/accuracy, so fences are within (hi-lo)/accuracy of exact — a
-    bounded-error pytest pins this), and the plan shape is unchanged.
-    The exact default exists because the DuckDB oracle twin
-    (``quantile_cont``) is exact; same split as ``profile(exact=)``.
+    **Memory bound / the 100 TB switch.** ``approx=True`` is the
+    production mode: ``percentile_approx`` keeps a mergeable GK-sketch
+    of O(accuracy) state per partition (rank error ≤ 1/accuracy, so
+    fences are within (hi-lo)/accuracy of exact — a bounded-error
+    pytest pins this), the plan stays fully lazy, and NOTHING is
+    pinned — executor state is O(accuracy), as a 100 TB run needs.
+    Exact mode (the default, because the DuckDB oracle twin
+    ``quantile_cont`` is exact — same split as ``profile(exact=)``)
+    computes both medians with the distributed value-counts rewrite
+    (functions/quantiles.py, bit-identical to ``percentile()``) and
+    pins the projected value column once for its three passes; that
+    pin is O(rows) of one double column on executor storage — exact
+    mode's inherent size class (the old ``percentile`` buffer held the
+    same values in ONE task's memory).
 
     In exact mode the interpolated percentile is identical on both
     engines and the fences are built with one fixed operation order,
     so the report value-checks bit-exactly cross-engine."""
-    from ..functions.pin import pin
-
-    # Three sequential global aggregates over the same values (median,
-    # then MAD around it, then the fence rollup) — pin the projected
-    # value column ONCE so the table scans once instead of three times
-    # (guide §2.4; the passes stay sequential because each needs the
-    # previous scalar, but nothing re-reads the source). The cast
-    # happens before the pin, so every pass sees the identical doubles
-    # the un-pinned plan computed.
-    vals = pin(df.select(F.col(col).cast("double").alias(col)))
     c = F.col(col)
-    pct = (
-        (lambda x, q: F.percentile_approx(x, q, accuracy))
-        if approx
-        else (lambda x, q: F.percentile(x, q))
-    )
-    med = vals.agg(pct(c, 0.5).alias("med"))
-    d = (
-        vals.crossJoin(F.broadcast(med))
-        .agg(
-            pct(F.abs(c - F.col("med")), 0.5).alias("mad"),
-            F.any_value("med").alias("med"),
+    if approx:
+        # PRODUCTION mode: percentile_approx keeps O(accuracy) sketch
+        # state per partition, and the plan stays fully lazy with NO
+        # pinned column — materializing the cast column would put
+        # O(rows) on executor local storage and truncate lineage,
+        # contradicting exactly the memory bound this mode exists for
+        # (round-13 ADVICE). The three passes re-scan the source; at
+        # scale that is 3 scans of one narrow column vs an O(rows) pin.
+        vals = df.select(c.cast("double").alias(col))
+        pct = lambda x, q: F.percentile_approx(x, q, accuracy)  # noqa: E731
+        med = vals.agg(pct(c, 0.5).alias("med"))
+        d = (
+            vals.crossJoin(F.broadcast(med))
+            .agg(
+                pct(F.abs(c - F.col("med")), 0.5).alias("mad"),
+                F.any_value("med").alias("med"),
+            )
         )
-    )
-    lo = F.col("med") - k * 1.4826 * F.col("mad")
-    hi = F.col("med") + k * 1.4826 * F.col("mad")
-    flag = (
-        F.when(c < lo, "LOW").when(c > hi, "HIGH").otherwise("INLIER")
-    )
+        lo = F.col("med") - k * 1.4826 * F.col("mad")
+        hi = F.col("med") + k * 1.4826 * F.col("mad")
+        flag = F.when(c < lo, "LOW").when(c > hi, "HIGH").otherwise("INLIER")
+        return (
+            vals.crossJoin(F.broadcast(d))
+            .groupBy(flag.alias("flag"))
+            .agg(
+                F.count(F.lit(1)).alias("row_ct"),
+                F.round(F.min(c), 2).alias("min_val"),
+                F.round(F.max(c), 2).alias("max_val"),
+                (F.floor(F.any_value(lo) * 10000 + F.lit(0.5)) / 10000).alias("fence_lo"),
+                (F.floor(F.any_value(hi) * 10000 + F.lit(0.5)) / 10000).alias("fence_hi"),
+            )
+            .orderBy("flag")
+        )
+    from ..functions.pin import pin
+    from ..functions.quantiles import exact_percentiles
+
+    # EXACT mode: the two medians come from the distributed
+    # value-counts rewrite (functions/quantiles.py — bit-identical to
+    # percentile(), proven by tests/test_quantiles.py), replacing two
+    # ObjectHashAggregate passes whose buffer is every distinct value
+    # on one task. The projected value column is pinned ONCE and feeds
+    # the two value-count passes plus the fence rollup (guide §2.4) —
+    # this pin is O(rows) of ONE cast column, the size class exact
+    # mode already accepts (the old percentile buffer held the same
+    # column in one task's memory; the pin at least spreads it).
+    vals = pin(df.select(c.cast("double").alias(col)))
+    med_v = exact_percentiles(vals, col, [0.5])[0]
+    med_lit = F.lit(med_v).cast("double") if med_v is not None else F.lit(None).cast("double")
+    mad_v = exact_percentiles(
+        vals.select(F.abs(c - med_lit).alias(col)), col, [0.5]
+    )[0]
+    mad_lit = F.lit(mad_v).cast("double") if mad_v is not None else F.lit(None).cast("double")
+    # fences built with the SAME operation order as before (med - k *
+    # 1.4826 * mad) over the identical doubles, so every flag and
+    # reported value is bit-stable vs the aggregate-based plan
+    lo = med_lit - k * 1.4826 * mad_lit
+    hi = med_lit + k * 1.4826 * mad_lit
+    flag = F.when(c < lo, "LOW").when(c > hi, "HIGH").otherwise("INLIER")
     return (
-        vals.crossJoin(F.broadcast(d))
-        .groupBy(flag.alias("flag"))
+        vals.groupBy(flag.alias("flag"))
         .agg(
             F.count(F.lit(1)).alias("row_ct"),
             F.round(F.min(c), 2).alias("min_val"),
@@ -478,8 +511,8 @@ def mad_outliers(
             # computed doubles, where Spark rounds the decimal repr and
             # DuckDB the binary value — floor of the identical double
             # is bit-stable (the documented single-value idiom)
-            (F.floor(F.any_value(lo) * 10000 + F.lit(0.5)) / 10000).alias("fence_lo"),
-            (F.floor(F.any_value(hi) * 10000 + F.lit(0.5)) / 10000).alias("fence_hi"),
+            (F.floor(F.min(lo) * 10000 + F.lit(0.5)) / 10000).alias("fence_lo"),
+            (F.floor(F.min(hi) * 10000 + F.lit(0.5)) / 10000).alias("fence_hi"),
         )
         .orderBy("flag")
     )

@@ -998,7 +998,16 @@ def qsketch_quantiles_by(
 ) -> DataFrame:
     """Per-key quantile estimates from a grouped sketch: the q-digest
     scan order (range upper bound ASC, deeper first) evaluated inside
-    each key's partition — sketch-sized work per key."""
+    each key's partition — sketch-sized work per key.
+
+    NOTE (round-13 ADVICE): the shuffle-free window claim below holds
+    for sketches FRESHLY BUILT by :func:`qsketch_by` (hashpartitioned
+    on k_key by its final groupBy). Stored or merged sketches read
+    back from parquet carry no such partitioning — there the windows
+    add one sort+shuffle of the (bounded, sketch-sized) input that the
+    old groupBy+broadcast-join shape also effectively paid; values are
+    identical either way, and the input is bounded at keys x
+    (log_u+1)(k-1) rows, so the extra exchange is metadata-sized."""
     u = 1 << log_u
     span = hi - lo + 1
     # per-key total as a window column (not groupBy + broadcast join):

@@ -2233,33 +2233,58 @@ def decile_report_orders(
     final agg; the per-decile money total sums per-row-rounded integer
     cents so it is order-independent.
 
-    The exact edge pass buffers the whole column in ONE aggregate
-    group (all 9 quantiles share the buffer, but the buffer is still
-    O(rows)) — ``exact=False`` is the 100 TB mode: percentile_approx's
-    mergeable GK-sketch, identical plan shape, edges within a 1e-4
-    rank fraction. Exact stays the registered default because the
-    quantile_cont oracle twin is exact (same split as mad_outliers)."""
-    from ..functions.pin import pin
-
-    # both passes (edge aggregate, per-decile rollup) consume only
-    # o_totalprice — pin the projected column once so the table scans
-    # once instead of twice (guide §2.4; values unchanged: the edge
-    # percentiles and the per-row decile expression read the identical
-    # doubles either way)
-    o = pin(load_table(spark, sf_dir, "orders").select("o_totalprice"))
-    pct = F.percentile if exact else (
-        lambda c, q: F.percentile_approx(c, q, 10000)
-    )
-    edges = o.agg(
-        *[pct("o_totalprice", q).alias(f"e{i}") for i, q in enumerate(_DECILE_QS, 1)]
-    )
-    decile = F.lit(1)
-    for i in range(1, 10):
-        decile = decile + (F.col("o_totalprice") > F.col(f"e{i}")).cast("int")
+    The exact edge pass runs the distributed value-counts rewrite
+    (functions/quantiles.py — codegen aggregation, distinct-value
+    shuffle, bit-identical to percentile()) — ``exact=False`` is the
+    100 TB mode: percentile_approx's mergeable GK-sketch, lazy plan,
+    edges within a 1e-4 rank fraction. Exact stays the registered
+    default because the quantile_cont oracle twin is exact (same split
+    as mad_outliers)."""
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    if not exact:
+        # 100 TB mode: lazy GK-sketch edges, NOTHING pinned (the pin
+        # would put the whole projected column — O(rows) — on executor
+        # storage, the same trade mad_outliers' approx mode refuses;
+        # two scans of one narrow column is the cheaper side at scale)
+        o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+        edges = o.agg(
+            *[
+                F.percentile_approx("o_totalprice", q, 10000).alias(f"e{i}")
+                for i, q in enumerate(_DECILE_QS, 1)
+            ]
+        )
+        decile = F.lit(1)
+        for i in range(1, 10):
+            decile = decile + (F.col("o_totalprice") > F.col(f"e{i}")).cast("int")
+        return (
+            o.crossJoin(F.broadcast(edges))
+            .groupBy(decile.cast("int").alias("decile"))
+            .agg(
+                F.count(F.lit(1)).alias("order_ct"),
+                F.round(F.min("o_totalprice"), 2).alias("lo"),
+                F.round(F.max("o_totalprice"), 2).alias("hi"),
+                F.round(F.sum(cents) / 100.0, 2).alias("total"),
+            )
+            .orderBy("decile")
+        )
+    from ..functions.pin import pin
+    from ..functions.quantiles import exact_percentiles
+
+    # EXACT mode: the nine edges come from the distributed value-counts
+    # rewrite (functions/quantiles.py — bit-identical to percentile(),
+    # tests/test_quantiles.py), replacing the one-task whole-column
+    # percentile buffer. The pin is O(rows) of ONE double column —
+    # exact mode's inherent size class (the old percentile buffer held
+    # the same values in one task's memory) — and feeds the value-count
+    # pass plus the per-decile rollup, so the table scans once.
+    o = pin(load_table(spark, sf_dir, "orders").select("o_totalprice"))
+    edges_v = exact_percentiles(o, "o_totalprice", list(_DECILE_QS))
+    decile = F.lit(1)
+    for e in edges_v:
+        e_lit = F.lit(e) if e is not None else F.lit(None).cast("double")
+        decile = decile + (F.col("o_totalprice") > e_lit).cast("int")
     return (
-        o.crossJoin(F.broadcast(edges))
-        .groupBy(decile.cast("int").alias("decile"))
+        o.groupBy(decile.cast("int").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("order_ct"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -125,7 +125,19 @@ def _distribute(
     table's primary key instead of round-robin: no sort-before-
     repartition pass, deterministic under task retry, and same-keyed
     downstream joins/groupBys reuse the partitioning (guide §2.4).
-    Unknown tables keep the round-robin fallback."""
+    Unknown tables keep the round-robin fallback.
+
+    Two keyed-path costs, accepted deliberately (round-13 ADVICE):
+    the key column is forced into EVERY scan of the table, so queries
+    that never touch it pay one extra column read (measured ≤1.1x on
+    the narrowest single-column aggregates, vs 0.55-0.66x on the keyed
+    joins/rollups); and a key with too few distinct values would
+    collapse parallelism (guide §2.5's 20-100x-keys-per-partition
+    rule). A runtime distinct-count probe would cost a scan per load,
+    so the floor is asserted per dataset instead
+    (tests/test_plans.py::test_dist_keys_have_spread pins every
+    _DIST_KEYS entry at >=20x the local core count — a low-cardinality
+    dataset variant must drop its entry rather than ship a hot key)."""
     rowgroups, nbytes = _parquet_layout(path)
     parallelism = spark.sparkContext.defaultParallelism
     if rowgroups < max(parallelism // 4, 1) and nbytes > 1 << 20:

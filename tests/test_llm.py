@@ -77,8 +77,19 @@ def test_minhash_agrees_with_exact_on_dups(docs):
 
 def test_minhash_verify_is_candidate_scoped(docs):
     """The exact-verify join must be gated behind the LSH candidate set
-    (a semi join), not an unbounded all-pairs materialization."""
-    plan = minhash_pairs(docs, n=2)._jdf.queryExecution().optimizedPlan().toString()
+    (a semi join), not an unbounded all-pairs materialization. Inspect
+    the caller-owned-shingles path: it returns the LAZY plan (the
+    self-persist path pins the result-sized pairs, hiding the shape
+    behind the checkpoint scan — same body code either way)."""
+    from data_observability_installer_spark.operators.llm.dedup import (
+        exploded_shingles,
+    )
+
+    sh = exploded_shingles(docs, "text", "doc_id", 2)
+    plan = (
+        minhash_pairs(docs, n=2, shingles=sh)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
     assert "LeftSemi" in plan
 
 

@@ -141,6 +141,23 @@ def test_single_rowgroup_file_distributes_with_pushdown(spark):
     assert "hashpartitioning(l_orderkey" not in first
 
 
+def test_dist_keys_have_spread(spark):
+    """Round-13 ADVICE: a _DIST_KEYS entry with too few distinct values
+    would collapse parallelism (guide §2.5's 20-100x keys-per-partition
+    rule) — a runtime probe would cost a scan per load, so the floor is
+    pinned HERE per dataset. events.user_id is the lowest-cardinality
+    entry; every keyed table must clear 20x the local core count."""
+    from pyspark.sql import functions as F
+
+    from data_observability_installer_spark.sources.tables import _DIST_KEYS
+
+    floor = 20 * spark.sparkContext.defaultParallelism
+    for table, key in sorted(_DIST_KEYS.items()):
+        df = spark.read.parquet(f"/root/testdata/sf0.1/{table}.parquet")
+        n = df.agg(F.approx_count_distinct(key).alias("n")).collect()[0]["n"]
+        assert n >= floor, f"{table}.{key}: {n} distinct < {floor} floor"
+
+
 def test_decontam_broadcasts_bench_shingles(spark, sf_smoke):
     """The eval shingle set must be the build side everywhere — the
     training corpus never shuffles for the contamination check."""
