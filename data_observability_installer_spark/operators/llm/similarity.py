@@ -1704,6 +1704,80 @@ def pq_codebooks(
     ]
 
 
+def _pq_books_table(spark, books: list[list[list[int]]]):
+    """The codebooks as a (j, code, cvec) DataFrame — m*k rows of
+    integer vectors, broadcast-sized at any configuration."""
+    rows = [
+        (j, c, [int(v) for v in books[j][c]])
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    ]
+    return spark.createDataFrame(rows, "j int, code int, cvec array<bigint>")
+
+
+def _pq_codes_rel(
+    src: DataFrame,
+    vec_sql: str,
+    books: list[list[list[int]]],
+    keep: list[str],
+) -> DataFrame:
+    """Per-(row, subspace) nearest-centroid codes, computed
+    RELATIONALLY: subvectors inline to (keep..., j, sub), join the
+    broadcast (j, code, cvec) books table, and the assignment is
+    min(sqdist * k + code) per (row, j) — the exact min-encode rule
+    (ties to the lowest code) of _argmin_bucket_sql, as a groupBy over
+    exact int64 values. Returns (keep..., j, code).
+
+    Why not the literal-expression form (_pq_code_exprs): m*k
+    per-centroid distance expressions parse to a plan tree that costs
+    ~1 s of DRIVER time per query just to build and analyze (measured
+    round 14: topk_ivfpq build 1.2 s / exec 2.0 s), and its fully
+    unrolled variant blew the 64 KB codegen method limit (round-12
+    note below). The relational form keeps the plan O(1) in m*k, moves
+    the same exact integer arithmetic into a join over m*k-row
+    metadata, and at scale is the canonical shape anyway: codebooks
+    are DATA (trained artifacts), not query text."""
+    m, d = len(books), len(books[0][0])
+    kc = len(books[0])
+    bt = _pq_books_table(src.sparkSession, books)
+    sub_structs = ", ".join(
+        f"named_struct('j', {j}, 'sub', slice({vec_sql}, {j * d + 1}, {d}))"
+        for j in range(m)
+    )
+    subs = src.selectExpr(*keep, f"inline(array({sub_structs}))")
+    enc = (
+        "aggregate(zip_with(sub, cvec, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) * {kc} + code"
+    )
+    return (
+        subs.join(F.broadcast(bt), "j")
+        .selectExpr(*keep, "j", f"{enc} AS enc")
+        .groupBy(*keep, "j")
+        .agg(F.min("enc").alias("enc"))
+        .selectExpr(*keep, "j", f"CAST(pmod(enc, {kc}) AS INT) AS code")
+    )
+
+
+def _pq_lut_rel(
+    qrow: DataFrame,
+    vec_sql: str,
+    books: list[list[list[int]]],
+    keep: list[str],
+) -> DataFrame:
+    """The query-side ADC lookup table as ROWS: (keep..., j, code,
+    qdist) from one broadcastable query frame — the relational twin of
+    the literal per-(j, code) LUT arrays, same exact int64 distances."""
+    d = len(books[0][0])
+    bt = _pq_books_table(qrow.sparkSession, books)
+    qd = (
+        f"aggregate(zip_with(slice({vec_sql}, j * {d} + 1, {d}), cvec, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return qrow.crossJoin(F.broadcast(bt)).selectExpr(
+        *keep, "j", "code", f"{qd} AS qdist"
+    )
+
+
 def _pq_code_exprs(eq_sql: str, books: list[list[list[int]]]) -> list[str]:
     """Per-subspace nearest-centroid assignment, each as ONE parsed
     int64 expression (the _argmin_bucket_sql min-encode idiom over the
@@ -1760,30 +1834,26 @@ def topk_pq(
     rounded-score + id-tiebreak idioms, so the DuckDB twin replays
     both phases bit-for-bit."""
     books = books or pq_codebooks()
-    m, d = len(books), len(books[0][0])
     eq = _quant_sql("embedding")
-    code_exprs = _pq_code_exprs("eq", books)
-    corpus = embeddings.selectExpr(
-        f"{id_col} AS vid", "embedding", f"{eq} AS eq"
-    ).selectExpr(
-        "vid",
-        *[f"{ce} AS code{j}" for j, ce in enumerate(code_exprs)],
+    # RELATIONAL encode + LUT (_pq_codes_rel/_pq_lut_rel): the m*k
+    # literal distance expressions cost ~1 s of driver plan time per
+    # query (round-14 measurement); the broadcast-table form computes
+    # the identical exact int64 codes/distances, and the ADC sum is
+    # the same m lookups per vector — here as a (j, code) join +
+    # per-vid sum of the same integers (order-independent).
+    codes = _pq_codes_rel(
+        embeddings.selectExpr(f"{id_col} AS vid", f"{eq} AS eq"),
+        "eq", books, ["vid"],
     )
-    lut_exprs = []
-    for j in range(m):
-        sub = f"slice(eq, {j * d + 1}, {d})"
-        dists = ", ".join(_sqdist_lits_sql(sub, c) for c in books[j])
-        lut_exprs.append(f"array({dists}) AS lut{j}")
-    qlut = (
-        embeddings.filter(F.col(id_col) == query_id)
-        .selectExpr(f"{eq} AS eq")
-        .selectExpr(*lut_exprs)
+    qlut = _pq_lut_rel(
+        embeddings.filter(F.col(id_col) == query_id).selectExpr(f"{eq} AS eq"),
+        "eq", books, [],
     )
-    adist = " + ".join(f"element_at(lut{j}, code{j} + 1)" for j in range(m))
     cands = (
-        corpus.filter(F.col("vid") != query_id)
-        .crossJoin(F.broadcast(qlut))
-        .selectExpr("vid", f"({adist}) AS adist")
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(qlut), ["j", "code"])
+        .groupBy("vid")
+        .agg(F.sum("qdist").cast("long").alias("adist"))
         .orderBy(F.asc("adist"), F.asc("vid"))
         .limit(rescore * k)
         .select("vid")
@@ -2520,24 +2590,24 @@ def topk_ivfpq(
     cb = _cents_map_sql(cents)
     eq = _quant_sql("embedding")
     res = f"zip_with(eq, element_at({cb}, bucket), (x, y) -> x - y)"
-    code_exprs = _pq_code_exprs("res", books)
-    assigned = (
+    # assigned feeds TWO differing subtrees (the corpus code table and
+    # the query's probe rows) — pin it so the scan + coarse argmin run
+    # once (guide §2.4). The PQ encode and the query LUT are the
+    # RELATIONAL forms (_pq_codes_rel/_pq_lut_rel): exact same int64
+    # min-encode arithmetic, but the codebooks are a broadcast TABLE
+    # instead of m*k literal distance expressions — the literal plan
+    # cost ~1.2 s of driver time per query just to parse/analyze
+    # (measured round 14; values proven identical).
+    from ...functions.pin import pin
+
+    assigned = pin(
         embeddings.selectExpr(f"{id_col} AS vid", f"{eq} AS eq")
         .selectExpr(
             "vid", "eq", f"{_argmin_bucket_sql('eq', cents, n_cells)} AS bucket"
         )
         .selectExpr("vid", "eq", "bucket", f"{res} AS res")
     )
-    codes = assigned.select(
-        "vid",
-        "bucket",
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(j) for j in range(m)]).alias("j"),
-                F.expr(f"array({', '.join(code_exprs)})").alias("code"),
-            )
-        ).alias("z"),
-    ).select("vid", "bucket", F.col("z.j").alias("j"), F.col("z.code").alias("code"))
+    codes = _pq_codes_rel(assigned, "res", books, ["vid", "bucket"])
     # query: nprobe nearest cells by exact integer distance (ties ->
     # lowest cell id via the min-encode idiom), then one residual per
     # probed cell -> (bucket, j, code, qdist) LUT rows
@@ -2552,17 +2622,7 @@ def topk_ivfpq(
         .selectExpr("eq", f"CAST(pmod(enc, {n_cells}) AS INT) AS bucket")
         .selectExpr("bucket", f"{res} AS qres")
     )
-    lut_structs = []
-    for j in range(m):
-        sub = f"slice(qres, {j * d + 1}, {d})"
-        for c, cvec in enumerate(books[j]):
-            lut_structs.append(
-                f"named_struct('j', {j}, 'code', {c}, "
-                f"'qdist', {_sqdist_lits_sql(sub, cvec)})"
-            )
-    lut = probes.selectExpr(
-        "bucket", f"inline(array({', '.join(lut_structs)}))"
-    )
+    lut = _pq_lut_rel(probes, "qres", books, ["bucket"])
     cand = (
         codes.filter(F.col("vid") != query_id)
         .join(F.broadcast(lut), ["bucket", "j", "code"])
@@ -3075,7 +3135,17 @@ def semdedup(
     max_bucket. The within-cell join carries (vid, embedding) once on
     each side; the verified-pair set is never materialized corpus-wide.
     """
-    assigned = _semdedup_assigned(embeddings, n_clusters, cents, id_col)
+    # assigned feeds THREE differing subtrees (both within-cell join
+    # sides and the final verdict join — different projections, so AQE
+    # exchange reuse cannot dedupe them): pin it so the scan + argmin
+    # assignment run once, not three times (guide §2.4; the r13 rule —
+    # pin only differing subtrees). Size class: one (vid, embedding,
+    # nrm, cell) row per vector — the same frame the within-cell join
+    # carries on each side anyway, and the incremental variant already
+    # pins its batch assignment for the witness join + store commit.
+    from ...functions.pin import pin
+
+    assigned = pin(_semdedup_assigned(embeddings, n_clusters, cents, id_col))
     pool = assigned
     if max_cell is not None:
         small = (

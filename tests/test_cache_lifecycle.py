@@ -82,6 +82,10 @@ def test_operator_persists_released(spark, sf_smoke):
     from data_observability_installer_spark.operators.llm import curation, dedup
 
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    # clearCache() unpersists frames the registry DFCaches still hold;
+    # clear those too or later tests get a cache HIT on an unpersisted
+    # frame (the shared-shingle plan gate caught exactly that)
+    registry.clear_caches()
     spark.catalog.clearCache()
 
     out = dedup.minhash_pairs(docs)
