@@ -54,14 +54,28 @@ def _pair_score_sql(
     name_weight: int,
     cat_weight: int,
     num_weight: int,
+    prefix_len: int = 0,
 ) -> tuple[str, str]:
     """The Fellegi–Sunter-shaped integer-bp scoring expressions over a
     joined candidate row carrying ``name_a/name_b`` and per-evidence
     ``{col}_a/{col}_b`` columns. Shared by the batch self-join and the
     incremental batch-vs-store join so the two faces score
-    bit-identically. Returns (name_sim_sql, score_sql)."""
+    bit-identically. Returns (name_sim_sql, score_sql).
+
+    ``prefix_len`` (r14, guide §1.2 per-task work): when the candidate
+    join guarantees both names share their first ``prefix_len`` chars
+    (the prefix BLOCK key — true for both faces), the levenshtein DP
+    runs over the suffixes only: a shared prefix never changes edit
+    distance (``lev(P+x, P+y) = lev(x, y)``), so the value is identical
+    while the DP shrinks from O(|name|^2) to O(|suffix|^2) per pair.
+    The length normalization still uses the FULL name lengths."""
+    lev_args = (
+        f"substring(name_a, {prefix_len + 1}), substring(name_b, {prefix_len + 1})"
+        if prefix_len
+        else "name_a, name_b"
+    )
     name_sim = (
-        "coalesce(10000L - CAST(levenshtein(name_a, name_b) AS BIGINT) * 10000L"
+        f"coalesce(10000L - CAST(levenshtein({lev_args}) AS BIGINT) * 10000L"
         " DIV greatest(length(name_a), length(name_b), 1L), 0L)"
     )
     terms = [f"{name_weight}L * ({name_sim})"]
@@ -79,6 +93,47 @@ def _pair_score_sql(
         )
         total_w += num_weight
     return name_sim, f"({' + '.join(terms)}) DIV {total_w}L"
+
+
+def _necessary_conditions(
+    cat_cols: list[str],
+    num_cols: list[tuple[str, int]],
+    name_weight: int,
+    cat_weight: int,
+    num_weight: int,
+    threshold_bp: int,
+) -> tuple[list[str], list[tuple[str, int]], int | None]:
+    """Conditions PROVABLY implied by ``score_bp >= threshold_bp``
+    (r14, guide §2.3 shuffle-fewer-bytes / §3.2 pre-filter the big
+    side): every term is bounded at 10000 bp, so when the threshold
+    cannot be met even with all OTHER terms maxed out, a term has a
+    hard floor — and that floor translates into a cheap predicate
+    evaluated BEFORE the levenshtein DP (or, for categorical equality,
+    into an extra equi-join KEY that shrinks the candidate blocks
+    themselves). Pure necessary conditions: the surviving-pair set is
+    identical, only non-qualifying pairs stop being generated/scored.
+
+    Returns (cats that must be equal, [(num col, max |a-b|)], and the
+    name_sim floor in bp or None). Integer arithmetic throughout:
+    ``floor(S/total) >= t  <=>  S >= t*total`` for integer t."""
+    total_w = name_weight + cat_weight * len(cat_cols) + num_weight * len(num_cols)
+    need = threshold_bp * total_w
+    base_max = 10000 * total_w
+    slack = base_max - need  # weighted bp the pair may lose in total
+    eq_cats = [c for c in cat_cols if cat_weight * 10000 > slack]
+    num_bounds = []
+    for c, scale in num_cols:
+        if num_weight * 10000 > slack:
+            # w*(10000-term) <= slack  <=>  term >= 10000 - slack DIV w
+            t_min = 10000 - slack // num_weight
+            # term = 10000 - least(|d|*10000 DIV scale, 10000) >= t_min
+            # <=> |d|*10000 DIV scale <= 10000 - t_min
+            # <=> |d| <= ((10000 - t_min + 1)*scale - 1) DIV 10000
+            num_bounds.append((c, ((10000 - t_min + 1) * int(scale) - 1) // 10000))
+    t_name = (
+        10000 - slack // name_weight if name_weight * 10000 > slack else None
+    )
+    return eq_cats, num_bounds, t_name
 
 
 def entity_match(
@@ -131,10 +186,40 @@ def entity_match(
             .select("blk")
         )
         sides["a"] = sides["a"].join(keep, "blk")
-    j = sides["a"].join(sides["b"], "blk").filter(F.col("id_a") < F.col("id_b"))
+    # r14 (guide §2.3/§3.2): conditions the threshold PROVES necessary
+    # shrink the pair space before it exists — categorical evidence
+    # that must agree becomes part of the equi-join key (each prefix
+    # block sub-divides by that column), numeric bounds and the
+    # name-length floor prune pairs before the levenshtein DP runs.
+    # The surviving pairs, their scores, and the output are identical.
+    eq_cats, num_bounds, t_name = _necessary_conditions(
+        cat_cols, num_cols, name_weight, cat_weight, num_weight, threshold_bp
+    )
+    cond = sides["a"]["blk"] == sides["b"]["blk"]
+    for c in eq_cats:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    j = (
+        sides["a"]
+        .join(sides["b"], cond)
+        .drop(sides["b"]["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    for c, bound in num_bounds:
+        j = j.filter(F.expr(f"CAST(abs({c}_a - {c}_b) AS BIGINT) <= {bound}L"))
+    if t_name is not None:
+        # lev >= |len_a - len_b|, so this length-only bound caps
+        # name_sim from above; rows it drops could never reach t_name
+        j = j.filter(
+            F.expr(
+                "10000L - CAST(abs(length(name_a) - length(name_b)) AS BIGINT)"
+                " * 10000L DIV greatest(length(name_a), length(name_b), 1L)"
+                f" >= {t_name}L"
+            )
+        )
 
     name_sim, score = _pair_score_sql(
-        cat_cols, num_cols, name_weight, cat_weight, num_weight
+        cat_cols, num_cols, name_weight, cat_weight, num_weight,
+        prefix_len=block_prefix,
     )
     return (
         j.withColumn("name_sim_bp", F.expr(name_sim))
@@ -291,11 +376,39 @@ def entity_match_incremental(
         *[F.col(c).alias(f"{c}_b") for c in ev],
     )
     name_sim, score = _pair_score_sql(
-        cat_cols, num_cols, name_weight, cat_weight, num_weight
+        cat_cols, num_cols, name_weight, cat_weight, num_weight,
+        prefix_len=block_prefix,
     )
+    # the same provably-necessary conditions as the batch face (r14):
+    # threshold-implied categorical equality joins, numeric bounds and
+    # the name-length floor — pair-for-pair parity is preserved because
+    # only pairs that could never reach threshold_bp stop being scored
+    eq_cats, num_bounds, t_name = _necessary_conditions(
+        cat_cols, num_cols, name_weight, cat_weight, num_weight, threshold_bp
+    )
+    # explicit aliases: x and y share lineage (pool unions the batch),
+    # so bare df["blk"] references are ambiguous in the self-join
+    x, y = x.alias("_em_x"), y.alias("_em_y")
+    cond = F.col("_em_x.blk") == F.col("_em_y.blk")
+    for c in eq_cats:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
     pairs = (
-        x.join(y, "blk")
+        x.join(y, cond)
+        .drop(F.col("_em_y.blk"))
         .filter(F.col("id_x") != F.col("id_y"))
+    )
+    for c, bound in num_bounds:
+        pairs = pairs.filter(F.expr(f"CAST(abs({c}_a - {c}_b) AS BIGINT) <= {bound}L"))
+    if t_name is not None:
+        pairs = pairs.filter(
+            F.expr(
+                "10000L - CAST(abs(length(name_a) - length(name_b)) AS BIGINT)"
+                " * 10000L DIV greatest(length(name_a), length(name_b), 1L)"
+                f" >= {t_name}L"
+            )
+        )
+    pairs = (
+        pairs
         # every scoring term is symmetric (levenshtein + greatest-len,
         # equality, |a-b|), so the a/b roles may come out in either
         # join direction without changing the score

@@ -777,11 +777,19 @@ def fuzzy_pairs(
         F.col(name_col).alias("name_b"),
         F.substring(F.col(name_col), 1, block_prefix).alias("blk"),
     )
+    # r14 (guide §1.2 per-task work): block mates share their first
+    # ``block_prefix`` chars by construction, and a shared prefix never
+    # changes edit distance (lev(P+x, P+y) = lev(x, y)) — so the DP
+    # runs over the suffixes only. The third levenshtein argument bounds
+    # the DP at max_dist (banded O(d*n) instead of full O(n^2)); it
+    # returns -1 past the bound, and for rows within the bound the
+    # value is the exact distance, so the kept rows are identical.
+    sfx = f"substring(name_a, {block_prefix + 1}), substring(name_b, {block_prefix + 1})"
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        .withColumn("dist", F.expr(f"levenshtein({sfx}, {int(max_dist)})"))
+        .filter(F.col("dist").between(0, max_dist))
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
         .limit(limit)
