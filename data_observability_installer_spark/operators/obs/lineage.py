@@ -134,23 +134,38 @@ def transitive_closure(edges: DataFrame, max_depth: int = 8) -> DataFrame:
 
 
 def _closure_rounds(edges: DataFrame, max_depth: int, fresh) -> DataFrame:
+    # r14 (guide §2.6 / §1.2): each round used to run THREE materializing
+    # jobs — frontier checkpoint, emptiness probe, and a re-checkpoint of
+    # the whole known set (union). The known re-checkpoint is redundant:
+    # the anti-join only needs the PAIRS seen so far, and those are
+    # exactly the union of the per-round frontier checkpoints — a lazy
+    # union of already-materialized leaves (same rows, zero extra jobs).
+    # Two jobs per round remain; the result is the same union of
+    # frontiers (bit-identical rows, one union either way).
     e = edges.select("src", "dst").distinct().localCheckpoint()
-    known = e.withColumn("depth", F.lit(1)).localCheckpoint()
-    frontier = known
+    frontiers = [e.withColumn("depth", F.lit(1)).localCheckpoint()]
+    frontier = frontiers[0]
+    known_pairs = frontier.select("src", "dst")
     for depth in range(2, max_depth + 1):
         grown = (
             frontier.alias("f")
             .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
-            .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(known_pairs, ["src", "dst"], "left_anti")
             .withColumn("depth", F.lit(depth))
         )
         frontier = grown.localCheckpoint()
         if frontier.limit(1).count() == 0:
             break
-        known = fresh(known).unionByName(fresh(frontier)).localCheckpoint()
-    return known
+        frontiers.append(frontier)
+        known_pairs = fresh(known_pairs).unionByName(
+            fresh(frontier.select("src", "dst"))
+        )
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = fresh(out).unionByName(fresh(f))
+    return out
 
 
 def impact_downstream(closure: DataFrame, seeds: DataFrame) -> DataFrame:
