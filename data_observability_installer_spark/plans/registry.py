@@ -1283,21 +1283,46 @@ _RUNS_SQL = """
 
 
 def _events_run_rollup(ev: DataFrame) -> DataFrame:
-    """The A1 mapping with raw timestamps (shared by A3/A4/A6)."""
-    return ev.select(
-        F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias("pipeline_key"),
-        F.concat(
-            F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
-        ).alias("run_key"),
-        F.col("ts"),
-        F.col("event_type"),
-    ).groupBy("pipeline_key", "run_key").agg(
-        F.min("ts").alias("start_ts"),
-        F.max("ts").alias("end_ts"),
-        F.when(F.sum((F.col("event_type") == "error").cast("int")) > 0, "FAILED")
-        .when(F.sum((F.col("event_type") == "purchase").cast("int")) > 0, "COMPLETED")
-        .otherwise("RUNNING")
-        .alias("final_status"),
+    """The A1 mapping with raw timestamps (shared by A3/A4/A6).
+
+    r14 (guide §2.4): the groupBy carries ``user_id`` next to the
+    derived ``run_key`` so the aggregation's ClusteredDistribution is
+    satisfied by the load-time ``hashpartitioning(user_id)`` (keyed
+    `_distribute`; hash on a SUBSET of the grouping keys clusters the
+    superset) — the rollup runs WITHOUT its own exchange in all ~17
+    consumer queries. Groups are identical: ``run_key`` embeds
+    ``user_id`` (events contract: user_id/ts non-null — the synthetic
+    run mapping is meaningless for null agents; verified null-free at
+    all SFs), and ``pipeline_key`` is constant per user, so computing
+    it from any group member after the aggregate is the same value
+    the old group-key produced."""
+    return (
+        ev.select(
+            F.col("user_id"),
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("run_key"),
+            F.col("ts"),
+            F.col("event_type"),
+        )
+        .groupBy("user_id", "run_key")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.when(F.sum((F.col("event_type") == "error").cast("int")) > 0, "FAILED")
+            .when(F.sum((F.col("event_type") == "purchase").cast("int")) > 0, "COMPLETED")
+            .otherwise("RUNNING")
+            .alias("final_status"),
+        )
+        .select(
+            F.concat(F.lit("pipeline-"), (F.col("user_id") % 5).cast("string")).alias(
+                "pipeline_key"
+            ),
+            "run_key",
+            "start_ts",
+            "end_ts",
+            "final_status",
+        )
     )
 
 
