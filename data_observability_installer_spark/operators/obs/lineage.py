@@ -44,14 +44,25 @@ def io_records(
     run_key_col: str = "run_key",
     dataset_col: str = "dataset_key",
     direction_col: str = "direction",
+    co_key: str | None = None,
 ) -> DataFrame:
     """Normalize an event stream into distinct (run, dataset, READ|WRITE)
     records. Input must already carry the three columns; this is the
-    canonical shape every lineage consumer takes."""
-    return events.select(run_key_col, dataset_col, direction_col).distinct()
+    canonical shape every lineage consumer takes.
+
+    ``co_key`` (r14, guide §2.4): an optional extra column that is
+    functionally determined by ``run_key`` (non-null — e.g. the agent
+    id the run key embeds) and matches the input's physical hash
+    partitioning. Carrying it through the distinct (and the downstream
+    run-key self-join via :func:`dataset_edges`) lets those operators
+    satisfy their clustering from the scan's keyed partitioning and
+    skip their exchanges; the distinct ROWS are unchanged because the
+    extra column adds no new groups."""
+    cols = ([co_key] if co_key else []) + [run_key_col, dataset_col, direction_col]
+    return events.select(*cols).distinct()
 
 
-def dataset_edges(io: DataFrame) -> DataFrame:
+def dataset_edges(io: DataFrame, co_key: str | None = None) -> DataFrame:
     """Observed dataset-level lineage: ``src -> dst`` whenever one run
     READs src and WRITEs dst (src != dst).
 
@@ -60,16 +71,21 @@ def dataset_edges(io: DataFrame) -> DataFrame:
     run, so the shuffle moves each run's handful of io records to one
     partition — fan-out is bounded per run, never all-pairs over
     datasets. Skewed runs (a run touching thousands of datasets) are
-    the one hazard; AQE skew-join handles them.
+    the one hazard; AQE skew-join handles them. With ``co_key`` (see
+    :func:`io_records`) the self-join keys on (co_key, run_key) —
+    identical pairs, since co_key is determined by run_key — and both
+    sides inherit the scan's keyed partitioning, so the join adds no
+    exchange of its own.
     """
+    keys = ([co_key] if co_key else []) + ["run_key"]
     r = io.filter(F.col("direction") == "READ").select(
-        "run_key", F.col("dataset_key").alias("src")
+        *keys, F.col("dataset_key").alias("src")
     )
     w = io.filter(F.col("direction") == "WRITE").select(
-        "run_key", F.col("dataset_key").alias("dst")
+        *keys, F.col("dataset_key").alias("dst")
     )
     return (
-        r.join(w, "run_key")
+        r.join(w, keys)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()

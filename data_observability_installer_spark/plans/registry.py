@@ -5091,15 +5091,23 @@ _LINEAGE_CLOSURE_SQL = f"""{_LINEAGE_EDGES_SQL},
 
 
 def _lineage_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # user_id rides along as the co-clustering key (it determines
+    # run_key under the non-null events contract): the io distinct and
+    # the run-key self-join then satisfy their clustering from the
+    # load-time hashpartitioning(user_id) and add no exchange (r14,
+    # guide §2.4); rows are unchanged. Consumers that only need the
+    # canonical 3 columns select them away.
     ev = load_table(spark, sf_dir, "events")
     return _lin.io_records(
         ev.filter(F.col("event_type").isin("view", "purchase")).select(
+            F.col("user_id"),
             F.concat(
                 F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
             ).alias("run_key"),
             F.concat(F.lit("ds-"), F.get_json_object("props", "$.k")).alias("dataset_key"),
             F.when(F.col("event_type") == "view", "READ").otherwise("WRITE").alias("direction"),
-        )
+        ),
+        co_key="user_id",
     )
 
 
@@ -5110,7 +5118,7 @@ _CLOSURE_CACHE = DFCache(capacity=4)
 
 def _cached_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        edges = _lin.dataset_edges(_lineage_io(spark, sf_dir))
+        edges = _lin.dataset_edges(_lineage_io(spark, sf_dir), co_key="user_id")
         return _lin.transitive_closure(edges, max_depth=_LINEAGE_DEPTH)
 
     return _CLOSURE_CACHE.get_or_build((spark.sparkContext.applicationId, sf_dir), build)
@@ -5120,7 +5128,7 @@ def _cached_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineage_dataset_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed dataset->dataset lineage from run-scoped co-occurrence:
     one run-key self-join (fan-out bounded per run) + distinct."""
-    return _lin.dataset_edges(_lineage_io(spark, sf_dir))
+    return _lin.dataset_edges(_lineage_io(spark, sf_dir), co_key="user_id")
 
 
 @register("pagerank_lineage", _lin.pagerank_sql(_LINEAGE_EDGES_SQL, iterations=3))
@@ -5128,7 +5136,7 @@ def pagerank_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset centrality over the observed lineage graph: 3 fixed
     PageRank iterations (message-passing joins, unrolled-CTE twin) —
     ranks the hub datasets everything depends on."""
-    return _lin.pagerank(_lin.dataset_edges(_lineage_io(spark, sf_dir)), iterations=3)
+    return _lin.pagerank(_lin.dataset_edges(_lineage_io(spark, sf_dir), co_key="user_id"), iterations=3)
 
 
 @register("lineage_closure", _LINEAGE_CLOSURE_SQL + "\n    SELECT src, dst, depth FROM cl")
@@ -5201,19 +5209,24 @@ def _failed_write_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by the blast-radius report and the rebuild planner."""
     ev = load_table(spark, sf_dir, "events")
     io = _lineage_io(spark, sf_dir)
+    # user_id rides both sides (it determines run_key — non-null events
+    # contract), so the error rollup AND the seed join cluster off the
+    # keyed scan partitioning with no exchange of their own; rows are
+    # identical (r14, guide §2.4 — same trick as _events_run_rollup)
     failed = (
         ev.groupBy(
+            F.col("user_id"),
             F.concat(
                 F.col("user_id").cast("string"), F.lit(":"), F.date_format("ts", "yyyy-MM-dd")
-            ).alias("run_key")
+            ).alias("run_key"),
         )
         .agg(F.sum((F.col("event_type") == "error").cast("int")).alias("err_ct"))
         .filter(F.col("err_ct") > 0)
-        .select("run_key")
+        .select("user_id", "run_key")
     )
     return (
         io.filter(F.col("direction") == "WRITE")
-        .join(failed, "run_key")
+        .join(failed, ["user_id", "run_key"])
         .select("dataset_key")
         .distinct()
     )
