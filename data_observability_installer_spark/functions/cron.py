@@ -91,21 +91,63 @@ class Cron:
             zone = ZoneInfo(tz) if isinstance(tz, str) else tz
         utc = dt.timezone.utc
         out = []
-        while t < end:
-            if zone is None:
+        minute = dt.timedelta(minutes=1)
+        if zone is None:
+            while t < end:
                 if self.matches(t):
                     out.append(t)
+                t += minute
+            return out
+
+        # r14: the naive loop paid one astimezone() per MINUTE of the
+        # window (~1.4k/day — the dominant driver-side cost of a tz
+        # schedule expansion). UTC offsets are piecewise constant with
+        # a handful of transitions per window, so walk hour chunks:
+        # when the offset at the chunk's first and last minute agrees,
+        # every wall time inside is plain arithmetic (wall = t + off,
+        # the same value astimezone produces under that offset); when
+        # it differs (a DST transition inside the hour), fall back to
+        # the exact per-minute conversion for that chunk only. The
+        # fold=0 first-instant confirmation still runs for every
+        # MATCHED tick, so ambiguous fall-back wall times fire once at
+        # their first instant exactly as before (parity pinned in
+        # tests/test_obs_analytics.py across DST/fractional-offset
+        # zones).
+        def _exact_append(tt: dt.datetime) -> None:
+            wall = tt.replace(tzinfo=utc).astimezone(zone).replace(tzinfo=None)
+            if self.matches(wall):
+                first = (
+                    wall.replace(tzinfo=zone, fold=0)
+                    .astimezone(utc)
+                    .replace(tzinfo=None)
+                )
+                if first == tt:
+                    out.append(tt)
+
+        while t < end:
+            chunk_end = min(
+                t.replace(minute=0) + dt.timedelta(hours=1), end
+            )
+            # offset OF THE UTC INSTANT (zone.utcoffset(dt) would read
+            # the naive part as a wall time instead)
+            off_lo = t.replace(tzinfo=utc).astimezone(zone).utcoffset()
+            off_hi = (
+                (chunk_end - minute).replace(tzinfo=utc).astimezone(zone).utcoffset()
+            )
+            if off_lo == off_hi:
+                while t < chunk_end:
+                    wall = t + off_lo
+                    if self.matches(wall):
+                        first = (
+                            wall.replace(tzinfo=zone, fold=0)
+                            .astimezone(utc)
+                            .replace(tzinfo=None)
+                        )
+                        if first == t:
+                            out.append(t)
+                    t += minute
             else:
-                wall = t.replace(tzinfo=utc).astimezone(zone).replace(tzinfo=None)
-                if self.matches(wall):
-                    # fold=0 maps an ambiguous wall time to its FIRST
-                    # UTC instant; only that instant fires the tick
-                    first = (
-                        wall.replace(tzinfo=zone, fold=0)
-                        .astimezone(utc)
-                        .replace(tzinfo=None)
-                    )
-                    if first == t:
-                        out.append(t)
-            t += dt.timedelta(minutes=1)
+                while t < chunk_end:
+                    _exact_append(t)
+                    t += minute
         return out

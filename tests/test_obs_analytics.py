@@ -247,6 +247,48 @@ def test_cron_timezone_dst_expansion():
     ) == naive
 
 
+def test_cron_segment_fastpath_matches_minute_loop():
+    """r14: ticks() walks constant-offset hour chunks arithmetically
+    (one conversion per chunk edge instead of one per minute); this
+    pins it against the reference per-minute astimezone loop across
+    the paths that could diverge — DST edges inside a chunk,
+    fractional offsets (+05:45, 30-minute DST), dense minute fields
+    over a fall-back day, and a date-line jump."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from data_observability_installer_spark.functions.cron import Cron
+
+    def ref_ticks(cron, start, end, tz):
+        t = start
+        zone = ZoneInfo(tz)
+        utc = dt.timezone.utc
+        out = []
+        while t < end:
+            wall = t.replace(tzinfo=utc).astimezone(zone).replace(tzinfo=None)
+            if cron.matches(wall):
+                first = (
+                    wall.replace(tzinfo=zone, fold=0)
+                    .astimezone(utc)
+                    .replace(tzinfo=None)
+                )
+                if first == t:
+                    out.append(t)
+            t += dt.timedelta(minutes=1)
+        return out
+
+    cases = [
+        ("*/20 * * * *", dt.datetime(2024, 11, 2), dt.datetime(2024, 11, 4), "America/New_York"),
+        ("*/7 3,4 10,11 3 *", dt.datetime(2024, 3, 9), dt.datetime(2024, 3, 12), "America/New_York"),
+        ("0 12 * * *", dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 20), "Asia/Kathmandu"),
+        ("30 10 * * *", dt.datetime(2024, 9, 25), dt.datetime(2024, 10, 12), "Australia/Lord_Howe"),
+        ("0 0 1 * *", dt.datetime(2011, 12, 20), dt.datetime(2012, 1, 10), "Pacific/Apia"),
+    ]
+    for sched, s, e, tz in cases:
+        c = Cron(sched)
+        assert c.ticks(s, e, tz=tz) == ref_ticks(c, s, e, tz), (sched, tz)
+
+
 def test_expected_ticks_honors_schedule_timezone(spark):
     """expected_ticks reads the schedule dict's timezone field and
     emits UTC tick_ts; a UTC-zone schedule reproduces the naive
